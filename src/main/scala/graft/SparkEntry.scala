@@ -1,13 +1,84 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extensions) appears in [[queries]]; everything SQL-expressible has a
+  * DuckDB oracle twin in [[oracleSql]] with identical column aliases and
+  * a total ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7 end-to-end transfer slice: scan -> pushed-down range
+    * predicate -> mutator fold (rename+drop) -> aggregate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.transferSlice(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- SURVEY §2 parity operators --------------------------------------
+    "s5_count"          -> (Relational.s5Count _),
+    "s6_stats"          -> (Relational.s6Stats _),
+    "s7_range_buckets"  -> (Relational.s7RangeBuckets _),
+    "f5_size_range"     -> (Relational.f5SizeRange _),
+    "f6_mutator_drop"   -> (Relational.f6MutatorDrop _),
+    "m2_index_rollup"   -> (Relational.m2IndexDateRollup _),
+    "m2_int_price"      -> (Relational.m2IntPrice _),
+    "o1_comparator"     -> (Relational.o1Comparator _),
+    "k1_upsert_dedup"   -> (Relational.k1UpsertDedup _),
+    "p2_bounds_ntile"   -> (Relational.p2BoundsNtile _),
+    "p3_flush_size"     -> (Relational.p3FlushSize _),
+    "p6_progress"       -> (Relational.p6Progress _),
+    "transfer_slice"    -> (Relational.transferSlice _),
+    // -- general SQL surface --------------------------------------------
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q3_join"           -> (Relational.q3Join _),
+    "q_window"          -> (Relational.qWindow _),
+    "q_rollup"          -> (Relational.qRollup _),
+    "q_setops"          -> (Relational.qSetOps _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s5_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "s6_stats" ->
+      """SELECT min(l_extendedprice) AS min_size, max(l_extendedprice) AS max_size, count(*) AS cnt FROM lineitem""",
+    "s7_range_buckets" ->
+      """SELECT CASE WHEN l_extendedprice < 2000 THEN 'b0' WHEN l_extendedprice < 20000 THEN 'b1' ELSE 'b2' END AS bucket, count(*) AS doc_count FROM lineitem GROUP BY 1 ORDER BY bucket""",
+    "f5_size_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 30 ORDER BY l_orderkey, l_linenumber""",
+    "f6_mutator_drop" ->
+      """SELECT l_returnflag, count(*) AS kept, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty FROM lineitem WHERE NOT COALESCE(l_discount > 0.06, FALSE) GROUP BY 1 ORDER BY 1""",
+    "m2_index_rollup" ->
+      """SELECT 'events-' || strftime(ts, '%Y.%m') AS _index, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""",
+    "m2_int_price" ->
+      """SELECT p_partkey, p_retailprice, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents FROM part ORDER BY p_partkey""",
+    "o1_comparator" ->
+      """WITH names AS (SELECT DISTINCT (CASE WHEN o_orderkey % 7 = 0 THEN 'archive' ELSE 'orders' END) || (CASE WHEN o_orderkey % 11 = 0 THEN '' ELSE '-' || strftime(o_orderdate, '%Y.%m.%d') END) AS index_name FROM orders) SELECT index_name, regexp_extract(index_name, '(\d{4}\.\d{2}\.\d{2})$', 1) AS dt FROM names ORDER BY dt DESC, index_name ASC""",
+    "k1_upsert_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "p2_bounds_ntile" ->
+      """SELECT bucket, count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM (SELECT l_extendedprice, l_orderkey, l_linenumber, ntile(3) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket FROM lineitem) GROUP BY 1 ORDER BY 1""",
+    "p3_flush_size" ->
+      """SELECT p_brand, max(p_size) AS max_size, least(greatest(CAST(floor(50000000.0 / (max(p_size) * 1000000.0)) AS BIGINT), 1), 10000) AS flush_size FROM part GROUP BY 1 ORDER BY 1""",
+    "p6_progress" ->
+      """SELECT event_type, total, transferred, CAST(floor(transferred * 100.0 / total) AS BIGINT) AS pct FROM (SELECT event_type, count(*) AS total, sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS transferred FROM events GROUP BY 1) ORDER BY event_type""",
+    "transfer_slice" ->
+      """SELECT 'li-' || l_returnflag AS _index, count(*) AS cnt, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 30 AND NOT COALESCE(l_discount > 0.08, FALSE) GROUP BY 1 ORDER BY 1""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q3_join" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_li, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window" ->
+      """SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchases_so_far, lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events WHERE user_id < 200 ORDER BY user_id, rn""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_setops" ->
+      """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k"""
+  )
 }

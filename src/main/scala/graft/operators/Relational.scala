@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.model.ObjectId
+import graft.transform._
+
+/** Relational parity operators — each maps one SURVEY.md §2 row onto an
+  * idiomatic Spark plan, paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism rules shared with the oracles:
+  *   - money/quantity aggregates go through DECIMAL(18,2) so sums are
+  *     exact and order-independent (double sums are not);
+  *   - every query ends in a total ORDER BY on its key columns;
+  *   - column names are aliased identically on both sides.
+  */
+object Relational {
+
+  /** Cast to exact decimal for order-independent aggregation. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Cast a literal to the column's own (timestamp) type — robust to
+    * TIMESTAMP vs TIMESTAMP_NTZ parquet inference and foldable, so the
+    * comparison pushes down to the parquet scan.
+    */
+  private def tsLit(df: DataFrame, column: String, value: String): Column =
+    lit(value).cast(df.schema(column).dataType)
+
+  // --------------------------------------------------------------------
+  // S5/S6: counts and planning statistics
+  // --------------------------------------------------------------------
+
+  /** S5 count (`subtasks.js:97-100`): per-slice doc count. One shuffle-free
+    * partial-agg + single-row exchange.
+    */
+  def s5Count(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("cnt"))
+
+  /** S6 stats aggregation (`subtasks.js:210-237`): min/max/count of the
+    * size column that seeds partition planning. `l_extendedprice` plays
+    * the `_size` role on the test corpus.
+    */
+  def s6Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      min(col("l_extendedprice")).as("min_size"),
+      max(col("l_extendedprice")).as("max_size"),
+      count(lit(1)).as("cnt")
+    )
+
+  /** S7 range-bucket aggregation (`subtasks.js:238-277`): 3-bucket range
+    * agg over the size column -> per-bucket doc_count. A when-chain keeps
+    * it in one codegen'd pass; the groupBy is on 3 keys so the shuffle is
+    * trivially small at any scale.
+    */
+  def s7RangeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        when(col("l_extendedprice") < 2000, "b0")
+          .when(col("l_extendedprice") < 20000, "b1")
+          .otherwise("b2")
+          .as("bucket")
+      )
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("bucket")
+
+  // --------------------------------------------------------------------
+  // F5/F6: predicates
+  // --------------------------------------------------------------------
+
+  /** F5 doc-size range predicate (`subtask.js:61-74`): [gte, lt) range
+    * filter pushed into the source — Catalyst pushes both bounds to the
+    * parquet scan (visible as PushedFilters).
+    */
+  def f5SizeRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 5 && col("l_quantity") < 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F6 row drop via mutator (`transfer.js:272,283`): drop-predicate fused
+    * into the pipeline; compiled through the columnar mutator fold.
+    */
+  def f6MutatorDrop(spark: SparkSession, dir: String): DataFrame = {
+    val drop = DropMutator(ObjectId("graft", "dropHighDiscount"), col("l_discount") > 0.06)
+    MutatorPipeline
+      .applyColumnar(Tables.lineitem(spark, dir), Seq(drop))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("kept"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------------
+  // M2: data mutators
+  // --------------------------------------------------------------------
+
+  /** M2 `_index` date-rollup rename (`examples/mutators/indexDate.js`):
+    * rows re-route to a monthly table computed from their timestamp —
+    * in Spark, a computed partition column. Output: per-new-index counts.
+    */
+  def m2IndexDateRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rename = WithColumnMutator(
+      ObjectId("graft", "indexDate"),
+      "_index",
+      concat(lit("events-"), date_format(col("ts"), "yyyy.MM"))
+    )
+    MutatorPipeline
+      .applyColumnar(ev, Seq(rename))
+      .groupBy("_index")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("_index")
+  }
+
+  /** M2 fixed-point price (`examples/mutators/intPrice.js`): float price ->
+    * integer cents. floor(x*100+0.5) instead of round() because both
+    * engines floor identically while round() ties differ.
+    */
+  def m2IntPrice(spark: SparkSession, dir: String): DataFrame = {
+    val priceCents = AssignMutator(
+      ObjectId("graft", "intPrice"),
+      col("p_retailprice").isNotNull,
+      Seq("price_cents" -> floor(col("p_retailprice") * 100 + 0.5).cast(LongType))
+    )
+    MutatorPipeline
+      .applyColumnar(
+        Tables.part(spark, dir).withColumn("price_cents", lit(null).cast(LongType)),
+        Seq(priceCents)
+      )
+      .select("p_partkey", "p_retailprice", "price_cents")
+      .orderBy("p_partkey")
+  }
+
+  // --------------------------------------------------------------------
+  // O1: comparator ordering
+  // --------------------------------------------------------------------
+
+  /** O1 custom index comparator (`examples/comparators/indices.js:1-22`):
+    * sort index names by trailing date desc, then name asc; dated names
+    * before undated. Index names synthesized from order dates.
+    */
+  def o1Comparator(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        concat(
+          when(col("o_orderkey") % 7 === 0, lit("archive"))
+            .otherwise(lit("orders")),
+          when(col("o_orderkey") % 11 === 0, lit(""))
+            .otherwise(concat(lit("-"), date_format(col("o_orderdate"), "yyyy.MM.dd")))
+        ).as("index_name")
+      )
+      .distinct()
+      .withColumn("dt", regexp_extract(col("index_name"), "(\\d{4}\\.\\d{2}\\.\\d{2})$", 1))
+      .orderBy(desc("dt"), asc("index_name"))
+      .select("index_name", "dt")
+
+  // --------------------------------------------------------------------
+  // K1: idempotent upsert sink
+  // --------------------------------------------------------------------
+
+  /** K1 upsert semantics (`transfer.js:175-189` `doc_as_upsert`): last-
+    * write-wins by key. No parquet-native upsert, so dedup-by-key with a
+    * row_number window ordered by recency — the engine's Transfer sink
+    * applies this before overwrite. Deterministic tiebreak on event_id.
+    */
+  def upsertLatest(df: DataFrame, keys: Seq[String], versionCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def k1UpsertDedup(spark: SparkSession, dir: String): DataFrame =
+    upsertLatest(
+      Tables.events(spark, dir),
+      Seq("user_id", "event_type"),
+      Seq(col("ts_ns").desc, col("event_id").desc)
+    )
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+
+  // --------------------------------------------------------------------
+  // P2/P3/P6: planner + progress parity
+  // --------------------------------------------------------------------
+
+  /** P2 adaptive bound search (`subtasks.js:210-351`): exact 3-bucket
+    * equi-depth bounds via ntile — the deterministic, oracle-checkable
+    * twin of the sampling planner in [[graft.engine.Bounds]].
+    */
+  def p2BoundsNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi")
+      )
+      .orderBy("bucket")
+  }
+
+  /** P3 flush-size calculation (`subtasks.js:267`): batch size =
+    * 50MB / (maxDocSize * shards), clamped to [1, 10000]
+    * (`MAX_FLUSH_SIZE` `subtasks.js:15`). p_size (in "MB") plays
+    * maxDocSize; one shard.
+    */
+  def p3FlushSize(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(max(col("p_size")).as("max_size"))
+      .withColumn(
+        "flush_size",
+        least(
+          greatest(
+            floor(lit(50.0 * 1000 * 1000) / (col("max_size") * lit(1000 * 1000.0))).cast(LongType),
+            lit(1L)
+          ),
+          lit(10000L)
+        )
+      )
+      .orderBy("p_brand")
+
+  /** P6 progress tallies (`subtasks.js:410-419,491-497`,
+    * `tasks.controller.js:14-27`): transferred/total sums and integer
+    * percent-complete per task (event_type plays the task key).
+    */
+  def p6Progress(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("transferred")
+      )
+      .withColumn("pct", floor(col("transferred") * 100L / col("total")).cast(LongType))
+      .orderBy("event_type")
+
+  // --------------------------------------------------------------------
+  // The general SQL surface (free from Spark; the reference lacks these,
+  // SURVEY §2.5 — our engine exposes them as first-class operators)
+  // --------------------------------------------------------------------
+
+  /** TPC-H Q1-style scan+agg: the headline pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Multi-way join: tiny dims broadcast (region, nation — always small),
+    * fact-to-fact joins shuffle on their keys with AQE handling skew.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_li"),
+        sum(dec(col("l_extendedprice"))).as("revenue")
+      )
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  /** Window functions over the event stream: per-user ordering & running
+    * tallies (integer-valued for cross-engine determinism).
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 200)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        row_number().over(byUser).as("rn"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("purchases_so_far"),
+        lag(col("event_id"), 1).over(byUser).as("prev_event_id")
+      )
+      .orderBy("user_id", "rn")
+  }
+
+  /** Rollup (grouping sets family). NULLS FIRST on both sides — Spark's
+    * default ASC is nulls-first, DuckDB's is nulls-last.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = broadcast(Tables.region(spark, dir))
+    val c = Tables.customer(spark, dir)
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** Set operators: customers that placed orders (semi via INTERSECT)
+    * minus low-balance ones (EXCEPT).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.select(col("c_custkey").as("k"))
+      .intersect(o.select(col("o_custkey").as("k")))
+      .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")))
+      .orderBy("k")
+  }
+
+  // --------------------------------------------------------------------
+  // Flagship: the SURVEY §7 end-to-end transfer slice
+  // --------------------------------------------------------------------
+
+  /** Minimum end-to-end slice (SURVEY §7): scan -> F5 range predicate
+    * (pushed down) -> M1 mutator fold (rename + drop) -> S5-shape counts.
+    * Exercises the whole §3.2 data path in one codegen'd plan.
+    */
+  def transferSlice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 5 && col("l_quantity") < 30)
+    val mutators = Seq(
+      WithColumnMutator(
+        ObjectId("graft", "routeByFlag"),
+        "_index",
+        concat(lit("li-"), col("l_returnflag"))
+      ),
+      DropMutator(ObjectId("graft", "dropDiscounted"), col("l_discount") > 0.08)
+    )
+    MutatorPipeline
+      .applyColumnar(li, mutators)
+      .groupBy("_index")
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy("_index")
+  }
+}

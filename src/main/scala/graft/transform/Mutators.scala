@@ -1,0 +1,173 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.ObjectId
+
+/** The mutator system — the reference's UDF surface (`SURVEY.md` §2.4).
+  *
+  * Semantics from `app/services/transfer.js:271-284`: an ordered left-fold
+  * over each document; for each mutator `if pred(doc, args) then doc =
+  * mutate(doc, args)`; a mutate returning null drops the document and
+  * short-circuits the rest of the pipeline.
+  *
+  * Two surfaces:
+  *   - [[ColumnMutator]] / [[MutatorPipeline.applyColumnar]]: the scalable
+  *     path. Each mutator is expressed in Catalyst `Column`s; the fold
+  *     compiles to chained projections + filters that Catalyst collapses
+  *     into a single whole-stage-codegen'd select, so a 10-mutator pipeline
+  *     costs one pass with full predicate pushdown.
+  *   - [[DocMutator]] / [[MutatorPipeline.applyDocs]]: the schema-agnostic
+  *     row path over the [[graft.model.Doc]] envelope, property-tested for
+  *     the exact fold/drop/arg-override laws.
+  */
+sealed trait ColumnMutator {
+  def id: ObjectId
+}
+
+/** For rows matching `pred`, set each named column to the paired
+  * expression; other rows keep their values (`when(pred, e).otherwise(col)`).
+  * The predicate is evaluated against the row state BEFORE any of this
+  * mutator's assignments (all assignments see one consistent predicate).
+  */
+final case class AssignMutator(
+    id: ObjectId,
+    pred: Column,
+    assigns: Seq[(String, Column)]
+) extends ColumnMutator
+
+/** Adds a column (or overwrites unconditionally) — the common "enrich"
+  * mutator shape, e.g. the `_index` date-rollup rename of
+  * `examples/mutators/indexDate.js`.
+  */
+final case class WithColumnMutator(
+    id: ObjectId,
+    column: String,
+    expr: Column
+) extends ColumnMutator
+
+/** Drops rows matching `pred` at this point in the pipeline — the
+  * null-return drop of `transfer.js:272,283` /
+  * `tests/services/validMutators/dropWithArgs.js`.
+  */
+final case class DropMutator(
+    id: ObjectId,
+    pred: Column
+) extends ColumnMutator
+
+/** Row-typed mutator over the schema-agnostic envelope. `mutate` returning
+  * None drops the doc. Args resolution follows `filters.js:96-99`: the
+  * per-action arguments override task-level arguments when non-empty.
+  */
+final case class DocMutator(
+    id: ObjectId,
+    predicate: (graft.model.Doc, Map[String, String]) => Boolean,
+    mutate: (graft.model.Doc, Map[String, String]) => Option[graft.model.Doc],
+    arguments: Map[String, String] = Map.empty
+)
+
+object MutatorPipeline {
+
+  /** Compile an ordered mutator pipeline into DataFrame transformations.
+    *
+    * Each step is one projection/filter; Catalyst's CollapseProject +
+    * CombineFilters fold the whole pipeline into a single codegen stage,
+    * and drop-predicates on source columns push down to the scan.
+    */
+  def applyColumnar(df: DataFrame, mutators: Seq[ColumnMutator]): DataFrame =
+    mutators.foldLeft(df) {
+      case (d, AssignMutator(_, pred, assigns)) =>
+        // Materialize the predicate once so every assignment sees the
+        // pre-mutation row state even if it overwrites predicate inputs.
+        val tmp = "__graft_pred"
+        val withP = d.withColumn(tmp, pred)
+        val assigned = assigns.foldLeft(withP) { case (dd, (c, e)) =>
+          dd.withColumn(c, when(col(tmp), e).otherwise(col(c)))
+        }
+        assigned.drop(tmp)
+      case (d, WithColumnMutator(_, c, e)) =>
+        d.withColumn(c, e)
+      case (d, DropMutator(_, pred)) =>
+        d.filter(!coalesce(pred, lit(false)))
+    }
+
+  /** The exact reference fold over one document (`transfer.js:271-284`):
+    * ordered, short-circuit on drop, per-mutator arg override.
+    */
+  def applyDoc(
+      doc: graft.model.Doc,
+      mutators: Seq[DocMutator],
+      taskArgs: Map[String, String]
+  ): Option[graft.model.Doc] =
+    mutators.foldLeft(Option(doc)) { (acc, m) =>
+      acc.flatMap { d =>
+        val args = if (m.arguments.nonEmpty) m.arguments else taskArgs
+        if (m.predicate(d, args)) m.mutate(d, args) else Some(d)
+      }
+    }
+
+  def applyDocs(
+      docs: Seq[graft.model.Doc],
+      mutators: Seq[DocMutator],
+      taskArgs: Map[String, String] = Map.empty
+  ): Seq[graft.model.Doc] =
+    docs.flatMap(d => applyDoc(d, mutators, taskArgs))
+}
+
+/** Metadata filters (§2.3 F1-F4): predicates over index configs / types
+  * that prune whole tables BEFORE any data is read — the analog of
+  * Catalyst partition pruning, applied at plan time.
+  * Multiple filters combine with OR (`subtasks.js:164`).
+  */
+object MetadataFilters {
+  type IndexPred = graft.model.IndexConfig => Boolean
+  type TypePred  = String => Boolean
+
+  /** OR-combination of index filters; no filters = keep everything
+    * (`subtasks.js:162-182`).
+    */
+  def applyIndexFilters(
+      indices: Seq[graft.model.IndexConfig],
+      preds: Seq[IndexPred]
+  ): Seq[graft.model.IndexConfig] =
+    if (preds.isEmpty) indices
+    else indices.filter(ic => preds.exists(p => p(ic)))
+
+  def applyTypeFilters(types: Seq[String], preds: Seq[TypePred]): Seq[String] =
+    if (preds.isEmpty) types
+    else types.filter(t => preds.exists(p => p(t)))
+}
+
+/** Namespaced in-memory registry of transforms — replaces the reference's
+  * Redis hash store + dynamic JS compiler (`mutators.js:43-122`,
+  * `filters.js:39-126`, `compiler.js:6-12`). We accept named Scala
+  * transforms and SQL `expr(...)` strings instead of uploaded code.
+  */
+final class TransformRegistry[T] {
+  private val store =
+    new java.util.concurrent.ConcurrentHashMap[String, T]()
+
+  def add(id: ObjectId, t: T): Unit = store.put(id.toString, t)
+
+  def get(id: ObjectId): Option[T] = Option(store.get(id.toString))
+
+  /** Existence pre-check at task add time (`tasks.js:79-80`). */
+  def require(id: ObjectId): T =
+    get(id).getOrElse(
+      throw new NoSuchElementException(s"transform not registered: $id")
+    )
+
+  def list(namespace: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    store.keySet().asScala.toSeq.filter(_.startsWith(namespace + "/")).sorted
+  }
+
+  def remove(id: ObjectId): Unit = store.remove(id.toString)
+
+  /** Drop a whole namespace — task removal drops its namespaced
+    * transforms (`tasks.js:89-97`).
+    */
+  def removeNamespace(namespace: String): Unit =
+    list(namespace).foreach(k => store.remove(k))
+}
