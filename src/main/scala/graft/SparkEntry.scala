@@ -40,7 +40,21 @@ object SparkEntry {
     "q3_join"           -> (Relational.q3Join _),
     "q_window"          -> (Relational.qWindow _),
     "q_rollup"          -> (Relational.qRollup _),
-    "q_setops"          -> (Relational.qSetOps _)
+    "q_setops"          -> (Relational.qSetOps _),
+    // -- training-data pipeline operators --------------------------------
+    "dedup_exact"       -> (Dedup.exactClusters _),
+    "dedup_minhash"     -> (Dedup.minhashQuery _),
+    "dedup_simhash"     -> (Dedup.simhashQuery _),
+    "dedup_ngram"       -> (Dedup.ngramJaccardQuery _),
+    "embed_neardup"     -> (Dedup.embeddingNearDupQuery _),
+    "ann_topk"          -> (Similarity.annTopKQuery _),
+    "ann_lsh"           -> (Similarity.annLshQuery _),
+    "text_tokens"       -> (TextAnalysis.textTokens _),
+    "text_quality"      -> (TextAnalysis.textQuality _),
+    "text_langid"       -> (TextAnalysis.textLangId _),
+    "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
+    "text_winnow"       -> (TextAnalysis.textWinnow _),
+    "multimodal_features" -> (Multimodal.featuresQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -79,6 +93,18 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
-      """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k"""
+      """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY h""",
+    "text_tokens" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id, n_chars, n_tokens, punct_n, upper_n, stop_n, CASE WHEN n_tokens > 0 THEN CAST(stop_n AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio FROM (SELECT doc_id, length(text) AS n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_n, length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_n, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stop_n FROM documents) ORDER BY doc_id""",
+    "text_langid" ->
+      """SELECT doc_id, CASE WHEN cc > 0 THEN 'zh' WHEN ce >= greatest(cf, cd, cs) AND ce > 0 THEN 'en' WHEN cf >= greatest(cd, cs) AND cf > 0 THEN 'fr' WHEN cd >= cs AND cd > 0 THEN 'de' WHEN cs > 0 THEN 'es' ELSE 'unknown' END AS pred_lang FROM (SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS ce, len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')) AS cf, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS cd, len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b')) AS cs, len(regexp_extract_all(text, '[一-鿿]')) AS cc FROM documents) ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "ann_topk" ->
+      """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for the training-data pipeline operators.
+  *
+  * Every function here is built from codegen'd `functions._` primitives
+  * and has an exact DuckDB-SQL twin (same regex dialect subset, same
+  * edge-case handling) so the operators stay oracle-checkable.
+  */
+object text {
+
+  /** Whitespace tokens of trimmed text; empty/blank -> empty array.
+    * (split on a trimmed string never yields leading/trailing empties,
+    * which is what keeps Spark and DuckDB token counts identical.)
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word k-gram shingles (space-joined); fewer than k tokens -> empty.
+    * `sequence` would count DOWN for start>stop, hence the guard.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < k, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + lit(1), lit(k)), " ")
+        )
+      )
+  }
+
+  /** Canonical form for fingerprinting: lowercase, collapse whitespace. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Deterministic whole-document fingerprint over the canonical form. */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c))
+
+  // -- quality scoring ---------------------------------------------------
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.!?,;:]", ""))
+
+  def upperCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Z]", ""))
+
+  def stopwordCount(c: Column): Column =
+    regexp_count(lower(c), lit("\\b(the|and|of|to|in|is|a)\\b"))
+
+  // -- language id (n-gram/marker heuristic) -----------------------------
+  // NOTE: the driver corpus's `documents.lang` label is synthetic metadata
+  // (the text itself is uniform English-ish word salad), so accuracy vs
+  // that column is not meaningful there; the operator is still exercised
+  // end-to-end and oracle-checked for determinism.
+
+  val EnMarkers = "\\b(the|and|of|to|in|is|you|that|it|for)\\b"
+  val FrMarkers = "\\b(le|la|les|des|et|une|est|que|dans|pour)\\b"
+  val DeMarkers = "\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b"
+  val EsMarkers = "\\b(el|los|las|y|un|una|es|que|por|para)\\b"
+  val CjkChars  = "[一-鿿]"
+
+  /** Marker-count language guess with a fixed tie-break order
+    * (zh by script, then en > fr > de > es, else 'unknown').
+    */
+  def langId(c: Column): Column = {
+    val lc   = lower(c)
+    val cEn  = regexp_count(lc, lit(EnMarkers))
+    val cFr  = regexp_count(lc, lit(FrMarkers))
+    val cDe  = regexp_count(lc, lit(DeMarkers))
+    val cEs  = regexp_count(lc, lit(EsMarkers))
+    val cCjk = regexp_count(c, lit(CjkChars))
+    when(cCjk > 0, "zh")
+      .when(cEn >= greatest(cFr, cDe, cEs) && cEn > 0, "en")
+      .when(cFr >= greatest(cDe, cEs) && cFr > 0, "fr")
+      .when(cDe >= cEs && cDe > 0, "de")
+      .when(cEs > 0, "es")
+      .otherwise("unknown")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math (`Array[Float]` columns).
+  *
+  * A single fused, codegen'd loop per row — stays inside whole-stage
+  * codegen, unlike higher-order functions (`aggregate`/`zip_with`), which
+  * fall back to interpreted lambda evaluation per element. At 100 TB the
+  * similarity kernels are the hot path, so they get `doGenCode`.
+  *
+  * Accumulation is double-precision and strictly sequential, so results
+  * are deterministic for a given vector pair.
+  */
+abstract class FloatVecBinary extends BinaryExpression {
+  // inputs must be array<float>; callers are the engine's own operators
+  override def dataType: DataType = DoubleType
+}
+
+/** dot(a, b) */
+case class VecDot(left: Expression, right: Expression) extends FloatVecBinary {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$x.getFloat($i) * (double)$y.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (|a| |b|); 0.0 when either norm is 0.
+  * One fused loop for dot and both norms.
+  */
+case class VecCosine(left: Expression, right: Expression) extends FloatVecBinary {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (d == 0.0) 0.0 else dot / d)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double)$x.getFloat($i);
+         |  double $yv = (double)$y.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API. */
+object vec {
+  def dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(VecDot(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(VecCosine(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{text, sketch}
+
+/** Deduplication operators for the training-data pipeline, from exact to
+  * similarity-based. Scale design notes per operator; the shared pattern
+  * is: narrow per-row sketching (codegen), then ONE shuffle keyed so that
+  * candidate duplicates co-locate, then per-bucket verification — never an
+  * all-pairs comparison.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on content. One shuffle on the digest key;
+  // at 100 TB the map-side partial agg collapses each partition's dups
+  // before the exchange.
+  // --------------------------------------------------------------------
+
+  /** Cluster summary per content digest. */
+  def exactClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .orderBy("h")
+
+  /** The deduplicated table itself: keep the min-id row per digest.
+    * Aggregate+semi-join rather than a row_number window so the heavy
+    * side shuffles once on the digest and no single partition must hold
+    * a whole skewed cluster in sort order.
+    */
+  def exact(df: DataFrame, contentCols: Seq[Column], idCol: Column): DataFrame = {
+    val h = md5(concat_ws("", contentCols: _*))
+    val withH = df.withColumn("__h", h)
+    val keep = withH.groupBy(col("__h")).agg(min(idCol).as("__keep"))
+    withH
+      .join(keep, withH("__h") === keep("__h") && idCol === col("__keep"), "left_semi")
+      .drop("__h")
+  }
+
+  // --------------------------------------------------------------------
+  // MinHash + LSH near-dedup
+  // --------------------------------------------------------------------
+
+  /** Per-doc MinHash signature over distinct word-shingles. */
+  private def signed(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_distinct(text.shingles(col("text"), shingleK)).as("sh")
+    )
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sketch.minhash(col("sh"), numHashes))
+
+  /** Candidate pairs via banding: signature split into `bands` bands of
+    * `numHashes/bands` rows; docs agreeing on any band's hash co-locate
+    * in one shuffle (`explode` -> groupBy-free self-join on the band
+    * key). Collision probability per band is jaccard^rowsPerBand — the
+    * standard S-curve. Exact shingle-set Jaccard verifies candidates, so
+    * false positives cost only the verify join, never a wrong answer.
+    *
+    * Scale notes: exact duplicates should be removed first (a giant
+    * all-identical cluster makes a quadratic bucket); the band join key
+    * `(band, hash)` is high-cardinality so the shuffle spreads evenly,
+    * and AQE splits any residual skewed bucket.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.0
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val s = signed(docs, shingleK, numHashes)
+
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
+      )
+    }
+    val banded = s.select(
+      col("doc_id"),
+      col("sh"),
+      explode(array(bandCols: _*)).as("bk")
+    ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
+
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(200)
+
+  // --------------------------------------------------------------------
+  // SimHash near-dedup: 64-bit signature, candidates = equal signature
+  // band (4x16-bit chunks, Hamming<=3 within chunk-collision candidates).
+  // --------------------------------------------------------------------
+
+  /** SimHash pairs: chunk the 64-bit signature into 4 16-bit bands; by
+    * pigeonhole, any pair within Hamming distance 3 agrees on at least
+    * one full band. Verify with exact Hamming distance (bit_count).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = docs.select(
+      col("doc_id"),
+      sketch.simhash(text.tokens(col("text"))).as("sim")
+    )
+    val chunkCols = (0 until 4).map { c =>
+      struct(
+        lit(c).as("chunk"),
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")
+      )
+    }
+    val chunked = s.select(
+      col("doc_id"),
+      col("sim"),
+      explode(array(chunkCols: _*)).as("b")
+    ).select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+
+    val a = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+      .limit(200)
+
+  // --------------------------------------------------------------------
+  // N-gram Jaccard (exact, on LSH-candidate pairs)
+  // --------------------------------------------------------------------
+
+  /** Exact word-3-gram Jaccard for every LSH candidate pair — the
+    * verification operator exposed standalone. Threshold 0 emits all
+    * candidates with their exact similarity.
+    */
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir), shingleK = 3, threshold = 0.05)
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+
+  // --------------------------------------------------------------------
+  // Embedding-cosine near-dup (see Similarity for the LSH machinery)
+  // --------------------------------------------------------------------
+
+  def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineNearDup(Tables.embeddings(spark, dir), threshold = 0.2, bits = 8)
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+      .limit(200)
+}

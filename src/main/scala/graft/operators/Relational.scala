@@ -194,7 +194,7 @@ object Relational {
     val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(spark, dir)
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket", ntile(3).over(w).cast(LongType))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("cnt"),
@@ -287,7 +287,7 @@ object Relational {
       .select(
         col("event_id"),
         col("user_id"),
-        row_number().over(byUser).as("rn"),
+        row_number().over(byUser).cast(LongType).as("rn"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("purchases_so_far"),

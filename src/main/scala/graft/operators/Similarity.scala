@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.vec
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, mirroring how a 100 TB pipeline would run them:
+  *   - [[bruteForceTopK]]: exact top-k. The small query side is broadcast,
+  *     so the corpus streams through one codegen'd stage with zero
+  *     shuffle of the big side; the only exchange is the per-query top-k
+  *     reduction. This is the correctness baseline.
+  *   - [[annLsh]] / [[cosineNearDup]]: sign-random-projection LSH. Both
+  *     sides hash to sketch buckets; the join is on the bucket key, so
+  *     cost is per-bucket, not all-pairs. Probabilistic recall, verified
+  *     against the brute-force baseline in the test suite.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded), as literal array columns
+    * — the plan embeds the planes, so executors need no side channel.
+    */
+  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(
+      array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)
+    )
+  }
+
+  /** Sign-random-projection bucket id: bit i = sign(dot(v, plane_i)). */
+  def lshBucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    planes(bits, dim, seed).zipWithIndex
+      .map { case (p, i) =>
+        when(vec.dot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Exact cosine top-k: broadcast the query set, stream the corpus. */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, q_vec)
+      corpus: DataFrame,  // (vec_id, embedding)
+      k: Int
+  ): DataFrame = {
+    val joined = corpus
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** ANN via multi-table LSH: `tables` independent sign-projection hash
+    * tables of `bits` bits each; a corpus vector is a candidate if it
+    * shares a bucket with the query in ANY table (explode over tables,
+    * one equi-join, dedup). Exact cosine + top-k over the candidate set.
+    *
+    * Recall/cost curve: per-table collision prob for angle θ is
+    * (1-θ/π)^bits; tables union to 1-(1-p)^L. Fewer bits or more tables
+    * -> higher recall, more candidates verified. (Single-table LSH at
+    * bits=4 measured only ~8% recall@5 on the near-uniform test vectors;
+    * 8 tables x 4 bits lifts it to a usable level while still scanning
+    * only a fraction of the corpus per query.)
+    */
+  def annLsh(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bits: Int,
+      tables: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    def buckets(v: Column): Column = array(
+      (0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(v, bits, dim, seed = 42L + t).as("b"))
+      ): _*
+    )
+    val qb = queries.select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("bk"))
+      .select(col("query_id"), col("q_vec"), col("bk.t"), col("bk.b"))
+    val cb = corpus.select(col("vec_id"), col("embedding"), explode(buckets(col("embedding"))).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.t"), col("bk.b"))
+    val candidates = cb
+      .join(broadcast(qb), Seq("t", "b"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val joined = candidates
+      .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** All pairs above a cosine threshold, via LSH bucketing + in-bucket
+    * verification (the embedding near-dup operator).
+    */
+  def cosineNearDup(corpus: DataFrame, threshold: Double, bits: Int, dim: Int = 64): DataFrame = {
+    val b = corpus.withColumn("bucket", lshBucket(col("embedding"), bits, dim))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", vec.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // -- driver-contract queries ------------------------------------------
+
+  /** Brute-force exact top-5 for the first 16 vectors as queries. */
+  def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "vec_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN for the same query set (the scale path). */
+  def annLshQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annLsh(queries, emb, k = 5, bits = 4, tables = 8)
+      .select("query_id", "rank", "vec_id")
+      .orderBy("query_id", "rank")
+  }
+}
