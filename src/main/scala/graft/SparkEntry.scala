@@ -54,7 +54,8 @@ object SparkEntry {
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
-    "multimodal_features" -> (Multimodal.featuresQuery _)
+    "multimodal_features" -> (Multimodal.featuresQuery _),
+    "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,6 +106,8 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "ann_topk" ->
-      """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank"""
+      """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "stream_window_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
 }

@@ -1,0 +1,108 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.transform._
+
+/** The end-to-end transfer pipeline (`SURVEY.md` §3.2 data path):
+  * scan -> metadata filter -> size-range predicate -> mutator fold ->
+  * idempotent sink. The reference's whole worker/queue control plane
+  * collapses into Spark's scheduler; what remains is a declarative plan
+  * per table.
+  *
+  * Scale shape: the read is split by parquet row-groups, predicates and
+  * projections push to the scan, the mutator fold is one codegen'd
+  * projection, and the only shuffle (if any) is the upsert dedup or a
+  * `_index` re-route repartition before a partitioned write.
+  */
+object Transfer {
+
+  final case class TableResult(table: String, rowsWritten: Long, outputPath: String)
+
+  /** Mutators registered for data transfer, in application order. */
+  final case class Pipeline(
+      columnMutators: Seq[ColumnMutator] = Seq.empty,
+      indexMutators: Seq[IndexConfig => IndexConfig] = Seq.empty,
+      templateMutators: Seq[Template => Template] = Seq.empty
+  )
+
+  /** Transfer one table: read parquet, apply the column-mutator fold,
+    * write parquet. If the pipeline produced a `_index` routing column,
+    * the write partitions by it (the reference's dynamic index rename —
+    * rows re-route to their computed destination table).
+    *
+    * Idempotence (the reference's `doc_as_upsert`, K1): `upsertKeys`
+    * dedups last-write-wins by key before an overwrite — replays are
+    * safe, matching `transfer.js:175-189`.
+    */
+  def transferTable(
+      spark: SparkSession,
+      sourcePath: String,
+      destPath: String,
+      pipeline: Pipeline,
+      upsertKeys: Seq[String] = Seq.empty,
+      versionCols: Seq[Column] = Seq.empty
+  ): TableResult = {
+    val src = spark.read.parquet(sourcePath)
+    val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
+    val deduped =
+      if (upsertKeys.nonEmpty)
+        graft.operators.Relational.upsertLatest(mutated, upsertKeys, versionCols)
+      else mutated
+
+    val writer = deduped.write.mode(SaveMode.Overwrite)
+    val finalWriter =
+      if (deduped.columns.contains("_index")) writer.partitionBy("_index") else writer
+    finalWriter.parquet(destPath)
+
+    val written = spark.read.parquet(destPath).count()
+    TableResult(sourcePath, written, destPath)
+  }
+
+  /** Run a [[graft.model.TaskSpec]]: metadata-filter the table list
+    * (F1 source pruning — whole tables dropped before any data read),
+    * then transfer each. Returns per-table results.
+    */
+  def runTask(
+      spark: SparkSession,
+      task: TaskSpec,
+      pipeline: Pipeline,
+      indexConfigs: Seq[IndexConfig],
+      indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty
+  ): Seq[TableResult] = {
+    val keptConfigs = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters)
+    val kept = task.tables.filter(t => keptConfigs.exists(_.name == t))
+    kept.map { t =>
+      transferTable(
+        spark,
+        s"${task.sourceDir}/$t.parquet",
+        s"${task.destDir}/$t",
+        pipeline
+      )
+    }
+  }
+
+  /** Metadata transfer (M3/M4 + K3/K4): apply index/template mutators and
+    * replay DDL into the destination catalog, mirroring
+    * `transfer.js:290-296` + `putIndices`/`putTemplates`.
+    */
+  def transferMetadata(
+      source: Catalog,
+      dest: Catalog,
+      pipeline: Pipeline,
+      indexPattern: String = "*",
+      templatePattern: String = "*"
+  ): (Seq[IndexConfig], Seq[Template]) = {
+    val ics = source.getIndices(indexPattern).map { ic =>
+      dest.createIndex(pipeline.indexMutators.foldLeft(ic)((acc, f) => f(acc)))
+    }
+    val tps =
+      try source.getTemplates(templatePattern).map { t =>
+        dest.createTemplate(pipeline.templateMutators.foldLeft(t)((acc, f) => f(acc)))
+      }
+      catch { case _: NoSuchElementException => Seq.empty }
+    (ics, tps)
+  }
+}

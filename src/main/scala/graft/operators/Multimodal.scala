@@ -107,7 +107,7 @@ object Multimodal {
         col("media_id"),
         posexplode(
           transform(
-            sequence(lit(0), least(lit(4), length(col("content")) / everyN)),
+            sequence(lit(0), least(lit(4), (length(col("content")) / everyN).cast("int"))),
             i => substring(base64(col("content")), 1, 8)
           )
         )

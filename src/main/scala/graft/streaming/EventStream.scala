@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming analog of the reference's scroll->mutate->bulk loop
+  * (`SURVEY.md` §2.7): each scroll page is a micro-batch, flushSize is
+  * the per-trigger cap, the completed-subtask set is the checkpoint.
+  *
+  * `Trigger.AvailableNow` gives exactly the reference's bounded-stream
+  * semantics: drain everything that exists, then stop — resumable from
+  * the checkpoint (P5 resume semantics).
+  */
+object EventStream {
+
+  /** events.parquet schema, with ts as raw nanos (see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-source stream over the events table; `maxFilesPerTrigger`
+    * plays the reference's flushSize (batch cap).
+    */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file source requires a directory; glob-filter to the events table
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"),
+        col("cnt")
+      )
+
+  /** Batch twin of [[windowedCounts]] — byte-identical aggregation over
+    * the same table, oracle-checked; the streaming path must converge to
+    * this (asserted in the test suite).
+    */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("hour", "event_type")
+
+  final case class UserSession(user_id: Long, events: Long, purchases: Long)
+
+  /** Custom per-key state (`mapGroupsWithState`): running per-user event
+    * and purchase tallies — the engine's stateful-transform surface.
+    */
+  def userTotals(events: DataFrame): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserSession](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val (e0, p0) = state.getOption.getOrElse((0L, 0L))
+          var e = e0; var p = p0
+          rows.foreach { case (_, t) => e += 1; if (t == "purchase") p += 1 }
+          state.update((e, p))
+          UserSession(uid, e, p)
+      }
+  }
+
+  /** Drain-everything run into a named in-memory sink; returns the query
+    * after completion. `foreachBatch` would be the parquet-upsert sink in
+    * production — memory keeps the test harness self-contained.
+    */
+  def runAvailableNow(
+      out: DataFrame,
+      queryName: String,
+      checkpoint: String,
+      outputMode: OutputMode = OutputMode.Update
+  ): StreamingQuery = {
+    val q = out.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.{sketch, text, vec}
+
+/** Dedup + similarity machinery on planted duplicates (the test corpus
+  * contains genuine near-dup pairs) and synthetic edge cases.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one row per duplicated content, min id wins") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, Seq(col("text")), col("doc_id"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "same text"), (3L, "other")))
+  }
+
+  test("minhash LSH finds identical pair, not the disjoint one") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, shingleK = 2, numHashes = 64, bands = 16)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("minhash finds the corpus's planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sf), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "expected planted near-dups at sf0.001")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("simhash: identical token multisets collide at hamming 0; disjoint don't match") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df).as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  test("winnowing guarantee: shared long substring => shared fingerprint") {
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"totally different beginning $common and another ending"),
+      (3L, "no overlap whatsoever in this completely unrelated sentence")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), sketch.winnow(col("text"), 8, 4).as("fp"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty, "shared substring must share a fingerprint")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty, "unrelated texts should not collide")
+  }
+
+  test("vec.cosine: orthogonal=0, identical=1, opposite=-1; zero vector safe") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(0f, 0f), Array(1f, 1f), 0.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(vec.cosine(col("a"), col("b")).as("c"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-9, s"got $c want $want") }
+  }
+
+  test("brute-force topk: nearest vector is the near-identical one") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(0.99f, 0.1f, 0f)),
+      (12L, Array(0f, 1f, 0f)),
+      (13L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f, 0f))).toDF("query_id", "q_vec")
+    val top = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.head == 11L)
+  }
+
+  test("annLsh recall vs brute force is usable on the real corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(queries, emb, 5, bits = 4, tables = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall@5 too low: $recall")
+  }
+
+  test("text.tokens handles blank and multi-space input") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "a  b\tc"), (4L, " x ")).toDF("id", "t")
+    val got = df.select(col("id"), text.tokenCount(col("t"))).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 3, 4L -> 1))
+  }
+
+  test("text.shingles: fewer tokens than k yields empty, not descending sequence") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "t")
+    val got = df.select(col("id"), text.shingles(col("t"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L) == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.engine.{Bounds, Catalog, Transfer}
+import graft.model._
+import graft.transform._
+
+/** Engine modules: bounds planner invariants (mirroring the golden
+  * expectations of `subtasks.bounds.spec.js`), catalog DDL semantics,
+  * and the end-to-end transfer pipeline with idempotent re-run.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prop(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // -- Bounds planner ----------------------------------------------------
+
+  test("bounds: buckets partition the domain, counts sum to total") {
+    val li = Tables.lineitem(spark, sf)
+    val plan = Bounds.plan(li, "lineitem", "l_extendedprice", buckets = 3)
+    assert(plan.size == 3)
+    assert(plan.map(_.count).sum == li.count())
+    // contiguous coverage: each bucket's max is the next one's min
+    plan.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxSize == b.minSize)
+      case _         =>
+    }
+    assert(plan.head.minSize == 0.0 && plan.last.maxSize == Double.MaxValue)
+    // equi-depth-ish: no bucket more than 2x the ideal share
+    val ideal = li.count() / 3.0
+    plan.foreach(b => assert(b.count < 2 * ideal, s"skewed bucket: $b"))
+  }
+
+  test("bounds: flush size formula clamps to [1, 10000] (subtasks.js:15,267)") {
+    prop(Prop.forAll(Gen.choose(0.0, 1e9), Gen.choose(1, 64)) { (maxDoc, shards) =>
+      val f = Bounds.flushSize(maxDoc, shards)
+      f >= 1 && f <= 10000
+    })
+    assert(Bounds.flushSize(50.0 * 1000 * 1000, 1) == 1)    // 1 doc fills the batch
+    assert(Bounds.flushSize(5000, 1) == 10000)              // clamp high
+    assert(Bounds.flushSize(0, 1) == 10000)                 // degenerate
+  }
+
+  test("subtask identity is content-addressed minus count (subtask.js:20-25)") {
+    val a = SubtaskSpec("t", 0, 100, 50, count = 10)
+    val b = SubtaskSpec("t", 0, 100, 50, count = 99)
+    assert(a.subtaskId == b.subtaskId)
+    assert(a.subtaskId != SubtaskSpec("t", 0, 101, 50, 10).subtaskId)
+  }
+
+  // -- Catalog -----------------------------------------------------------
+
+  test("catalog: createIndex drops system settings (transfer.js:235-243)") {
+    val c = new Catalog
+    val created = c.createIndex(IndexConfig(
+      "idx1",
+      settings = Map(
+        "index.uuid" -> "abc", "index.creation_date" -> "123",
+        "index.provided_name" -> "idx1", "index.version.created" -> "7",
+        "index.number_of_shards" -> "5"
+      )
+    ))
+    assert(created.settings == Map("index.number_of_shards" -> "5"))
+  }
+
+  test("catalog: getTemplates drops dot-templates, errors when none (transfer.js:383-406)") {
+    val c = new Catalog
+    c.putTemplateRaw(Template(".system", Seq(".sys-*")))
+    c.putTemplateRaw(Template("user1", Seq("u-*")))
+    assert(c.getTemplates("*").map(_.name) == Seq("user1"))
+    intercept[NoSuchElementException](c.getTemplates("nomatch*"))
+  }
+
+  test("catalog: glob patterns (transfer.js:364-372)") {
+    val c = new Catalog
+    Seq("data-2024.01", "data-2024.02", "other").foreach(n => c.putIndexRaw(IndexConfig(n)))
+    assert(c.getIndices("data-*").map(_.name) == Seq("data-2024.01", "data-2024.02"))
+    assert(c.getIndices("*").size == 3)
+  }
+
+  // -- Transfer pipeline -------------------------------------------------
+
+  test("transferTable: mutate+drop+route, idempotent on re-run") {
+    val out = Files.createTempDirectory("graft_transfer").toString
+    val pipeline = Transfer.Pipeline(columnMutators = Seq(
+      WithColumnMutator(ObjectId("tst", "route"), "_index",
+        concat(lit("r-"), col("r_name"))),
+      DropMutator(ObjectId("tst", "drop"), col("r_regionkey") === 0)
+    ))
+    val res1 = Transfer.transferTable(spark, s"$sf/region.parquet", out, pipeline)
+    val res2 = Transfer.transferTable(spark, s"$sf/region.parquet", out, pipeline)
+    assert(res1.rowsWritten == res2.rowsWritten, "overwrite must be idempotent")
+    val written = spark.read.parquet(out)
+    assert(written.columns.contains("_index"))
+    assert(written.filter(col("r_regionkey") === 0).count() == 0)
+    assert(res1.rowsWritten == Tables.region(spark, sf).filter(col("r_regionkey") =!= 0).count())
+  }
+
+  test("runTask: index filters prune tables before read (F1, README.md:209)") {
+    val out = Files.createTempDirectory("graft_task").toString
+    val task = TaskSpec("t1", sf, out, tables = Seq("region", "nation"))
+    val configs = Seq(IndexConfig("region"), IndexConfig("nation"))
+    val results = Transfer.runTask(
+      spark, task, Transfer.Pipeline(), configs,
+      indexFilters = Seq(_.name == "nation")
+    )
+    assert(results.size == 1 && results.head.table.contains("nation"))
+  }
+
+  test("transferMetadata applies index mutators before DDL (M3, transfer.js:290-292)") {
+    val src = new Catalog
+    val dst = new Catalog
+    src.putIndexRaw(IndexConfig("logs-v1", settings = Map("index.number_of_shards" -> "1")))
+    val pipeline = Transfer.Pipeline(indexMutators = Seq(
+      ic => ic.copy(name = ic.name.replace("v1", "v2")),
+      ic => ic.copy(settings = ic.settings + ("index.number_of_shards" -> "8"))
+    ))
+    val (ics, _) = Transfer.transferMetadata(src, dst, pipeline)
+    assert(ics.map(_.name) == Seq("logs-v2"))
+    assert(dst.getIndices("logs-v2").head.settings("index.number_of_shards") == "8")
+  }
+
+  test("upsertLatest: last write wins by version, deterministic tiebreak (K1)") {
+    val df = Seq(
+      ("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"),
+      ("k3", 7L, "a"), ("k3", 7L, "b") // tie on version
+    ).toDF("k", "v", "payload")
+    val out = graft.operators.Relational
+      .upsertLatest(df, Seq("k"), Seq(col("v").desc, col("payload").desc))
+      .orderBy("k").as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("k1", 2L, "new"), ("k2", 5L, "only"), ("k3", 7L, "b")))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.model.{Doc, ObjectId}
+import graft.transform._
+
+/** Mutator fold semantics (`transfer.js:271-284`) — the part SURVEY §7
+  * flags as "easy to get subtly wrong": ordered, short-circuit on drop,
+  * per-mutator arg override.
+  */
+class MutatorSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def doc(id: String, fields: (String, String)*) =
+    Doc("idx", "t", id, fields.toMap)
+
+  private def setField(k: String, v: String) = DocMutator(
+    ObjectId("tst", "set" + k),
+    (_, _) => true,
+    (d, _) => Some(d.copy(source = d.source + (k -> v)))
+  )
+
+  test("fold applies mutators in order") {
+    val out = MutatorPipeline.applyDocs(
+      Seq(doc("1")),
+      Seq(setField("a", "first"), setField("a", "second"))
+    )
+    assert(out.head.source("a") == "second")
+  }
+
+  test("drop short-circuits the rest of the pipeline") {
+    var laterRan = false
+    val dropper = DocMutator(ObjectId("tst", "drop"), (_, _) => true, (_, _) => None)
+    val later = DocMutator(
+      ObjectId("tst", "later"),
+      (_, _) => true,
+      (d, _) => { laterRan = true; Some(d) }
+    )
+    val out = MutatorPipeline.applyDocs(Seq(doc("1")), Seq(dropper, later))
+    assert(out.isEmpty && !laterRan)
+  }
+
+  test("predicate false leaves doc unchanged") {
+    val m = DocMutator(
+      ObjectId("tst", "never"),
+      (_, _) => false,
+      (d, _) => Some(d.copy(source = d.source + ("x" -> "mutated")))
+    )
+    val out = MutatorPipeline.applyDocs(Seq(doc("1", "x" -> "orig")), Seq(m))
+    assert(out.head.source("x") == "orig")
+  }
+
+  test("per-mutator args override task args (filters.js:96-99)") {
+    var seen: Map[String, String] = Map.empty
+    val m = DocMutator(
+      ObjectId("tst", "argcheck"),
+      (_, args) => { seen = args; true },
+      (d, _) => Some(d),
+      arguments = Map("k" -> "action")
+    )
+    MutatorPipeline.applyDocs(Seq(doc("1")), Seq(m), taskArgs = Map("k" -> "task"))
+    assert(seen("k") == "action")
+    val m2 = m.copy(arguments = Map.empty)
+    MutatorPipeline.applyDocs(Seq(doc("1")), Seq(m2), taskArgs = Map("k" -> "task"))
+    assert(seen("k") == "task")
+  }
+
+  test("property: pipeline output size <= input size; drops are exactly the dropped ids") {
+    val ids = Gen.listOfN(30, Gen.choose(0, 99)).map(_.distinct)
+    check(Prop.forAll(ids, Gen.choose(0, 99)) { (docIds, cutoff) =>
+      val docs = docIds.map(i => doc(i.toString, "n" -> i.toString))
+      val dropBig = DocMutator(
+        ObjectId("tst", "dropBig"),
+        (d, _) => d.source("n").toInt >= cutoff,
+        (_, _) => None
+      )
+      val out = MutatorPipeline.applyDocs(docs, Seq(dropBig))
+      out.map(_.source("n").toInt).forall(_ < cutoff) &&
+      out.size == docIds.count(_ < cutoff)
+    })
+  }
+
+  test("columnar fold matches row semantics: assign-then-drop ordering") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v")
+    // mutator 1 doubles v where id < 3; mutator 2 drops v > 25 (post-mutation state!)
+    val out = MutatorPipeline.applyColumnar(
+      df,
+      Seq(
+        AssignMutator(ObjectId("tst", "dbl"), col("id") < 3, Seq("v" -> (col("v") * 2))),
+        DropMutator(ObjectId("tst", "drop"), col("v") > 25)
+      )
+    ).orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // id=1: v=20 kept; id=2: v=40 dropped (mutated value!); id=3: v=30 dropped
+    assert(out.toSeq == Seq((1, 20.0)))
+  }
+
+  test("columnar assign sees pre-mutation predicate state") {
+    import spark.implicits._
+    val df = Seq((1, 5.0)).toDF("id", "v")
+    // predicate on v, assignment overwrites v: predicate must use old v
+    val out = MutatorPipeline.applyColumnar(
+      df,
+      Seq(AssignMutator(ObjectId("tst", "mm"), col("v") < 10, Seq("v" -> lit(100.0))))
+    ).collect()
+    assert(out.head.getDouble(1) == 100.0)
+  }
+
+  test("metadata filters OR-combine; empty filter list keeps all (subtasks.js:164)") {
+    val ics = Seq(
+      graft.model.IndexConfig("a1"), graft.model.IndexConfig("b1"),
+      graft.model.IndexConfig("c1")
+    )
+    assert(MetadataFilters.applyIndexFilters(ics, Seq.empty) == ics)
+    val kept = MetadataFilters.applyIndexFilters(
+      ics,
+      Seq(_.name.startsWith("a"), _.name.startsWith("b"))
+    )
+    assert(kept.map(_.name) == Seq("a1", "b1"))
+  }
+
+  test("registry: namespaced CRUD + existence check (tasks.js:79-80)") {
+    val reg = new TransformRegistry[String]
+    reg.add(ObjectId("ns", "m1"), "v1")
+    reg.add(ObjectId("ns", "m2"), "v2")
+    reg.add(ObjectId("other", "m1"), "v3")
+    assert(reg.list("ns") == Seq("ns/m1", "ns/m2"))
+    assert(reg.require(ObjectId("ns", "m1")) == "v1")
+    intercept[NoSuchElementException](reg.require(ObjectId("ns", "nope")))
+    reg.removeNamespace("ns")
+    assert(reg.list("ns").isEmpty && reg.get(ObjectId("other", "m1")).contains("v3"))
+  }
+
+  test("ObjectId validation regex (objectId.js:33-58)") {
+    assert(model.ObjectId.valid("abc123"))
+    assert(!model.ObjectId.valid("1abc"))   // must start with letter
+    assert(!model.ObjectId.valid("a" * 42)) // max 41 chars total
+    assert(!model.ObjectId.valid("a-b"))    // alphanumeric only
+    intercept[IllegalArgumentException](model.ObjectId("bad ns", "ok"))
+  }
+}

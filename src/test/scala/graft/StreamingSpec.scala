@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Structured-streaming analog of the scroll loop: drain-all semantics,
+  * convergence with the batch twin, stateful per-key transform.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts stream converges to the batch twin") {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stream = EventStream.readEvents(spark, sf)
+    EventStream.runAvailableNow(
+      EventStream.windowedCounts(stream), "wc_test", ckpt, OutputMode.Complete
+    )
+    val streamed = spark.table("wc_test")
+      .select("hour", "event_type", "cnt")
+      .as[(String, String, Long)].collect().toSet
+    val batch = EventStream.windowedCountsBatch(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
+
+  test("stateful userTotals tallies events and purchases per user") {
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    val stream = EventStream.readEvents(spark, sf)
+    EventStream.runAvailableNow(
+      EventStream.userTotals(stream).toDF(), "ut_test", ckpt, OutputMode.Update
+    )
+    // last state per user must match the batch ground truth
+    val got = spark.table("ut_test")
+      .groupBy("user_id")
+      .agg(max("events").as("events"), max("purchases").as("purchases"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases")
+      )
+      .as[(Long, Long, Long)].collect()
+    want.foreach { case (u, e, p) =>
+      assert(got.contains(u), s"user $u missing from stream output")
+      assert(got(u) == ((e, p)), s"user $u: got ${got(u)}, want ($e,$p)")
+    }
+  }
+}
