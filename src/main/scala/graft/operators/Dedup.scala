@@ -45,11 +45,13 @@ object Dedup {
   // MinHash + LSH near-dedup
   // --------------------------------------------------------------------
 
-  /** Per-doc MinHash signature over distinct word-shingles. */
+  /** Per-doc MinHash signature over distinct word-shingles (single-pass
+    * ShingleSet expression — see [[graft.functions.ShingleSet]]).
+    */
   private def signed(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
     docs.select(
       col("doc_id"),
-      array_distinct(text.shingles(col("text"), shingleK)).as("sh")
+      sketch.shingleSet(text.tokens(col("text")), shingleK).as("sh")
     )
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sketch.minhash(col("sh"), numHashes))
@@ -77,25 +79,32 @@ object Dedup {
     val r = numHashes / bands
     val s = signed(docs, shingleK, numHashes)
 
+    // Band on SKINNY rows: (doc_id, band, bh) only. Carrying the shingle
+    // arrays through the bands-x explode would multiply the shuffled
+    // payload by `bands`; instead candidates join back to the shingle
+    // table, so the wide arrays move only for actual candidate pairs.
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
       )
     }
-    val banded = s.select(
-      col("doc_id"),
-      col("sh"),
-      explode(array(bandCols: _*)).as("bk")
-    ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
 
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band", "bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+
+    // verify: fetch shingle sets for candidate ids only
+    val shA = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
