@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.transform.MetadataFilters
+
+/** P1/P5 task planning (`subtasks.js:369-396`): expand a task into the
+  * cross product (filtered tables) x (size buckets), subtract the
+  * completed set by content-addressed subtask id, and return only the
+  * unfinished backlog — the reference's resume semantics.
+  *
+  * In Spark the "queue" is the scheduler; this planner exists for
+  * resumable multi-table batch runs where each subtask becomes one
+  * filtered batch job (and for parity with the reference's observable
+  * planning behavior).
+  */
+object Planner {
+
+  /** Generate all potential subtasks for a task: per surviving table,
+    * equi-depth size buckets from [[Bounds.plan]] over `sizeCol`.
+    */
+  def expand(
+      spark: SparkSession,
+      task: TaskSpec,
+      sizeCols: Map[String, String],
+      indexConfigs: Seq[IndexConfig],
+      indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty,
+      buckets: Int = 3
+  ): Seq[SubtaskSpec] = {
+    val kept = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters).map(_.name).toSet
+    task.tables.filter(kept).flatMap { t =>
+      val df = spark.read.parquet(s"${task.sourceDir}/$t.parquet")
+      sizeCols.get(t) match {
+        case Some(sizeCol) => Bounds.plan(df, t, sizeCol, buckets)
+        case None          => // unbucketed table: one subtask covering everything
+          Seq(SubtaskSpec(t, 0.0, Double.MaxValue, Bounds.MaxFlushSize, df.count()))
+      }
+    }
+  }
+
+  /** `buildBacklog` (`subtasks.js:369-396`): potential minus completed,
+    * diffed on the content-addressed id (`subtask.js:20-25` — count is
+    * excluded from identity, so a re-count never duplicates work).
+    */
+  def buildBacklog(
+      potential: Seq[SubtaskSpec],
+      completed: Set[String]
+  ): Seq[SubtaskSpec] =
+    potential.filterNot(s => completed.contains(s.subtaskId))
+}

@@ -139,6 +139,25 @@ object MetadataFilters {
     else types.filter(t => preds.exists(p => p(t)))
 }
 
+/** M5 replacement: SQL-expression mutators. The reference compiles
+  * user-uploaded JavaScript at runtime (`compiler.js:6-12`); arbitrary
+  * code upload is out of scope (sandboxing), so user extensibility is
+  * SQL expression strings compiled by Catalyst — declarative, codegen'd,
+  * and optimizer-visible, unlike a black-box UDF.
+  */
+object ExprMutators {
+  import org.apache.spark.sql.functions.expr
+
+  def assign(id: ObjectId, predicateSql: String, assigns: (String, String)*): AssignMutator =
+    AssignMutator(id, expr(predicateSql), assigns.map { case (c, e) => c -> expr(e) })
+
+  def withColumn(id: ObjectId, column: String, exprSql: String): WithColumnMutator =
+    WithColumnMutator(id, column, expr(exprSql))
+
+  def drop(id: ObjectId, predicateSql: String): DropMutator =
+    DropMutator(id, expr(predicateSql))
+}
+
 /** Namespaced in-memory registry of transforms — replaces the reference's
   * Redis hash store + dynamic JS compiler (`mutators.js:43-122`,
   * `filters.js:39-126`, `compiler.js:6-12`). We accept named Scala

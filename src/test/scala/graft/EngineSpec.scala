@@ -128,6 +128,36 @@ class EngineSpec extends SparkSpec {
     assert(dst.getIndices("logs-v2").head.settings("index.number_of_shards") == "8")
   }
 
+  test("planner: expand x buckets, resume diff skips completed (P1/P5, subtasks.js:369-396)") {
+    val task = TaskSpec("plan1", sf, "/tmp/unused", tables = Seq("lineitem", "region", "nation"))
+    val configs = Seq(IndexConfig("lineitem"), IndexConfig("region"), IndexConfig("nation"))
+    val potential = graft.engine.Planner.expand(
+      spark, task,
+      sizeCols = Map("lineitem" -> "l_extendedprice"),
+      indexConfigs = configs,
+      indexFilters = Seq(ic => ic.name != "nation") // F1 prunes nation pre-read
+    )
+    // 3 buckets for lineitem + 1 whole-table subtask for region; nation pruned
+    assert(potential.count(_.table == "lineitem") == 3)
+    assert(potential.count(_.table == "region") == 1)
+    assert(!potential.exists(_.table == "nation"))
+
+    // resume: complete the first lineitem bucket (with a different count
+    // to prove identity excludes count), re-plan, only it is skipped
+    val done = potential.head.copy(count = -1)
+    val backlog = graft.engine.Planner.buildBacklog(potential, Set(done.subtaskId))
+    assert(backlog.size == potential.size - 1)
+    assert(!backlog.exists(_.subtaskId == done.subtaskId))
+  }
+
+  test("type filters OR-combine over mapping types (F2, subtasks.js:165)") {
+    val types = Seq("doc", "event", "metric")
+    assert(MetadataFilters.applyTypeFilters(types, Seq.empty) == types)
+    val kept = MetadataFilters.applyTypeFilters(
+      types, Seq(_ == "doc", _.startsWith("m")))
+    assert(kept == Seq("doc", "metric"))
+  }
+
   test("upsertLatest: last write wins by version, deterministic tiebreak (K1)") {
     val df = Seq(
       ("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"),
