@@ -49,7 +49,9 @@ object SparkEntry {
     "embed_neardup"     -> (Dedup.embeddingNearDupQuery _),
     "ann_topk"          -> (Similarity.annTopKQuery _),
     "ann_lsh"           -> (Similarity.annLshQuery _),
+    "ann_ivf"           -> (Similarity.annIvfQuery _),
     "text_tokens"       -> (TextAnalysis.textTokens _),
+    "text_tokens_bpe"   -> (TextAnalysis.textTokensBpe _),
     "text_quality"      -> (TextAnalysis.textQuality _),
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
@@ -107,6 +109,10 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "ann_topk" ->
       """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "text_tokens_bpe" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
+    "text_tokens_bpe" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
     "stream_window_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )

@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys — the engine-level complement to
+  * AQE's runtime skew-join splitting (which only fires on sort-merge
+  * joins past size thresholds).
+  *
+  * Salted join: the skewed (big) side gets a random salt in [0, n); the
+  * small side is exploded n ways so every salted key finds its match.
+  * One hot key then spreads over n shuffle partitions at the cost of
+  * replicating the small side n-fold — the standard trade.
+  */
+object Skew {
+
+  /** Inner-join `big` with `small` on `keys`, salting `big` n ways.
+    * `small` must be the replicable side (dimension-sized).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    // deterministic salt from the row content keeps replays stable
+    val saltCol = pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
+    val bigS = big.withColumn("__salt", saltCol)
+    val smallS = small.withColumn("__salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Top-n heavy hitters of a key — feed this to decide whether to salt
+    * (the observability half the reference got from its `_size` stats).
+    */
+  def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"))
+      .limit(topN)
+}

@@ -36,6 +36,15 @@ object text {
       )
   }
 
+  /** BPE-ish sub-word token count: letter runs, single digits, and
+    * punctuation as separate tokens (a lookahead-free approximation of
+    * GPT-2-style pre-tokenization, so the same pattern runs identically
+    * on Java regex and RE2/DuckDB).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+
   /** Canonical form for fingerprinting: lowercase, collapse whitespace. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -97,6 +97,67 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path.
+    *
+    * Index: `nlist` centroid vectors (tiny model state, collected to the
+    * driver and embedded in the plan as literals); every corpus vector is
+    * assigned to its nearest centroid — one narrow codegen'd pass, then
+    * the corpus is effectively partitioned by cluster id.
+    * Query: probe the `nprobe` nearest centroids and search only those
+    * inverted lists — the scan fraction is ~nprobe/nlist instead of 1.
+    *
+    * Centroid selection here is a deterministic spread sample (every
+    * N/nlist-th vector) — a k-means refinement would drop in without
+    * changing any of the dataflow.
+    */
+  def annIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id")
+      .limit(nlist)
+      .select("embedding")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+    def centroidLit(c: Array[Float]): Column = array(c.map(lit(_)): _*)
+
+    /** struct-array argmax: array_max picks the lexicographically largest
+      * struct, i.e. the centroid with the highest cosine.
+      */
+    def nearest(v: Column, take: Int): Column = {
+      val scored = array(centroids.map { case (cid, cv) =>
+        struct(vec.cosine(v, centroidLit(cv)).as("cos"), lit(cid).as("cid"))
+      }: _*)
+      slice(sort_array(scored, asc = false), 1, take)
+    }
+
+    val assigned = corpus.withColumn(
+      "cluster", element_at(nearest(col("embedding"), 1), 1).getField("cid")
+    )
+    val probed = queries.withColumn(
+      "cluster", explode(nearest(col("q_vec"), nprobe).getField("cid"))
+    )
+    val joined = assigned
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** All pairs above a cosine threshold, via LSH bucketing + in-bucket
     * verification (the embedding near-dup operator).
     */
@@ -120,6 +181,17 @@ object Similarity {
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "vec_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN for the same query set. */
+  def annIvfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annIvf(queries, emb, k = 5, nlist = 16, nprobe = 4)
       .select("query_id", "rank", "vec_id")
       .orderBy("query_id", "rank")
   }

@@ -23,6 +23,15 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** BPE-ish sub-word token counting (regex pre-tokenization). */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        text.bpeTokenCount(col("text")).cast("long").as("n_bpe")
+      )
+      .orderBy("doc_id")
+
   /** Quality scoring: integer component counts + one ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

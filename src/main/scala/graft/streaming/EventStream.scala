@@ -86,6 +86,44 @@ object EventStream {
       }
   }
 
+  /** Production sink: `foreachBatch` parquet upsert — each micro-batch is
+    * merged last-write-wins into the destination by key (the K1
+    * `doc_as_upsert` semantics on a stream). The merge materializes
+    * before the overwrite so re-reading the path being replaced is safe;
+    * at scale this becomes overwrite-by-partition on the routing column
+    * so only touched partitions rewrite.
+    */
+  def runParquetUpsert(
+      events: DataFrame,
+      destDir: String,
+      checkpoint: String,
+      keys: Seq[String],
+      versionCols: Seq[String]
+  ): StreamingQuery = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(destDir))
+          catch { case _: Exception => None }
+        val unioned = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
+        val merged = graft.operators.Relational.upsertLatest(
+          unioned, keys, versionCols.map(c => org.apache.spark.sql.functions.col(c).desc)
+        )
+        merged.persist()
+        merged.count() // materialize before overwriting the path we read
+        merged.write.mode("overwrite").parquet(destDir)
+        merged.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drain-everything run into a named in-memory sink; returns the query
     * after completion. `foreachBatch` would be the parquet-upsert sink in
     * production — memory keeps the test harness self-contained.

@@ -100,6 +100,39 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 too low: $recall")
   }
 
+  test("annIvf recall vs brute force is usable on the real corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(queries, emb, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"ivf recall@5 too low: $recall")
+    // every query must still return k results (probing can't starve output)
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("saltedJoin equals plain join, spreads the hot key") {
+    import graft.engine.Skew
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).select("k", "v", "tag")
+      .as[(String, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salt = 4)
+      .select("k", "v", "tag").as[(String, Int, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 100)
+  }
+
+  test("bpe token count: words, digits, punctuation split") {
+    val df = Seq((1L, "hello, world! x2")).toDF("id", "t")
+    // tokens: hello , world ! x 2  -> 6
+    val got = df.select(graft.functions.text.bpeTokenCount(col("t"))).as[Int].collect()
+    assert(got.head == 6)
+  }
+
   test("text.tokens handles blank and multi-space input") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "a  b\tc"), (4L, " x ")).toDF("id", "t")
     val got = df.select(col("id"), text.tokenCount(col("t"))).as[(Long, Int)].collect().toMap

@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("foreachBatch parquet upsert sink: last write wins, resumable") {
+    val dest = Files.createTempDirectory("graft_upsert_dest").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val stream = EventStream.readEvents(spark, sf)
+    EventStream.runParquetUpsert(
+      stream, dest, ckpt,
+      keys = Seq("user_id", "event_type"), versionCols = Seq("ts", "event_id")
+    )
+    val got = spark.read.parquet(dest)
+    val want = graft.operators.Relational.k1UpsertDedup(spark, sf)
+    assert(got.count() == want.count(), "sink must hold exactly one row per key")
+    // re-run from the same checkpoint: no new input, output unchanged
+    EventStream.runParquetUpsert(
+      stream, dest, ckpt,
+      keys = Seq("user_id", "event_type"), versionCols = Seq("ts", "event_id")
+    )
+    assert(spark.read.parquet(dest).count() == want.count())
+  }
+
   test("stateful userTotals tallies events and purchases per user") {
     val ckpt = Files.createTempDirectory("graft_ckpt2").toString
     val stream = EventStream.readEvents(spark, sf)
