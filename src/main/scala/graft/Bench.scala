@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       // noop sink materializes every output column (count() would let
       // Catalyst prune projections and under-report the work)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // one untimed warmup pass: JIT + codegen + parquet footer caches, so
+    // reported numbers are steady-state throughput, not first-query warmup
+    SparkEntry.queries.foreach { case (n, f) => runOnce(n, f) }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -113,6 +113,21 @@ object MutatorPipeline {
       taskArgs: Map[String, String] = Map.empty
   ): Seq[graft.model.Doc] =
     docs.flatMap(d => applyDoc(d, mutators, taskArgs))
+
+  /** Distributed fold over the schema-agnostic envelope: the Dataset path
+    * for documents whose shape is unknown at plan time (`SURVEY.md` §1.2).
+    * Mutators must be serializable (plain functions); drops become the
+    * flatMap's empty case.
+    */
+  def applyDataset(
+      ds: org.apache.spark.sql.Dataset[graft.model.Doc],
+      mutators: Seq[DocMutator],
+      taskArgs: Map[String, String] = Map.empty
+  ): org.apache.spark.sql.Dataset[graft.model.Doc] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.model.Doc] =
+      org.apache.spark.sql.Encoders.product[graft.model.Doc]
+    ds.flatMap(d => applyDoc(d, mutators, taskArgs))
+  }
 }
 
 /** Metadata filters (§2.3 F1-F4): predicates over index configs / types

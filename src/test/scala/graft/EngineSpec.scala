@@ -158,6 +158,47 @@ class EngineSpec extends SparkSpec {
     assert(kept == Seq("doc", "metric"))
   }
 
+  test("Dataset[Doc] distributed fold matches the local fold (schema-agnostic path)") {
+    implicit val enc: org.apache.spark.sql.Encoder[Doc] =
+      org.apache.spark.sql.Encoders.product[Doc]
+    val docs = (1 to 100).map(i => Doc("idx", "t", i.toString, Map("n" -> i.toString)))
+    val ds = spark.createDataset(docs)
+    val mutators = Seq(
+      graft.transform.DocMutator(
+        ObjectId("tst", "tag"),
+        (d, _) => d.source("n").toInt % 2 == 0,
+        (d, _) => Some(d.copy(source = d.source + ("even" -> "yes")))
+      ),
+      graft.transform.DocMutator(
+        ObjectId("tst", "dropBig"),
+        (d, _) => d.source("n").toInt > 90,
+        (_, _) => None
+      )
+    )
+    val distributed = graft.transform.MutatorPipeline.applyDataset(ds, mutators)
+      .collect().sortBy(_.id.toInt)
+    val local = graft.transform.MutatorPipeline.applyDocs(docs, mutators)
+    assert(distributed.toSeq == local)
+    assert(distributed.length == 90)
+    assert(distributed.count(_.source.contains("even")) == 45)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join at scale)") {
+    val s = spark.newSession() // isolated runtime conf; default warehouse dir
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    Tables.orders(s, sf).write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.customer(s, sf).write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val joined = s.table("orders_b")
+      .join(s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("upsertLatest: last write wins by version, deterministic tiebreak (K1)") {
     val df = Seq(
       ("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 5L, "only"),
