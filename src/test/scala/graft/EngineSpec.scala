@@ -185,6 +185,17 @@ class EngineSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle (co-located join at scale)") {
     val s = spark.newSession() // isolated runtime conf; default warehouse dir
+    // a fresh in-memory catalog can't overwrite locations it doesn't know:
+    // clear leftovers from prior runs
+    Seq("orders_b", "customer_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     s.conf.set("spark.sql.shuffle.partitions", "4")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     Tables.orders(s, sf).write.bucketBy(4, "o_custkey").sortBy("o_custkey")
