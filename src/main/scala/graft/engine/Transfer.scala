@@ -61,6 +61,29 @@ object Transfer {
     TableResult(sourcePath, written, destPath)
   }
 
+  /** Execute ONE planned subtask (the reference worker's unit of work,
+    * `worker.js:125-144` + `subtask.js:50-77`): the subtask's size range
+    * becomes an F5 predicate pushed into the scan, the mutator fold
+    * applies, and the slice lands in its own output partition dir —
+    * so subtasks are independently retryable and resumable, and the
+    * union of all subtask outputs equals the whole-table transfer.
+    */
+  def transferSubtask(
+      spark: SparkSession,
+      sourcePath: String,
+      destRoot: String,
+      subtask: SubtaskSpec,
+      sizeCol: String,
+      pipeline: Pipeline
+  ): TableResult = {
+    val src = spark.read.parquet(sourcePath)
+      .filter(col(sizeCol) >= subtask.minSize && col(sizeCol) < subtask.maxSize)
+    val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
+    val dest = s"$destRoot/${subtask.subtaskId.replaceAll("[^a-zA-Z0-9._-]", "_")}"
+    mutated.write.mode(SaveMode.Overwrite).parquet(dest)
+    TableResult(subtask.subtaskId, spark.read.parquet(dest).count(), dest)
+  }
+
   /** Run a [[graft.model.TaskSpec]]: metadata-filter the table list
     * (F1 source pruning — whole tables dropped before any data read),
     * then transfer each. Returns per-table results.

@@ -158,6 +158,31 @@ class EngineSpec extends SparkSpec {
     assert(kept == Seq("doc", "metric"))
   }
 
+  test("subtask execution: union of planned slices equals whole-table transfer (P1+S1+F5)") {
+    val li = Tables.lineitem(spark, sf)
+    val plan = graft.engine.Bounds.plan(li, "lineitem", "l_extendedprice", buckets = 3)
+    val destRoot = Files.createTempDirectory("graft_subtasks").toString
+    val pipeline = Transfer.Pipeline(columnMutators = Seq(
+      DropMutator(ObjectId("tst", "dropQ"), col("l_quantity") > 45)
+    ))
+    plan.foreach(st => info(s"planned: $st"))
+    val results = plan.map(st =>
+      Transfer.transferSubtask(spark, s"$sf/lineitem.parquet", destRoot, st, "l_extendedprice", pipeline))
+    results.foreach(r => info(s"written: $r"))
+    // every subtask wrote its own dir; union == single whole-table run
+    assert(results.map(_.outputPath).distinct.size == 3)
+    val unionCount = results.map(_.rowsWritten).sum
+    val whole = MutatorPipeline
+      .applyColumnar(li, pipeline.columnMutators).count()
+    assert(unionCount == whole, s"subtask union $unionCount != whole $whole")
+    // no row lands in two slices: the size ranges are disjoint by
+    // construction, so the physical union must match the whole count too
+    // (note: (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    // corpus, so a distinct-key check would undercount)
+    val unionRead = spark.read.parquet(results.map(_.outputPath): _*).count()
+    assert(unionRead == whole)
+  }
+
   test("Dataset[Doc] distributed fold matches the local fold (schema-agnostic path)") {
     implicit val enc: org.apache.spark.sql.Encoder[Doc] =
       org.apache.spark.sql.Encoders.product[Doc]
