@@ -41,6 +41,7 @@ object SparkEntry {
     "q_window"          -> (Relational.qWindow _),
     "q_rollup"          -> (Relational.qRollup _),
     "q_setops"          -> (Relational.qSetOps _),
+    "q_json_extract"    -> (Relational.qJsonExtract _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
@@ -97,6 +98,8 @@ object SparkEntry {
       """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+    "q_json_extract" ->
+      """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY h""",
     "text_tokens" ->

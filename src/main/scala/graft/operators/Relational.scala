@@ -322,6 +322,27 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Semi-structured payload extraction — the `_source` JSON analog
+    * (SURVEY §1.1): events.props is an opaque JSON string; extract a
+    * field and aggregate. `get_json_object` is codegen'd and needs no
+    * schema declaration, matching the reference's schema-agnostic
+    * document handling.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k")
+      )
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+
   // --------------------------------------------------------------------
   // Flagship: the SURVEY §7 end-to-end transfer slice
   // --------------------------------------------------------------------
