@@ -68,7 +68,7 @@ object Bounds {
     }
 
     val stats = df
-      .select(explicitBucket.as("__bucket"), col(sizeCol).as("__size"))
+      .select(explicitBucket.as("__bucket"), col(sizeCol).cast("double").as("__size"))
       .groupBy("__bucket")
       .agg(count(lit(1)).as("cnt"), max(col("__size")).as("maxSize"))
       .collect()

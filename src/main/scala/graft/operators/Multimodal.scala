@@ -108,7 +108,7 @@ object Multimodal {
         posexplode(
           transform(
             sequence(lit(0), least(lit(4), (length(col("content")) / everyN).cast("int"))),
-            i => substring(base64(col("content")), 1, 8)
+            i => substring(base64(col("content")), i * 8 + lit(1), lit(8))
           )
         )
       )
