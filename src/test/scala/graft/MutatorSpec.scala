@@ -112,6 +112,58 @@ class MutatorSpec extends SparkSpec {
     assert(out.head.getDouble(1) == 100.0)
   }
 
+  test("property: columnar fold == Doc fold on random pipelines") {
+    import spark.implicits._
+    // domain: rows with two int fields; ops: conditional add / drop
+    sealed trait Op
+    case class AddOp(threshold: Int, delta: Int) extends Op    // if a < t then b += d
+    case class DropOp(threshold: Int) extends Op               // drop if b > t
+    val genOp: Gen[Op] = Gen.oneOf(
+      for { t <- Gen.choose(0, 100); d <- Gen.choose(-10, 10) } yield AddOp(t, d),
+      Gen.choose(0, 150).map(DropOp(_))
+    )
+    val genCase = for {
+      rows <- Gen.listOfN(25, Gen.zip(Gen.choose(0, 100), Gen.choose(0, 100)))
+      ops  <- Gen.listOfN(4, genOp)
+    } yield (rows.zipWithIndex, ops)
+
+    check(Prop.forAll(genCase) { case (rows, ops) =>
+      // row surface
+      val docs = rows.map { case ((a, b), i) =>
+        Doc("idx", "t", i.toString, Map("a" -> a.toString, "b" -> b.toString))
+      }
+      val docMutators = ops.zipWithIndex.map {
+        case (AddOp(t, d), i) => DocMutator(
+          ObjectId("tst", s"op$i"),
+          (doc, _) => doc.source("a").toInt < t,
+          (doc, _) => Some(doc.copy(source =
+            doc.source + ("b" -> (doc.source("b").toInt + d).toString)))
+        )
+        case (DropOp(t), i) => DocMutator(
+          ObjectId("tst", s"op$i"),
+          (doc, _) => doc.source("b").toInt > t,
+          (_, _) => None
+        )
+      }
+      val wantRows = MutatorPipeline.applyDocs(docs, docMutators)
+        .map(d => (d.id.toInt, d.source("a").toInt, d.source("b").toInt)).sorted
+
+      // columnar surface
+      val df = spark.createDataFrame(rows.map { case ((a, b), i) => (i, a, b) })
+        .toDF("id", "a", "b")
+      val colMutators: Seq[ColumnMutator] = ops.zipWithIndex.map {
+        case (AddOp(t, d), i) =>
+          AssignMutator(ObjectId("tst", s"op$i"), col("a") < t, Seq("b" -> (col("b") + d)))
+        case (DropOp(t), i) =>
+          DropMutator(ObjectId("tst", s"op$i"), col("b") > t)
+      }
+      val gotRows = MutatorPipeline.applyColumnar(df, colMutators)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toList.sorted
+
+      gotRows == wantRows
+    })
+  }
+
   test("metadata filters OR-combine; empty filter list keeps all (subtasks.js:164)") {
     val ics = Seq(
       graft.model.IndexConfig("a1"), graft.model.IndexConfig("b1"),
