@@ -58,6 +58,8 @@ object SparkEntry {
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
+    "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
+    "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
   )
 
@@ -112,8 +114,16 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "ann_topk" ->
       """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank""",
+    "heavy_hitters" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY 1 ORDER BY n_docs DESC, source ASC LIMIT 5""",
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_tokens_bpe" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
+    "heavy_hitters" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY 1 ORDER BY n_docs DESC, source ASC LIMIT 5""",
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_tokens_bpe" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
     "stream_window_counts" ->

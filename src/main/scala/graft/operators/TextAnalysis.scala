@@ -58,6 +58,17 @@ object TextAnalysis {
       .select(col("doc_id"), text.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** Heavy hitters: top sources by document count — the frequent-item
+    * scan a corpus-curation pipeline runs first. Exact via groupBy;
+    * deterministic tie-break on the key.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(desc("n_docs"), asc("source"))
+      .limit(5)
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */

@@ -36,7 +36,74 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .withColumn("ts_ns", col("ts")) // exact ns for ordering/session gaps
       .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+  }
+
+  /** Session gap: 30 minutes, in exact nanoseconds. */
+  val SessionGapNs: Long = 30L * 60 * 1000L * 1000L * 1000L
+
+  /** Session gap in microseconds — the cross-engine unit (DuckDB's
+    * TIMESTAMP is micros-precision, so the oracle computes in micros;
+    * we truncate our exact ns the same way).
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000L * 1000L
+
+  /** Batch sessionization: gap-based session ids via the classic
+    * lag -> new-session flag -> running sum. All arithmetic is exact
+    * integer microseconds on both engines (DuckDB timestamps are
+    * micros-precision), so the oracle matches bit-for-bit.
+    * One shuffle on user_id; both windows share it.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("ts_us", expr("CAST(ts_ns AS BIGINT) div 1000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Streaming sessionization: per-user state holds observed event
+    * times; each batch re-derives the gap-based session count. Demo
+    * keeps full per-user state (bounded: one user's events); the
+    * production variant ages state out with an event-time timeout +
+    * watermark so only open sessions stay resident.
+    */
+  def sessionizeStream(events: DataFrame, gapNs: Long = SessionGapNs): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts_ns"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], UserSessions](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Seq[Long]]) =>
+          val all = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)).sorted
+          state.update(all)
+          val sessions = all.foldLeft((0L, Long.MinValue)) {
+            case ((n, prev), t) => (if (prev == Long.MinValue || t - prev > gapNs) n + 1 else n, t)
+          }._1
+          UserSessions(uid, sessions, all.size.toLong)
+      }
   }
 
   /** Watermarked tumbling-window counts per event type. */

@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == want.count())
   }
 
+  test("streaming sessionization converges to the batch session counts") {
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val stream = EventStream.readEvents(spark, sf)
+    EventStream.runAvailableNow(
+      EventStream.sessionizeStream(stream).toDF(), "sess_test", ckpt, OutputMode.Update
+    )
+    val got = spark.table("sess_test")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val want = EventStream.sessionizeBatch(spark, sf)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    want.foreach { case (u, n) =>
+      assert(got.get(u).contains(n), s"user $u: stream=${got.get(u)} batch=$n")
+    }
+  }
+
   test("stateful userTotals tallies events and purchases per user") {
     val ckpt = Files.createTempDirectory("graft_ckpt2").toString
     val stream = EventStream.readEvents(spark, sf)
