@@ -47,12 +47,22 @@ object Dedup {
 
   /** Per-doc MinHash signature over distinct word-shingles (single-pass
     * ShingleSet expression — see [[graft.functions.ShingleSet]]).
+    *
+    * Exact duplicates are collapsed to their min-id representative FIRST:
+    * a cluster of n identical docs would otherwise collide with itself in
+    * every band and blow the candidate join up quadratically — the
+    * classic LSH failure mode at corpus scale. Exact-dup membership is
+    * the exact-dedup operator's output; LSH only needs one signature per
+    * distinct text.
     */
   private def signed(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
-    docs.select(
-      col("doc_id"),
-      sketch.shingleSet(text.tokens(col("text")), shingleK).as("sh")
-    )
+    docs
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(
+        col("doc_id"),
+        sketch.shingleSet(text.tokens(col("text")), shingleK).as("sh")
+      )
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sketch.minhash(col("sh"), numHashes))
 

@@ -20,16 +20,36 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "same text"), (3L, "other")))
   }
 
-  test("minhash LSH finds identical pair, not the disjoint one") {
+  test("minhash LSH finds the near-identical pair, not the disjoint one") {
+    // 1 and 2 differ by one trailing word (near-dup, not byte-identical —
+    // byte-identical clones collapse to a representative before banding)
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
       (3L, "one two three four five six seven eight nine ten")
     ).toDF("doc_id", "text")
     val pairs = Dedup.minhashPairs(df, shingleK = 2, numHashes = 64, bands = 16)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
-    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.7 })
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("minhash collapses exact dups before banding (no quadratic self-bucket)") {
+    // 8 copies of every doc: without representative-collapse this yields
+    // >= 8*7/2 candidate pairs per doc; with it, exact clones contribute
+    // exactly one representative and ZERO intra-clone pairs
+    val docs = Tables.documents(spark, sf)
+    val cloned = (0 until 8).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text"))
+    ).reduce(_ unionByName _)
+    val pairs = Dedup.minhashPairs(cloned, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val basePairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == basePairs.length,
+      s"clone blowup: ${pairs.length} vs ${basePairs.length} pairs")
+    // every reported pair is between representatives (min-id copies)
+    assert(pairs.forall { case (a, b, _) => a < 1000000L && b < 1000000L })
   }
 
   test("minhash finds the corpus's planted near-duplicates with high jaccard") {
