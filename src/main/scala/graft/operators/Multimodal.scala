@@ -96,6 +96,26 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: maps decoded feature rows to a target resolution.
+    * The real implementation swaps the arithmetic for an image kernel;
+    * schema contract (width/height replaced, features rescaled
+    * deterministically) and the narrow no-shuffle shape are the tested
+    * surface.
+    */
+  def resize(features: Dataset[MediaFeatures], targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val sx = targetW.toFloat / math.max(1, f.width)
+      val sy = targetH.toFloat / math.max(1, f.height)
+      f.copy(
+        width = targetW,
+        height = targetH,
+        features = f.features.map(v => v * sx * sy)
+      )
+    }
+  }
+
   /** Frame sampling stub for video assets: deterministic every-nth-byte
     * "frames" standing in for keyframe extraction; the partitioning and
     * output shape (one row per sampled frame) are the real contract.
