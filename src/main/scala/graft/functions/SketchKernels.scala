@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the sketch expressions. Public + static so
+  * whole-stage-codegen'd call sites invoke them directly (a plain
+  * `INVOKESTATIC` from generated Java) instead of the `CodegenFallback`
+  * path, which round-trips inputs through an `InternalRow` and a boxed
+  * reflective `eval` per row.
+  */
+object SketchKernels {
+
+  /** See [[MinHashSignature]]. */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        val h1 = TokenHash.hash(tok, 0x9747b28cL)
+        val h2 = TokenHash.hash(tok, 0x85ebca6bL)
+        var j = 0
+        while (j < numHashes) {
+          val h = h1 + j * h2
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** See [[SimHash64]]. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        val h = TokenHash.hash(tok, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** See [[ShingleSet]]. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** See [[WinnowFingerprint]]. */
+  def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = input.toString
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < grams.length) {
+      val bytes = text.substring(i, i + k).getBytes("UTF-8")
+      grams(i) = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 77L)
+      i += 1
+    }
+    if (grams.length <= w) {
+      var mi = 0
+      var j = 1
+      while (j < grams.length) { if (grams(j) <= grams(mi)) mi = j; j += 1 }
+      return new GenericArrayData(Array(grams(mi)))
+    }
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= grams.length) {
+      var mi = start
+      var j = start + 1
+      while (j < start + w) { if (grams(j) <= grams(mi)) mi = j; j += 1 }
+      picked += grams(mi)
+      start += 1
+    }
+    new GenericArrayData(picked.toArray)
+  }
+}
