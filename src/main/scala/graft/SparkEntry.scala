@@ -42,6 +42,11 @@ object SparkEntry {
     "q_rollup"          -> (Relational.qRollup _),
     "q_setops"          -> (Relational.qSetOps _),
     "q_json_extract"    -> (Relational.qJsonExtract _),
+    "q_semi_anti"       -> (Relational.qSemiAnti _),
+    "q_topn_group"      -> (Relational.qTopNPerGroup _),
+    "q_distinct_count"  -> (Relational.qDistinctCount _),
+    "q_pivot"           -> (Relational.qPivot _),
+    "q_cube"            -> (Relational.qCube _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
@@ -100,6 +105,16 @@ object SparkEntry {
       """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+    "q_semi_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""",
+    "q_topn_group" ->
+      """SELECT o_custkey, rnk, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders WHERE o_custkey < 500) WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
+    "q_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view FROM events GROUP BY 1 ORDER BY 1""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_json_extract" ->
       """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->

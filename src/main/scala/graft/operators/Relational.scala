@@ -322,6 +322,73 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with orders but
+    * none urgent. Both sides hash-join on the key; the anti side streams
+    * with no row materialization of the probe payload.
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        c("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-N per group: 2 biggest orders per customer. */
+  def qTopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 500)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 2)
+      .select("o_custkey", "rnk", "o_orderkey")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Distinct aggregates: per-flag distinct part/supplier counts
+    * (expand + two-phase aggregation under the hood).
+    */
+  def qDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps")
+      )
+      .orderBy("l_returnflag")
+
+  /** Pivot: monthly event counts, one column per event type. Fixed value
+    * list keeps the schema static (no extra distinct-values job) and
+    * matches the oracle's CASE columns; nulls coalesce to 0 because a
+    * CASE-sum yields 0 where pivot-count yields null.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted
+      .select(
+        col("month") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*
+      )
+      .orderBy("month")
+  }
+
+  /** Cube over order status x priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Semi-structured payload extraction — the `_source` JSON analog
     * (SURVEY §1.1): events.props is an opaque JSON string; extract a
     * field and aggregate. `get_json_object` is codegen'd and needs no
