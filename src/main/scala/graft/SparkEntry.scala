@@ -63,6 +63,7 @@ object SparkEntry {
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
+    "pipeline_curate"   -> (Curation.curateQuery _),
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)

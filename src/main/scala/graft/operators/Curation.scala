@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.text
+
+/** The capstone pipeline: corpus curation for training data — what every
+  * operator in this engine exists to compose into. One declarative plan:
+  *
+  *   quality gate -> language id -> exact dedup -> near-dup removal
+  *
+  * Dataflow at scale: the quality/langid stages are narrow per-row
+  * expressions fused into the scan projection; exact dedup is one
+  * shuffle on the content digest; near-dup removal reuses the MinHash
+  * LSH candidates (skinny band shuffle) and drops the higher-id member
+  * of each verified pair. Everything is deterministic, so retries and
+  * incremental re-runs converge.
+  */
+object Curation {
+
+  final case class Config(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      requireKnownLang: Boolean = true,
+      nearDupJaccard: Double = 0.8
+  )
+
+  /** Per-doc curation decision: the kept corpus plus a `drop_reason`
+    * column ('kept', 'too_short', 'too_long', 'unknown_lang',
+    * 'exact_dup', 'near_dup') — the observability a curation run needs
+    * (what got dropped and why, per stage).
+    */
+  def curateWithReasons(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val analyzed = docs.select(
+      col("doc_id"),
+      col("text"),
+      text.tokenCount(col("text")).as("n_tokens"),
+      text.langId(col("text")).as("pred_lang"),
+      md5(col("text")).as("__h")
+    )
+
+    // stage 1+2: quality + language gates (narrow, fused)
+    val gated = analyzed.withColumn(
+      "drop_reason",
+      when(col("n_tokens") < cfg.minTokens, "too_short")
+        .when(col("n_tokens") > cfg.maxTokens, "too_long")
+        .when(lit(cfg.requireKnownLang) && col("pred_lang") === "unknown", "unknown_lang")
+        .otherwise(lit(null).cast("string"))
+    )
+    val surviving = gated.filter(col("drop_reason").isNull)
+
+    // stage 3: exact dedup — min doc_id per digest survives
+    val keep = surviving.groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"))
+    val exactTagged = surviving
+      .join(keep, Seq("__h"))
+      .withColumn(
+        "drop_reason",
+        when(col("doc_id") =!= col("__keep"), "exact_dup").otherwise(col("drop_reason"))
+      )
+    val exactSurvivors = exactTagged.filter(col("drop_reason").isNull)
+
+    // stage 4: near-dup removal — higher id of each verified LSH pair drops
+    val pairs = Dedup
+      .minhashPairs(exactSurvivors.select(col("doc_id"), col("text")), threshold = cfg.nearDupJaccard)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    val nearTagged = exactTagged
+      .join(pairs.withColumn("__near", lit(true)), Seq("doc_id"), "left")
+      .withColumn(
+        "drop_reason",
+        when(col("drop_reason").isNull && col("__near"), "near_dup").otherwise(col("drop_reason"))
+      )
+
+    gated.filter(col("drop_reason").isNotNull)
+      .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("drop_reason"))
+      .unionByName(
+        nearTagged.select(
+          col("doc_id"), col("n_tokens"), col("pred_lang"),
+          coalesce(col("drop_reason"), lit("kept")).as("drop_reason")
+        )
+      )
+  }
+
+  /** The kept corpus only. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    curateWithReasons(docs, cfg).filter(col("drop_reason") === "kept")
+      .drop("drop_reason")
+
+  /** Driver-contract query: per-stage drop accounting (rows-only check —
+    * the near-dup stage has no SQL oracle).
+    */
+  def curateQuery(spark: SparkSession, dir: String): DataFrame =
+    curateWithReasons(Tables.documents(spark, dir))
+      .groupBy("drop_reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("drop_reason")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Capstone curation pipeline: every stage drops what it should, the
+  * accounting adds up, and the run is deterministic.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation accounting: stages partition the corpus, reasons are sane") {
+    val docs = Tables.documents(spark, sf)
+    val reasons = Curation.curateWithReasons(docs)
+      .groupBy("drop_reason").count()
+      .as[(String, Long)].collect().toMap
+    assert(reasons.values.sum == docs.count(), s"accounting mismatch: $reasons")
+    assert(reasons.getOrElse("kept", 0L) > 0, s"nothing kept: $reasons")
+    // the corpus has planted near-dups; curation must catch some
+    assert(reasons.getOrElse("near_dup", 0L) > 0, s"no near-dups dropped: $reasons")
+  }
+
+  test("curation: exactly one survivor per near-dup pair and per exact-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+      (4L, "a completely different document about the weather in the mountains and valleys"),
+      (5L, "tiny")                                                                  // too short
+    ).toDF("doc_id", "text")
+    val out = Curation.curateWithReasons(docs, Curation.Config(minTokens = 5))
+      .as[(Long, Int, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == "kept")
+    assert(out(2L) == "exact_dup")
+    assert(out(3L) == "near_dup")
+    assert(out(4L) == "kept")
+    assert(out(5L) == "too_short")
+  }
+
+  test("curation is deterministic across runs") {
+    val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
