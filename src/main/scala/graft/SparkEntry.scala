@@ -43,6 +43,8 @@ object SparkEntry {
     "q_setops"          -> (Relational.qSetOps _),
     "q_json_extract"    -> (Relational.qJsonExtract _),
     "q_semi_anti"       -> (Relational.qSemiAnti _),
+    "q_asof"            -> (Relational.qAsOf _),
+    "q_approx_stats"    -> (Relational.qApproxStats _),
     "q_topn_group"      -> (Relational.qTopNPerGroup _),
     "q_distinct_count"  -> (Relational.qDistinctCount _),
     "q_pivot"           -> (Relational.qPivot _),
@@ -106,6 +108,8 @@ object SparkEntry {
       """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+    "q_asof" ->
+      """SELECT user_id, event_id, tus, last_click_us FROM (SELECT user_id, event_id, event_type, tus, max(CASE WHEN event_type = 'click' THEN tus END) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events)) WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
     "q_semi_anti" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""",
     "q_topn_group" ->

@@ -389,6 +389,42 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** As-of join via composition (the custom-operator preference order's
+    * first option): each purchase event picks up the most recent PRIOR
+    * click of the same user — one window over the unioned stream instead
+    * of a range-join. Exact integer-microsecond time axis for oracle
+    * parity (see sessionize).
+    */
+  def qAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn(
+        "last_click_us",
+        max(when(col("event_type") === "click", col("tus"))).over(w)
+      )
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "tus", "last_click_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Approximate aggregates (HLL distinct + quantile sketches) side by
+    * side with their exact values — deterministic within Spark, no SQL
+    * oracle (sketch internals differ across engines); the spec bounds
+    * the approximation error against the exact answer instead.
+    */
+  def qApproxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")
+      )
+      .orderBy("l_returnflag")
+
   /** Semi-structured payload extraction — the `_source` JSON analog
     * (SURVEY §1.1): events.props is an opaque JSON string; extract a
     * field and aggregate. `get_json_object` is codegen'd and needs no

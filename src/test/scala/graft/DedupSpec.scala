@@ -153,6 +153,17 @@ class DedupSpec extends SparkSpec {
     assert(got.head == 6)
   }
 
+  test("approx stats bounded against exact: HLL within 5%, median within the value range") {
+    val rows = graft.operators.Relational.qApproxStats(spark, sf)
+      .select("approx_parts", "exact_parts", "approx_median")
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (approx, exact, median) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"HLL error too high: approx=$approx exact=$exact")
+      assert(median > 0, "median must be positive")
+    }
+  }
+
   test("text.tokens handles blank and multi-space input") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "a  b\tc"), (4L, " x ")).toDF("id", "t")
     val got = df.select(col("id"), text.tokenCount(col("t"))).as[(Long, Int)].collect().toMap
