@@ -44,6 +44,7 @@ object SparkEntry {
     "q_json_extract"    -> (Relational.qJsonExtract _),
     "q_semi_anti"       -> (Relational.qSemiAnti _),
     "q_asof"            -> (Relational.qAsOf _),
+    "q_range_frame"     -> (Relational.qRangeFrame _),
     "q_approx_stats"    -> (Relational.qApproxStats _),
     "q_topn_group"      -> (Relational.qTopNPerGroup _),
     "q_distinct_count"  -> (Relational.qDistinctCount _),
@@ -108,6 +109,8 @@ object SparkEntry {
       """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
+    "q_range_frame" ->
+      """SELECT user_id, event_id, tus, count(*) OVER (PARTITION BY user_id ORDER BY tus RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events) WHERE user_id < 100 ORDER BY user_id, tus, event_id""",
     "q_asof" ->
       """SELECT user_id, event_id, tus, last_click_us FROM (SELECT user_id, event_id, event_type, tus, max(CASE WHEN event_type = 'click' THEN tus END) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events)) WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
     "q_semi_anti" ->

@@ -410,6 +410,26 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Range-frame window: events per user in the trailing hour (RANGE
+    * frame over the exact-micros axis, not ROWS — frame membership is by
+    * time distance, so ties and gaps behave correctly).
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-hourUs, 0)
+    ev.filter(col("user_id") < 100)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("tus"),
+        count(lit(1)).over(w).as("events_last_hour")
+      )
+      .orderBy("user_id", "tus", "event_id")
+  }
+
   /** Approximate aggregates (HLL distinct + quantile sketches) side by
     * side with their exact values — deterministic within Spark, no SQL
     * oracle (sketch internals differ across engines); the spec bounds
