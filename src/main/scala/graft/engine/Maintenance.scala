@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Table maintenance for long-lived parquet datasets. The killer at
+  * scale is small files: every micro-batch / subtask / retry leaves
+  * fragments, and a 100 TB table fragmented into KB-size files spends
+  * more time opening footers than reading data.
+  */
+object Maintenance {
+
+  final case class CompactionResult(
+      filesBefore: Int,
+      filesAfter: Int,
+      bytes: Long,
+      rows: Long
+  )
+
+  /** Rewrite a parquet dir into ~targetBytes files. Reads once, writes
+    * once; uses a temp dir + swap so a failed compaction never corrupts
+    * the live table (poor man's commit protocol — table formats with
+    * real transactions replace this at production scale).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): CompactionResult = {
+    val dir = new java.io.File(path)
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => if (f.isDirectory) parquetFiles(f) else Array(f))
+        .filter(_.getName.endsWith(".parquet"))
+
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(_.length()).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compacting"
+    df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+
+    // swap: remove original, move tmp into place
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+
+    CompactionResult(before.length, parquetFiles(dir).length, totalBytes, rows)
+  }
+}

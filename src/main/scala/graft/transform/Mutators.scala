@@ -114,6 +114,22 @@ object MutatorPipeline {
   ): Seq[graft.model.Doc] =
     docs.flatMap(d => applyDoc(d, mutators, taskArgs))
 
+  /** Columnar fold with per-stage observability: rows surviving each
+    * mutator are counted via Spark's `observe` metrics (collected by the
+    * driver's QueryExecutionListener / Observation with zero extra jobs
+    * — the P6 progress analog at mutator granularity).
+    */
+  def applyColumnarObserved(
+      df: DataFrame,
+      mutators: Seq[ColumnMutator]
+  ): (DataFrame, Seq[String]) = {
+    val names = mutators.zipWithIndex.map { case (m, i) => s"graft_stage_${i}_${m.id.id}" }
+    val observed = mutators.zip(names).foldLeft(df) { case (d, (m, name)) =>
+      applyColumnar(d, Seq(m)).observe(name, count(lit(1)).as("rows"))
+    }
+    (observed, names)
+  }
+
   /** Distributed fold over the schema-agnostic envelope: the Dataset path
     * for documents whose shape is unknown at plan time (`SURVEY.md` §1.2).
     * Mutators must be serializable (plain functions); drops become the
