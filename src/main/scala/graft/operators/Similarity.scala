@@ -129,13 +129,13 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
 
-    def centroidLit(c: Array[Float]): Column = array(c.map(lit(_)): _*)
+    def centroidLit(c: Array[Float]): Column = array(c.toIndexedSeq.map(lit(_)): _*)
 
     /** struct-array argmax: array_max picks the lexicographically largest
       * struct, i.e. the centroid with the highest cosine.
       */
     def nearest(v: Column, take: Int): Column = {
-      val scored = array(centroids.map { case (cid, cv) =>
+      val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
         struct(vec.cosine(v, centroidLit(cv)).as("cos"), lit(cid).as("cid"))
       }: _*)
       slice(sort_array(scored, asc = false), 1, take)
