@@ -33,13 +33,18 @@ object Curation {
     * (what got dropped and why, per stage).
     */
   def curateWithReasons(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // The per-row analysis (tokenize + 5 langid regex passes + digest) is
+    // the expensive narrow stage and every later branch re-reads it:
+    // persist it spill-safely. Spark's ContextCleaner unpersists when the
+    // plan becomes unreachable; at 100 TB this becomes a materialized
+    // intermediate table instead of a cache.
     val analyzed = docs.select(
       col("doc_id"),
       col("text"),
       text.tokenCount(col("text")).as("n_tokens"),
       text.langId(col("text")).as("pred_lang"),
       md5(col("text")).as("__h")
-    )
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 1+2: quality + language gates (narrow, fused)
     val gated = analyzed.withColumn(
