@@ -49,7 +49,10 @@ object Curation {
     // stage 1+2: quality + language gates (narrow, fused)
     val gated = analyzed.withColumn(
       "drop_reason",
-      when(col("n_tokens") < cfg.minTokens, "too_short")
+      // null text first: every later predicate is null on it and would
+      // silently skip all gates (null `when` branches never fire)
+      when(col("text").isNull || length(trim(col("text"))) === 0, "empty")
+        .when(col("n_tokens") < cfg.minTokens, "too_short")
         .when(col("n_tokens") > cfg.maxTokens, "too_long")
         .when(lit(cfg.requireKnownLang) && col("pred_lang") === "unknown", "unknown_lang")
         .otherwise(lit(null).cast("string"))

@@ -39,6 +39,20 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == "too_short")
   }
 
+  test("curation: null and blank text drop as 'empty', never silently kept") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "   "),
+      (3L, "a real document with enough words to pass the quality gate for the test")
+    ).toDF("doc_id", "text")
+    val out = Curation.curateWithReasons(docs, Curation.Config(minTokens = 5))
+      .select("doc_id", "drop_reason")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "empty")
+    assert(out(2L) == "empty")
+    assert(out(3L) == "kept")
+  }
+
   test("curation is deterministic across runs") {
     val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
       .as[Long].collect().sorted.toSeq
