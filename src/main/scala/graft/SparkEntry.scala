@@ -82,7 +82,7 @@ object SparkEntry {
     "f5_size_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 30 ORDER BY l_orderkey, l_linenumber""",
     "f6_mutator_drop" ->
-      """SELECT l_returnflag, count(*) AS kept, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty FROM lineitem WHERE NOT COALESCE(l_discount > 0.06, FALSE) GROUP BY 1 ORDER BY 1""",
+      """SELECT l_returnflag, count(*) AS kept, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE NOT COALESCE(l_discount > 0.06, FALSE) GROUP BY 1 ORDER BY 1""",
     "m2_index_rollup" ->
       """SELECT 'events-' || strftime(ts, '%Y.%m') AS _index, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""",
     "m2_int_price" ->
@@ -96,17 +96,17 @@ object SparkEntry {
     "p3_flush_size" ->
       """SELECT p_brand, max(p_size) AS max_size, least(greatest(CAST(floor(50000000.0 / (max(p_size) * 1000000.0)) AS BIGINT), 1), 10000) AS flush_size FROM part GROUP BY 1 ORDER BY 1""",
     "p6_progress" ->
-      """SELECT event_type, total, transferred, CAST(floor(transferred * 100.0 / total) AS BIGINT) AS pct FROM (SELECT event_type, count(*) AS total, sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS transferred FROM events GROUP BY 1) ORDER BY event_type""",
+      """SELECT event_type, total, transferred, CAST(floor(transferred * 100.0 / total) AS BIGINT) AS pct FROM (SELECT event_type, count(*) AS total, CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS transferred FROM events GROUP BY 1) ORDER BY event_type""",
     "transfer_slice" ->
-      """SELECT 'li-' || l_returnflag AS _index, count(*) AS cnt, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 30 AND NOT COALESCE(l_discount > 0.08, FALSE) GROUP BY 1 ORDER BY 1""",
+      """SELECT 'li-' || l_returnflag AS _index, count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 30 AND NOT COALESCE(l_discount > 0.08, FALSE) GROUP BY 1 ORDER BY 1""",
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2""",
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2""",
     "q3_join" ->
-      """SELECT n_name, c_mktsegment, count(*) AS n_li, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2 ORDER BY 1, 2""",
+      """SELECT n_name, c_mktsegment, count(*) AS n_li, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_window" ->
-      """SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchases_so_far, lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events WHERE user_id < 200 ORDER BY user_id, rn""",
+      """SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS purchases_so_far, lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events WHERE user_id < 200 ORDER BY user_id, rn""",
     "q_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+      """SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_setops" ->
       """(SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k""",
     "q_range_frame" ->
@@ -120,11 +120,11 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_pivot" ->
-      """SELECT strftime(ts, '%Y-%m') AS month, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view FROM events GROUP BY 1 ORDER BY 1""",
+      """SELECT strftime(ts, '%Y-%m') AS month, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view FROM events GROUP BY 1 ORDER BY 1""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_json_extract" ->
-      """SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY h""",
     "text_tokens" ->
@@ -138,17 +138,11 @@ object SparkEntry {
     "ann_topk" ->
       """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank""",
     "heavy_hitters" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY 1 ORDER BY n_docs DESC, source ASC LIMIT 5""",
-    "q_sessionize" ->
-      """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY n_docs DESC, source ASC LIMIT 5""",
     "text_tokens_bpe" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
-    "heavy_hitters" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY 1 ORDER BY n_docs DESC, source ASC LIMIT 5""",
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
-    "text_tokens_bpe" ->
-      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe FROM documents ORDER BY doc_id""",
     "stream_window_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )

@@ -79,7 +79,10 @@ object Bounds {
       val (cnt, maxSz) = stats.getOrElse(i, (0L, 0.0))
       SubtaskSpec(
         table = table,
-        minSize = if (i == 0) 0.0 else lowers(i),
+        // bucket 0 is unbounded below (and owns null sizes — the when-
+        // chain's `otherwise` counts them here, so the transfer predicate
+        // must match; see Transfer.transferSubtask)
+        minSize = if (i == 0) Double.NegativeInfinity else lowers(i),
         maxSize = uppers(i),
         flushSize = flushSize(maxSz, shards),
         count = cnt

@@ -41,13 +41,23 @@ object Maintenance {
     df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
 
-    // swap: remove original, move tmp into place
+    // swap: rename the live dir ASIDE first, then move tmp into place —
+    // there is never a window where the live path is destroyed without a
+    // replacement. If the second rename fails, roll the original back.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) rm(old)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compaction: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      if (!old.renameTo(dir))
+        throw new java.io.IOException(
+          s"compaction swap failed for $path AND rollback failed; original at $old")
+      throw new java.io.IOException(s"compaction swap failed for $path (rolled back)")
+    }
+    rm(old)
 
     CompactionResult(before.length, parquetFiles(dir).length, totalBytes, rows)
   }

@@ -76,8 +76,15 @@ object Transfer {
       sizeCol: String,
       pipeline: Pipeline
   ): TableResult = {
-    val src = spark.read.parquet(sourcePath)
-      .filter(col(sizeCol) >= subtask.minSize && col(sizeCol) < subtask.maxSize)
+    // bucket 0 (unbounded below) also owns null-size rows: Bounds.plan
+    // counts them there, and `col >= min` would silently drop them —
+    // the subtask union must equal the whole-table transfer.
+    val rangePred =
+      if (subtask.minSize.isNegInfinity)
+        col(sizeCol).isNull || col(sizeCol) < subtask.maxSize
+      else
+        col(sizeCol) >= subtask.minSize && col(sizeCol) < subtask.maxSize
+    val src = spark.read.parquet(sourcePath).filter(rangePred)
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
     val dest = s"$destRoot/${subtask.subtaskId.replaceAll("[^a-zA-Z0-9._-]", "_")}"
     mutated.write.mode(SaveMode.Overwrite).parquet(dest)

@@ -33,7 +33,12 @@ object Dedup {
     * a whole skewed cluster in sort order.
     */
   def exact(df: DataFrame, contentCols: Seq[Column], idCol: Column): DataFrame = {
-    val h = md5(concat_ws("", contentCols: _*))
+    // Single column hashes directly; multiple columns hash a JSON struct
+    // encoding - a joined concat collides on column boundaries ("ab","" vs
+    // "a","b") and on null-vs-empty (concat_ws skips NULLs).
+    val h =
+      if (contentCols.sizeIs == 1) md5(contentCols.head.cast("string"))
+      else md5(to_json(struct(contentCols: _*)))
     val withH = df.withColumn("__h", h)
     val keep = withH.groupBy(col("__h")).agg(min(idCol).as("__keep"))
     withH

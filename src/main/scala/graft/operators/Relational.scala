@@ -24,6 +24,17 @@ object Relational {
   /** Cast to exact decimal for order-independent aggregation. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Present an exact-decimal sum as DOUBLE. The aggregation itself runs
+    * in decimal (exact, order-independent); only the final value converts.
+    * Rationale: DuckDB's pandas bridge lowers DECIMAL results to float64
+    * while Spark writes decimal128 parquet — same values, different
+    * physical types, which fails a type-sensitive compare. A double is
+    * the one numeric type both engines agree on bit-for-bit (the exact
+    * decimal fits in 2^53, so decimal->double is the correctly-rounded
+    * conversion on both sides).
+    */
+  private def sumDec(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
   /** Cast a literal to the column's own (timestamp) type — robust to
     * TIMESTAMP vs TIMESTAMP_NTZ parquet inference and foldable, so the
     * comparison pushes down to the parquet scan.
@@ -91,7 +102,7 @@ object Relational {
     MutatorPipeline
       .applyColumnar(Tables.lineitem(spark, dir), Seq(drop))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("kept"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("kept"), sumDec(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -250,9 +261,10 @@ object Relational {
     li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("sum_disc_price"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -272,7 +284,7 @@ object Relational {
       .groupBy(col("n_name"), col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_li"),
-        sum(dec(col("l_extendedprice"))).as("revenue")
+        sumDec(col("l_extendedprice")).as("revenue")
       )
       .orderBy("n_name", "c_mktsegment")
   }
@@ -306,7 +318,7 @@ object Relational {
     c.join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
@@ -494,7 +506,7 @@ object Relational {
     MutatorPipeline
       .applyColumnar(li, mutators)
       .groupBy("_index")
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("cnt"), sumDec(col("l_quantity")).as("sum_qty"))
       .orderBy("_index")
   }
 }

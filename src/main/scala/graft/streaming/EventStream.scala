@@ -173,17 +173,32 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dest = new org.apache.hadoop.fs.Path(destDir)
+        val fs = dest.getFileSystem(hconf)
+        // explicit existence check — a transient read failure (corrupt
+        // footer, FS hiccup) must FAIL the batch, not silently discard
+        // all previously merged data
         val existing =
-          try Some(spark.read.parquet(destDir))
-          catch { case _: Exception => None }
+          if (fs.exists(dest)) Some(spark.read.parquet(destDir)) else None
         val unioned = existing.fold(batch.toDF())(_.unionByName(batch.toDF()))
         val merged = graft.operators.Relational.upsertLatest(
           unioned, keys, versionCols.map(c => org.apache.spark.sql.functions.col(c).desc)
         )
-        merged.persist()
-        merged.count() // materialize before overwriting the path we read
-        merged.write.mode("overwrite").parquet(destDir)
-        merged.unpersist()
+        // write the merge to a temp dir, then swap: the path being read is
+        // never overwritten in place, so lost cache blocks / lineage
+        // recompute can never observe a half-overwritten source
+        val tmp = new org.apache.hadoop.fs.Path(destDir + ".merging")
+        val old = new org.apache.hadoop.fs.Path(destDir + ".old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (existing.isDefined && !fs.rename(dest, old))
+          throw new java.io.IOException(s"upsert swap: cannot move $dest aside")
+        if (!fs.rename(tmp, dest)) {
+          if (existing.isDefined) fs.rename(old, dest)
+          throw new java.io.IOException(s"upsert swap failed for $dest")
+        }
+        fs.delete(old, true)
         ()
       }
       .start()

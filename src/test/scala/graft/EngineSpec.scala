@@ -33,7 +33,7 @@ class EngineSpec extends SparkSpec {
       case Seq(a, b) => assert(a.maxSize == b.minSize)
       case _         =>
     }
-    assert(plan.head.minSize == 0.0 && plan.last.maxSize == Double.MaxValue)
+    assert(plan.head.minSize.isNegInfinity && plan.last.maxSize == Double.MaxValue)
     // equi-depth-ish: no bucket more than 2x the ideal share
     val ideal = li.count() / 3.0
     plan.foreach(b => assert(b.count < 2 * ideal, s"skewed bucket: $b"))

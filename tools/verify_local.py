@@ -15,6 +15,7 @@ import sys
 import glob
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,11 +48,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output at {out_dir}/{name}")
             failures += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").df()
+        # read the spark side with pyarrow/pandas (NOT duckdb): the
+        # driver's hash is type-sensitive, and duckdb's read would mask
+        # physical-type differences (e.g. decimal vs double, int128)
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         w, g = canon(want), canon(got)
         if list(w.columns) != list(g.columns):
             print(f"FAIL {name}: columns want={list(w.columns)} got={list(g.columns)}")
+            failures += 1
+            continue
+        if list(map(str, w.dtypes)) != list(map(str, g.dtypes)):
+            print(f"FAIL {name}: dtypes want={dict(zip(w.columns, map(str, w.dtypes)))} "
+                  f"got={dict(zip(g.columns, map(str, g.dtypes)))}")
             failures += 1
             continue
         if len(w) != len(g):
