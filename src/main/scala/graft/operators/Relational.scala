@@ -198,14 +198,24 @@ object Relational {
   // --------------------------------------------------------------------
 
   /** P2 adaptive bound search (`subtasks.js:210-351`): exact 3-bucket
-    * equi-depth bounds via ntile — the deterministic, oracle-checkable
-    * twin of the sampling planner in [[graft.engine.Bounds]].
+    * equi-depth bounds — the deterministic, oracle-checkable twin of the
+    * sampling planner in [[graft.engine.Bounds]].
+    *
+    * NOT `ntile(3).over(Window.orderBy(...))`: a partition-less window
+    * sorts the whole table in one task. [[graft.engine.GlobalRank]]
+    * computes the identical bucket assignment with a range-partitioned
+    * parallel sort + broadcast rank offsets.
     */
   def p2BoundsNtile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bucket", ntile(3).over(w).cast(LongType))
+    val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
+      Tables.lineitem(spark, dir)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      sortCols,
+      "__rn"
+    )
+    ranked
+      .withColumn("bucket", graft.engine.GlobalRank.ntileFromRank(col("__rn"), 3, total))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("cnt"),

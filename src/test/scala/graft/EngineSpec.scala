@@ -39,6 +39,40 @@ class EngineSpec extends SparkSpec {
     plan.foreach(b => assert(b.count < 2 * ideal, s"skewed bucket: $b"))
   }
 
+  test("global rank: matches window row_number/ntile without a single-partition sort") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val (ranked, total) = graft.engine.GlobalRank.withRowNumber(df, sortCols, "rn")
+    assert(total == df.count())
+    val got = ranked
+      .withColumn("bucket", graft.engine.GlobalRank.ntileFromRank(col("rn"), 7, total))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"), col("bucket"))
+    val w = Window.orderBy(sortCols: _*)
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bucket", ntile(7).over(w).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"), col("bucket"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the scalable plan must not contain an unpartitioned window
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window"),
+      "global rank plan fell back to a single-partition window")
+  }
+
+  test("global rank: ntile formula edge cases (total < n, exact multiples)") {
+    import graft.engine.GlobalRank.ntileFromRank
+    def buckets(total: Long, n: Int): Seq[Long] = {
+      val df = spark.range(1, total + 1).toDF("rn")
+      df.select(ntileFromRank(col("rn"), n, total).as("b"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(buckets(3, 7) == Seq(1L, 2L, 3L))          // total < n: one row each
+    assert(buckets(6, 3) == Seq(1L, 1L, 2L, 2L, 3L, 3L)) // exact multiple
+    assert(buckets(7, 3) == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // remainder first
+  }
+
   test("bounds: flush size formula clamps to [1, 10000] (subtasks.js:15,267)") {
     prop(Prop.forAll(Gen.choose(0.0, 1e9), Gen.choose(1, 64)) { (maxDoc, shards) =>
       val f = Bounds.flushSize(maxDoc, shards)
