@@ -92,7 +92,14 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // The signature stage (tokenize -> shingle -> 128-way minhash) feeds
+    // three consumers: the band explode and both sides of the verify
+    // join. Without a persist each consumer recomputes the whole narrow
+    // stage — measured ~3x the query time. At 100 TB this intermediate is
+    // a materialized table; here MEMORY_AND_DISK and the ContextCleaner
+    // reclaims it when the plan goes unreachable.
     val s = signed(docs, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band on SKINNY rows: (doc_id, band, bh) only. Carrying the shingle
     // arrays through the bands-x explode would multiply the shuffled
