@@ -135,6 +135,12 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN cc > 0 THEN 'zh' WHEN ce >= greatest(cf, cd, cs) AND ce > 0 THEN 'en' WHEN cf >= greatest(cd, cs) AND cf > 0 THEN 'fr' WHEN cd >= cs AND cd > 0 THEN 'de' WHEN cs > 0 THEN 'es' ELSE 'unknown' END AS pred_lang FROM (SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS ce, len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')) AS cf, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS cd, len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b')) AS cs, len(regexp_extract_all(text, '[一-鿿]')) AS cc FROM documents) ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "embed_neardup" ->
+      """SELECT id_a, id_b, CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cos_bp FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE c >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "ann_ivf" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM embeddings) = 0 ORDER BY vec_id LIMIT 16), assigned AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, (SELECT c.cid FROM c ORDER BY list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])) DESC, c.cid DESC LIMIT 1) AS cluster FROM embeddings e), probed AS (SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, p.cid AS cluster FROM embeddings q, LATERAL (SELECT c.cid FROM c ORDER BY list_cosine_similarity(c.cv, CAST(q.embedding AS DOUBLE[])) DESC, c.cid DESC LIMIT 4) p WHERE q.vec_id < 16), cand AS (SELECT p.query_id, a.vec_id, row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC) AS rank FROM probed p JOIN assigned a ON p.cluster = a.cluster AND p.query_id <> a.vec_id) SELECT query_id, rank, vec_id FROM cand WHERE rank <= 5 ORDER BY query_id, rank""",
     "ann_topk" ->
       """SELECT query_id, rank, vec_id FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank FROM embeddings q, embeddings c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id) WHERE rank <= 5 ORDER BY query_id, rank""",
     "heavy_hitters" ->

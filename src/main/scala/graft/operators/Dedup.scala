@@ -183,24 +183,55 @@ object Dedup {
       .limit(200)
 
   // --------------------------------------------------------------------
-  // N-gram Jaccard (exact, on LSH-candidate pairs)
+  // N-gram Jaccard (exact, via inverted index on shingles)
   // --------------------------------------------------------------------
 
-  /** Exact word-3-gram Jaccard for every LSH candidate pair — the
-    * verification operator exposed standalone. Threshold 0 emits all
-    * candidates with their exact similarity.
+  /** EXACT n-gram Jaccard similarity join: inverted index on shingles,
+    * self-join per shingle, count shared shingles per pair, derive
+    * `|A∩B| / (|A|+|B|-|A∩B|)`. Pairs sharing no shingle have Jaccard 0
+    * and never materialize, so this is exact for any threshold > 0 —
+    * unlike the MinHash path there is no recall loss.
+    *
+    * Scale: the shuffle is keyed by shingle, so cost is sum over
+    * shingles of df² — fine while no shingle is corpus-common. The
+    * production refinement is prefix filtering (AllPairs/PPJoin: only
+    * index each doc's (1-t)·|A|+1 globally-rarest shingles), which keeps
+    * exactness while bounding df; the MinHash path is the probabilistic
+    * alternative when even that blows up.
     */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), sketch.shingleSet(text.tokens(col("text")), k).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    inv.select(col("g"), col("doc_id").as("id_a"))
+      .join(inv.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      // exact: integer-valued doubles divide identically on any engine
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(spark, dir), shingleK = 3, threshold = 0.05)
-      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+    ngramJaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.2)
+      .orderBy(asc("id_a"), asc("id_b"))
 
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup (see Similarity for the LSH machinery)
   // --------------------------------------------------------------------
 
+  /** Exact pairs (oracle-checked); [[Similarity.cosineNearDup]] is the
+    * LSH-bucketed variant that takes over at broadcast-breaking scale.
+    */
   def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     Similarity
-      .cosineNearDup(Tables.embeddings(spark, dir), threshold = 0.2, bits = 8)
-      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
-      .limit(200)
+      .cosineAllPairs(Tables.embeddings(spark, dir), threshold = 0.2)
+      .orderBy(asc("id_a"), asc("id_b"))
 }

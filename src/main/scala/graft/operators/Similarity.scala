@@ -158,6 +158,27 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** EXACT all pairs above a cosine threshold — one broadcast nested-loop
+    * pass, every pair scored by the fused [[vec.cosine]] kernel. This is
+    * the correctness baseline (and the oracle-checked driver query);
+    * [[cosineNearDup]] is the LSH-bucketed path that replaces it once the
+    * corpus no longer fits a broadcast (quadratic scan vs per-bucket).
+    */
+  def cosineAllPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .withColumn("cosine", vec.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        // basis points, not the raw double: Spark and DuckDB may
+        // associate the float sums differently at the last ulp
+        floor(col("cosine") * 10000 + 0.5).cast("long").as("cos_bp")
+      )
+  }
+
   /** All pairs above a cosine threshold, via LSH bucketing + in-bucket
     * verification (the embedding near-dup operator).
     */

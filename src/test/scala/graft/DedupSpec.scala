@@ -59,6 +59,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("exact ngram jaccard join equals brute-force all-pairs jaccard") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val got = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: shingle sets to the driver, all pairs
+    val sh = docs
+      .select(col("doc_id"), sketch.shingleSet(text.tokens(col("text")), 3).as("s"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, s) => (id, s.toSet) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = sa.intersect(sb).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.1
+    } yield (a, b, j)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("cosineAllPairs is exact: superset of any LSH bucketing, matches brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineAllPairs(emb, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDup(emb, threshold = 0.2, bits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH found a pair the exact scan missed")
+    // spot-check one pair's cosine against a driver-side computation
+    val rows = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    exact.headOption.foreach { case (a, b) =>
+      val (va, vb) = (rows(a), rows(b))
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = dot / (math.sqrt(va.map(x => x.toDouble * x).sum) * math.sqrt(vb.map(x => x.toDouble * x).sum))
+      assert(cos >= 0.2 - 1e-9, s"pair ($a,$b) below threshold: $cos")
+    }
+  }
+
   test("simhash: identical token multisets collide at hamming 0; disjoint don't match") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
