@@ -65,6 +65,10 @@ object SparkEntry {
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
+    "split_assign"      -> (TextAnalysis.splitAssignQuery _),
+    "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
+    "contamination"     -> (TextAnalysis.contaminationQuery _),
+    "doc_repetition"    -> (TextAnalysis.repetitionQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
     "pipeline_curate"   -> (Curation.curateQuery _),
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
@@ -135,6 +139,14 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN cc > 0 THEN 'zh' WHEN ce >= greatest(cf, cd, cs) AND ce > 0 THEN 'en' WHEN cf >= greatest(cd, cs) AND cf > 0 THEN 'fr' WHEN cd >= cs AND cd > 0 THEN 'de' WHEN cs > 0 THEN 'es' ELSE 'unknown' END AS pred_lang FROM (SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS ce, len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')) AS cf, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS cd, len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b')) AS cs, len(regexp_extract_all(text, '[一-鿿]')) AS cc FROM documents) ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "split_assign" ->
+      """SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val' WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test' ELSE 'train' END AS split FROM documents ORDER BY doc_id""",
+    "top_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s FROM toks WHERE len(t) >= 2), inv AS (SELECT doc_id, unnest(s) AS gram FROM sh) SELECT gram, count(DISTINCT doc_id) AS df FROM inv GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""",
+    "contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6), i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS s FROM toks WHERE len(t) >= 8), inv AS (SELECT doc_id, unnest(s) AS g FROM sh) SELECT tr.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs, count(*) AS shared_grams FROM (SELECT g, doc_id FROM inv WHERE doc_id >= 25) tr JOIN (SELECT g, doc_id AS eval_id FROM inv WHERE doc_id < 25) ev USING (g) GROUP BY 1 ORDER BY doc_id""",
+    "doc_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), mf AS (SELECT doc_id, max(c) AS max_tok_freq FROM (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok) GROUP BY 1) SELECT toks.doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, mf.max_tok_freq, CASE WHEN len(t) > 2 THEN 1.0 - len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) * 1.0 / (len(t) - 2) ELSE 0.0 END AS rep3_ratio FROM toks JOIN mf ON toks.doc_id = mf.doc_id ORDER BY toks.doc_id""",
     "embed_neardup" ->
       """SELECT id_a, id_b, CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cos_bp FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE c >= 0.2 ORDER BY id_a, id_b""",
     "dedup_ngram" ->

@@ -77,6 +77,100 @@ object TextAnalysis {
       .select(col("doc_id"), text.fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split by CONTENT hash: the first hex
+    * nibble of md5(text) buckets 16 ways — 12 train / 2 val / 2 test
+    * (75/12.5/12.5). Hashing content rather than doc_id means exact
+    * duplicates always land in the same split, so a later exact dedup
+    * can never leak train text into test. Narrow, shuffle-free, and
+    * reproducible across runs/engines — the properties a 100 TB split
+    * assignment must have (no sampling state, no RNG).
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val nib = substring(md5(col("text")), 1, 1)
+    docs.select(
+      col("doc_id"),
+      when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train")
+        .as("split")
+    )
+  }
+
+  def splitAssignQuery(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Corpus vocabulary statistics: top-k word bigrams by DOCUMENT
+    * frequency (distinct per doc, so a doc repeating a bigram counts
+    * once). One explode + one count shuffle keyed by gram — the
+    * high-cardinality key spreads evenly; map-side partial aggregation
+    * collapses per-partition repeats before the exchange.
+    */
+  def topNgrams(docs: DataFrame, k: Int = 2, topK: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"), explode(sketch.shingleSet(text.tokens(col("text")), k)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), asc("gram"))
+      .limit(topK)
+
+  def topNgramsQuery(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(Tables.documents(spark, dir), k = 2, topK = 20)
+
+  /** Benchmark-contamination check: which corpus docs share an 8-token
+    * gram with the (small) eval set. The eval side's exploded grams are
+    * BROADCAST — the 100 TB corpus side streams through one narrow
+    * stage + a broadcast hash join keyed on the gram, no corpus shuffle.
+    * Output: per contaminated doc, how many eval docs it overlaps and
+    * the total (gram x eval-doc) collision count.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, gramK: Int = 8): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), explode(sketch.shingleSet(text.tokens(col("text")), gramK)).as("g"))
+    grams(docs, "doc_id")
+      .join(broadcast(grams(evalDocs, "eval_id")), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"), count(lit(1)).as("shared_grams"))
+  }
+
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contamination(docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring (the standard repetition filter):
+    * distinct-token and distinct-3-gram fractions plus the most-frequent
+    * token's count. Shuffles are keyed by (doc_id[, token]) — partial
+    * aggregation makes them cheap, and nothing is corpus-global.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val maxFreq = toks
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tok_freq"))
+    toks
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        size(sketch.shingleSet(col("t"), 3)).cast("long").as("n_distinct_3g")
+      )
+      .join(maxFreq, Seq("doc_id"))
+      .withColumn(
+        "rep3_ratio",
+        when(col("n_tokens") > lit(2),
+          lit(1.0) - col("n_distinct_3g").cast("double") / (col("n_tokens") - 2))
+          .otherwise(lit(0.0))
+      )
+      .select("doc_id", "n_tokens", "n_distinct", "max_tok_freq", "rep3_ratio")
+  }
+
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint,
     * deterministic via XXH64. No SQL oracle (custom expression); the

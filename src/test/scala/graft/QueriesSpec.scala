@@ -26,6 +26,66 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("split_assign: total coverage, content-hash determinism (dups share a split)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val split = TextAnalysis.splitAssign(docs)
+    assert(split.count() == docs.count())
+    val dist = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(dist.keySet.subsetOf(Set("train", "val", "test")))
+    assert(dist("train") > dist.getOrElse("val", 0L), "train must dominate")
+    // identical text => identical split, regardless of doc_id
+    val dup = Seq((1L, "same content here"), (999L, "same content here"))
+      .toDF("doc_id", "text")
+    val splits = TextAnalysis.splitAssign(dup).select("split").as[String].collect()
+    assert(splits.distinct.length == 1)
+  }
+
+  test("top_ngrams: document frequency counts distinct docs, not occurrences") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // repeats "a b" many times: df contribution 1
+      (2L, "a b c d"),
+      (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, k = 2, topK = 3)
+      .as[(String, Long)].collect().toMap
+    assert(top("a b") == 2, s"df of 'a b' should be 2, got ${top.get("a b")}")
+  }
+
+  test("contamination: reported docs genuinely share an 8-gram with the eval set") {
+    import graft.operators.TextAnalysis
+    import graft.functions.{sketch, text}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.contaminationQuery(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty, "expected planted overlaps")
+    val grams = docs
+      .select(col("doc_id"), sketch.shingleSet(text.tokens(col("text")), 8).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val evalGrams = grams.filter(_._1 < 25).values.flatten.toSet
+    out.foreach { case (id, nEval, shared) =>
+      assert(id >= 25 && nEval > 0 && shared > 0)
+      assert(grams(id).toSet.intersect(evalGrams).nonEmpty, s"doc $id has no real shared gram")
+    }
+  }
+
+  test("doc_repetition: exact stats on a constructed document") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),   // 4 tokens, 2 distinct, max freq 3, 3-grams: "a a a","a a b" -> rep3 = 1 - 2/2 = 0
+      (2L, "a a a a")    // 4 tokens, 1 distinct, max freq 4, 3-grams distinct: "a a a" -> rep3 = 1 - 1/2 = 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 2L, 3L, 0.0)))
+    assert(got(1) == ((2L, 4L, 1L, 4L, 0.5)))
+  }
+
   test("multimodal: feature extraction is deterministic and schema-stable") {
     import graft.operators.Multimodal
     val a = Multimodal.extractFeatures(Multimodal.assets(spark, sf), Multimodal.FakeDecoder)
