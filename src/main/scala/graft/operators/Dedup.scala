@@ -206,7 +206,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    inv.select(col("g"), col("doc_id").as("id_a"))
+    // shuffle-hash, not sort-merge: sorting the exploded gram strings on
+    // both sides costs ~3x the join itself; the per-partition hash side
+    // fits memory because the gram key is high-cardinality (and AQE falls
+    // back to SMJ if a partition ever doesn't)
+    inv.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
       .join(inv.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
