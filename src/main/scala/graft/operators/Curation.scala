@@ -13,10 +13,12 @@ import graft.functions.text
   *
   * Dataflow at scale: the quality/langid stages are narrow per-row
   * expressions fused into the scan projection; exact dedup is one
-  * shuffle on the content digest; near-dup removal reuses the MinHash
-  * LSH candidates (skinny band shuffle) and drops the higher-id member
-  * of each verified pair. Everything is deterministic, so retries and
-  * incremental re-runs converge.
+  * shuffle on the content digest; near-dup removal is a pluggable pair
+  * source — exact inverted-index n-gram join by default (oracle-
+  * checkable end to end), MinHash LSH banding when the corpus outgrows
+  * it — and drops the higher-id member of each verified pair.
+  * Everything is deterministic, so retries and incremental re-runs
+  * converge.
   */
 object Curation {
 
@@ -27,12 +29,31 @@ object Curation {
       nearDupJaccard: Double = 0.8
   )
 
+  /** Near-dup pair source: given (doc_id, text) and a Jaccard threshold,
+    * return (id_a, id_b, jaccard) pairs at-or-above it. The default is
+    * the EXACT inverted-index n-gram join ([[Dedup.ngramJaccardPairs]]),
+    * which keeps the whole pipeline oracle-checkable; swap in
+    * [[minhashNearDup]] when the corpus outgrows the exact join's
+    * per-shingle candidate budget (probabilistic recall, same contract).
+    */
+  type NearDupPairs = (DataFrame, Double) => DataFrame
+
+  val exactNearDup: NearDupPairs =
+    (docs, t) => Dedup.ngramJaccardPairs(docs, k = 3, threshold = t)
+
+  val minhashNearDup: NearDupPairs =
+    (docs, t) => Dedup.minhashPairs(docs, threshold = t)
+
   /** Per-doc curation decision: the kept corpus plus a `drop_reason`
     * column ('kept', 'too_short', 'too_long', 'unknown_lang',
     * 'exact_dup', 'near_dup') — the observability a curation run needs
     * (what got dropped and why, per stage).
     */
-  def curateWithReasons(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def curateWithReasons(
+      docs: DataFrame,
+      cfg: Config = Config(),
+      nearDupPairs: NearDupPairs = exactNearDup
+  ): DataFrame = {
     // The per-row analysis (tokenize + 5 langid regex passes + digest) is
     // the expensive narrow stage and every later branch re-reads it:
     // persist it spill-safely. Spark's ContextCleaner unpersists when the
@@ -69,9 +90,8 @@ object Curation {
       )
     val exactSurvivors = exactTagged.filter(col("drop_reason").isNull)
 
-    // stage 4: near-dup removal — higher id of each verified LSH pair drops
-    val pairs = Dedup
-      .minhashPairs(exactSurvivors.select(col("doc_id"), col("text")), threshold = cfg.nearDupJaccard)
+    // stage 4: near-dup removal — higher id of each verified pair drops
+    val pairs = nearDupPairs(exactSurvivors.select(col("doc_id"), col("text")), cfg.nearDupJaccard)
       .select(col("id_b").as("doc_id"))
       .distinct()
     val nearTagged = exactTagged
@@ -96,8 +116,9 @@ object Curation {
     curateWithReasons(docs, cfg).filter(col("drop_reason") === "kept")
       .drop("drop_reason")
 
-  /** Driver-contract query: per-stage drop accounting (rows-only check —
-    * the near-dup stage has no SQL oracle).
+  /** Driver-contract query: per-stage drop accounting, oracle-checked
+    * end to end (every stage, including the exact near-dup join, has a
+    * DuckDB twin).
     */
   def curateQuery(spark: SparkSession, dir: String): DataFrame =
     curateWithReasons(Tables.documents(spark, dir))

@@ -53,6 +53,18 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == "kept")
   }
 
+  test("exact near-dup stage never drops less than the minhash variant") {
+    val docs = Tables.documents(spark, sf)
+    def reasons(p: Curation.NearDupPairs) =
+      Curation.curateWithReasons(docs, Curation.Config(), p)
+        .groupBy("drop_reason").count().as[(String, Long)].collect().toMap
+    val exact = reasons(Curation.exactNearDup)
+    val lsh = reasons(Curation.minhashNearDup)
+    assert(exact.getOrElse("near_dup", 0L) >= lsh.getOrElse("near_dup", 0L),
+      s"exact=$exact lsh=$lsh")
+    assert(exact.values.sum == lsh.values.sum)
+  }
+
   test("curation is deterministic across runs") {
     val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
       .as[Long].collect().sorted.toSeq
