@@ -106,6 +106,19 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup: drop re-deliveries of the same key while it can
+    * still legally arrive (the watermark bounds the dedup state — the
+    * reference's at-least-once bulk retries made idempotent, but with
+    * state that ages out instead of growing with the stream). Keyed on
+    * `event_id`; the state store holds one entry per key inside the
+    * watermark horizon, so memory is bounded by event-time skew, not
+    * stream length.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

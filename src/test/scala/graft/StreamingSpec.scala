@@ -64,6 +64,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val q = EventStream.dedupStream(events, "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: two events; batch 2: one re-delivery + one new event
+    input.addData((1L, 1000L, "click"), (2L, 1010L, "view"))
+    q.processAllAvailable()
+    input.addData((1L, 1000L, "click"), (3L, 1020L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"expected dedup to [1,2,3], got $got")
+  }
+
   test("stateful userTotals tallies events and purchases per user") {
     val ckpt = Files.createTempDirectory("graft_ckpt2").toString
     val stream = EventStream.readEvents(spark, sf)
