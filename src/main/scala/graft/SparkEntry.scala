@@ -47,6 +47,7 @@ object SparkEntry {
     "q_range_frame"     -> (Relational.qRangeFrame _),
     "q_approx_stats"    -> (Relational.qApproxStats _),
     "q_topn_group"      -> (Relational.qTopNPerGroup _),
+    "q_topn_agg"        -> (Relational.qTopNPerGroupAgg _),
     "q_distinct_count"  -> (Relational.qDistinctCount _),
     "q_pivot"           -> (Relational.qPivot _),
     "q_cube"            -> (Relational.qCube _),
@@ -120,6 +121,8 @@ object SparkEntry {
     "q_semi_anti" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""",
     "q_topn_group" ->
+      """SELECT o_custkey, rnk, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders WHERE o_custkey < 500) WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
+    "q_topn_agg" ->
       """SELECT o_custkey, rnk, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders WHERE o_custkey < 500) WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
     "q_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1 ORDER BY 1""",

@@ -374,6 +374,25 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Top-n per group via the engine's bounded-memory aggregate
+    * ([[graft.functions.TopKOrdTie]]): identical answer to
+    * [[qTopNPerGroup]], but the shuffle carries at most k rows per
+    * group (map-side partial top-k) instead of every row — the shape
+    * that survives a skewed 100 TB key where the window sort cannot.
+    */
+  def qTopNPerGroupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 500)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.agg.topKOrdTie(col("o_totalprice"), col("o_orderkey"), 2).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tie").as("o_orderkey")
+      )
+      .orderBy("o_custkey", "rnk")
+
   /** Distinct aggregates: per-flag distinct part/supplier counts
     * (expand + two-phase aggregation under the hood).
     */

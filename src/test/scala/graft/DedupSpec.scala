@@ -173,6 +173,38 @@ class DedupSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("bounded top-k aggregate equals the window formulation on real data") {
+    import graft.operators.Relational
+    val viaAgg = Relational.qTopNPerGroupAgg(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaWindow = Relational.qTopNPerGroup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKBuffer: insert/merge match a sort-based reference (randomized)") {
+    import graft.functions.TopKBuffer
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def prop(p: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+      assert(res.passed, res.status.toString)
+    }
+    prop(Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(-100L, 100L))),
+      Gen.choose(1, 8)
+    ) { (rows, k) =>
+      // reference: full sort by (ord desc, tie asc), take k
+      val want = rows.sortBy { case (o, t) => (-o, t) }.take(k)
+      // split arbitrarily into two partial buffers, then merge
+      val (l, r) = rows.splitAt(rows.length / 2)
+      val a = new TopKBuffer(k); l.foreach { case (o, t) => a.insert(o, t) }
+      val b = new TopKBuffer(k); r.foreach { case (o, t) => b.insert(o, t) }
+      a.mergeIn(b)
+      val got = (0 until a.size).map(i => (a.ords(i), a.ties(i))).toList
+      got == want
+    })
+  }
+
   test("saltedJoin equals plain join, spreads the hot key") {
     import graft.engine.Skew
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
