@@ -50,6 +50,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

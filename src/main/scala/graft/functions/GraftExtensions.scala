@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` entry point: injects every graft expression
+  * as a first-class SQL function, so any session enables the engine with
+  * nothing but configuration:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * (the config-based twin of [[Register.registerAll]], which does the
+  * same for an already-built session). Builders construct the same
+  * Catalyst expressions the Column API uses — one implementation, two
+  * surfaces.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(es: Seq[Expression], i: Int, what: String): Int =
+    es(i).eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+    }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float vectors"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors"),
+      (es: Seq[Expression]) => VecCosine(es(0), es(1))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(tokens, n) - n-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es, 1, "numHashes"))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es(0))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, k) - distinct word k-gram shingles"),
+      (es: Seq[Expression]) => ShingleSet(es(0), intArg(es, 1, "k"))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(text, k, w) - winnowing fingerprint hashes"),
+      (es: Seq[Expression]) => WinnowFingerprint(es(0), intArg(es, 1, "k"), intArg(es, 2, "w"))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(ord, tie, k) - bounded top-k rows per group, (ord DESC, tie ASC)"),
+      (es: Seq[Expression]) => TopKOrdTie(es(0), es(1), intArg(es, 2, "k"))
+    ))
+  }
+}

@@ -106,6 +106,66 @@ object EventStream {
       }
   }
 
+  final case class SessionOut(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long
+  )
+
+  /** Production streaming sessionization: `flatMapGroupsWithState` with
+    * an EVENT-TIME timeout. Per-user state holds only the OPEN session
+    * (start, last-seen, count — three longs, not the event history);
+    * when the watermark passes last-seen + gap, the state times out,
+    * the closed session is emitted, and the store entry is freed. State
+    * size is therefore `O(active users within the gap horizon)`,
+    * independent of stream length — the shape that runs forever.
+    *
+    * Late events inside the watermark extend the open session; events
+    * later than the watermark are dropped by the watermark itself.
+    */
+  def sessionizeStreamTimeout(
+      events: DataFrame,
+      gapUs: Long = SessionGapUs
+  ): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state tuple: (start_us, end_us, count) of the open session
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout
+      ) { case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+        if (state.hasTimedOut) {
+          val (s, e, n) = state.get
+          state.remove()
+          Iterator.single(SessionOut(uid, s, e, n))
+        } else {
+          val ts = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          var closed = List.empty[SessionOut]
+          var open = state.getOption
+          ts.foreach { t =>
+            open = open match {
+              case Some((s, e, n)) if t - e <= gapUs => Some((s, t, n + 1))
+              case Some((s, e, n)) =>
+                closed ::= SessionOut(uid, s, e, n)
+                Some((t, t, 1L))
+              case None => Some((t, t, 1L))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            // close the session `gap` after its last event (event time)
+            state.setTimeoutTimestamp((o._2 + gapUs) / 1000L + 1L)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
+
   /** Streaming dedup: drop re-deliveries of the same key while it can
     * still legally arrive (the watermark bounds the dedup state — the
     * reference's at-least-once bulk retries made idempotent, but with

@@ -73,6 +73,24 @@ class EngineSpec extends SparkSpec {
     assert(buckets(7, 3) == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // remainder first
   }
 
+  test("plan audit: range predicate reaches the parquet scan, dims broadcast") {
+    val f5 = graft.operators.Relational.f5SizeRange(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(f5.contains("PushedFilters:") && f5.contains("GreaterThanOrEqual(l_quantity"),
+      s"F5 predicate not pushed to the scan:\n$f5")
+    val q3 = graft.operators.Relational.q3Join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("BroadcastHashJoin"), "q3 dim join must broadcast")
+  }
+
+  test("plan audit: projection prunes the parquet read schema") {
+    val plan = graft.operators.TextAnalysis.textTokens(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only doc_id and text should be read, not source/lang/n_chars
+    assert(plan.contains("ReadSchema") && !plan.contains("n_chars"),
+      s"column pruning failed:\n$plan")
+  }
+
   test("bounds: flush size formula clamps to [1, 10000] (subtasks.js:15,267)") {
     prop(Prop.forAll(Gen.choose(0.0, 1e9), Gen.choose(1, 64)) { (maxDoc, shards) =>
       val f = Bounds.flushSize(maxDoc, shards)

@@ -3,6 +3,34 @@ package graft
 /** SQL-registered custom functions: the spark.sql surface. */
 class SqlFunctionsSpec extends SparkSpec {
 
+  test("extensions-injected functions work from SQL with no registration call") {
+    // SparkSpec's session sets spark.sql.extensions=graft.functions.GraftExtensions
+    // and never calls Register.registerAll before this suite
+    val r = spark.sql(
+      """SELECT graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        |       size(graft_shingles(array('a','b','c'), 2)) AS s
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 6.0)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("graft_topk aggregate from SQL equals the window formulation") {
+    val got = spark.sql(
+      s"""SELECT o_custkey, top FROM (
+         |  SELECT o_custkey, graft_topk(o_totalprice, o_orderkey, 2) AS top
+         |  FROM parquet.`$sf/orders.parquet`
+         |  WHERE o_custkey < 100
+         |  GROUP BY o_custkey)
+         |""".stripMargin)
+      .selectExpr("o_custkey", "transform(top, x -> x.tie) AS ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val want = graft.operators.Relational.qTopNPerGroupAgg(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") < 100)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toList).toMap
+    assert(got == want)
+  }
+
   test("graft_* functions usable from SQL") {
     graft.functions.Register.registerAll(spark)
     val r = spark.sql(

@@ -64,6 +64,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timeout sessionization: sessions close via watermark, state is freed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, ts_seconds)
+    val events = input.toDF().toDF("user_id", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val ckpt = Files.createTempDirectory("graft_sto_ckpt").toString
+    val q = EventStream.sessionizeStreamTimeout(events, gapUs = 60L * 1000000)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sto_test")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // user 1: two events 10s apart (one session), then silence;
+    // user 2 far in the future advances the watermark past 1's gap
+    input.addData((1L, 1000L), (1L, 1010L))
+    q.processAllAvailable()
+    input.addData((2L, 100000L))
+    q.processAllAvailable()
+    input.addData((2L, 200000L)) // push watermark further so 1's timeout fires
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sto_test")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
+    assert(got.toSeq == Seq((1L, 1000000000L, 1010000000L, 2L)),
+      s"expected user 1's closed session, got ${got.toSeq}")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
