@@ -135,8 +135,11 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_sig")
 
-  /** Driver-contract query: per-modality feature statistics. Rows-only
-    * check (no SQL oracle — the decode stub is engine-side by design).
+  /** Driver-contract query: per-modality feature statistics. Oracle-
+    * checked: the DuckDB twin replicates the stub's rolling byte hash
+    * with HUGEINT mod-2^64 arithmetic (valid while the corpus is ASCII,
+    * where ascii(char) == the UTF-8 byte — asserted true for the test
+    * corpus; a real decoder would make this a rows-only check again).
     */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assets(spark, dir), FakeDecoder)
