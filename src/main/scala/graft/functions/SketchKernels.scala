@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,17 +80,30 @@ object SketchKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
-  /** See [[WinnowFingerprint]]. */
+  /** See [[WinnowFingerprint]]. Gram hash is a Rabin-Karp rolling
+    * polynomial (base 31, wrap-around 2^64): O(1) per gram instead of
+    * re-hashing k chars, and — unlike xxh64 — reproducible in plain SQL
+    * modular arithmetic, which is what keeps the winnow query
+    * oracle-checkable.
+    */
   def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
     val text = input.toString
     val n = text.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    var pow = 1L // 31^(k-1), wrapped
     var i = 0
-    while (i < grams.length) {
-      val bytes = text.substring(i, i + k).getBytes("UTF-8")
-      grams(i) = XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 77L)
+    while (i < k) {
+      h = 31 * h + text.charAt(i)
+      if (i < k - 1) pow *= 31
+      i += 1
+    }
+    grams(0) = h
+    i = 1
+    while (i + k <= n) {
+      h = (h - text.charAt(i - 1) * pow) * 31 + text.charAt(i + k - 1)
+      grams(i) = h
       i += 1
     }
     if (grams.length <= w) {

@@ -172,10 +172,11 @@ object TextAnalysis {
     repetition(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
-    * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint,
-    * deterministic via XXH64. No SQL oracle (custom expression); the
-    * driver records a rows-only check and the ScalaTest spec asserts the
-    * winnowing guarantees.
+    * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
+    * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB
+    * oracle replicates it with HUGEINT arithmetic (window minima are
+    * hash-value sets — tie-index rules can't affect them); the ScalaTest
+    * spec additionally asserts the winnowing guarantees.
     */
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
