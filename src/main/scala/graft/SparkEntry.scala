@@ -66,6 +66,8 @@ object SparkEntry {
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
+    "q_percentiles"     -> (Relational.qPercentilesQuery _),
+    "sample_stratified" -> (TextAnalysis.stratifiedSampleQuery _),
     "split_assign"      -> (TextAnalysis.splitAssignQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
     "contamination"     -> (TextAnalysis.contaminationQuery _),
@@ -148,6 +150,10 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, octet_length(encode(text)) AS n_bytes, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + CASE WHEN b >= 128 THEN b - 256 ELSE b END) % 18446744073709551616) AS hu FROM documents), signed AS (SELECT doc_id, modality, n_bytes, CASE WHEN hu % 18446744073709551616 >= 9223372036854775808 THEN (hu % 18446744073709551616) - 18446744073709551616 ELSE hu % 18446744073709551616 END AS h FROM base), w AS (SELECT doc_id, modality, n_bytes, 64 + (abs(h) % 64) AS width FROM signed) SELECT modality, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, avg(width) AS avg_width FROM w GROUP BY 1 ORDER BY 1""",
     "pipeline_curate" ->
       """WITH analyzed AS (SELECT doc_id, text, CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh' WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) >= greatest(len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')), len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')), len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b'))) AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) > 0 THEN 'en' WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')) >= greatest(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')), len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b'))) AND len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une|est|que|dans|pour)\b')) > 0 THEN 'fr' WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) >= len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b')) AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) > 0 THEN 'de' WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|y|un|una|es|que|por|para)\b')) > 0 THEN 'es' ELSE 'unknown' END AS pred_lang, md5(text) AS h FROM documents), gated AS (SELECT *, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty' WHEN n_tokens < 10 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' WHEN pred_lang = 'unknown' THEN 'unknown_lang' END AS gate_reason FROM analyzed), surviving AS (SELECT * FROM gated WHERE gate_reason IS NULL), keep AS (SELECT h, min(doc_id) AS keep_id FROM surviving GROUP BY 1), exact_tagged AS (SELECT s.doc_id, s.text, CASE WHEN s.doc_id <> k.keep_id THEN 'exact_dup' END AS exact_reason FROM surviving s JOIN keep k USING (h)), exact_surv AS (SELECT doc_id, text FROM exact_tagged WHERE exact_reason IS NULL), toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM exact_surv), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), neardrop AS (SELECT DISTINCT id_b AS doc_id FROM cand JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id WHERE inter * 1.0 / (la.n + lb.n - inter) >= 0.8), final AS (SELECT g.doc_id, coalesce(g.gate_reason, e.exact_reason, CASE WHEN n.doc_id IS NOT NULL THEN 'near_dup' END, 'kept') AS drop_reason FROM gated g LEFT JOIN exact_tagged e ON g.doc_id = e.doc_id LEFT JOIN neardrop n ON g.doc_id = n.doc_id) SELECT drop_reason, count(*) AS n_docs FROM final GROUP BY 1 ORDER BY 1""",
+    "q_percentiles" ->
+      """WITH o AS (SELECT l_extendedprice, row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn, count(*) OVER () AS n FROM lineitem) SELECT CAST(ps.p AS DOUBLE) AS p, o.l_extendedprice AS value FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) ps(p) JOIN o ON o.rn = greatest(1, CAST(ceil(ps.p * o.n) AS BIGINT)) ORDER BY p""",
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM (SELECT doc_id, source, list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM documents) WHERE h < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 49152 ELSE 16384 END ORDER BY doc_id""",
     "split_assign" ->
       """SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val' WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test' ELSE 'train' END AS split FROM documents ORDER BY doc_id""",
     "top_ngrams" ->

@@ -225,6 +225,39 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** EXACT percentiles at scale — the deterministic counterpart to
+    * `approxQuantile` ([[graft.engine.Bounds]]): a quantile_disc-style
+    * pick (smallest value with 1-based rank >= ceil(p*n)) over the
+    * [[graft.engine.GlobalRank]] global order. One ranged shuffle, no
+    * single-partition sort, no sketch error — for when the planner's
+    * bound must be reproducible (oracle, audits, replays) rather than
+    * approximate.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: Column,
+      tiebreaks: Seq[Column],
+      ps: Seq[Double]
+  ): DataFrame = {
+    val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
+      df, valueCol +: tiebreaks, "__rn")
+    val targets = ps.map(p => (p, math.max(1L, math.ceil(p * total).toLong)))
+    ranked
+      .join(
+        broadcast(df.sparkSession.createDataFrame(targets).toDF("p", "__target")),
+        col("__rn") === col("__target")
+      )
+      .select(col("p"), valueCol.as("value"))
+  }
+
+  def qPercentilesQuery(spark: SparkSession, dir: String): DataFrame =
+    exactPercentiles(
+      Tables.lineitem(spark, dir).select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      col("l_extendedprice"),
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq(0.5, 0.95, 0.99)
+    ).orderBy("p")
+
   /** P3 flush-size calculation (`subtasks.js:267`): batch size =
     * 50MB / (maxDocSize * shards), clamped to [1, 10000]
     * (`MAX_FLUSH_SIZE` `subtasks.js:15`). p_size (in "MB") plays

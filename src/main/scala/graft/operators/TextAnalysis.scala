@@ -171,6 +171,33 @@ object TextAnalysis {
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
     repetition(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Deterministic stratified sampling: per-stratum keep thresholds out
+    * of 65536, decided by a 16-bit content-hash bucket — the
+    * training-mix control (up/down-weight sources) as a pure filter.
+    * Narrow and shuffle-free; reproducible across runs, engines, and
+    * retries (no RNG state), and consistent under resharding since the
+    * decision depends only on row content.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      thresholds: Map[String, Int],
+      defaultThreshold: Int
+  ): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    docs.filter(bucket < thr)
+  }
+
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.documents(spark, dir),
+      // upweight three sources to 75%, the rest to 25%
+      Map("src0" -> 49152, "src1" -> 49152, "src2" -> 49152),
+      defaultThreshold = 16384
+    ).select("doc_id", "source").orderBy("doc_id")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

@@ -73,6 +73,39 @@ class EngineSpec extends SparkSpec {
     assert(buckets(7, 3) == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // remainder first
   }
 
+  test("exact percentiles equal a driver-side sort (quantile_disc pick)") {
+    import spark.implicits._
+    val got = graft.operators.Relational.qPercentilesQuery(spark, sf)
+      .as[(Double, Double)].collect().toMap
+    val sorted = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .as[(Double, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2, t._3)).map(_._1)
+    Seq(0.5, 0.95, 0.99).foreach { p =>
+      val want = sorted(math.max(1, math.ceil(p * sorted.length).toLong).toInt - 1)
+      assert(got(p) == want, s"p=$p: got ${got(p)}, want $want")
+    }
+  }
+
+  test("stratified sample: content-determined, per-stratum rates honored") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val a = TextAnalysis.stratifiedSampleQuery(spark, sf).as[(Long, String)].collect().toSeq
+    val b = TextAnalysis.stratifiedSampleQuery(spark, sf).as[(Long, String)].collect().toSeq
+    assert(a == b, "sample must be deterministic")
+    val perSource = a.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // upweighted sources keep ~75%, others ~25% (loose bounds: 25 docs/stratum)
+    Seq("src0", "src1", "src2").foreach { s =>
+      val rate = perSource.getOrElse(s, 0.0) / totals(s)
+      assert(rate > 0.4, s"$s rate $rate should be ~0.75")
+    }
+    val restRate = perSource.filterKeys(k => !Set("src0", "src1", "src2")(k)).values.sum /
+      totals.filterKeys(k => !Set("src0", "src1", "src2")(k)).values.sum
+    assert(restRate < 0.5, s"rest rate $restRate should be ~0.25")
+  }
+
   test("plan audit: range predicate reaches the parquet scan, dims broadcast") {
     val f5 = graft.operators.Relational.f5SizeRange(spark, sf)
       .queryExecution.executedPlan.toString
