@@ -69,6 +69,47 @@ object TextAnalysis {
       .orderBy(desc("n_docs"), asc("source"))
       .limit(5)
 
+  /** Winnow-fingerprint overlap pairs — plagiarism-style near-dup
+    * detection scored by CONTAINMENT (shared fingerprints over the
+    * smaller doc's fingerprint count), which catches a small doc pasted
+    * into a large one where Jaccard would dilute. Inverted index on the
+    * (already deduplicated) fingerprint values, self-join per
+    * fingerprint — same skinny-shuffle shape as the n-gram join but
+    * over ~1/w as many keys (winnowing samples one gram per window),
+    * so the index is w-times smaller for the same guarantee (shared
+    * substrings of length >= k+w-1 always collide).
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      minContainment: Double = 0.6
+  ): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), sketch.winnow(col("text"), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.select(col("doc_id"), size(col("fps")).as("n"))
+    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    inv.select(col("fp"), col("doc_id").as("id_a")).hint("shuffle_hash")
+      .join(inv.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn(
+        "containment",
+        col("shared_fps").cast("double") / least(col("na"), col("nb"))
+      )
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "shared_fps", "containment")
+  }
+
+  def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, dir), minContainment = 0.6)
+      .orderBy("id_a", "id_b")
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */

@@ -98,6 +98,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs find the high-jaccard planted near-dups") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val winnow = TextAnalysis.winnowPairs(Tables.documents(spark, sf))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // strong textual near-dups (exact ngram jaccard >= 0.8) must be
+    // caught by fingerprint containment too: a 0.8-jaccard pair shares
+    // long substrings, and shared substrings >= k+w-1 share fingerprints
+    val strong = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty, "expected planted strong near-dups")
+    val missed = strong.diff(winnow)
+    assert(missed.isEmpty, s"winnow missed strong near-dups: $missed")
+  }
+
   test("simhash: identical token multisets collide at hamming 0; disjoint don't match") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
