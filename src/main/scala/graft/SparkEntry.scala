@@ -148,7 +148,7 @@ object SparkEntry {
     "text_winnow" ->
       """WITH grams AS (SELECT doc_id, list_transform(range(1, length(text) - 8 + 2), s -> list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(s, s + 8), i -> CAST(ascii(text[i]) AS HUGEINT))), (acc, c) -> (acc * 31 + c) % 18446744073709551616)) AS hu FROM documents), signed AS (SELECT doc_id, list_transform(hu, x -> CASE WHEN x >= 9223372036854775808 THEN CAST(x - 18446744073709551616 AS BIGINT) ELSE CAST(x AS BIGINT) END) AS h FROM grams), mins AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN [] WHEN len(h) <= 4 THEN [list_min(h)] ELSE list_transform(range(1, len(h) - 4 + 2), s -> list_min(h[s:s+3])) END AS m FROM signed) SELECT doc_id, CAST(len(list_distinct(m)) AS BIGINT) AS n_fps, m[1] AS first_fp FROM mins ORDER BY doc_id""",
     "winnow_pairs" ->
-      """WITH grams AS (SELECT doc_id, list_transform(range(1, length(text) - 8 + 2), s -> list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(s, s + 8), i -> CAST(ascii(text[i]) AS HUGEINT))), (acc, c) -> (acc * 31 + c) % 18446744073709551616)) AS hu FROM documents), signed AS (SELECT doc_id, list_transform(hu, x -> CASE WHEN x >= 9223372036854775808 THEN CAST(x - 18446744073709551616 AS BIGINT) ELSE CAST(x AS BIGINT) END) AS h FROM grams), mins AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN [] WHEN len(h) <= 4 THEN [list_min(h)] ELSE list_distinct(list_transform(range(1, len(h) - 4 + 2), s -> list_min(h[s:s+3]))) END AS m FROM signed), sz AS (SELECT doc_id, len(m) AS n FROM mins WHERE len(m) > 0), inv AS (SELECT doc_id, unnest(m) AS fp FROM mins), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, shared_fps, containment FROM (SELECT id_a, id_b, shared_fps, shared_fps * 1.0 / least(sa.n, sb.n) AS containment FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) WHERE containment >= 0.6 ORDER BY id_a, id_b""",
+      """WITH grams AS (SELECT doc_id, list_transform(range(1, length(text) - 8 + 2), s -> list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(s, s + 8), i -> CAST(ascii(text[i]) AS HUGEINT))), (acc, c) -> (acc * 31 + c) % 18446744073709551616)) AS hu FROM documents), signed AS (SELECT doc_id, list_transform(hu, x -> CASE WHEN x >= 9223372036854775808 THEN CAST(x - 18446744073709551616 AS BIGINT) ELSE CAST(x AS BIGINT) END) AS h FROM grams), mins AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN [] WHEN len(h) <= 4 THEN [list_min(h)] ELSE list_distinct(list_transform(range(1, len(h) - 4 + 2), s -> list_min(h[s:s+3]))) END AS m FROM signed), inv0 AS (SELECT doc_id, unnest(m) AS fp FROM mins), rare AS (SELECT fp FROM inv0 GROUP BY 1 HAVING count(*) <= 20), inv AS (SELECT doc_id, fp FROM inv0 JOIN rare USING (fp)), sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, shared_fps, containment FROM (SELECT id_a, id_b, shared_fps, shared_fps * 1.0 / least(sa.n, sb.n) AS containment FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) WHERE containment >= 0.6 ORDER BY id_a, id_b""",
     "multimodal_features" ->
       """WITH base AS (SELECT doc_id, CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, octet_length(encode(text)) AS n_bytes, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + CASE WHEN b >= 128 THEN b - 256 ELSE b END) % 18446744073709551616) AS hu FROM documents), signed AS (SELECT doc_id, modality, n_bytes, CASE WHEN hu % 18446744073709551616 >= 9223372036854775808 THEN (hu % 18446744073709551616) - 18446744073709551616 ELSE hu % 18446744073709551616 END AS h FROM base), w AS (SELECT doc_id, modality, n_bytes, 64 + (abs(h) % 64) AS width FROM signed) SELECT modality, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, avg(width) AS avg_width FROM w GROUP BY 1 ORDER BY 1""",
     "pipeline_curate" ->

@@ -77,20 +77,31 @@ object TextAnalysis {
     * fingerprint — same skinny-shuffle shape as the n-gram join but
     * over ~1/w as many keys (winnowing samples one gram per window),
     * so the index is w-times smaller for the same guarantee (shared
-    * substrings of length >= k+w-1 always collide).
+    * substrings of length >= k+w-1 always collide). Corpus-common
+    * fingerprints (df > maxDf) are dropped before the join — the
+    * inverted-index analog of stopword removal, and the guard that
+    * keeps the join linear in practice.
     */
   def winnowPairs(
       docs: DataFrame,
       k: Int = 8,
       w: Int = 4,
-      minContainment: Double = 0.6
+      minContainment: Double = 0.6,
+      maxDf: Int = 20
   ): DataFrame = {
-    val fps = docs
-      .select(col("doc_id"), sketch.winnow(col("text"), k, w).as("fps"))
-      .filter(size(col("fps")) > 0)
+    val inv0 = docs
+      .select(col("doc_id"), explode(sketch.winnow(col("text"), k, w)).as("fp"))
+    // df cap: a fingerprint in >maxDf docs is corpus boilerplate, not
+    // evidence of copying — and it is exactly the hot key that makes an
+    // inverted-index join quadratic (one ubiquitous fingerprint at sf0.1
+    // measured 257M candidate rows; the cap bounds it at ~600k). Scores
+    // are containment over each doc's RARE-fingerprint profile.
+    val inv = inv0
+      .withColumn("__df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fps.select(col("doc_id"), size(col("fps")).as("n"))
-    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inv.select(col("fp"), col("doc_id").as("id_a")).hint("shuffle_hash")
       .join(inv.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
