@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   *
   * Ordering contract: rank by `ord` DESC, then `tie` ASC — the standard
   * "largest value wins, stable id tiebreak". Output is an array of
-  * `struct(ord, tie)` in rank order, ready for `posexplode`.
+  * `struct(ord, tie)` in rank order, ready for `posexplode`. Rows with
+  * a null `ord` or `tie` are EXCLUDED (unlike a window `row_number`,
+  * which ranks nulls last in DESC order) — on nullable ordering
+  * columns, filter or coalesce explicitly first.
   *
   * State is a bounded insertion-sorted array (k is small by definition
   * of top-k); serialization is a flat (double, long) stream.

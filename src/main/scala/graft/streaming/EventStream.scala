@@ -144,7 +144,10 @@ object EventStream {
           state.remove()
           Iterator.single(SessionOut(uid, s, e, n))
         } else {
-          val ts = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          // exact micros: getTime is ms-truncated, sub-ms lives in getNanos
+          val ts = rows
+            .map(r => r._2.getTime / 1000L * 1000000L + r._2.getNanos / 1000L)
+            .toSeq.sorted
           var closed = List.empty[SessionOut]
           var open = state.getOption
           ts.foreach { t =>
