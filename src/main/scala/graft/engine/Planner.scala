@@ -33,8 +33,10 @@ object Planner {
       val df = spark.read.parquet(s"${task.sourceDir}/$t.parquet")
       sizeCols.get(t) match {
         case Some(sizeCol) => Bounds.plan(df, t, sizeCol, buckets)
-        case None          => // unbucketed table: one subtask covering everything
-          Seq(SubtaskSpec(t, 0.0, Double.MaxValue, Bounds.MaxFlushSize, df.count()))
+        case None          => // unbucketed table: one subtask covering everything —
+          // same sentinels as Bounds.plan's first/last buckets, so the
+          // null/NaN/open-above handling in transferSubtask applies
+          Seq(SubtaskSpec(t, Double.NegativeInfinity, Double.MaxValue, Bounds.MaxFlushSize, df.count()))
       }
     }
   }

@@ -77,13 +77,20 @@ object Transfer {
       pipeline: Pipeline
   ): TableResult = {
     // bucket 0 (unbounded below) also owns null-size rows: Bounds.plan
-    // counts them there, and `col >= min` would silently drop them —
-    // the subtask union must equal the whole-table transfer.
+    // counts them there, and `col >= min` would silently drop them — the
+    // subtask union must equal the whole-table transfer. The last bucket
+    // (maxSize sentinel) must be open above, or +Infinity and NaN sizes
+    // would vanish from every slice: under Spark SQL ordering NaN is
+    // GREATER than any value (not incomparable as in Java), so both the
+    // planner's when-chain and `>= min` place NaN in the last bucket.
+    val upperPred =
+      if (subtask.maxSize == Double.MaxValue) lit(true)
+      else col(sizeCol) < subtask.maxSize
     val rangePred =
       if (subtask.minSize.isNegInfinity)
-        col(sizeCol).isNull || col(sizeCol) < subtask.maxSize
+        col(sizeCol).isNull || upperPred
       else
-        col(sizeCol) >= subtask.minSize && col(sizeCol) < subtask.maxSize
+        col(sizeCol) >= subtask.minSize && upperPred
     val src = spark.read.parquet(sourcePath).filter(rangePred)
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
     val dest = s"$destRoot/${subtask.subtaskId.replaceAll("[^a-zA-Z0-9._-]", "_")}"

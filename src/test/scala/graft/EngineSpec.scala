@@ -268,6 +268,26 @@ class EngineSpec extends SparkSpec {
     assert(unionRead == whole)
   }
 
+  test("subtask union invariant holds for null, NaN, and infinite sizes") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, Some(5.0)), (2L, Some(500.0)), (3L, Some(50000.0)),
+      (4L, None), (5L, Some(Double.NaN)), (6L, Some(Double.PositiveInfinity)),
+      (7L, Some(Double.NegativeInfinity)), (8L, Some(0.0))
+    ).toDF("id", "sz")
+    val src = Files.createTempDirectory("graft_weird").toString + "/t.parquet"
+    weird.write.parquet(src)
+    val df = spark.read.parquet(src)
+    val plan = graft.engine.Bounds.plan(df, "t", "sz", buckets = 3)
+    val destRoot = Files.createTempDirectory("graft_weird_out").toString
+    val results = plan.map(st =>
+      Transfer.transferSubtask(spark, src, destRoot, st, "sz", Transfer.Pipeline()))
+    val unionCount = results.map(_.rowsWritten).sum
+    assert(unionCount == 8, s"union lost rows: $unionCount != 8 (plan: $plan)")
+    // and the planner's per-bucket counts agree with what was written
+    assert(plan.map(_.count).sum == 8, s"planner counts: ${plan.map(_.count)}")
+  }
+
   test("Dataset[Doc] distributed fold matches the local fold (schema-agnostic path)") {
     implicit val enc: org.apache.spark.sql.Encoder[Doc] =
       org.apache.spark.sql.Encoders.product[Doc]
