@@ -80,7 +80,10 @@ object MutatorPipeline {
       case (d, AssignMutator(_, pred, assigns)) =>
         // Materialize the predicate once so every assignment sees the
         // pre-mutation row state even if it overwrites predicate inputs.
-        val tmp = "__graft_pred"
+        // The temp name must not collide with a real column, or the drop
+        // below would silently delete user data.
+        val tmp = Iterator.from(0).map(i => s"__graft_pred_$i")
+          .find(n => !d.columns.contains(n)).get
         val withP = d.withColumn(tmp, pred)
         val assigned = assigns.foldLeft(withP) { case (dd, (c, e)) =>
           dd.withColumn(c, when(col(tmp), e).otherwise(col(c)))
