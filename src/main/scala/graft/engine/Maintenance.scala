@@ -25,6 +25,33 @@ object Maintenance {
       spark: SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024
+  ): CompactionResult =
+    rewrite(spark, path, targetBytes, (df, targetFiles) => df.repartition(targetFiles))
+
+  /** Compaction + CLUSTERING: rewrite range-partitioned and sorted on
+    * `cols`, so each output file covers a narrow key range. That is what
+    * makes parquet row-group min/max statistics selective — a filter on
+    * the cluster key then skips whole files/row-groups at the scan
+    * (`PushedFilters` only helps if the layout lets statistics exclude
+    * data). At 100 TB, layout is as much of the query plan as the plan.
+    */
+  def cluster(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024
+  ): CompactionResult =
+    rewrite(spark, path, targetBytes, (df, targetFiles) => {
+      import org.apache.spark.sql.functions.col
+      df.repartitionByRange(targetFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    })
+
+  private def rewrite(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame
   ): CompactionResult = {
     val dir = new java.io.File(path)
     def parquetFiles(d: java.io.File): Array[java.io.File] =
@@ -38,7 +65,7 @@ object Maintenance {
 
     val df = spark.read.parquet(path)
     val tmp = path + ".compacting"
-    df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    layout(df, targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
 
     // swap: rename the live dir ASIDE first, then move tmp into place —

@@ -25,6 +25,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == li.count(), "post-swap table readable")
   }
 
+  test("cluster: rewrite narrows per-file key ranges (statistics become selective)") {
+    val path = Files.createTempDirectory("graft_cluster").toString + "/t"
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    // shuffle-random layout: every file spans ~the whole key range
+    li.orderBy(rand(7)).repartition(8).write.parquet(path)
+
+    def fileSpans(p: String): Seq[Double] = {
+      val files = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_extendedprice"), max("l_extendedprice")).collect().head
+        r.getDouble(1) - r.getDouble(0)
+      }
+    }
+    val wholeSpan = {
+      val r = li.agg(min("l_extendedprice"), max("l_extendedprice")).collect().head
+      r.getDouble(1) - r.getDouble(0)
+    }
+    assert(fileSpans(path).forall(_ > wholeSpan * 0.8), "random layout should span everything")
+
+    val res = Maintenance.cluster(spark, path, Seq("l_extendedprice"), targetBytes = 16L * 1024)
+    assert(res.rows == li.count())
+    val spans = fileSpans(path)
+    assert(spans.size > 1, "need multiple files to demonstrate clustering")
+    // after clustering, a typical file covers a small slice of the domain
+    assert(spans.count(_ < wholeSpan * 0.5) >= spans.size / 2,
+      s"clustered files still span the domain: $spans vs whole $wholeSpan")
+  }
+
   test("observed pipeline reports per-stage survivor counts") {
     import org.apache.spark.sql.Observation
     val df = Tables.lineitem(spark, sf)
