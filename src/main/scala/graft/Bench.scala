@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,13 +17,24 @@ object Bench {
       // Catalyst prune projections and under-report the work)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-    // one untimed warmup pass: JIT + codegen + parquet footer caches, so
-    // reported numbers are steady-state throughput, not first-query warmup
-    SparkEntry.queries.foreach { case (n, f) => runOnce(n, f) }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // one untimed warmup pass: JIT + codegen + parquet footer caches, so
+      // reported numbers are steady-state throughput, not first-query warmup
       runOnce(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        // drop blocks persisted by the previous run BEFORE the clock
+        // starts: several operators persist a shared stage, and letting
+        // those blocks accumulate (or carry over between iterations)
+        // both under-reports the re-run and piles up memory/GC pressure
+        // across the 50+ query session — the round-2 bench showed
+        // plan-identical queries swinging 3-10x from exactly this.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        runOnce(name, fn)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      name -> times.sorted.apply(times.length / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

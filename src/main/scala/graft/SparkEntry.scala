@@ -80,6 +80,18 @@ object SparkEntry {
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
   )
 
+  /** The exact hyperplane constants the LSH queries embed in their Spark
+    * plans, as DuckDB VALUES rows — ann_lsh and embed_neardup both use
+    * bits=4, tables=8, dim=64, seedBase=42, so the oracle recomputes the
+    * identical bucketing (see [[Similarity.planesSqlValues]]).
+    */
+  private lazy val lshPlanesSql: String =
+    Similarity.planesSqlValues(bits = 4, tables = 8, dim = 64, seedBase = 42L)
+
+  /** Shared oracle prefix: per-(vector, table) LSH bucket ids. */
+  private def lshBucketsCte: String =
+    s"""WITH planes AS (SELECT * FROM (VALUES $lshPlanesSql) pl(t, i, v)), allb AS (SELECT e.vec_id, p.t, CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.v) >= 0 THEN CAST(power(2, p.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS b FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2)"""
+
   def oracleSql: Map[String, String] = Map(
     "s5_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
@@ -166,7 +178,15 @@ object SparkEntry {
     "doc_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), mf AS (SELECT doc_id, max(c) AS max_tok_freq FROM (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok) GROUP BY 1) SELECT toks.doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, mf.max_tok_freq, CASE WHEN len(t) > 2 THEN 1.0 - len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) * 1.0 / (len(t) - 2) ELSE 0.0 END AS rep3_ratio FROM toks JOIN mf ON toks.doc_id = mf.doc_id ORDER BY toks.doc_id""",
     "embed_neardup" ->
-      """SELECT id_a, id_b, CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cos_bp FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE c >= 0.2 ORDER BY id_a, id_b""",
+      s"""$lshBucketsCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b FROM allb a JOIN allb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id), scored AS (SELECT id_a, id_b, list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS c FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b) SELECT id_a, id_b, CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cos_bp FROM scored WHERE c >= 0.2 ORDER BY id_a, id_b""",
+    "ann_lsh" ->
+      s"""$lshBucketsCte, cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM allb q JOIN allb c ON q.t = c.t AND q.b = c.b WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, row_number() OVER (PARTITION BY cand.query_id ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) DESC, cand.vec_id ASC) AS rank FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id JOIN embeddings ce ON ce.vec_id = cand.vec_id) SELECT query_id, rank, vec_id FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+    "dedup_minhash" ->
+      """WITH rep AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text FROM documents GROUP BY md5(text)), toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM rep WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), tok AS (SELECT doc_id, unnest(t) AS tok FROM toks), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(range(1, 17), i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS HUGEINT))), (a, b) -> a * 16 + b) AS h FROM tok), pw AS (SELECT CAST(b AS INTEGER) AS b, CAST(power(2, b) AS HUGEINT) AS p FROM (SELECT unnest(range(0, 64)) AS b)), votes AS (SELECT t.doc_id, pw.b, sum(CASE WHEN (t.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v FROM th t CROSS JOIN pw GROUP BY 1, 2), sigs AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS hu FROM votes JOIN pw USING (b) GROUP BY 1), signed AS (SELECT doc_id, hu, CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS sim FROM sigs), chunked AS (SELECT s.doc_id, s.sim, c.c, CAST((s.hu // CAST(power(2, 16 * c.c) AS HUGEINT)) % 65536 AS BIGINT) AS ck FROM signed s CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b FROM chunked a JOIN chunked b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id) SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming FROM cand) WHERE hamming <= 3 ORDER BY hamming, id_a, id_b LIMIT 200""",
+    "q_approx_stats" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS parts_ok, TRUE AS median_ok FROM lineitem GROUP BY 1 ORDER BY 1""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
     "ann_ivf" ->

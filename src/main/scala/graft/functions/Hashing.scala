@@ -62,6 +62,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash with an md5-derived token hash (first 8 digest bytes,
+  * big-endian) instead of xxh64 — same per-bit voting. The md5 variant
+  * is the oracle-checkable twin: a DuckDB query can recompute the exact
+  * signature from `md5(token)` hex, which xxh64 does not allow. Use
+  * [[SimHash64]] when raw throughput matters more than SQL parity.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.simhashMd5(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhashMd5($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct word k-gram shingles of a token array, one pass.
   *
   * Replaces the `transform(sequence(...), slice+array_join)` composition:
@@ -113,6 +133,8 @@ object sketch {
     GraftExpressionBridge.column(MinHashSignature(GraftExpressionBridge.expression(tokens), numHashes))
   def simhash(tokens: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens)))
+  def simhashMd5(tokens: Column): Column =
+    GraftExpressionBridge.column(SimHashMd5(GraftExpressionBridge.expression(tokens)))
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     GraftExpressionBridge.column(WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
 }

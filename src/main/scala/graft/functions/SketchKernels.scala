@@ -59,6 +59,48 @@ object SketchKernels {
     out
   }
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** See [[SimHashMd5]]. Token hash = first 8 bytes of md5(token),
+    * big-endian — i.e. the first 16 hex chars of the digest parsed as an
+    * unsigned 64-bit value. Like the winnow kernel's Rabin-Karp hash
+    * (and unlike xxh64), md5 is computable in plain SQL, which is what
+    * keeps the simhash query oracle-checkable; the bit mixing is at
+    * least as good.
+    */
+  def simhashMd5(arr: ArrayData): Long = {
+    val md = Md5.get()
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        md.reset()
+        val d = md.digest(tok.getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** See [[ShingleSet]]. */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()

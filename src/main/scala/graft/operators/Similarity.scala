@@ -21,15 +21,35 @@ import graft.functions.vec
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes (seeded), as literal array columns
-    * — the plan embeds the planes, so executors need no side channel.
+  /** Deterministic random hyperplane values (seeded). Kept as floats so
+    * the Spark plan embeds float literals (the [[vec.dot]] kernel reads
+    * float elements); the SQL twin uses each float's exact double value,
+    * so both engines multiply identical doubles.
     */
-  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] = {
+  def planeValues(bits: Int, dim: Int, seed: Long): IndexedSeq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(
-      array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)
-    )
+    IndexedSeq.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
+
+  /** The hyperplanes as literal array columns — the plan embeds the
+    * planes, so executors need no side channel.
+    */
+  private def planes(bits: Int, dim: Int, seed: Long): Seq[Column] =
+    planeValues(bits, dim, seed).map(p => array(p.toIndexedSeq.map(lit(_)): _*))
+
+  /** DuckDB `VALUES` rows `(t, i, plane)` for `tables` hash tables of
+    * `bits` planes each (seed = seedBase + t) — the oracle twin
+    * recomputes the LSH bucketing from these exact constants.
+    * `Float.toDouble.toString` round-trips: DuckDB parses the decimal
+    * back to the identical double the Spark kernel widens the float to.
+    */
+  def planesSqlValues(bits: Int, tables: Int, dim: Int, seedBase: Long): String =
+    (0 until tables).flatMap { t =>
+      planeValues(bits, dim, seedBase + t).zipWithIndex.map { case (p, i) =>
+        p.map(_.toDouble.toString)
+          .mkString(s"($t, $i, CAST([", ",", "] AS DOUBLE[]))")
+      }
+    }.mkString(", ")
 
   /** Sign-random-projection bucket id: bit i = sign(dot(v, plane_i)). */
   def lshBucket(v: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
@@ -159,10 +179,11 @@ object Similarity {
   }
 
   /** EXACT all pairs above a cosine threshold — one broadcast nested-loop
-    * pass, every pair scored by the fused [[vec.cosine]] kernel. This is
-    * the correctness baseline (and the oracle-checked driver query);
-    * [[cosineNearDup]] is the LSH-bucketed path that replaces it once the
-    * corpus no longer fits a broadcast (quadratic scan vs per-bucket).
+    * pass, every pair scored by the fused [[vec.cosine]] kernel. O(n²):
+    * this is the small-corpus correctness baseline the test suite
+    * verifies LSH recall against; the shipped driver query is
+    * [[cosineNearDupMulti]] (per-bucket cost, oracle-checked from the
+    * same seeded planes).
     */
   def cosineAllPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
@@ -191,6 +212,56 @@ object Similarity {
       .withColumn("cosine", vec.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Multi-table LSH near-dup: a pair is a candidate if it shares a
+    * bucket in ANY of `tables` independent sign-projection tables
+    * (union recall 1-(1-p)^L vs a single table's p), then exact cosine
+    * verifies — so false candidates cost only the verify join and never
+    * a wrong row.
+    *
+    * Scale shape (the reason this is the shipped driver query and the
+    * O(n²) [[cosineAllPairs]] is only the test baseline): banding rows
+    * are SKINNY (t, bucket, vec_id) so the `tables`-way explode never
+    * shuffles the vectors; the self-join keys on (t, bucket) — a
+    * per-bucket cost, not all-pairs; the wide embedding arrays move only
+    * for deduplicated candidate pairs. `bits` scales with corpus size
+    * (bits ≈ log2(n / targetBucketSize)), keeping buckets bounded as n
+    * grows.
+    */
+  def cosineNearDupMulti(
+      corpus: DataFrame,
+      threshold: Double,
+      bits: Int,
+      tables: Int,
+      dim: Int = 64,
+      seedBase: Long = 42L
+  ): DataFrame = {
+    def buckets(v: Column): Column = array(
+      (0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(v, bits, dim, seedBase + t).as("b"))
+      ): _*
+    )
+    val banded = corpus
+      .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
+      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    val candidates = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), Seq("id_a"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), Seq("id_b"))
+      .withColumn("cosine", vec.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        // basis points, not the raw double: Spark and DuckDB may
+        // associate the float sums differently at the last ulp
+        floor(col("cosine") * 10000 + 0.5).cast("long").as("cos_bp")
+      )
   }
 
   // -- driver-contract queries ------------------------------------------
