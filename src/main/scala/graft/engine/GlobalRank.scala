@@ -58,7 +58,10 @@ object GlobalRank {
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(rankCol, (col("__off") + row_number().over(w)).cast(LongType))
       .drop("__pid", "__off")
-    (ranked, total)
+    // hand the cache over to the ranked result so the raw ranged blocks
+    // don't outlive the call (callers release `ranked` via unpersist /
+    // clearCache once they've consumed it)
+    (Caching.handoff(ranked, ranged), total)
   }
 
   /** SQL `ntile(n)` bucket (1-based) from a 1-based global rank and the

@@ -59,6 +59,14 @@ object Maintenance {
         .flatMap(f => if (f.isDirectory) parquetFiles(f) else Array(f))
         .filter(_.getName.endsWith(".parquet"))
 
+    // crash recovery: a previous rewrite may have died after moving the
+    // live dir to `.old` but before moving tmp into place — `.old` is
+    // then the only copy; restore it instead of (later) deleting it
+    val oldAtEntry = new java.io.File(path + ".old")
+    if (!dir.exists() && oldAtEntry.exists() && !oldAtEntry.renameTo(dir))
+      throw new java.io.IOException(
+        s"compaction recovery: cannot restore $oldAtEntry to $path")
+
     val before = parquetFiles(dir)
     val totalBytes = before.map(_.length()).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -14,14 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Content-derived salt in [0, n): hashes EVERY column of the row, so
+    * the assignment is a pure function of row content — identical under
+    * replays, retries, and any input repartitioning (unlike
+    * `monotonically_increasing_id`/`rand`, which depend on partition
+    * layout). Trade-off: byte-identical duplicate rows co-locate on one
+    * salt; for spreading a hot key that is the right behavior unless the
+    * input is dominated by exact duplicates (dedup first in that case).
+    */
+  def saltExpr(columns: Seq[String], n: Int): Column =
+    pmod(xxhash64(columns.map(col): _*), lit(n.toLong))
+
   /** Inner-join `big` with `small` on `keys`, salting `big` n ways.
     * `small` must be the replicable side (dimension-sized).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    // deterministic salt from the row content keeps replays stable
-    val saltCol = pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
-    val bigS = big.withColumn("__salt", saltCol)
+    val bigS = big.withColumn("__salt", saltExpr(big.columns.toSeq, salt))
     val smallS = small.withColumn("__salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")
   }

@@ -23,10 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def intArg(es: Seq[Expression], i: Int, what: String): Int =
-    es(i).eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
-    }
+    Register.intArg(es, i, what)
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

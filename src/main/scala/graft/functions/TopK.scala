@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * `groups x k` rows, not the table.
   *
   * Ordering contract: rank by `ord` DESC, then `tie` ASC — the standard
-  * "largest value wins, stable id tiebreak". Output is an array of
+  * "largest value wins, stable id tiebreak". NaN ranks above all finite
+  * values (java.lang.Double.compare semantics), matching a window
+  * `orderBy(desc)` which also places NaN first. Output is an array of
   * `struct(ord, tie)` in rank order, ready for `posexplode`. Rows with
   * a null `ord` or `tie` are EXCLUDED (unlike a window `row_number`,
   * which ranks nulls last in DESC order) — on nullable ordering
@@ -38,8 +40,16 @@ case class TopKOrdTie(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[TopKBuffer] {
+) extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
   require(k >= 1 && k <= (1 << 20), s"top-k k out of range: $k")
+
+  // coerce whatever the caller hands us (DECIMAL, STRING, INT) to the
+  // buffer types — the SQL surface (`graft_topk`) passes raw children,
+  // and without this a DECIMAL ord evals to Decimal (not Number) and
+  // throws ClassCastException at runtime
+  // (no explicit result type: AbstractDataType is private[sql], the
+  // inferred Seq[DataType] conforms)
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(ord, tie)
   override def nullable: Boolean = false
@@ -107,9 +117,15 @@ final class TopKBuffer(val k: Int) {
   val ords: Array[Double] = new Array[Double](k)
   val ties: Array[Long] = new Array[Long](k)
 
-  /** true if (o1,t1) ranks strictly better than (o2,t2). */
-  @inline private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
-    o1 > o2 || (o1 == o2 && t1 < t2)
+  /** true if (o1,t1) ranks strictly better than (o2,t2).
+    * `Double.compare` semantics: NaN ranks above every finite value
+    * (so DESC puts NaN first, matching Spark's window `orderBy(desc)`),
+    * and -0.0 sorts below 0.0.
+    */
+  @inline private def better(o1: Double, t1: Long, o2: Double, t2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c > 0 || (c == 0 && t1 < t2)
+  }
 
   def insert(o: Double, t: Long): Unit = {
     if (size == k && !better(o, t, ords(size - 1), ties(size - 1))) return

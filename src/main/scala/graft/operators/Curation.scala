@@ -56,9 +56,9 @@ object Curation {
   ): DataFrame = {
     // The per-row analysis (tokenize + 5 langid regex passes + digest) is
     // the expensive narrow stage and every later branch re-reads it:
-    // persist it spill-safely. Spark's ContextCleaner unpersists when the
-    // plan becomes unreachable; at 100 TB this becomes a materialized
-    // intermediate table instead of a cache.
+    // persist it spill-safely for the duration of the call (released by
+    // the Caching.handoff at the end); at 100 TB this becomes a
+    // materialized intermediate table instead of a cache.
     val analyzed = docs.select(
       col("doc_id"),
       col("text"),
@@ -101,7 +101,7 @@ object Curation {
         when(col("drop_reason").isNull && col("__near"), "near_dup").otherwise(col("drop_reason"))
       )
 
-    gated.filter(col("drop_reason").isNotNull)
+    val tagged = gated.filter(col("drop_reason").isNotNull)
       .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("drop_reason"))
       .unionByName(
         nearTagged.select(
@@ -109,6 +109,9 @@ object Curation {
           coalesce(col("drop_reason"), lit("kept")).as("drop_reason")
         )
       )
+    // the tagged output is the skinny 4-column decision table (no text
+    // payload); cache it and release the wide analysis stage
+    graft.engine.Caching.handoff(tagged, analyzed)
   }
 
   /** The kept corpus only. */

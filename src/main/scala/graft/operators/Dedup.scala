@@ -96,8 +96,8 @@ object Dedup {
     // three consumers: the band explode and both sides of the verify
     // join. Without a persist each consumer recomputes the whole narrow
     // stage — measured ~3x the query time. At 100 TB this intermediate is
-    // a materialized table; here MEMORY_AND_DISK and the ContextCleaner
-    // reclaims it when the plan goes unreachable.
+    // a materialized table; here it is cached for the duration of the
+    // call and released by the Caching.handoff below.
     val s = signed(docs, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -124,7 +124,7 @@ object Dedup {
     // verify: fetch shingle sets for candidate ids only
     val shA = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    candidates
+    val pairs = candidates
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
       .withColumn(
@@ -134,6 +134,9 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // pairs are tiny relative to the signature table: materialize them,
+    // release the signatures — nothing big outlives the call
+    graft.engine.Caching.handoff(pairs, s)
   }
 
   /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold
@@ -234,7 +237,7 @@ object Dedup {
     // both sides costs ~3x the join itself; the per-partition hash side
     // fits memory because the gram key is high-cardinality (and AQE falls
     // back to SMJ if a partition ever doesn't)
-    inv.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
+    val pairs = inv.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
       .join(inv.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
@@ -245,6 +248,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    graft.engine.Caching.handoff(pairs, sh)
   }
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =

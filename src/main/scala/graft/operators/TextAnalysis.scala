@@ -102,7 +102,7 @@ object TextAnalysis {
       .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inv.select(col("fp"), col("doc_id").as("id_a")).hint("shuffle_hash")
+    val pairs = inv.select(col("fp"), col("doc_id").as("id_a")).hint("shuffle_hash")
       .join(inv.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
@@ -115,6 +115,7 @@ object TextAnalysis {
       )
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "shared_fps", "containment")
+    graft.engine.Caching.handoff(pairs, inv)
   }
 
   def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =

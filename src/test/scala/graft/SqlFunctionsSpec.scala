@@ -31,6 +31,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("graft_topk coerces DECIMAL/STRING ord and BIGINT literal k") {
+    // DECIMAL ord + CAST(... AS BIGINT) k: both surfaces must coerce
+    // instead of ClassCastException-ing on Decimal/Long literals
+    val r = spark.sql(
+      s"""SELECT graft_topk(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey,
+         |                  CAST(2 AS BIGINT)) AS top
+         |FROM parquet.`$sf/orders.parquet`
+         |WHERE o_custkey = 1
+         |""".stripMargin)
+      .selectExpr("transform(top, x -> x.tie) AS ids").collect().head
+    assert(r.getSeq[Long](0).nonEmpty)
+    // STRING ord coerces too (numeric strings)
+    val s = spark.sql(
+      """SELECT graft_topk(v, t, 2) AS top FROM VALUES ('3.5', 1L), ('9.0', 2L), ('1.0', 3L) AS d(v, t)"""
+    ).selectExpr("transform(top, x -> x.tie) AS ids").collect().head
+    assert(s.getSeq[Long](0).toList == List(2L, 1L))
+  }
+
+  test("registerAll accepts any numeric literal type for int args") {
+    graft.functions.Register.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(graft_minhash(graft_shingles(array('a','b','c'), 2), CAST(128 AS BIGINT))) AS m"""
+    ).collect().head
+    assert(r.getInt(0) == 128)
+  }
+
   test("graft_* functions usable from SQL") {
     graft.functions.Register.registerAll(spark)
     val r = spark.sql(

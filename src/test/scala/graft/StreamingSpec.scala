@@ -94,6 +94,66 @@ class StreamingSpec extends SparkSpec {
       s"expected user 1's closed session, got ${got.toSeq}")
   }
 
+  test("upsert sink recovers when a crash left only the .old copy") {
+    val dest = Files.createTempDirectory("graft_upsert_crash").toString + "/out"
+    val stream1 = EventStream.readEvents(spark, sf)
+    EventStream.runParquetUpsert(
+      stream1, dest, Files.createTempDirectory("graft_uc_ckpt1").toString,
+      keys = Seq("user_id", "event_type"), versionCols = Seq("ts", "event_id")
+    )
+    val want = spark.read.parquet(dest).count()
+    // simulate death between rename(dest -> .old) and rename(tmp -> dest)
+    val destFile = new java.io.File(dest)
+    assert(destFile.renameTo(new java.io.File(dest + ".old")))
+    // a retried batch (fresh checkpoint replays the input) must restore
+    // .old as the existing history, not merge against nothing
+    EventStream.runParquetUpsert(
+      EventStream.readEvents(spark, sf), dest,
+      Files.createTempDirectory("graft_uc_ckpt2").toString,
+      keys = Seq("user_id", "event_type"), versionCols = Seq("ts", "event_id")
+    )
+    assert(spark.read.parquet(dest).count() == want,
+      "history lost: crash recovery did not restore the .old copy")
+    assert(!new java.io.File(dest + ".old").exists())
+  }
+
+  test("timeout sessionization: cross-batch late events extend, never rewind") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, ts_seconds)
+    val events = input.toDF().toDF("user_id", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+    val q = EventStream.sessionizeStreamTimeout(events, gapUs = 60L * 1000000)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_test")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1 opens session [2000s, 2010s]; watermark stays behind (1h)
+    input.addData((1L, 2000L), (1L, 2010L))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 1990s (inside the gap, before session
+    // start) must widen start — the old code rewound end to 1990 and
+    // fired the timeout 20s early; and a far-past singleton at 100s
+    // must emit its own closed session without touching the open one
+    input.addData((1L, 1990L), (1L, 100L))
+    q.processAllAvailable()
+    // advance the watermark far enough to time the open session out
+    input.addData((2L, 100000L))
+    q.processAllAvailable()
+    input.addData((2L, 200000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_test")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L).toSet
+    val us = 1000000L
+    assert(got == Set((1L, 100 * us, 100 * us, 1L), (1L, 1990 * us, 2010 * us, 3L)),
+      s"late-event handling wrong: $got")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
