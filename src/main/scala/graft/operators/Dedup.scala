@@ -213,43 +213,84 @@ object Dedup {
   // N-gram Jaccard (exact, via inverted index on shingles)
   // --------------------------------------------------------------------
 
-  /** EXACT n-gram Jaccard similarity join: inverted index on shingles,
-    * self-join per shingle, count shared shingles per pair, derive
-    * `|A∩B| / (|A|+|B|-|A∩B|)`. Pairs sharing no shingle have Jaccard 0
-    * and never materialize, so this is exact for any threshold > 0 —
-    * unlike the MinHash path there is no recall loss.
+  /** EXACT n-gram Jaccard similarity join with PREFIX FILTERING
+    * (AllPairs/PPJoin family): instead of indexing every shingle of
+    * every doc, index only each doc's `floor((1-t)·|A|) + 1`
+    * globally-RAREST shingles (rarest-first total order by document
+    * frequency, shingle value as tiebreak).
     *
-    * Scale: the shuffle is keyed by shingle, so cost is sum over
-    * shingles of df² — fine while no shingle is corpus-common. The
-    * production refinement is prefix filtering (AllPairs/PPJoin: only
-    * index each doc's (1-t)·|A|+1 globally-rarest shingles), which keeps
-    * exactness while bounding df; the MinHash path is the probabilistic
-    * alternative when even that blows up.
+    * Why that is still exact: `J(A,B) >= t` implies
+    * `|A∩B| >= t·max(|A|,|B|)`, and the standard prefix lemma says two
+    * sets with overlap >= α, both sorted by one global order, must
+    * collide within their first `|X| - α + 1` elements — so every
+    * qualifying pair shares at least one INDEXED shingle. Candidates
+    * are then verified with the exact set Jaccard, so false positives
+    * cost a join row, never a wrong answer.
+    *
+    * Why it scales: without the prefix, cost is sum over shingles of
+    * df² and ONE corpus-common shingle (boilerplate header, license
+    * blurb) makes the join quadratic in corpus size. Rarest-first
+    * prefixes systematically exclude exactly those hot keys — a shingle
+    * present in every doc sorts LAST in every doc's order and is never
+    * indexed (unless a doc is so small the prefix is the whole set).
+    * The bound is structural, not a tuning knob like a df cap, and
+    * recall stays exact — the probabilistic MinHash path remains the
+    * fallback when even prefixes blow up.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "prefix filtering needs threshold in (0, 1]")
     val sh = docs
       .select(col("doc_id"), sketch.shingleSet(text.tokens(col("text")), k).as("s"))
       .filter(size(col("s")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    // shuffle-hash, not sort-merge: sorting the exploded gram strings on
-    // both sides costs ~3x the join itself; the per-partition hash side
-    // fits memory because the gram key is high-cardinality (and AQE falls
-    // back to SMJ if a partition ever doesn't)
-    val pairs = inv.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
-      .join(inv.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      // exact: integer-valued doubles divide identically on any engine
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val pairs = verifiedJaccard(prefixCandidates(sh, threshold), sh, threshold)
     graft.engine.Caching.handoff(pairs, sh)
   }
+
+  /** Candidate (id_a, id_b) pairs from the rarest-first prefix index of
+    * `sh` = (doc_id, s: array<shingle>). Exposed for the spec that
+    * demonstrates the candidate bound under a corpus-common shingle.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    // global document frequency per shingle: one shuffle on the gram key
+    val dfs = inv.groupBy("g").agg(count(lit(1)).as("__df"))
+    // rank each doc's shingles rarest-first ((df, g) is a total order);
+    // the window shuffles by doc_id — rows per doc are bounded by doc
+    // length, so no skewed-partition hazard
+    val ranked = inv.hint("shuffle_hash").join(dfs, Seq("g"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("g"))))
+    val prefix = ranked
+      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .select("doc_id", "g")
+    // shuffle-hash, not sort-merge: sorting exploded gram strings on
+    // both sides costs ~3x the join; prefix keys are by construction
+    // the LOW-df ones, so per-key fan-out is small (AQE falls back to
+    // SMJ if a partition ever doesn't fit)
+    prefix.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
+      .join(prefix.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets; only candidate rows carry the wide arrays.
+    */
+  private def verifiedJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        // exact: integer-valued doubles divide identically on any engine
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_union(col("s_a"), col("s_b")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), k = 3, threshold = 0.2)

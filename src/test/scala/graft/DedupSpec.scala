@@ -219,6 +219,25 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("prefix filtering bounds candidates under a corpus-common shingle") {
+    // every doc shares one boilerplate phrase (a shingle with df = n);
+    // a naive inverted index would emit n(n-1)/2 candidate pairs from
+    // that key alone — the prefix index must exclude it structurally
+    val n = 80
+    val docs = (1 to n).map { i =>
+      (i.toLong, s"lorem ipsum dolor u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j")
+    }.toDF("doc_id", "text")
+    val sh = docs.select(
+      col("doc_id"),
+      graft.functions.sketch.shingleSet(graft.functions.text.tokens(col("text")), 3).as("s")
+    )
+    val candidates = graft.operators.Dedup.prefixCandidates(sh, threshold = 0.5).count()
+    assert(candidates < n.toLong, s"prefix index leaked the hot shingle: $candidates candidates")
+    // and the exact answer is preserved: no pair is at jaccard >= 0.5
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
+    assert(pairs.count() == 0)
+  }
+
   test("saltedJoin equals plain join, spreads the hot key") {
     import graft.engine.Skew
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
