@@ -1,28 +1,47 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.SparkSession
 
 import graft.engine._
 import graft.model._
+import graft.sources.{DocConnector, ParquetConnector}
 import graft.transform._
 
 /** The embedding facade — what `Chillastic(redis, port).run()` is to the
-  * reference (`index.js:7-41`), minus the Redis/HTTP control plane that
-  * Spark's driver/executor model replaces.
+  * reference (`index.js:7-41`), minus the Redis control plane that
+  * Spark's driver/executor model replaces (the HTTP surface lives in
+  * [[graft.api.HttpApi]]).
   *
   * Task lifecycle (SURVEY §3):
   *   - [[addTask]] = POST /tasks/:id — validate (referenced transforms
   *     must exist, `tasks.js:79-80`), plan subtasks, build the backlog
   *     minus already-completed work (resume, `subtasks.js:369-396`).
   *   - [[runTask]] = the worker loop — execute each backlog subtask,
-  *     record completion/errors, continue past failures
-  *     (`worker.js:106-111`).
+  *     record completion/errors/progress, continue past failures
+  *     (`worker.js:106-111`), stop between subtasks when the run flag
+  *     drops (`manager.js:111-118`).
   *   - [[status]] = GET /tasks/:id — `{total, completed, backlog,
   *     percentComplete}` (`tasks.controller.js:14-27`).
+  *   - [[progress]] = the per-subtask `{tick, transferred, total,
+  *     worker, lastModified}` records (`app/models/progress.js:6-32`).
+  *   - [[start]]/[[stop]] = POST /_start, /_stop — the global run flag;
+  *     stop also cancels the in-flight Spark job group so a running
+  *     subtask is interrupted, not just the backlog drained.
   *   - [[removeTask]] = DELETE /tasks/:id — drops the task and its
   *     namespaced transforms (`tasks.js:89-97`).
+  *
+  * `connectors` maps a task spec to its (source, sink) connector pair;
+  * the default is the parquet layout rooted at the spec's directories,
+  * and tests plug an in-memory mock (the worker-E2E seam).
   */
-final class Graft(val spark: SparkSession) {
+final class Graft(
+    val spark: SparkSession,
+    connectors: TaskSpec => (DocConnector, DocConnector) = Graft.parquetConnectors
+) {
 
   val catalog  = new Catalog
   val mutators = new TransformRegistry[ColumnMutator]
@@ -32,11 +51,20 @@ final class Graft(val spark: SparkSession) {
       spec: TaskSpec,
       pipeline: Transfer.Pipeline,
       sizeCols: Map[String, String],
+      source: DocConnector,
+      sink: DocConnector,
       var backlog: Seq[SubtaskSpec],
-      var completed: Set[String]
+      var completed: Set[String],
+      progress: TrieMap[String, Progress]
   )
 
   private val tasks = new java.util.concurrent.ConcurrentHashMap[String, TaskState]()
+
+  // the reference's global run flag (`manager.js:111-118`): workers only
+  // pick up subtasks while set; dropping it stops BETWEEN subtasks, and
+  // cancelJobGroup interrupts the one in flight
+  private val runFlag = new AtomicBoolean(true)
+  private val activeGroups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   final case class TaskStatus(
       total: Long,
@@ -44,6 +72,21 @@ final class Graft(val spark: SparkSession) {
       backlog: Long,
       percentComplete: Double
   )
+
+  def isRunning: Boolean = runFlag.get
+
+  /** POST /_start — allow [[runTask]] to consume backlogs again. */
+  def start(): Unit = runFlag.set(true)
+
+  /** POST /_stop — stop consuming backlogs and cancel any in-flight
+    * task's Spark job group (interrupt-on-cancel). Unfinished subtasks
+    * stay in the backlog, so a later [[start]]+[[runTask]] resumes
+    * exactly where the stop landed.
+    */
+  def stop(): Unit = {
+    runFlag.set(false)
+    activeGroups.forEach(g => spark.sparkContext.cancelJobGroup(g))
+  }
 
   /** Submit a task: existence pre-check of referenced mutators, subtask
     * planning, resume-aware backlog. Re-adding an existing task replans
@@ -58,43 +101,66 @@ final class Graft(val spark: SparkSession) {
     // semantic validation: every referenced mutator must be registered
     val pipelineMutators = spec.mutators.map(ref => mutators.require(ref.id))
     val pipeline = Transfer.Pipeline(columnMutators = pipelineMutators)
+    val (source, sink) = connectors(spec)
 
     val configs = spec.tables.map(t => IndexConfig(t))
-    val potential = Planner.expand(spark, spec, sizeCols, configs, indexFilters, buckets)
+    val potential = Planner.expand(
+      spark, spec, sizeCols, configs, indexFilters, buckets, (s, t) => source.scan(s, t))
     val prior = Option(tasks.get(spec.name)).map(_.completed).getOrElse(Set.empty[String])
     val backlog = Planner.buildBacklog(potential, prior)
-    tasks.put(spec.name, TaskState(spec, pipeline, sizeCols, backlog, prior))
+    val priorProgress = Option(tasks.get(spec.name)).map(_.progress)
+      .getOrElse(TrieMap.empty[String, Progress])
+    tasks.put(spec.name,
+      TaskState(spec, pipeline, sizeCols, source, sink, backlog, prior, priorProgress))
     backlog
   }
 
   /** Execute the backlog. Failures are recorded (P8) and do not abort the
-    * remaining subtasks, matching the worker loop's error handling.
+    * remaining subtasks, matching the worker loop's error handling; a
+    * dropped run flag stops consumption and leaves the rest queued.
+    * `onProgress`/`onComplete` are the worker callbacks
+    * (`worker.spec.js:92-104`'s updateCallback/completedCallback).
     */
-  def runTask(name: String): Seq[Transfer.TableResult] = {
+  def runTask(
+      name: String,
+      worker: String = "driver",
+      onProgress: (String, SubtaskSpec, Progress) => Unit = (_, _, _) => (),
+      onComplete: (String, SubtaskSpec) => Unit = (_, _) => ()
+  ): Seq[Transfer.TableResult] = {
     val st = Option(tasks.get(name))
       .getOrElse(throw new NoSuchElementException(s"no such task: $name"))
-    val results = st.backlog.flatMap { sub =>
-      try {
-        val r = st.sizeCols.get(sub.table) match {
-          case Some(sizeCol) =>
-            Transfer.transferSubtask(
-              spark, s"${st.spec.sourceDir}/${sub.table}.parquet",
-              s"${st.spec.destDir}/${sub.table}", sub, sizeCol, st.pipeline)
-          case None =>
-            Transfer.transferTable(
-              spark, s"${st.spec.sourceDir}/${sub.table}.parquet",
-              s"${st.spec.destDir}/${sub.table}", st.pipeline)
-        }
-        st.completed += sub.subtaskId
-        Some(r)
-      } catch {
-        case e: Exception =>
-          errors.record(name, sub.subtaskId, e.toString)
-          None
+    val group = s"graft-task-$name"
+    spark.sparkContext.setJobGroup(group, s"graft task $name", interruptOnCancel = true)
+    activeGroups.add(group)
+    try {
+      val results = st.backlog.flatMap { sub =>
+        if (!runFlag.get) None
+        else
+          try {
+            val r = Transfer.transferSubtask(
+              spark, st.source, st.sink, sub, st.sizeCols.get(sub.table), st.pipeline,
+              worker = worker,
+              onProgress = p => {
+                st.progress.put(sub.subtaskId, p)
+                onProgress(name, sub, p)
+              })
+            // resolve outputPath to a real location when the sink has one
+            val resolved = st.sink.location(r.outputPath).fold(r)(loc => r.copy(outputPath = loc))
+            st.completed += sub.subtaskId
+            onComplete(name, sub)
+            Some(resolved)
+          } catch {
+            case e: Exception =>
+              errors.record(name, sub.subtaskId, e.toString)
+              None
+          }
       }
+      st.backlog = st.backlog.filterNot(s => st.completed.contains(s.subtaskId))
+      results
+    } finally {
+      activeGroups.remove(group)
+      spark.sparkContext.clearJobGroup()
     }
-    st.backlog = st.backlog.filterNot(s => st.completed.contains(s.subtaskId))
-    results
   }
 
   /** The GET /tasks/:id payload shape. */
@@ -111,6 +177,13 @@ final class Graft(val spark: SparkSession) {
     )
   }
 
+  /** Per-subtask progress records, keyed by subtask id. */
+  def progress(name: String): Map[String, Progress] = {
+    val st = Option(tasks.get(name))
+      .getOrElse(throw new NoSuchElementException(s"no such task: $name"))
+    st.progress.toMap
+  }
+
   def listTasks: Seq[String] = {
     import scala.jdk.CollectionConverters._
     tasks.keySet().asScala.toSeq.sorted
@@ -121,4 +194,12 @@ final class Graft(val spark: SparkSession) {
     tasks.remove(name)
     mutators.removeNamespace(name)
   }
+}
+
+object Graft {
+  /** Default connector pair: the parquet layout rooted at the task's
+    * source/dest directories.
+    */
+  def parquetConnectors(spec: TaskSpec): (DocConnector, DocConnector) =
+    (new ParquetConnector(spec.sourceDir), new ParquetConnector(spec.destDir))
 }

@@ -1,0 +1,224 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.Graft
+import graft.model._
+import graft.transform.ExprMutators
+
+/** The thin HTTP control surface over [[graft.Graft]] — route-for-route
+  * parity with the reference's Express API (`app/routes.js:10-48`,
+  * `app/api/index.js:8-14`), on the JDK's built-in HttpServer so the
+  * library adds no dependency:
+  *
+  *   POST   /_start                      resume worker consumption
+  *   POST   /_stop                       stop + cancel in-flight job group
+  *   GET    /status                      {manager, tasks}
+  *   GET    /tasks                       {taskId: status} for every task
+  *   POST   /tasks/{id}                  add a task (JSON spec below)
+  *   GET    /tasks/{id}                  status + per-subtask progress
+  *   DELETE /tasks/{id}                  remove task + its namespace
+  *   GET    /tasks/{id}/errors           recorded subtask errors
+  *   POST   /tasks/{id}/_run             drain the backlog (see note)
+  *   GET    /mutators/{ns}               {ids} in a namespace
+  *   POST   /mutators/{ns}/{id}          register a SQL-expr mutator
+  *   DELETE /mutators/{ns}/{id}          remove a mutator
+  *
+  * Task body: `{"sourceDir": "...", "destDir": "...", "tables": [...],
+  * "mutators": ["ns/id", ...], "sizeCols": {"table": "col"}}`.
+  * Mutator body: `{"type": "drop", "predicate": "l_quantity < 10"}` or
+  * `{"type": "withColumn", "column": "x", "expr": "price * 100"}` —
+  * SQL expressions compiled by Catalyst, the engine's replacement for
+  * the reference's uploaded-JS compiler (`compiler.js:6-12`).
+  *
+  * Deviation from the reference, by design: there is no worker fleet
+  * polling Redis — the Spark driver IS the worker — so draining a
+  * backlog is the explicit `POST /tasks/{id}/_run` (synchronous, runs
+  * subtasks until done or `/_stop`) instead of an implicit background
+  * pickup. An `api_key` header check mirrors `routes.js:14-35` when a
+  * key is configured.
+  */
+final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
+
+  def close(): Unit = server.stop(0)
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  // ------------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val method = ex.getRequestMethod.toUpperCase
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      if (!checkApiKey(ex)) return
+      (method, segs) match {
+        case ("POST", List("_start"))   => g.start(); json(ex, 200, Map.empty)
+        case ("POST", List("_stop"))    => g.stop(); json(ex, 200, Map.empty)
+        case ("GET", List("status"))    => getStatus(ex)
+        case ("GET", List("tasks"))     => getAllTasks(ex)
+        case ("POST", List("tasks", id))   => addTask(ex, id)
+        case ("GET", List("tasks", id))    => getTask(ex, id)
+        case ("DELETE", List("tasks", id)) => g.removeTask(id); json(ex, 204, null)
+        case ("GET", List("tasks", id, "errors"))  => getErrors(ex, id)
+        case ("POST", List("tasks", id, "_run"))   => runTask(ex, id)
+        case ("GET", List("mutators", ns))         => listMutators(ex, ns)
+        case ("POST", List("mutators", ns, id))    => addMutator(ex, ns, id)
+        case ("DELETE", List("mutators", ns, id)) =>
+          g.mutators.remove(ObjectId(ns, id)); json(ex, 204, null)
+        case _ => json(ex, 404, Map("error" -> "Not found"))
+      }
+    } catch {
+      case e: NoSuchElementException => json(ex, 404, Map("error" -> e.getMessage))
+      case e: IllegalArgumentException => json(ex, 400, Map("error" -> e.getMessage))
+      case e: Exception => json(ex, 500, Map("error" -> e.toString))
+    } finally ex.close()
+  }
+
+  /** `routes.js:14-35`: when a key is configured, absence is 400 and a
+    * mismatch is 401.
+    */
+  private def checkApiKey(ex: HttpExchange): Boolean = apiKey match {
+    case None => true
+    case Some(key) =>
+      Option(ex.getRequestHeaders.getFirst("api_key")) match {
+        case None => json(ex, 400, Map("error" -> "api key required")); false
+        case Some(k) if k != key => json(ex, 401, Map("error" -> "unknown api key")); false
+        case _ => true
+      }
+  }
+
+  private def getStatus(ex: HttpExchange): Unit =
+    json(ex, 200, Map(
+      "manager" -> (if (g.isRunning) "running" else "stopped"),
+      "tasks" -> g.listTasks.asJava
+    ))
+
+  private def statusMap(id: String): java.util.Map[String, Any] = {
+    val st = g.status(id)
+    Map[String, Any](
+      "total" -> st.total,
+      "completed" -> st.completed,
+      "backlog" -> st.backlog,
+      "percentComplete" -> st.percentComplete
+    ).asJava
+  }
+
+  private def getAllTasks(ex: HttpExchange): Unit =
+    json(ex, 200, g.listTasks.map(id => id -> statusMap(id)).toMap.asJava)
+
+  private def getTask(ex: HttpExchange, id: String): Unit = {
+    if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
+    val prog = g.progress(id).map { case (sid, p) =>
+      sid -> Map[String, Any](
+        "tick" -> p.tick, "transferred" -> p.transferred, "total" -> p.total,
+        "worker" -> p.worker, "lastModified" -> p.lastModified.toString
+      ).asJava
+    }
+    json(ex, 200, Map[String, Any](
+      "status" -> statusMap(id),
+      "progress" -> prog.asJava
+    ))
+  }
+
+  private def addTask(ex: HttpExchange, id: String): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    def strs(field: String): Seq[String] =
+      Option(body.get(field)).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val spec = TaskSpec(
+      name = id,
+      sourceDir = reqText(body, "sourceDir"),
+      destDir = reqText(body, "destDir"),
+      tables = strs("tables"),
+      mutators = strs("mutators").map(s => ActionRef(ObjectId.parse(s)))
+    )
+    val sizeCols = Option(body.get("sizeCols"))
+      .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val backlog = g.addTask(spec, sizeCols)
+    json(ex, 200, Map("backlog" -> backlog.size))
+  }
+
+  private def runTask(ex: HttpExchange, id: String): Unit = {
+    val results = g.runTask(id)
+    json(ex, 200, Map[String, Any](
+      "completed" -> results.size,
+      "rowsWritten" -> results.map(_.rowsWritten).sum
+    ))
+  }
+
+  private def getErrors(ex: HttpExchange, id: String): Unit = {
+    if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
+    val errs = g.errors.getErrors(id).map { e =>
+      Map[String, Any](
+        "subtask" -> e.subtask, "message" -> e.message, "atMillis" -> e.atMillis
+      ).asJava
+    }
+    json(ex, 200, errs.asJava)
+  }
+
+  private def listMutators(ex: HttpExchange, ns: String): Unit =
+    json(ex, 200, Map("ids" -> g.mutators.list(ns).asJava))
+
+  private def addMutator(ex: HttpExchange, ns: String, id: String): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val oid = ObjectId(ns, id)
+    val m = reqText(body, "type") match {
+      case "drop" =>
+        ExprMutators.drop(oid, reqText(body, "predicate"))
+      case "withColumn" =>
+        ExprMutators.withColumn(oid, reqText(body, "column"), reqText(body, "expr"))
+      case "assign" =>
+        val assigns = Option(body.get("assigns"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq)
+          .getOrElse(Seq.empty)
+        ExprMutators.assign(oid, reqText(body, "predicate"), assigns: _*)
+      case other =>
+        throw new IllegalArgumentException(s"unknown mutator type: $other")
+    }
+    g.mutators.add(oid, m)
+    json(ex, 200, Map.empty)
+  }
+
+  // ------------------------------------------------------------------
+
+  private def reqText(body: JsonNode, field: String): String =
+    Option(body.get(field)).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(s"missing field: $field"))
+
+  private def json(ex: HttpExchange, code: Int, payload: Any): Unit = {
+    val bytes = payload match {
+      case null => Array.empty[Byte]
+      case m: Map[_, _] => mapper.writeValueAsBytes(toJava(m))
+      case other => mapper.writeValueAsBytes(toJava(other))
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    // -1 = no body (204); otherwise exact length
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      os.write(bytes); os.flush(); os.close()
+    }
+  }
+
+  /** jackson-databind (already on Spark's classpath) serializes java
+    * collections natively; convert the Scala shapes at the boundary.
+    */
+  private def toJava(v: Any): Any = v match {
+    case m: Map[_, _] => m.map { case (k, x) => k.toString -> toJava(x) }.asJava
+    case s: Seq[_] => s.map(toJava).asJava
+    case other => other
+  }
+}

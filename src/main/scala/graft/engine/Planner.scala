@@ -26,11 +26,15 @@ object Planner {
       sizeCols: Map[String, String],
       indexConfigs: Seq[IndexConfig],
       indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty,
-      buckets: Int = 3
+      buckets: Int = 3,
+      scan: (SparkSession, String) => org.apache.spark.sql.DataFrame = null
   ): Seq[SubtaskSpec] = {
+    // default scan: the parquet layout rooted at the task's sourceDir
+    val doScan = Option(scan).getOrElse(
+      (s: SparkSession, t: String) => s.read.parquet(s"${task.sourceDir}/$t.parquet"))
     val kept = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters).map(_.name).toSet
     task.tables.filter(kept).flatMap { t =>
-      val df = spark.read.parquet(s"${task.sourceDir}/$t.parquet")
+      val df = doScan(spark, t)
       sizeCols.get(t) match {
         case Some(sizeCol) => Bounds.plan(df, t, sizeCol, buckets)
         case None          => // unbucketed table: one subtask covering everything —

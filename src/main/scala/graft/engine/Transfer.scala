@@ -61,6 +61,30 @@ object Transfer {
     TableResult(sourcePath, written, destPath)
   }
 
+  /** The subtask's size-range predicate, pushed into the scan.
+    *
+    * Bucket 0 (unbounded below) also owns null-size rows: Bounds.plan
+    * counts them there, and `col >= min` would silently drop them — the
+    * subtask union must equal the whole-table transfer. The last bucket
+    * (maxSize sentinel) must be open above, or +Infinity and NaN sizes
+    * would vanish from every slice: under Spark SQL ordering NaN is
+    * GREATER than any value (not incomparable as in Java), so both the
+    * planner's when-chain and `>= min` place NaN in the last bucket.
+    */
+  def sizeRangePred(subtask: SubtaskSpec, sizeCol: String): Column = {
+    val upperPred =
+      if (subtask.maxSize == Double.MaxValue) lit(true)
+      else col(sizeCol) < subtask.maxSize
+    if (subtask.minSize.isNegInfinity)
+      col(sizeCol).isNull || upperPred
+    else
+      col(sizeCol) >= subtask.minSize && upperPred
+  }
+
+  /** Sanitized per-subtask output directory name. */
+  def subtaskDirName(subtask: SubtaskSpec): String =
+    subtask.subtaskId.replaceAll("[^a-zA-Z0-9._-]", "_")
+
   /** Execute ONE planned subtask (the reference worker's unit of work,
     * `worker.js:125-144` + `subtask.js:50-77`): the subtask's size range
     * becomes an F5 predicate pushed into the scan, the mutator fold
@@ -76,26 +100,38 @@ object Transfer {
       sizeCol: String,
       pipeline: Pipeline
   ): TableResult = {
-    // bucket 0 (unbounded below) also owns null-size rows: Bounds.plan
-    // counts them there, and `col >= min` would silently drop them — the
-    // subtask union must equal the whole-table transfer. The last bucket
-    // (maxSize sentinel) must be open above, or +Infinity and NaN sizes
-    // would vanish from every slice: under Spark SQL ordering NaN is
-    // GREATER than any value (not incomparable as in Java), so both the
-    // planner's when-chain and `>= min` place NaN in the last bucket.
-    val upperPred =
-      if (subtask.maxSize == Double.MaxValue) lit(true)
-      else col(sizeCol) < subtask.maxSize
-    val rangePred =
-      if (subtask.minSize.isNegInfinity)
-        col(sizeCol).isNull || upperPred
-      else
-        col(sizeCol) >= subtask.minSize && upperPred
-    val src = spark.read.parquet(sourcePath).filter(rangePred)
+    val src = spark.read.parquet(sourcePath).filter(sizeRangePred(subtask, sizeCol))
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
-    val dest = s"$destRoot/${subtask.subtaskId.replaceAll("[^a-zA-Z0-9._-]", "_")}"
+    val dest = s"$destRoot/${subtaskDirName(subtask)}"
     mutated.write.mode(SaveMode.Overwrite).parquet(dest)
     TableResult(subtask.subtaskId, spark.read.parquet(dest).count(), dest)
+  }
+
+  /** Connector-based subtask transfer: scan from `source`, bulk into
+    * `sink` under `<table>/<subtaskDir>`, and report a per-subtask
+    * [[graft.model.Progress]] record (`progress.js:6-32` — the
+    * reference emits one per flush; a Spark slice is one atomic bulk,
+    * so tick == transferred).
+    */
+  def transferSubtask(
+      spark: SparkSession,
+      source: graft.sources.DocConnector,
+      sink: graft.sources.DocConnector,
+      subtask: SubtaskSpec,
+      sizeCol: Option[String],
+      pipeline: Pipeline,
+      worker: String = "driver",
+      onProgress: Progress => Unit = _ => ()
+  ): TableResult = {
+    val scanned = source.scan(spark, subtask.table)
+    val src = sizeCol.fold(scanned)(c => scanned.filter(sizeRangePred(subtask, c)))
+    val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
+    val dest = s"${subtask.table}/${subtaskDirName(subtask)}"
+    val written = sink.bulk(mutated, dest)
+    onProgress(Progress(
+      tick = written, transferred = written, total = subtask.count,
+      worker = worker, lastModified = java.time.Instant.now()))
+    TableResult(subtask.subtaskId, written, dest)
   }
 
   /** Run a [[graft.model.TaskSpec]]: metadata-filter the table list

@@ -1,0 +1,101 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The pluggable scroll/bulk seam. The reference's entire domain is one
+  * connector pair — Elasticsearch scroll reads (`transfer.js:79-151`)
+  * and bulk writes (`transfer.js:44-77`) — hard-wired into the engine;
+  * here the engine is format-agnostic and a connector is three methods.
+  * A real ES/HTTP connector implements `scan` as a parallel
+  * slice-per-partition read and `bulk` as per-partition batched posts;
+  * the in-tree implementations are the parquet steady state and an
+  * in-memory mock that makes worker E2E tests self-contained (the
+  * analog of `tests/services/worker.spec.js:64-143`).
+  */
+trait DocConnector {
+
+  /** S1 scroll scan: the full contents of one table as a DataFrame. */
+  def scan(spark: SparkSession, table: String): DataFrame
+
+  /** K1 bulk sink: write `df` as the table's new contents, returning
+    * the number of documents written. Must be idempotent under replays
+    * (replace semantics, matching the engine's overwrite-by-slice).
+    */
+  def bulk(df: DataFrame, table: String): Long
+
+  /** S3 index-metadata scan: table names matching a `*` glob. */
+  def listTables(pattern: String = "*"): Seq[String]
+
+  /** Resolvable storage location of a table, for connectors that have
+    * one (filesystem paths); None for opaque stores.
+    */
+  def location(table: String): Option[String] = None
+
+  protected final def globMatches(pattern: String, name: String): Boolean =
+    java.util.regex.Pattern
+      .compile(pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+      .matcher(name).matches()
+}
+
+/** Parquet-directory connector: tables are `<root>/<table>.parquet`
+  * files (the driver's testdata layout) or `<root>/<table>` directories
+  * (the engine's own write layout). Slash-qualified names ("t/slice")
+  * address per-subtask output dirs.
+  */
+final class ParquetConnector(root: String) extends DocConnector {
+
+  private def scanPath(table: String): String = {
+    val file = new java.io.File(s"$root/$table.parquet")
+    if (file.exists()) file.toString else s"$root/$table"
+  }
+
+  override def scan(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(scanPath(table))
+
+  override def bulk(df: DataFrame, table: String): Long = {
+    val dest = s"$root/$table"
+    df.write.mode(SaveMode.Overwrite).parquet(dest)
+    df.sparkSession.read.parquet(dest).count()
+  }
+
+  override def listTables(pattern: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).toSeq
+      .map(f => f.getName.stripSuffix(".parquet"))
+      .distinct.filter(globMatches(pattern, _)).sorted
+
+  override def location(table: String): Option[String] = Some(s"$root/$table")
+}
+
+/** In-memory mock connector — the worker-E2E stand-in for a live
+  * document store (what the reference spins real ES containers for).
+  * `bulk` collects to the driver BY DESIGN: this is a test double, not
+  * a scale path; the contract it verifies (replace semantics, counts,
+  * table addressing) is the connector contract, not the storage.
+  */
+final class InMemoryConnector extends DocConnector {
+
+  private val tables = TrieMap[String, (StructType, Seq[Row])]()
+
+  override def scan(spark: SparkSession, table: String): DataFrame = {
+    val (schema, rows) = tables.getOrElse(
+      table, throw new NoSuchElementException(s"no such table: $table"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  override def bulk(df: DataFrame, table: String): Long = {
+    val rows = df.collect().toSeq
+    tables.put(table, (df.schema, rows))
+    rows.size.toLong
+  }
+
+  override def listTables(pattern: String): Seq[String] =
+    tables.keySet.toSeq.filter(globMatches(pattern, _)).sorted
+
+  def count(table: String): Long = tables.get(table).map(_._2.size.toLong).getOrElse(0L)
+
+  def drop(table: String): Unit = { tables.remove(table); () }
+}

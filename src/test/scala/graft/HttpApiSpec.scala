@@ -1,0 +1,107 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.api.HttpApi
+import graft.sources.InMemoryConnector
+
+/** Supertest-style coverage of the HTTP control surface — the analog of
+  * the reference's Express route tests, driven over a real socket.
+  */
+class HttpApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def send(
+      method: String, url: String, body: String = "", headers: Map[String, String] = Map.empty
+  ): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("task lifecycle over HTTP: mutators, add, run, status, errors, delete") {
+    val src = new InMemoryConnector
+    src.bulk((1 to 10).map(i => (i.toLong, i * 2.0)).toDF("id", "price"), "items")
+    val sink = new InMemoryConnector
+    val g = new Graft(spark, _ => (src, sink))
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // register a SQL-expr mutator (the compiler.js analog)
+      assert(send("POST", s"$base/mutators/job1/dropCheap",
+        """{"type": "drop", "predicate": "price < 10"}""").statusCode() == 200)
+      val ids = mapper.readTree(send("GET", s"$base/mutators/job1").body())
+      assert(ids.get("ids").get(0).asText() == "job1/dropCheap")
+
+      // add references the mutator; unknown refs are a client error
+      assert(send("POST", s"$base/tasks/job1",
+        """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["items"],
+          |"mutators": ["job1/nope"]}""".stripMargin).statusCode() == 404)
+      val add = send("POST", s"$base/tasks/job1",
+        """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["items"],
+          |"mutators": ["job1/dropCheap"]}""".stripMargin)
+      assert(add.statusCode() == 200)
+      assert(mapper.readTree(add.body()).get("backlog").asInt() == 1)
+
+      // status before run
+      val st0 = mapper.readTree(send("GET", s"$base/tasks/job1").body())
+      assert(st0.get("status").get("backlog").asInt() == 1)
+
+      // drain; rows with price < 10 (ids 1..4) drop
+      val run = mapper.readTree(send("POST", s"$base/tasks/job1/_run").body())
+      assert(run.get("completed").asInt() == 1)
+      assert(run.get("rowsWritten").asLong() == 6L)
+
+      val st1 = mapper.readTree(send("GET", s"$base/tasks/job1").body())
+      assert(st1.get("status").get("percentComplete").asDouble() == 100.0)
+      val prog = st1.get("progress")
+      assert(prog.properties().size() == 1)
+      assert(prog.properties().iterator().next().getValue.get("transferred").asLong() == 6L)
+
+      // task inventory + error log shapes
+      val all = mapper.readTree(send("GET", s"$base/tasks").body())
+      assert(all.has("job1"))
+      assert(mapper.readTree(send("GET", s"$base/tasks/job1/errors").body()).size() == 0)
+      assert(send("GET", s"$base/tasks/nosuch").statusCode() == 404)
+
+      // delete removes the task and its namespaced mutators
+      assert(send("DELETE", s"$base/tasks/job1").statusCode() == 204)
+      assert(mapper.readTree(send("GET", s"$base/mutators/job1").body()).get("ids").size() == 0)
+      assert(send("GET", s"$base/nope").statusCode() == 404)
+    } finally api.close()
+  }
+
+  test("_start/_stop flip the manager flag over HTTP") {
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      assert(mapper.readTree(send("GET", s"$base/status").body())
+        .get("manager").asText() == "running")
+      assert(send("POST", s"$base/_stop").statusCode() == 200)
+      assert(!g.isRunning)
+      assert(mapper.readTree(send("GET", s"$base/status").body())
+        .get("manager").asText() == "stopped")
+      assert(send("POST", s"$base/_start").statusCode() == 200)
+      assert(g.isRunning)
+    } finally api.close()
+  }
+
+  test("api key gate: absent key is 400, wrong key is 401, right key passes") {
+    val g = new Graft(spark)
+    val api = new HttpApi(g, apiKey = Some("sekrit")).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      assert(send("GET", s"$base/status").statusCode() == 400)
+      assert(send("GET", s"$base/status", headers = Map("api_key" -> "wrong")).statusCode() == 401)
+      assert(send("GET", s"$base/status", headers = Map("api_key" -> "sekrit")).statusCode() == 200)
+    } finally api.close()
+  }
+}
