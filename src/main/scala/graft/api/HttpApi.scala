@@ -2,6 +2,7 @@ package graft.api
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
 
 import scala.jdk.CollectionConverters._
 
@@ -25,7 +26,8 @@ import graft.transform.ExprMutators
   *   GET    /tasks/{id}                  status + per-subtask progress
   *   DELETE /tasks/{id}                  remove task + its namespace
   *   GET    /tasks/{id}/errors           recorded subtask errors
-  *   POST   /tasks/{id}/_run             drain the backlog (see note)
+  *   POST   /tasks/{id}/_run             start draining the backlog (202; see note)
+  *   GET    /tasks/{id}/_run             state of the latest run (poll target)
   *   GET    /mutators/{ns}               {ids} in a namespace
   *   POST   /mutators/{ns}/{id}          register a SQL-expr mutator
   *   DELETE /mutators/{ns}/{id}          remove a mutator
@@ -39,21 +41,49 @@ import graft.transform.ExprMutators
   *
   * Deviation from the reference, by design: there is no worker fleet
   * polling Redis — the Spark driver IS the worker — so draining a
-  * backlog is the explicit `POST /tasks/{id}/_run` (synchronous, runs
-  * subtasks until done or `/_stop`) instead of an implicit background
-  * pickup. An `api_key` header check mirrors `routes.js:14-35` when a
-  * key is configured.
+  * backlog is the explicit `POST /tasks/{id}/_run` instead of an
+  * implicit background pickup (`worker.js:61-123`). The run is
+  * ASYNCHRONOUS: the POST claims the task (409 if a run is already in
+  * flight), submits the drain to a background thread, and answers 202;
+  * clients poll `GET /tasks/{id}/_run` for `{state, completed,
+  * rowsWritten}`. Requests are dispatched on a small thread pool so
+  * `/_stop` (and status/errors reads) stay deliverable while a run is
+  * in flight — a single-threaded dispatcher would make the stop
+  * undeliverable exactly when it matters. An `api_key` header check
+  * mirrors `routes.js:14-35` when a key is configured.
   */
 final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  private def daemonFactory(prefix: String): ThreadFactory = new ThreadFactory {
+    private val n = new java.util.concurrent.atomic.AtomicInteger()
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+      t.setDaemon(true); t
+    }
+  }
+  // request dispatch pool: sized for "a run + a handful of control-plane
+  // calls", not throughput — this is an admin surface
+  private val httpExec = Executors.newFixedThreadPool(8, daemonFactory("graft-http"))
+  // backlog drains run here, detached from the request that started them
+  private val runExec = Executors.newCachedThreadPool(daemonFactory("graft-run"))
+
+  /** Poll payload for `GET /tasks/{id}/_run`. `state` is one of
+    * `running` | `done` | `failed`; a `/_stop`-interrupted run still
+    * lands `done` (with the skipped subtasks recorded as errors and left
+    * in the backlog for resume, matching [[Graft.runTask]]).
+    */
+  private final case class RunSummary(
+      state: String, completed: Int, rowsWritten: Long, error: Option[String])
+  private val runs = new ConcurrentHashMap[String, RunSummary]()
+
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
+  def start(): HttpApi = { server.setExecutor(httpExec); server.start(); this }
 
-  def close(): Unit = server.stop(0)
+  def close(): Unit = { server.stop(0); httpExec.shutdown(); runExec.shutdown() }
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -74,6 +104,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("DELETE", List("tasks", id)) => g.removeTask(id); json(ex, 204, null)
         case ("GET", List("tasks", id, "errors"))  => getErrors(ex, id)
         case ("POST", List("tasks", id, "_run"))   => runTask(ex, id)
+        case ("GET", List("tasks", id, "_run"))    => getRun(ex, id)
         case ("GET", List("mutators", ns))         => listMutators(ex, ns)
         case ("POST", List("mutators", ns, id))    => addMutator(ex, ns, id)
         case ("DELETE", List("mutators", ns, id)) =>
@@ -152,12 +183,34 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
   }
 
   private def runTask(ex: HttpExchange, id: String): Unit = {
-    val results = g.runTask(id)
-    json(ex, 200, Map[String, Any](
-      "completed" -> results.size,
-      "rowsWritten" -> results.map(_.rowsWritten).sum
-    ))
+    if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
+    // claim atomically: one drain per task at a time
+    val claimed = runs.synchronized {
+      Option(runs.get(id)).forall(_.state != "running") && {
+        runs.put(id, RunSummary("running", 0, 0L, None)); true
+      }
+    }
+    if (!claimed) { json(ex, 409, Map("error" -> s"task '$id' is already running")); return }
+    runExec.submit(new Runnable {
+      def run(): Unit =
+        try {
+          val results = g.runTask(id)
+          runs.put(id, RunSummary("done", results.size, results.map(_.rowsWritten).sum, None))
+        } catch {
+          case e: Throwable => runs.put(id, RunSummary("failed", 0, 0L, Some(e.toString)))
+        }
+    })
+    json(ex, 202, Map("state" -> "running"))
   }
+
+  private def getRun(ex: HttpExchange, id: String): Unit =
+    Option(runs.get(id)) match {
+      case None => json(ex, 404, Map("error" -> s"no run recorded for task '$id'"))
+      case Some(r) =>
+        val base = Map[String, Any](
+          "state" -> r.state, "completed" -> r.completed, "rowsWritten" -> r.rowsWritten)
+        json(ex, 200, r.error.fold(base)(e => base + ("error" -> e)))
+    }
 
   private def getErrors(ex: HttpExchange, id: String): Unit = {
     if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
