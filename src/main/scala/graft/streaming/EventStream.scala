@@ -148,34 +148,29 @@ object EventStream {
           val ts = rows
             .map(r => r._2.getTime / 1000L * 1000000L + r._2.getNanos / 1000L)
             .toSeq.sorted
-          var closed = List.empty[SessionOut]
-          var open = state.getOption
-          ts.foreach { t =>
-            open = open match {
-              // inside the gap of the open interval [s, e] — merge with
-              // min/max so a cross-batch late event (t < e, admitted by
-              // the watermark) extends rather than rewinds the session
-              case Some((s, e, n)) if t >= s - gapUs && t <= e + gapUs =>
-                Some((math.min(s, t), math.max(e, t), n + 1))
-              // strictly after the gap: close the open session, start new
-              case Some((s, e, n)) if t > e + gapUs =>
-                closed ::= SessionOut(uid, s, e, n)
-                Some((t, t, 1L))
-              // strictly before the open session's gap horizon: a late
-              // singleton already separated from everything we hold —
-              // emit it closed, keep the open session untouched
-              case Some(sess) =>
-                closed ::= SessionOut(uid, t, t, 1L)
-                Some(sess)
-              case None => Some((t, t, 1L))
-            }
+          // Gap-merge the open state interval and the batch's events as
+          // sorted intervals (merge when the next start is within one gap
+          // of the running end). Folding late events through their own
+          // accumulator interval — instead of emitting each as a closed
+          // singleton — makes consecutive late events within one gap of
+          // EACH OTHER form a single late session, and a run of late
+          // events bridging into the open session extends it, exactly as
+          // the batch sessionizer would have grouped the same input.
+          val incoming = (state.getOption.toList ++ ts.map(t => (t, t, 1L))).sortBy(_._1)
+          val mergedRev = incoming.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((s, e, n) :: rest, (s2, e2, n2)) if s2 <= e + gapUs =>
+              (s, math.max(e, e2), n + n2) :: rest
+            case (acc, iv) => iv :: acc
           }
+          // the latest interval stays open; everything earlier is closed
+          val open = mergedRev.headOption
+          val closed = mergedRev.drop(1).reverse.map { case (s, e, n) => SessionOut(uid, s, e, n) }
           open.foreach { o =>
             state.update(o)
             // close the session `gap` after its last event (event time)
             state.setTimeoutTimestamp((o._2 + gapUs) / 1000L + 1L)
           }
-          closed.reverseIterator
+          closed.iterator
         }
       }
   }

@@ -154,6 +154,61 @@ class StreamingSpec extends SparkSpec {
       s"late-event handling wrong: $got")
   }
 
+  test("timeout sessionization: consecutive late events within one gap merge into one session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, ts_seconds)
+    val events = input.toDF().toDF("user_id", "ts_s")
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
+    val ckpt = Files.createTempDirectory("graft_latemerge_ckpt").toString
+    val q = EventStream.sessionizeStreamTimeout(events, gapUs = 60L * 1000000)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("latemerge_test")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1 opens [2000s, 2010s]; batch 2 delivers TWO far-past late
+    // events 50s apart (inside the 60s gap of each other) — they must
+    // fold into ONE closed late session [100s, 150s] with 2 events, not
+    // two singletons
+    input.addData((1L, 2000L), (1L, 2010L))
+    q.processAllAvailable()
+    input.addData((1L, 100L), (1L, 150L))
+    q.processAllAvailable()
+    // advance the watermark so the open session times out too
+    input.addData((2L, 100000L))
+    q.processAllAvailable()
+    input.addData((2L, 200000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latemerge_test")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L).toSet
+    // batch twin on the same input: the lag -> new-session-flag -> running
+    // sum grouping of sessionizeBatch, applied to user 1's full event set
+    val batchTwin = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      Seq((1L, 2000L), (1L, 2010L), (1L, 100L), (1L, 150L))
+        .toDF("user_id", "ts_s")
+        .withColumn("ts_us", col("ts_s") * 1000000L)
+        .withColumn("prev", lag("ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > 60L * 1000000, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("s"), max("ts_us").as("e"), count(lit(1)).as("n"))
+        .select("user_id", "s", "e", "n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(got == batchTwin, s"stream $got must converge to batch twin $batchTwin")
+    val us = 1000000L
+    assert(got.contains((1L, 100 * us, 150 * us, 2L)),
+      s"two late events within one gap must merge into one session: $got")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
