@@ -45,6 +45,7 @@ final class Graft(
 
   val catalog  = new Catalog
   val mutators = new TransformRegistry[ColumnMutator]
+  val filters  = new TransformRegistry[StoredFilter]
   val errors   = new ErrorLog
 
   private final case class TaskState(
@@ -88,9 +89,16 @@ final class Graft(
     activeGroups.forEach(g => spark.sparkContext.cancelJobGroup(g))
   }
 
-  /** Submit a task: existence pre-check of referenced mutators, subtask
-    * planning, resume-aware backlog. Re-adding an existing task replans
-    * and subtracts completed subtasks — the reference's resume.
+  /** Submit a task: existence pre-check of referenced mutators AND
+    * filters (`tasks.js:79-80` checks both stores), subtask planning,
+    * resume-aware backlog. Re-adding an existing task replans and
+    * subtracts completed subtasks — the reference's resume.
+    *
+    * Stored filters referenced by `spec.indexFilters` prune the table
+    * list at PLAN time (index-kind ones; type-kind stored filters apply
+    * on the metadata-transfer path), OR-combined with any programmatic
+    * `indexFilters` passed directly — multiple filters widen, never
+    * narrow (`subtasks.js:164`).
     */
   def addTask(
       spec: TaskSpec,
@@ -98,14 +106,17 @@ final class Graft(
       indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty,
       buckets: Int = 3
   ): Seq[SubtaskSpec] = {
-    // semantic validation: every referenced mutator must be registered
+    // semantic validation: every referenced transform must be registered
     val pipelineMutators = spec.mutators.map(ref => mutators.require(ref.id))
+    val storedFilters = spec.indexFilters.map(ref => filters.require(ref.id))
     val pipeline = Transfer.Pipeline(columnMutators = pipelineMutators)
     val (source, sink) = connectors(spec)
 
+    val allIndexPreds = indexFilters ++
+      storedFilters.filter(_.kind == StoredFilter.Index).map(_.indexPred)
     val configs = spec.tables.map(t => IndexConfig(t))
     val potential = Planner.expand(
-      spark, spec, sizeCols, configs, indexFilters, buckets, (s, t) => source.scan(s, t))
+      spark, spec, sizeCols, configs, allIndexPreds, buckets, (s, t) => source.scan(s, t))
     val prior = Option(tasks.get(spec.name)).map(_.completed).getOrElse(Set.empty[String])
     val backlog = Planner.buildBacklog(potential, prior)
     val priorProgress = Option(tasks.get(spec.name)).map(_.progress)
@@ -189,10 +200,13 @@ final class Graft(
     tasks.keySet().asScala.toSeq.sorted
   }
 
-  /** DELETE /tasks/:id — removes the task and its namespaced transforms. */
+  /** DELETE /tasks/:id — removes the task and its namespaced transforms
+    * (both stores, `tasks.js:89-97`).
+    */
   def removeTask(name: String): Unit = {
     tasks.remove(name)
     mutators.removeNamespace(name)
+    filters.removeNamespace(name)
   }
 }
 

@@ -29,11 +29,20 @@ import graft.transform.ExprMutators
   *   POST   /tasks/{id}/_run             start draining the backlog (202; see note)
   *   GET    /tasks/{id}/_run             state of the latest run (poll target)
   *   GET    /mutators/{ns}               {ids} in a namespace
+  *   GET    /mutators/{ns}/{id}          read back one registered mutator
   *   POST   /mutators/{ns}/{id}          register a SQL-expr mutator
   *   DELETE /mutators/{ns}/{id}          remove a mutator
+  *   GET    /filters/{ns}                {ids} in a namespace
+  *   GET    /filters/{ns}/{id}           read back one stored filter
+  *   POST   /filters/{ns}/{id}           store a metadata filter
+  *   DELETE /filters/{ns}/{id}           remove a filter
   *
   * Task body: `{"sourceDir": "...", "destDir": "...", "tables": [...],
-  * "mutators": ["ns/id", ...], "sizeCols": {"table": "col"}}`.
+  * "mutators": ["ns/id", ...], "filters": ["ns/id", ...],
+  * "sizeCols": {"table": "col"}}`.
+  * Filter body: `{"type": "index" | "type", "pattern": "<anchored regex>"}`
+  * — the `/filters` store of `filters.js:39-126` with a declarative
+  * pattern instead of uploaded JS.
   * Mutator body: `{"type": "drop", "predicate": "l_quantity < 10"}` or
   * `{"type": "withColumn", "column": "x", "expr": "price * 100"}` —
   * SQL expressions compiled by Catalyst, the engine's replacement for
@@ -106,9 +115,15 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("POST", List("tasks", id, "_run"))   => runTask(ex, id)
         case ("GET", List("tasks", id, "_run"))    => getRun(ex, id)
         case ("GET", List("mutators", ns))         => listMutators(ex, ns)
+        case ("GET", List("mutators", ns, id))     => getMutator(ex, ns, id)
         case ("POST", List("mutators", ns, id))    => addMutator(ex, ns, id)
         case ("DELETE", List("mutators", ns, id)) =>
           g.mutators.remove(ObjectId(ns, id)); json(ex, 204, null)
+        case ("GET", List("filters", ns))          => listFilters(ex, ns)
+        case ("GET", List("filters", ns, id))      => getFilter(ex, ns, id)
+        case ("POST", List("filters", ns, id))     => addFilter(ex, ns, id)
+        case ("DELETE", List("filters", ns, id)) =>
+          g.filters.remove(ObjectId(ns, id)); json(ex, 204, null)
         case _ => json(ex, 404, Map("error" -> "Not found"))
       }
     } catch {
@@ -173,6 +188,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       sourceDir = reqText(body, "sourceDir"),
       destDir = reqText(body, "destDir"),
       tables = strs("tables"),
+      indexFilters = strs("filters").map(s => ActionRef(ObjectId.parse(s))),
       mutators = strs("mutators").map(s => ActionRef(ObjectId.parse(s)))
     )
     val sizeCols = Option(body.get("sizeCols"))
@@ -224,6 +240,47 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
 
   private def listMutators(ex: HttpExchange, ns: String): Unit =
     json(ex, 200, Map("ids" -> g.mutators.list(ns).asJava))
+
+  /** Single-item read-back (`mutators.controller.js:12-36` parity). For
+    * HTTP-registered mutators the expressions round-trip as Catalyst's
+    * rendering of the uploaded SQL strings; programmatically registered
+    * Column mutators render the same way.
+    */
+  private def getMutator(ex: HttpExchange, ns: String, id: String): Unit =
+    g.mutators.get(ObjectId(ns, id)) match {
+      case None => json(ex, 404, Map("error" -> s"mutator '$ns/$id' not found"))
+      case Some(m) =>
+        import graft.transform._
+        val fields: Map[String, Any] = m match {
+          case DropMutator(oid, pred) =>
+            Map("id" -> oid.toString, "type" -> "drop", "predicate" -> pred.toString)
+          case WithColumnMutator(oid, c, e) =>
+            Map("id" -> oid.toString, "type" -> "withColumn", "column" -> c, "expr" -> e.toString)
+          case AssignMutator(oid, pred, assigns) =>
+            Map("id" -> oid.toString, "type" -> "assign", "predicate" -> pred.toString,
+              "assigns" -> assigns.map { case (c, e) => c -> e.toString }.toMap)
+        }
+        json(ex, 200, fields)
+    }
+
+  private def listFilters(ex: HttpExchange, ns: String): Unit =
+    json(ex, 200, Map("ids" -> g.filters.list(ns).asJava))
+
+  private def getFilter(ex: HttpExchange, ns: String, id: String): Unit =
+    g.filters.get(ObjectId(ns, id)) match {
+      case None => json(ex, 404, Map("error" -> s"filter '$ns/$id' not found"))
+      case Some(f) =>
+        json(ex, 200, Map(
+          "id" -> f.id.toString, "type" -> f.kind, "pattern" -> f.pattern))
+    }
+
+  private def addFilter(ex: HttpExchange, ns: String, id: String): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val f = graft.transform.StoredFilter(
+      ObjectId(ns, id), reqText(body, "type"), reqText(body, "pattern"))
+    g.filters.add(f.id, f)
+    json(ex, 200, Map.empty)
+  }
 
   private def addMutator(ex: HttpExchange, ns: String, id: String): Unit = {
     val body = mapper.readTree(ex.getRequestBody)

@@ -173,6 +173,34 @@ object MetadataFilters {
     else types.filter(t => preds.exists(p => p(t)))
 }
 
+/** A named, STORED metadata filter — the reference keeps filters in the
+  * same namespaced CRUD store as mutators (`filters.js:39-126`), mounts
+  * them at `/filters` (`app/api/index.js:13`), and task specs reference
+  * them by id with an add-time existence pre-check (`tasks.js:79-80`).
+  *
+  * The reference stores uploaded JS predicates; the declarative analog
+  * here is an anchored regex over the index name (kind `index`) or doc
+  * type (kind `type`) — which covers the reference's dot-filter/prefix
+  * idioms — while programmatic [[MetadataFilters.IndexPred]]s remain
+  * available on the `addTask` API for anything richer.
+  */
+final case class StoredFilter(id: ObjectId, kind: String, pattern: String) {
+  require(
+    kind == StoredFilter.Index || kind == StoredFilter.Type,
+    s"filter kind must be '${StoredFilter.Index}' or '${StoredFilter.Type}', got '$kind'")
+  @transient private lazy val rx = pattern.r
+  /** As an index-metadata predicate; never matches when kind is `type`. */
+  def indexPred: MetadataFilters.IndexPred =
+    ic => kind == StoredFilter.Index && rx.matches(ic.name)
+  /** As a doc-type predicate; never matches when kind is `index`. */
+  def typePred: MetadataFilters.TypePred =
+    t => kind == StoredFilter.Type && rx.matches(t)
+}
+object StoredFilter {
+  val Index = "index"
+  val Type = "type"
+}
+
 /** M5 replacement: SQL-expression mutators. The reference compiles
   * user-uploaded JavaScript at runtime (`compiler.js:6-12`); arbitrary
   * code upload is out of scope (sandboxing), so user extensibility is

@@ -108,6 +108,61 @@ class HttpApiSpec extends SparkSpec {
     } finally api.close()
   }
 
+  test("filters CRUD over HTTP; a stored filter prunes the task plan") {
+    val src = new InMemoryConnector
+    src.bulk((1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "first")
+    src.bulk((1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "second")
+    val g = new Graft(spark, _ => (src, new InMemoryConnector))
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // create + read-back + list (filters.js:39-126 CRUD contract)
+      assert(send("POST", s"$base/filters/jobF/onlyFirst",
+        """{"type": "index", "pattern": "first"}""").statusCode() == 200)
+      val one = mapper.readTree(send("GET", s"$base/filters/jobF/onlyFirst").body())
+      assert(one.get("type").asText() == "index")
+      assert(one.get("pattern").asText() == "first")
+      val ids = mapper.readTree(send("GET", s"$base/filters/jobF").body())
+      assert(ids.get("ids").get(0).asText() == "jobF/onlyFirst")
+      // a bad kind is a client error, not a server fault
+      assert(send("POST", s"$base/filters/jobF/bad",
+        """{"type": "nope", "pattern": "x"}""").statusCode() == 400)
+
+      // unknown filter refs fail the add-time pre-check (tasks.js:79-80)
+      assert(send("POST", s"$base/tasks/jobF",
+        """{"sourceDir": "mem://s", "destDir": "mem://d",
+          |"tables": ["first", "second"], "filters": ["jobF/nope"]}""".stripMargin)
+        .statusCode() == 404)
+      // the STORED filter prunes 'second' out of the plan: backlog is 1
+      val add = send("POST", s"$base/tasks/jobF",
+        """{"sourceDir": "mem://s", "destDir": "mem://d",
+          |"tables": ["first", "second"], "filters": ["jobF/onlyFirst"]}""".stripMargin)
+      assert(add.statusCode() == 200)
+      assert(mapper.readTree(add.body()).get("backlog").asInt() == 1)
+
+      // delete one; task removal drops the rest of the namespace
+      assert(send("DELETE", s"$base/filters/jobF/bad").statusCode() == 204)
+      assert(send("DELETE", s"$base/tasks/jobF").statusCode() == 204)
+      assert(mapper.readTree(send("GET", s"$base/filters/jobF").body()).get("ids").size() == 0)
+      assert(send("GET", s"$base/filters/jobF/onlyFirst").statusCode() == 404)
+    } finally api.close()
+  }
+
+  test("GET /mutators/{ns}/{id} reads back a registered mutator") {
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      assert(send("POST", s"$base/mutators/jobM/dropCheap",
+        """{"type": "drop", "predicate": "price < 10"}""").statusCode() == 200)
+      val got = mapper.readTree(send("GET", s"$base/mutators/jobM/dropCheap").body())
+      assert(got.get("id").asText() == "jobM/dropCheap")
+      assert(got.get("type").asText() == "drop")
+      assert(got.get("predicate").asText().contains("price"))
+      assert(send("GET", s"$base/mutators/jobM/nope").statusCode() == 404)
+    } finally api.close()
+  }
+
   test("over-HTTP /_stop interrupts an over-HTTP /_run; backlog survives for resume") {
     import org.apache.spark.sql.{DataFrame, Row, SparkSession}
     import graft.sources.DocConnector
