@@ -52,12 +52,15 @@ object Transfer {
         graft.operators.Relational.upsertLatest(mutated, upsertKeys, versionCols)
       else mutated
 
-    val writer = deduped.write.mode(SaveMode.Overwrite)
-    val finalWriter =
-      if (deduped.columns.contains("_index")) writer.partitionBy("_index") else writer
-    finalWriter.parquet(destPath)
-
-    val written = spark.read.parquet(destPath).count()
+    // rows counted as an observe metric of the write job itself — never
+    // a second scan of the written output (at scale that re-read costs
+    // as much as the write)
+    val written = graft.sources.WriteMetrics.countingWrite(deduped) { d =>
+      val writer = d.write.mode(SaveMode.Overwrite)
+      val finalWriter =
+        if (d.columns.contains("_index")) writer.partitionBy("_index") else writer
+      finalWriter.parquet(destPath)
+    }
     TableResult(sourcePath, written, destPath)
   }
 
@@ -103,8 +106,9 @@ object Transfer {
     val src = spark.read.parquet(sourcePath).filter(sizeRangePred(subtask, sizeCol))
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
     val dest = s"$destRoot/${subtaskDirName(subtask)}"
-    mutated.write.mode(SaveMode.Overwrite).parquet(dest)
-    TableResult(subtask.subtaskId, spark.read.parquet(dest).count(), dest)
+    val written = graft.sources.WriteMetrics.countingWrite(mutated)(
+      _.write.mode(SaveMode.Overwrite).parquet(dest))
+    TableResult(subtask.subtaskId, written, dest)
   }
 
   /** Connector-based subtask transfer: scan from `source`, bulk into
