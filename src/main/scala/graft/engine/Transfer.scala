@@ -164,13 +164,19 @@ object Transfer {
   /** Metadata transfer (M3/M4 + K3/K4): apply index/template mutators and
     * replay DDL into the destination catalog, mirroring
     * `transfer.js:290-296` + `putIndices`/`putTemplates`.
+    *
+    * S4 semantics: a template pattern matching NOTHING is an error in the
+    * reference (`transfer.js:402-405`) and propagates here — a silent
+    * empty result would hide a typo'd pattern from the caller. Pass
+    * `tolerateMissingTemplates = true` to opt into empty-is-fine.
     */
   def transferMetadata(
       source: Catalog,
       dest: Catalog,
       pipeline: Pipeline,
       indexPattern: String = "*",
-      templatePattern: String = "*"
+      templatePattern: String = "*",
+      tolerateMissingTemplates: Boolean = false
   ): (Seq[IndexConfig], Seq[Template]) = {
     val ics = source.getIndices(indexPattern).map { ic =>
       dest.createIndex(pipeline.indexMutators.foldLeft(ic)((acc, f) => f(acc)))
@@ -179,7 +185,9 @@ object Transfer {
       try source.getTemplates(templatePattern).map { t =>
         dest.createTemplate(pipeline.templateMutators.foldLeft(t)((acc, f) => f(acc)))
       }
-      catch { case _: NoSuchElementException => Seq.empty }
+      catch {
+        case _: NoSuchElementException if tolerateMissingTemplates => Seq.empty
+      }
     (ics, tps)
   }
 }

@@ -208,9 +208,22 @@ class EngineSpec extends SparkSpec {
       ic => ic.copy(name = ic.name.replace("v1", "v2")),
       ic => ic.copy(settings = ic.settings + ("index.number_of_shards" -> "8"))
     ))
-    val (ics, _) = Transfer.transferMetadata(src, dst, pipeline)
+    val (ics, _) =
+      Transfer.transferMetadata(src, dst, pipeline, tolerateMissingTemplates = true)
     assert(ics.map(_.name) == Seq("logs-v2"))
     assert(dst.getIndices("logs-v2").head.settings("index.number_of_shards") == "8")
+  }
+
+  test("transferMetadata surfaces S4's error-if-none for templates (transfer.js:402-405)") {
+    val src = new Catalog
+    src.putIndexRaw(IndexConfig("logs-v1"))
+    // no template matches: the reference FAILS here; the opt-in flag is
+    // the only way to get empty-is-fine
+    intercept[NoSuchElementException](
+      Transfer.transferMetadata(src, new Catalog, Transfer.Pipeline()))
+    val (_, tps) = Transfer.transferMetadata(
+      src, new Catalog, Transfer.Pipeline(), tolerateMissingTemplates = true)
+    assert(tps.isEmpty)
   }
 
   test("planner: expand x buckets, resume diff skips completed (P1/P5, subtasks.js:369-396)") {
