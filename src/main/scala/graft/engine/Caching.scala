@@ -22,6 +22,21 @@ object Caching {
   /** Persist and fully materialize `out`, then release every `stage`.
     * After this returns, `out`'s cached blocks answer all further
     * actions and no stage block remains pinned.
+    *
+    * CONTRACT — use only when BOTH hold:
+    *   - `out` is SMALL relative to its stages (candidate pairs, tags,
+    *     aggregates). For a full-width result the persisted copy costs
+    *     as much as the stage it replaces AND the materializing count()
+    *     is a full extra pass — skip the handoff, keep the stage as the
+    *     single cached copy, and let the caller release it after its
+    *     action (see [[GlobalRank.withRowNumber]] for the pattern).
+    *   - the caller (or its harness) eventually releases `out` via
+    *     `unpersist()`/`spark.catalog.clearCache()` — Bench and Verify
+    *     clear between queries; a long-lived embedding session owns the
+    *     release itself.
+    * MEMORY_AND_DISK means an oversized result spills rather than OOMs,
+    * but spilled full-width results are exactly the shape the first rule
+    * exists to prevent.
     */
   def handoff(out: DataFrame, stages: DataFrame*): DataFrame = {
     val cached = out.persist(StorageLevel.MEMORY_AND_DISK)

@@ -58,10 +58,13 @@ object GlobalRank {
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(rankCol, (col("__off") + row_number().over(w)).cast(LongType))
       .drop("__pid", "__off")
-    // hand the cache over to the ranked result so the raw ranged blocks
-    // don't outlive the call (callers release `ranked` via unpersist /
-    // clearCache once they've consumed it)
-    (Caching.handoff(ranked, ranged), total)
+    // NO Caching.handoff here: `ranked` is FULL-WIDTH (the input plus a
+    // rank), so persisting it would cost a second full copy plus a
+    // materializing pass for a result both in-tree callers consume in
+    // exactly one action. The ranged stage stays the single cached copy
+    // backing that action; the caller releases it afterwards via
+    // unpersist()/clearCache() (Bench and Verify clear between queries).
+    (ranked, total)
   }
 
   /** SQL `ntile(n)` bucket (1-based) from a 1-based global rank and the
