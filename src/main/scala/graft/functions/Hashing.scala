@@ -125,6 +125,27 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Marker-count language guess fused into one text pass — the kernel
+  * twin of the five-regex formulation kept (as documentation and oracle
+  * source) in [[graft.functions.text.langIdRegex]]: 4 marker-alternation
+  * `regexp_count`s + 1 CJK class each re-scanned the full document;
+  * [[SketchKernels.langId]] computes all five counts and the tie-break
+  * pick in a single scan.
+  */
+case class LangIdGuess(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.langId($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API. */
 object sketch {
   def shingleSet(tokens: Column, k: Int): Column =
@@ -137,4 +158,6 @@ object sketch {
     GraftExpressionBridge.column(SimHashMd5(GraftExpressionBridge.expression(tokens)))
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     GraftExpressionBridge.column(WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
+  def langId(text: Column): Column =
+    GraftExpressionBridge.column(LangIdGuess(GraftExpressionBridge.expression(text)))
 }

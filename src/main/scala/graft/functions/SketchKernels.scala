@@ -122,6 +122,69 @@ object SketchKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  private val EnSet = java.util.Set.of("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")
+  private val FrSet = java.util.Set.of("le", "la", "les", "des", "et", "une", "est", "que", "dans", "pour")
+  private val DeSet = java.util.Set.of("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")
+  private val EsSet = java.util.Set.of("el", "los", "las", "y", "un", "una", "es", "que", "por", "para")
+
+  private val Zh = UTF8String.fromString("zh")
+  private val En = UTF8String.fromString("en")
+  private val Fr = UTF8String.fromString("fr")
+  private val De = UTF8String.fromString("de")
+  private val Es = UTF8String.fromString("es")
+  private val Unknown = UTF8String.fromString("unknown")
+
+  /** See [[LangIdGuess]]. ONE pass over the text replacing five
+    * `regexp_count` passes (4 marker alternations + the CJK class):
+    * maximal word-character runs are looked up against the marker sets;
+    * the language pick re-applies [[graft.functions.text.langId]]'s
+    * fixed tie-break order. Run continuity follows Java's `\b` exactly —
+    * which, unlike `\w`, treats EVERY Unicode letter as a word char
+    * (verified: `\bque\b` does not match in "éque", nor `\bthe\b` after
+    * a CJK char) — so any letter/digit/underscore glues the run, and a
+    * run containing a non-ASCII char is marked dead (it can never equal
+    * an ASCII marker, but it must still block its neighbors). Marker
+    * counts and the result are regex-identical except for exotic
+    * one-to-many lowercasings (e.g. U+0130), which introduce boundaries
+    * in the regex's `lower()` pre-pass that a char-wise scan cannot see.
+    */
+  def langId(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    var cEn = 0; var cFr = 0; var cDe = 0; var cEs = 0
+    var cjk = false
+    val run = new java.lang.StringBuilder(8)
+    var runAlive = true // false once the run is unmatchable (too long / non-ASCII)
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      if (c >= '一' && c <= '鿿') cjk = true
+      if (c == '_' || Character.isLetterOrDigit(c)) {
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        val asciiWord = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_'
+        if (!asciiWord || run.length() >= 5) runAlive = false // longest marker is 5 chars
+        else if (runAlive) run.append(lc)
+      } else {
+        if (runAlive && run.length() > 0) {
+          val w = run.toString
+          if (EnSet.contains(w)) cEn += 1
+          if (FrSet.contains(w)) cFr += 1
+          if (DeSet.contains(w)) cDe += 1
+          if (EsSet.contains(w)) cEs += 1
+        }
+        run.setLength(0)
+        runAlive = true
+      }
+      i += 1
+    }
+    if (cjk) Zh
+    else if (cEn >= Math.max(cFr, Math.max(cDe, cEs)) && cEn > 0) En
+    else if (cFr >= Math.max(cDe, cEs) && cFr > 0) Fr
+    else if (cDe >= cEs && cDe > 0) De
+    else if (cEs > 0) Es
+    else Unknown
+  }
+
   /** See [[WinnowFingerprint]]. Gram hash is a Rabin-Karp rolling
     * polynomial (base 31, wrap-around 2^64): O(1) per gram instead of
     * re-hashing k chars, and — unlike xxh64 — reproducible in plain SQL

@@ -77,8 +77,19 @@ object text {
 
   /** Marker-count language guess with a fixed tie-break order
     * (zh by script, then en > fr > de > es, else 'unknown').
+    *
+    * Computed by the fused single-pass kernel
+    * ([[graft.functions.LangIdGuess]]) — one scan of the document
+    * instead of the five regex scans of [[langIdRegex]], same result.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column = sketch.langId(c)
+
+  /** The five-regex formulation [[langId]] fuses: 4 marker alternations
+    * over `lower(c)` + the CJK class. Kept as the kernel's executable
+    * specification (the property spec asserts equality on arbitrary
+    * strings) and as the source the DuckDB oracle SQL mirrors.
+    */
+  def langIdRegex(c: Column): Column = {
     val lc   = lower(c)
     val cEn  = regexp_count(lc, lit(EnMarkers))
     val cFr  = regexp_count(lc, lit(FrMarkers))

@@ -265,14 +265,19 @@ object Dedup {
     val prefix = ranked
       .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
       .select("doc_id", "g")
-    // shuffle-hash, not sort-merge: sorting exploded gram strings on
-    // both sides costs ~3x the join; prefix keys are by construction
-    // the LOW-df ones, so per-key fan-out is small (AQE falls back to
-    // SMJ if a partition ever doesn't fit)
-    prefix.select(col("g"), col("doc_id").as("id_a")).hint("shuffle_hash")
-      .join(prefix.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // grouped emission, not a self-join: one shuffle folds the per-gram
+    // posting list and ordered array combinations emit the candidate
+    // pairs — the self-join shuffled (and recomputed) the prefix index
+    // on BOTH sides for the identical pair set. Prefix keys are by
+    // construction the LOW-df ones, so posting lists stay short.
+    prefix
+      .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

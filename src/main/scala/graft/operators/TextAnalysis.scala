@@ -89,22 +89,37 @@ object TextAnalysis {
       minContainment: Double = 0.6,
       maxDf: Int = 20
   ): DataFrame = {
-    val inv0 = docs
-      .select(col("doc_id"), explode(sketch.winnow(col("text"), k, w)).as("fp"))
+    // GROUPED inverted index: one shuffle on the fingerprint key folds
+    // the per-fp posting list, its size IS the document frequency, and
+    // candidate pairs are emitted array-side from each (df <= maxDf)
+    // posting list — at most maxDf·(maxDf-1)/2 per fingerprint, by
+    // construction. The previous shape (count-over-window for df, then
+    // an fp-keyed self-join) shuffled the full index by fp three times;
+    // this shuffles it once.
+    //
     // df cap: a fingerprint in >maxDf docs is corpus boilerplate, not
     // evidence of copying — and it is exactly the hot key that makes an
     // inverted-index join quadratic (one ubiquitous fingerprint at sf0.1
     // measured 257M candidate rows; the cap bounds it at ~600k). Scores
     // are containment over each doc's RARE-fingerprint profile.
-    val inv = inv0
-      .withColumn("__df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    val grouped = docs
+      .select(col("doc_id"), explode(sketch.winnow(col("text"), k, w)).as("fp"))
+      .groupBy("fp").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = inv.select(col("fp"), col("doc_id").as("id_a")).hint("shuffle_hash")
-      .join(inv.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    // per-doc profile size over the SAME capped index (skinny re-explode
+    // of the cached posting lists, not a second pass over the corpus)
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ids are sorted, so ordered combinations give id_a < id_b directly
+    val emitted = grouped
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val pairs = emitted
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fps"))
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
@@ -115,7 +130,7 @@ object TextAnalysis {
       )
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "shared_fps", "containment")
-    graft.engine.Caching.handoff(pairs, inv)
+    graft.engine.Caching.handoff(pairs, grouped)
   }
 
   def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame =

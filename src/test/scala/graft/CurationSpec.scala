@@ -10,6 +10,37 @@ import graft.operators.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fused langId kernel equals the five-regex formulation") {
+    import graft.functions.text
+    // on the real corpus
+    val corpus = Tables.documents(spark, sf).limit(300)
+      .select(text.langId(col("text")).as("a"), text.langIdRegex(col("text")).as("b"))
+    assert(corpus.filter(col("a") =!= col("b")).count() == 0)
+    // on adversarial constructions: markers of several languages, shared
+    // markers (que), case variants, digit/underscore-glued non-matches,
+    // boundary punctuation, CJK, non-ASCII letters, empty runs
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val words = Gen.oneOf(Seq(
+      "the", "and", "of", "to", "in", "is", "you", "that", "it", "for",
+      "le", "la", "les", "des", "et", "une", "est", "que", "dans", "pour",
+      "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu",
+      "el", "los", "las", "y", "un", "una", "es", "por", "para",
+      "THE", "Que", "EST", "xyz", "a1", "_es_", "the1", "1the", "nichts",
+      "lesx", "一", "é", "...", "", "q_ue", "thethe"))
+    val seps = Gen.oneOf(Seq(" ", "  ", "\n", "\t", ", ", ".", "-", "_", ""))
+    val doc = for {
+      ws <- Gen.listOfN(12, words)
+      ss <- Gen.listOfN(12, seps)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val p = Prop.forAll(Gen.listOfN(20, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(text.langId(col("text")).as("a"), text.langIdRegex(col("text")).as("b"))
+      df.filter(col("a") =!= col("b")).count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("curation accounting: stages partition the corpus, reasons are sane") {
     val docs = Tables.documents(spark, sf)
     val reasons = Curation.curateWithReasons(docs)
