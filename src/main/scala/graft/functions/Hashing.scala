@@ -125,6 +125,49 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Trim -> tokenize -> word k-gram shingles -> distinct -> sort, fused
+  * into one pass over the raw text ([[SketchKernels.tokenShingles]]).
+  * Replaces the `ShingleSet(tokens(text))` composition on the dedup hot
+  * paths: no intermediate token array, no per-shingle insertion-order
+  * set, and the SORTED output lets [[SortedIntersectCount]] verify
+  * candidate pairs with a linear merge.
+  */
+case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.tokenShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.tokenShingles($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `|a ∩ b|` of two SORTED distinct string arrays by linear merge —
+  * the verify-join replacement for `size(array_intersect(a, b))` +
+  * `size(array_union(a, b))`, each of which builds a per-row hash set.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(
+      SketchKernels.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.sortedIntersect($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Marker-count language guess fused into one text pass — the kernel
   * twin of the five-regex formulation kept (as documentation and oracle
   * source) in [[graft.functions.text.langIdRegex]]: 4 marker-alternation
@@ -160,4 +203,9 @@ object sketch {
     GraftExpressionBridge.column(WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
   def langId(text: Column): Column =
     GraftExpressionBridge.column(LangIdGuess(GraftExpressionBridge.expression(text)))
+  def tokenShingles(text: Column, k: Int): Column =
+    GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SortedIntersectCount(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }

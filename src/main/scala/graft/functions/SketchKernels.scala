@@ -101,6 +101,85 @@ object SketchKernels {
     out
   }
 
+  /** See [[TokenShingleSet]]: trim -> whitespace-tokenize -> word k-gram
+    * -> distinct -> SORT, fused into one text pass. Semantics match the
+    * `sort_array(shingles(tokens(text), k))` composition EXACTLY,
+    * including its quirks (the oracle SQL mirrors the composition, so
+    * bug-compatibility is the contract, property-tested in DedupSpec):
+    *   - SQL `trim` strips SPACES only (not \t/\n), so text whose first
+    *     non-space char is another `\s` separator yields a leading EMPTY
+    *     token — and a trailing separator a trailing one (Spark's split
+    *     keeps trailing empties, limit -1) — which participate in shingles;
+    *   - runs split on Java `\s` = [ \t\n\x0B\f\r] (an interior control
+    *     char glues its token, exactly as the regex);
+    *   - shingles join with a single space; dedup keeps the set.
+    * Output is additionally sorted in UTF8String binary order — which is
+    * what lets a verify stage count intersections with a linear merge
+    * instead of per-row hash sets (order never mattered to consumers:
+    * they hash, explode, or intersect the SET).
+    */
+  def tokenShingles(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
+    // SQL trim: strip U+0020 ONLY from both ends
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) return new GenericArrayData(Array.empty[Any])
+    @inline def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // token boundaries (start, end) over the trimmed slice; Spark's
+    // split (limit -1) keeps BOTH a leading empty token (string starts
+    // with a separator) and a trailing one (string ends with one),
+    // unlike Java's String.split which drops trailing empties
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = lo
+    if (isSep(s.charAt(lo))) { starts.add(lo); ends.add(lo) }
+    while (i < hi) {
+      if (!isSep(s.charAt(i))) {
+        val st = i
+        while (i < hi && !isSep(s.charAt(i))) i += 1
+        starts.add(st); ends.add(i)
+      } else i += 1
+    }
+    if (isSep(s.charAt(hi - 1))) { starts.add(hi); ends.add(hi) }
+    val n = starts.size()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var t = 0
+    while (t + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, starts.get(t + j), ends.get(t + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      t += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** See [[SortedIntersectCount]]: |a ∩ b| of two SORTED distinct string
+    * arrays by linear merge — no per-row hash-set builds, no union array
+    * materialization (|a ∪ b| = |a| + |b| - |a ∩ b|).
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** See [[ShingleSet]]. */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()

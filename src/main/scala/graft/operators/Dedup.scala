@@ -66,7 +66,9 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select(
         col("doc_id"),
-        sketch.shingleSet(text.tokens(col("text")), shingleK).as("sh")
+        // fused trim->tokenize->shingle->sort kernel: one text pass, and
+        // the sorted output lets the verify join merge-count intersections
+        sketch.tokenShingles(col("text"), shingleK).as("sh")
       )
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sketch.minhash(col("sh"), numHashes))
@@ -127,10 +129,12 @@ object Dedup {
     val pairs = candidates
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
+      // merge-count on the sorted sets: |a∪b| = |a|+|b|-|a∩b|, no hash
+      // sets and no union array per candidate row
+      .withColumn("__i", sketch.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))
+        col("__i").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__i"))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -240,7 +244,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "prefix filtering needs threshold in (0, 1]")
     val sh = docs
-      .select(col("doc_id"), sketch.shingleSet(text.tokens(col("text")), k).as("s"))
+      .select(col("doc_id"), sketch.tokenShingles(col("text"), k).as("s"))
       .filter(size(col("s")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = verifiedJaccard(prefixCandidates(sh, threshold), sh, threshold)
@@ -288,11 +292,13 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      // exact: integer-valued doubles divide identically on any engine;
+      // the sorted sets merge-count in linear time (no per-row hash sets,
+      // no union array — |a∪b| = |a|+|b|-|a∩b|)
+      .withColumn("__i", sketch.sortedIntersectCount(col("s_a"), col("s_b")))
       .withColumn(
         "jaccard",
-        // exact: integer-valued doubles divide identically on any engine
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_union(col("s_a"), col("s_b")))
+        col("__i").cast("double") / (size(col("s_a")) + size(col("s_b")) - col("__i"))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

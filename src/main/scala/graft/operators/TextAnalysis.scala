@@ -175,7 +175,7 @@ object TextAnalysis {
     */
   def topNgrams(docs: DataFrame, k: Int = 2, topK: Int = 20): DataFrame =
     docs
-      .select(col("doc_id"), explode(sketch.shingleSet(text.tokens(col("text")), k)).as("gram"))
+      .select(col("doc_id"), explode(sketch.tokenShingles(col("text"), k)).as("gram"))
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("df"))
       .orderBy(desc("df"), asc("gram"))
@@ -193,7 +193,7 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, evalDocs: DataFrame, gramK: Int = 8): DataFrame = {
     def grams(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs), explode(sketch.shingleSet(text.tokens(col("text")), gramK)).as("g"))
+      .select(col("doc_id").as(idAs), explode(sketch.tokenShingles(col("text"), gramK)).as("g"))
     grams(docs, "doc_id")
       .join(broadcast(grams(evalDocs, "eval_id")), Seq("g"))
       .groupBy("doc_id")

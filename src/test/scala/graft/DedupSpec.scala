@@ -219,6 +219,45 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("fused tokenShingles equals sort_array(shingleSet(tokens)); merge intersect equals array_intersect") {
+    import graft.functions.{sketch, text}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // adversarial whitespace: tabs, newlines, vertical tab, form feed,
+    // CR, runs of separators, control chars inside tokens, short docs
+    val tok = Gen.oneOf(Seq("a", "bb", "ccc", "a.b", "xy", "Z9", "_", "é", "longertoken"))
+    val sep = Gen.oneOf(Seq(" ", "  ", "\t", "\n", "", "\f", "\r", " \t ", "\r\n"))
+    val doc = for {
+      pad1 <- Gen.oneOf(Seq("", " ", " ", "\t\t"))
+      ws <- Gen.listOfN(8, tok)
+      ss <- Gen.listOfN(8, sep)
+      pad2 <- Gen.oneOf(Seq("", " ", " ", "\n"))
+    } yield pad1 + ws.zip(ss).map { case (w, s) => w + s }.mkString + pad2
+    val p = Prop.forAll(Gen.listOfN(12, doc), Gen.choose(1, 4)) { (texts, k) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(
+          sketch.tokenShingles(col("text"), k).as("fused"),
+          sort_array(sketch.shingleSet(text.tokens(col("text")), k)).as("composed")
+        )
+      df.filter(not(col("fused") === col("composed"))).count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+    // merge intersect over sorted distinct arrays == hash-based intersect
+    val arr = Gen.listOf(Gen.oneOf(Seq("a", "b", "c", "d", "ee", "f g", "")))
+    val p2 = Prop.forAll(Gen.listOfN(10, Gen.zip(arr, arr))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.distinct.sorted, b.distinct.sorted) }
+        .toDF("id", "a", "b")
+        .select(
+          sketch.sortedIntersectCount(col("a"), col("b")).as("merged"),
+          size(array_intersect(col("a"), col("b"))).as("hashed")
+        )
+      df.filter(col("merged") =!= col("hashed")).count() == 0L
+    }
+    val res2 = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p2)
+    assert(res2.passed, res2.status.toString)
+  }
+
   test("prefix filtering bounds candidates under a corpus-common shingle") {
     // every doc shares one boilerplate phrase (a shingle with df = n);
     // a naive inverted index would emit n(n-1)/2 candidate pairs from
