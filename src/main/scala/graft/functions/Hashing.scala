@@ -147,6 +147,24 @@ case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `size(tokens(text))` without materializing the token array — the
+  * split-based formulation allocates every token string plus the array
+  * per row just to take its length ([[SketchKernels.tokenCount]]).
+  */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(SketchKernels.tokenCount(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.tokenCount($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `|a ∩ b|` of two SORTED distinct string arrays by linear merge —
   * the verify-join replacement for `size(array_intersect(a, b))` +
   * `size(array_union(a, b))`, each of which builds a per-row hash set.
@@ -205,6 +223,8 @@ object sketch {
     GraftExpressionBridge.column(LangIdGuess(GraftExpressionBridge.expression(text)))
   def tokenShingles(text: Column, k: Int): Column =
     GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
+  def tokenCount(text: Column): Column =
+    GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftExpressionBridge.column(SortedIntersectCount(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))

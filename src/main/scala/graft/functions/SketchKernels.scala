@@ -163,6 +163,33 @@ object SketchKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** See [[TokenCountExpr]]: the size of `tokens(text)` without
+    * materializing the token array — same trim/split semantics as
+    * [[tokenShingles]] (SQL space-only trim; Spark split keeps leading
+    * and trailing empty tokens around `\s` separators), just counted.
+    */
+  def tokenCount(input: UTF8String): Int = {
+    val s = input.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) return 0
+    @inline def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var n = 0
+    if (isSep(s.charAt(lo))) n += 1   // leading empty token
+    var i = lo
+    while (i < hi) {
+      if (!isSep(s.charAt(i))) {
+        n += 1
+        while (i < hi && !isSep(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    if (isSep(s.charAt(hi - 1))) n += 1 // trailing empty token
+    n
+  }
+
   /** See [[SortedIntersectCount]]: |a ∩ b| of two SORTED distinct string
     * arrays by linear merge — no per-row hash-set builds, no union array
     * materialization (|a ∪ b| = |a| + |b| - |a ∩ b|).

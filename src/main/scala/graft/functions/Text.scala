@@ -20,7 +20,14 @@ object text {
     when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
       .otherwise(split(trim(c), "\\s+"))
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count via the single-pass kernel
+    * ([[graft.functions.TokenCountExpr]]) — `size(tokens(c))` without
+    * materializing the token array. [[tokenCountComposed]] is the
+    * composition it replaces, kept as the executable spec.
+    */
+  def tokenCount(c: Column): Column = sketch.tokenCount(c)
+
+  def tokenCountComposed(c: Column): Column = size(tokens(c))
 
   /** Word k-gram shingles (space-joined); fewer than k tokens -> empty.
     * `sequence` would count DOWN for start>stop, hence the guard.

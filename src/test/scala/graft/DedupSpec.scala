@@ -236,9 +236,13 @@ class DedupSpec extends SparkSpec {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
         .select(
           sketch.tokenShingles(col("text"), k).as("fused"),
-          sort_array(sketch.shingleSet(text.tokens(col("text")), k)).as("composed")
+          sort_array(sketch.shingleSet(text.tokens(col("text")), k)).as("composed"),
+          text.tokenCount(col("text")).as("kcount"),
+          text.tokenCountComposed(col("text")).as("ccount")
         )
-      df.filter(not(col("fused") === col("composed"))).count() == 0L
+      df.filter(
+        not(col("fused") === col("composed")) || col("kcount") =!= col("ccount")
+      ).count() == 0L
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
     assert(res.passed, res.status.toString)
