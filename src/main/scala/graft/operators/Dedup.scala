@@ -256,19 +256,21 @@ object Dedup {
     * demonstrates the candidate bound under a corpus-common shingle.
     */
   private[graft] def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     // global document frequency per shingle: one shuffle on the gram key
     val dfs = inv.groupBy("g").agg(count(lit(1)).as("__df"))
-    // rank each doc's shingles rarest-first ((df, g) is a total order);
-    // the window shuffles by doc_id — rows per doc are bounded by doc
-    // length, so no skewed-partition hazard
-    val ranked = inv.hint("shuffle_hash").join(dfs, Seq("g"))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("g"))))
-    val prefix = ranked
-      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
-      .select("doc_id", "g")
+    // rank each doc's shingles rarest-first ((df, g) is a total order)
+    // ARRAY-SIDE: fold each doc's (df, g) pairs with one hash aggregate,
+    // sort the ~doc-length array, slice the prefix. Replaces a
+    // row_number window whose doc_id exchange had to SORT every row by
+    // (doc_id, df, g) — per-doc array sorts beat the partition sort, and
+    // rows per doc are bounded by doc length, so no skew hazard.
+    val prefix = inv.hint("shuffle_hash").join(dfs, Seq("g"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("__df"), col("g"))).as("dg"), first(col("n")).as("n"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(slice(array_sort(dg), 1, int(floor(${1.0 - threshold} * n) + 1)), x -> x.g)"
+      )).as("g"))
     // grouped emission, not a self-join: one shuffle folds the per-gram
     // posting list and ordered array combinations emit the candidate
     // pairs — the self-join shuffled (and recomputed) the prefix index
