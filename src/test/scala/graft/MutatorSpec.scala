@@ -177,6 +177,23 @@ class MutatorSpec extends SparkSpec {
     assert(kept.map(_.name) == Seq("a1", "b1"))
   }
 
+  test("stored filters plug into both F1 and F2 paths; kinds never cross-match") {
+    val tf = StoredFilter(ObjectId("ns", "logsOnly"), StoredFilter.Type, "logs.*")
+    assert(MetadataFilters.applyTypeFilters(
+      Seq("logs2024", "metrics", "logsX"), Seq(tf.typePred)) == Seq("logs2024", "logsX"))
+    val idxf = StoredFilter(ObjectId("ns", "aOnly"), StoredFilter.Index, "a.*")
+    assert(MetadataFilters.applyIndexFilters(
+      Seq(graft.model.IndexConfig("a1"), graft.model.IndexConfig("b1")),
+      Seq(idxf.indexPred)).map(_.name) == Seq("a1"))
+    // a type-kind filter never matches as an index pred, and vice versa
+    assert(MetadataFilters.applyIndexFilters(
+      Seq(graft.model.IndexConfig("logs2024")), Seq(tf.indexPred)).isEmpty)
+    assert(MetadataFilters.applyTypeFilters(Seq("a1"), Seq(idxf.typePred)).isEmpty)
+    // patterns are anchored: a substring hit is not a match
+    assert(MetadataFilters.applyTypeFilters(Seq("xlogs2024"), Seq(tf.typePred)).isEmpty)
+    intercept[IllegalArgumentException](StoredFilter(ObjectId("ns", "bad"), "nope", "x"))
+  }
+
   test("registry: namespaced CRUD + existence check (tasks.js:79-80)") {
     val reg = new TransformRegistry[String]
     reg.add(ObjectId("ns", "m1"), "v1")
