@@ -63,15 +63,24 @@ object Bench {
       // reported numbers are steady-state throughput, not first-query warmup
       runOnce()
       val gc0 = gcSeconds()
-      val times = (1 to iters).map { _ =>
+      // ADAPTIVE iteration count: a 0.2s query's min-of-2 still carries
+      // ±0.1s of scheduler/startup noise (= a phantom 1.5x swing between
+      // runs), so cheap queries keep sampling until ~2s of timed work or
+      // 10 iterations — expensive queries stay at the configured count.
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var spent = 0.0
+      while (samples.length < iters || (spent < 2.0 && samples.length < 10)) {
         // drop blocks persisted by the previous iteration BEFORE the clock
         // starts: several operators persist a shared stage, and carried-over
         // blocks both under-report the re-run and pile up memory pressure.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         runOnce()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples += dt
+        spent += dt
+      }
+      val times = samples.toIndexedSeq.sorted
       val stat = QStat(times.head, times(times.length / 2), times.last, gcSeconds() - gc0)
       // full teardown between queries: stop the SparkContext and give the JVM
       // a chance to return the heap before the next query's session starts.
