@@ -116,6 +116,21 @@ class EngineSpec extends SparkSpec {
     assert(q3.contains("BroadcastHashJoin"), "q3 dim join must broadcast")
   }
 
+  test("plan audit: grouped-index near-dup plans carry no rank window") {
+    // winnowPairs and the n-gram prefix stage both used count/row_number
+    // windows (a full sort of the exchanged rows); the grouped-posting-
+    // list rewrites must keep Window out of these plans for good
+    val wp = graft.operators.TextAnalysis
+      .winnowPairs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("Window"), s"winnowPairs regained a window stage:\n$wp")
+    val ng = graft.operators.Dedup
+      .ngramJaccardPairs(Tables.documents(spark, sf), k = 3, threshold = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!ng.contains("Window"), s"ngram prefix regained a window stage:\n$ng")
+    spark.catalog.clearCache() // both operators handoff-persist their pairs
+  }
+
   test("plan audit: projection prunes the parquet read schema") {
     val plan = graft.operators.TextAnalysis.textTokens(spark, sf)
       .queryExecution.executedPlan.toString
