@@ -67,6 +67,56 @@ object GlobalRank {
     (ranked, total)
   }
 
+  /** Rows at specific 1-based GLOBAL ranks under `sortCols`, plus the
+    * total count — WITHOUT ranking every row. `mkRanks` receives the
+    * total and names the wanted ranks (so callers can derive them from
+    * percentile/ntile formulas).
+    *
+    * Point lookups don't need the full global rank: after the ranged
+    * shuffle, the per-partition counts locate each target rank's
+    * (partition, local rank), and only the partitions that HOLD a
+    * target get sorted — for k targets that is <= k of the P
+    * range-partitions instead of all of them. Output carries the
+    * original columns plus `__grank`. Out-of-range ranks are ignored.
+    */
+  def rowsAtRanks(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      mkRanks: Long => Seq[Long]
+  ): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val cum = counts.scanLeft(0L)(_ + _._2) // rows before the i-th listed partition
+    val locs = mkRanks(total).distinct.filter(r => r >= 1 && r <= total).map { r =>
+      // cum(i) < r <= cum(i+1) locates rank r in the i-th listed
+      // partition (zero-count partitions collapse their cum interval and
+      // are skipped by lastIndexWhere)
+      val i = cum.lastIndexWhere(_ < r)
+      (counts(i)._1, r - cum(i), r)
+    }
+    if (locs.isEmpty)
+      return (ranged.limit(0).withColumn("__grank", lit(0L)).drop("__pid"), total)
+    val targetPids = locs.map(_._1).distinct
+    val tdf = spark.createDataFrame(locs).toDF("__tpid", "__lrank", "__grank")
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val picked = ranged
+      .filter(col("__pid").isin(targetPids: _*))
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .join(broadcast(tdf), col("__pid") === col("__tpid") && col("__rn") === col("__lrank"))
+      .drop("__pid", "__rn", "__tpid", "__lrank")
+    (picked, total)
+  }
+
   /** SQL `ntile(n)` bucket (1-based) from a 1-based global rank and the
     * total row count: the first `total % n` buckets take `total/n + 1`
     * rows, the rest `total/n` — exactly the window function's split.

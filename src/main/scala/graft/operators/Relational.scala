@@ -208,21 +208,33 @@ object Relational {
     */
   def p2BoundsNtile(spark: SparkSession, dir: String): DataFrame = {
     val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
+    // The 3 buckets are fully described by 6 BOUNDARY ranks: each
+    // bucket's count is the ntile formula, its lo is the value at its
+    // first rank, its hi the value at its last (the sort is price-first,
+    // so min/max within a bucket ARE the boundary values). Point lookups
+    // via rowsAtRanks sort only the <=6 partitions holding a boundary,
+    // instead of ranking the whole table; the 6 scalars collect to the
+    // driver (tiny, documented) and rebuild the grouped result exactly.
+    def cuts(total: Long): Seq[(Long, Long, Long)] = { // (bucket, start, end)
+      val base = total / 3
+      val rem = total % 3
+      (1L to 3L).map { b =>
+        val sz = if (b <= rem) base + 1 else base
+        val start = (b - 1) * base + math.min(b - 1, rem) + 1
+        (b, start, start + sz - 1)
+      }
+    }
+    val (picked, total) = graft.engine.GlobalRank.rowsAtRanks(
       Tables.lineitem(spark, dir)
         .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
       sortCols,
-      "__rn"
+      t => cuts(t).flatMap { case (_, s, e) => Seq(s, e) }
     )
-    ranked
-      .withColumn("bucket", graft.engine.GlobalRank.ntileFromRank(col("__rn"), 3, total))
-      .groupBy("bucket")
-      .agg(
-        count(lit(1)).as("cnt"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi")
-      )
-      .orderBy("bucket")
+    val priceAt = picked.select(col("__grank"), col("l_extendedprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = cuts(total).filter { case (_, s, e) => e >= s }
+      .map { case (b, s, e) => (b, e - s + 1, priceAt(s), priceAt(e)) }
+    spark.createDataFrame(rows).toDF("bucket", "cnt", "lo", "hi").orderBy("bucket")
   }
 
   /** EXACT percentiles at scale — the deterministic counterpart to
@@ -239,13 +251,17 @@ object Relational {
       tiebreaks: Seq[Column],
       ps: Seq[Double]
   ): DataFrame = {
-    val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
-      df, valueCol +: tiebreaks, "__rn")
-    val targets = ps.map(p => (p, math.max(1L, math.ceil(p * total).toLong)))
-    ranked
+    // quantile_disc picks = point lookups at ceil(p*n): rowsAtRanks
+    // sorts only the partitions holding a target rank instead of
+    // ranking the whole table (see GlobalRank.rowsAtRanks)
+    def rankOf(total: Long)(p: Double): Long = math.max(1L, math.ceil(p * total).toLong)
+    val (picked, total) = graft.engine.GlobalRank.rowsAtRanks(
+      df, valueCol +: tiebreaks, t => ps.map(rankOf(t)))
+    val targets = ps.map(p => (p, rankOf(total)(p)))
+    picked
       .join(
         broadcast(df.sparkSession.createDataFrame(targets).toDF("p", "__target")),
-        col("__rn") === col("__target")
+        col("__grank") === col("__target")
       )
       .select(col("p"), valueCol.as("value"))
   }
