@@ -110,7 +110,8 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("GET", List("tasks"))     => getAllTasks(ex)
         case ("POST", List("tasks", id))   => addTask(ex, id)
         case ("GET", List("tasks", id))    => getTask(ex, id)
-        case ("DELETE", List("tasks", id)) => g.removeTask(id); json(ex, 204, null)
+        case ("DELETE", List("tasks", id)) =>
+          g.removeTask(id); runs.remove(id); json(ex, 204, null)
         case ("GET", List("tasks", id, "errors"))  => getErrors(ex, id)
         case ("POST", List("tasks", id, "_run"))   => runTask(ex, id)
         case ("GET", List("tasks", id, "_run"))    => getRun(ex, id)

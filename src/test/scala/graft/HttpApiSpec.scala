@@ -85,9 +85,10 @@ class HttpApiSpec extends SparkSpec {
       assert(mapper.readTree(send("GET", s"$base/tasks/job1/errors").body()).size() == 0)
       assert(send("GET", s"$base/tasks/nosuch").statusCode() == 404)
 
-      // delete removes the task and its namespaced mutators
+      // delete removes the task, its namespaced mutators, AND its run record
       assert(send("DELETE", s"$base/tasks/job1").statusCode() == 204)
       assert(mapper.readTree(send("GET", s"$base/mutators/job1").body()).get("ids").size() == 0)
+      assert(send("GET", s"$base/tasks/job1/_run").statusCode() == 404)
       assert(send("GET", s"$base/nope").statusCode() == 404)
     } finally api.close()
   }
