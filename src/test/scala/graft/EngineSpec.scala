@@ -73,6 +73,29 @@ class EngineSpec extends SparkSpec {
     assert(buckets(7, 3) == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // remainder first
   }
 
+  test("rowsAtRanks: random ranks equal a driver-side sort (boundary ranks included)") {
+    import org.scalacheck.{Gen, Prop}
+    prop(Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(-1000.0, 1000.0), Gen.choose(0L, 1000L))),
+      Gen.listOf(Gen.choose(-2L, 40L)) // deliberately includes out-of-range ranks
+    ) { (rows, ranks) =>
+      val df = spark.createDataFrame(rows.zipWithIndex.map { case ((v, t), i) => (v, t, i.toLong) })
+        .toDF("v", "t", "u")
+      val (picked, total) = graft.engine.GlobalRank.rowsAtRanks(
+        df, Seq(org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("t"),
+          org.apache.spark.sql.functions.col("u")), _ => ranks)
+      val got = picked.select("__grank", "v", "t", "u")
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      spark.catalog.clearCache() // release the ranged stage
+      val sorted = rows.zipWithIndex.map { case ((v, t), i) => (v, t, i.toLong) }
+        .sortBy(x => (x._1, x._2, x._3))
+      val want = ranks.distinct.filter(r => r >= 1 && r <= sorted.length)
+        .map(r => r -> sorted(r.toInt - 1)).toMap
+      total == rows.length && got == want
+    })
+  }
+
   test("exact percentiles equal a driver-side sort (quantile_disc pick)") {
     import spark.implicits._
     val got = graft.operators.Relational.qPercentilesQuery(spark, sf)
