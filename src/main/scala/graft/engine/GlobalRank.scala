@@ -117,6 +117,22 @@ object GlobalRank {
     (picked, total)
   }
 
+  /** The rank interval of each `ntile(n)` bucket: (bucket, first rank,
+    * last rank), 1-based — the closed form of [[ntileFromRank]]'s
+    * bucket boundaries (first `total % n` buckets take `total/n + 1`
+    * rows). Empty buckets (total < n) have end < start.
+    */
+  def ntileCuts(total: Long, n: Int): Seq[(Long, Long, Long)] = {
+    require(n >= 1, "ntile n >= 1")
+    val base = total / n
+    val rem = total % n
+    (1L to n.toLong).map { b =>
+      val sz = if (b <= rem) base + 1 else base
+      val start = (b - 1) * base + math.min(b - 1, rem) + 1
+      (b, start, start + sz - 1)
+    }
+  }
+
   /** SQL `ntile(n)` bucket (1-based) from a 1-based global rank and the
     * total row count: the first `total % n` buckets take `total/n + 1`
     * rows, the rest `total/n` — exactly the window function's split.

@@ -215,15 +215,7 @@ object Relational {
     // via rowsAtRanks sort only the <=6 partitions holding a boundary,
     // instead of ranking the whole table; the 6 scalars collect to the
     // driver (tiny, documented) and rebuild the grouped result exactly.
-    def cuts(total: Long): Seq[(Long, Long, Long)] = { // (bucket, start, end)
-      val base = total / 3
-      val rem = total % 3
-      (1L to 3L).map { b =>
-        val sz = if (b <= rem) base + 1 else base
-        val start = (b - 1) * base + math.min(b - 1, rem) + 1
-        (b, start, start + sz - 1)
-      }
-    }
+    def cuts(total: Long) = graft.engine.GlobalRank.ntileCuts(total, 3)
     val (picked, total) = graft.engine.GlobalRank.rowsAtRanks(
       Tables.lineitem(spark, dir)
         .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),

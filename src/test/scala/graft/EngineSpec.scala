@@ -71,6 +71,16 @@ class EngineSpec extends SparkSpec {
     assert(buckets(3, 7) == Seq(1L, 2L, 3L))          // total < n: one row each
     assert(buckets(6, 3) == Seq(1L, 1L, 2L, 2L, 3L, 3L)) // exact multiple
     assert(buckets(7, 3) == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // remainder first
+    // closed-form cuts must partition [1, total] into exactly the
+    // window formula's buckets, for any (total, n)
+    import org.scalacheck.{Gen, Prop}
+    prop(Prop.forAll(Gen.choose(0L, 500L), Gen.choose(1, 12)) { (total, n) =>
+      val cuts = graft.engine.GlobalRank.ntileCuts(total, n)
+      val viaCuts = cuts.flatMap { case (b, s, e) => (s to e).map(r => r -> b) }.toMap
+      val viaFormula = if (total == 0) Map.empty[Long, Long] else buckets(total, n).zipWithIndex
+        .map { case (b, i) => (i + 1).toLong -> b }.toMap
+      cuts.map(_._1) == (1L to n.toLong) && viaCuts == viaFormula
+    })
   }
 
   test("rowsAtRanks: random ranks equal a driver-side sort (boundary ranks included)") {
