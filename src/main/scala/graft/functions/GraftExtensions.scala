@@ -61,5 +61,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk", "graft_topk(ord, tie, k) - bounded top-k rows per group, (ord DESC, tie ASC)"),
       (es: Seq[Expression]) => TopKOrdTie(es(0), es(1), intArg(es, 2, "k"))
     ))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_shingles"),
+      info("graft_token_shingles",
+        "graft_token_shingles(text, k) - sorted distinct word k-gram shingles, one text pass"),
+      (es: Seq[Expression]) => TokenShingleSet(es(0), intArg(es, 1, "k"))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      info("graft_token_count", "graft_token_count(text) - whitespace token count, one text pass"),
+      (es: Seq[Expression]) => TokenCountExpr(es(0))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_langid"),
+      info("graft_langid", "graft_langid(text) - marker-heuristic language guess (en/fr/de/es/zh/unknown)"),
+      (es: Seq[Expression]) => LangIdGuess(es(0))
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - |a INTERSECT b| of two sorted distinct string arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))
+    ))
   }
 }

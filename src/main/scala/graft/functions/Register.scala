@@ -42,5 +42,15 @@ object Register {
       "graft_topk",
       es => TopKOrdTie(es(0), es(1), intArg(es, 2, "k")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_token_shingles",
+      es => TokenShingleSet(es(0), intArg(es, 1, "k")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_token_count", es => TokenCountExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_langid", es => LangIdGuess(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect", es => SortedIntersectCount(es(0), es(1)), "scala_udf")
   }
 }

@@ -14,6 +14,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2)
   }
 
+  test("round-6 text kernels are SQL functions on both registration surfaces") {
+    graft.functions.Register.registerAll(spark) // exercise the twin too
+    val r = spark.sql(
+      """SELECT graft_token_shingles('b a c a b', 2) AS sh,
+        |       graft_token_count('  a b  c ') AS tc,
+        |       graft_langid('the cat and the hat is on the mat') AS lang,
+        |       graft_sorted_intersect(array('a','b','d'), array('b','c','d')) AS i
+        |""".stripMargin).collect().head
+    // sorted distinct shingles of tokens [b a c a b]
+    assert(r.getSeq[String](0) == Seq("a b", "a c", "b a", "c a"))
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "en")
+    assert(r.getInt(3) == 2)
+  }
+
   test("graft_topk aggregate from SQL equals the window formulation") {
     val got = spark.sql(
       s"""SELECT o_custkey, top FROM (
