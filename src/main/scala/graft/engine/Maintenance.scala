@@ -47,52 +47,63 @@ object Maintenance {
         .sortWithinPartitions(cols.map(col): _*)
     })
 
+  /** All filesystem work goes through the Hadoop `FileSystem` resolved
+    * from the path's scheme — a maintenance job must run against the
+    * same `hdfs://`/`s3a://` roots the tables live on (`java.io.File`
+    * would silently see nothing there). Row counts ride the rewrite job
+    * as an `observe` metric; the old read-back counted by re-scanning
+    * everything just written.
+    */
   private def rewrite(
       spark: SparkSession,
       path: String,
       targetBytes: Long,
       layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame
   ): CompactionResult = {
-    val dir = new java.io.File(path)
-    def parquetFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => if (f.isDirectory) parquetFiles(f) else Array(f))
-        .filter(_.getName.endsWith(".parquet"))
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) out += f
+        }
+        out.toSeq
+      }
 
     // crash recovery: a previous rewrite may have died after moving the
     // live dir to `.old` but before moving tmp into place — `.old` is
     // then the only copy; restore it instead of (later) deleting it
-    val oldAtEntry = new java.io.File(path + ".old")
-    if (!dir.exists() && oldAtEntry.exists() && !oldAtEntry.renameTo(dir))
-      throw new java.io.IOException(
-        s"compaction recovery: cannot restore $oldAtEntry to $path")
+    val old = new Path(path + ".old")
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(s"compaction recovery: cannot restore $old to $path")
 
     val before = parquetFiles(dir)
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(path)
-    val tmp = path + ".compacting"
-    layout(df, targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
+    val tmp = new Path(path + ".compacting")
+    val rows = graft.sources.WriteMetrics.countingWrite(layout(df, targetFiles))(
+      _.write.mode(SaveMode.Overwrite).parquet(tmp.toString))
 
     // swap: rename the live dir ASIDE first, then move tmp into place —
     // there is never a window where the live path is destroyed without a
     // replacement. If the second rename fails, roll the original back.
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    val old = new java.io.File(path + ".old")
-    if (old.exists()) rm(old)
-    if (!dir.renameTo(old))
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dir, old))
       throw new java.io.IOException(s"compaction: cannot move $path aside")
-    if (!new java.io.File(tmp).renameTo(dir)) {
-      if (!old.renameTo(dir))
+    if (!fs.rename(tmp, dir)) {
+      if (!fs.rename(old, dir))
         throw new java.io.IOException(
           s"compaction swap failed for $path AND rollback failed; original at $old")
       throw new java.io.IOException(s"compaction swap failed for $path (rolled back)")
     }
-    rm(old)
+    fs.delete(old, true)
 
     CompactionResult(before.length, parquetFiles(dir).length, totalBytes, rows)
   }

@@ -25,6 +25,16 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == li.count(), "post-swap table readable")
   }
 
+  test("compact works on a scheme-qualified root (Hadoop FileSystem path)") {
+    val path = "file:" + Files.createTempDirectory("graft_compact_uri").toString + "/t"
+    val region = Tables.region(spark, sf)
+    region.repartition(8).write.parquet(path)
+    val res = Maintenance.compact(spark, path)
+    assert(res.filesBefore > 1 && res.filesAfter == 1)
+    assert(res.rows == region.count())
+    assert(spark.read.parquet(path).count() == region.count())
+  }
+
   test("cluster: rewrite narrows per-file key ranges (statistics become selective)") {
     val path = Files.createTempDirectory("graft_cluster").toString + "/t"
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
