@@ -207,6 +207,36 @@ class HttpApiSpec extends SparkSpec {
     } finally api.close()
   }
 
+  test("end-to-end over HTTP on real parquet: add with size buckets, async run, output lands") {
+    // the production path: HTTP -> Graft -> Planner (size buckets) ->
+    // Transfer -> ParquetConnector (observe-counted writes), no mocks
+    val destRoot = java.nio.file.Files.createTempDirectory("graft_http_pq").toString
+    val g = new Graft(spark) // default parquet connectors from the task spec
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val add = send("POST", s"$base/tasks/jobP",
+        s"""{"sourceDir": "$sf", "destDir": "$destRoot", "tables": ["region", "nation"],
+           |"sizeCols": {"nation": "n_nationkey"}}""".stripMargin)
+      assert(add.statusCode() == 200)
+      // nation splits into 3 size buckets + region unbucketed = 4 subtasks
+      assert(mapper.readTree(add.body()).get("backlog").asInt() == 4)
+      assert(send("POST", s"$base/tasks/jobP/_run").statusCode() == 202)
+      val run = pollRun(base, "jobP")
+      assert(run.get("state").asText() == "done")
+      assert(run.get("completed").asInt() == 4)
+      val want = Tables.region(spark, sf).count() + Tables.nation(spark, sf).count()
+      assert(run.get("rowsWritten").asLong() == want)
+      // slices land under <destRoot>/<table>/<subtaskDir>; union equals source
+      val slices = new java.io.File(s"$destRoot/nation").listFiles().filter(_.isDirectory)
+      assert(slices.length == 3, s"expected 3 nation slices, got ${slices.mkString(",")}")
+      assert(slices.map(d => spark.read.parquet(d.toString).count()).sum ==
+        Tables.nation(spark, sf).count())
+      assert(mapper.readTree(send("GET", s"$base/tasks/jobP").body())
+        .get("status").get("percentComplete").asDouble() == 100.0)
+    } finally api.close()
+  }
+
   test("api key gate: absent key is 400, wrong key is 401, right key passes") {
     val g = new Graft(spark)
     val api = new HttpApi(g, apiKey = Some("sekrit")).start()
