@@ -89,13 +89,28 @@ object Bench {
       name -> stat
     }
 
-    val qs = results.map { case (k, s) => "\"" + k + "\":" + s.min }
+    // OUTPUT BUDGET: the harness that collects this run keeps only the tail
+    // of the process output (last ~2000 chars) and parses the JSON line out
+    // of that window. Round 6 inlined full-precision min/med/max/gc stats
+    // into the line, pushing it past the window — the line's head was cut
+    // off and the whole round's bench artifact failed to parse. So the
+    // stdout line is kept deliberately small (3-decimal values, no stats;
+    // ~1.2 KB at 54 queries) and printed LAST, while the full-precision
+    // per-query stats go to a sidecar file for human analysis.
+    def r3(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, s) => "\"" + k + "\":" + r3(s.min) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, s) =>
       "\"" + k + "\":{\"min\":" + s.min + ",\"med\":" + s.med +
         ",\"max\":" + s.max + ",\"gc\":" + s.gc + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stats":$stats}""")
+    val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS", "bench_stats.json")
+    try {
+      val w = new java.io.PrintWriter(statsPath, "UTF-8")
+      try w.println(s"""{"sf":"$sfDir","iters":$iters,"stats":$stats}""")
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

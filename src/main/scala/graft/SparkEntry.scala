@@ -51,11 +51,13 @@ object SparkEntry {
     "q_distinct_count"  -> (Relational.qDistinctCount _),
     "q_pivot"           -> (Relational.qPivot _),
     "q_cube"            -> (Relational.qCube _),
+    "q_grouping_sets"   -> (Relational.qGroupingSets _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
     "dedup_simhash"     -> (Dedup.simhashQuery _),
     "dedup_ngram"       -> (Dedup.ngramJaccardQuery _),
+    "dedup_clusters"    -> (Clustering.dedupClustersQuery _),
     "embed_neardup"     -> (Dedup.embeddingNearDupQuery _),
     "ann_topk"          -> (Similarity.annTopKQuery _),
     "ann_lsh"           -> (Similarity.annLshQuery _),
@@ -65,6 +67,7 @@ object SparkEntry {
     "text_quality"      -> (TextAnalysis.textQuality _),
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
+    "text_pii"          -> (TextAnalysis.piiQuery _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
     "winnow_pairs"      -> (TextAnalysis.winnowPairsQuery _),
     "q_percentiles"     -> (Relational.qPercentilesQuery _),
@@ -145,6 +148,10 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m') AS month, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view FROM events GROUP BY 1 ORDER BY 1""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "text_pii" ->
+      """WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || repeat(' alt' || CAST(doc_id AS VARCHAR) || '@example.org', CAST(doc_id % 2 AS INT)) || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones, CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips, md5(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp FROM aug ORDER BY doc_id""",
     "q_json_extract" ->
       """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
@@ -189,6 +196,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS parts_ok, TRUE AS median_ok FROM lineitem GROUP BY 1 ORDER BY 1""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text FROM documents GROUP BY md5(text)), toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM rep WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs0 JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.7), nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p), e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b AS s, id_a AS d FROM p), cc(id, lbl) AS (SELECT id, id FROM nodes UNION SELECT e.d, cc.lbl FROM cc JOIN e ON cc.id = e.s), lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY 1), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1) SELECT l.cluster_id, l.doc_id, s.cluster_size, l.doc_id = l.cluster_id AS keep FROM lab l JOIN sz s USING (cluster_id) ORDER BY cluster_id, doc_id""",
     "ann_ivf" ->
       """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM embeddings) = 0 ORDER BY vec_id LIMIT 16), assigned AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, (SELECT c.cid FROM c ORDER BY list_cosine_similarity(c.cv, CAST(e.embedding AS DOUBLE[])) DESC, c.cid DESC LIMIT 1) AS cluster FROM embeddings e), probed AS (SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, p.cid AS cluster FROM embeddings q, LATERAL (SELECT c.cid FROM c ORDER BY list_cosine_similarity(c.cv, CAST(q.embedding AS DOUBLE[])) DESC, c.cid DESC LIMIT 4) p WHERE q.vec_id < 16), cand AS (SELECT p.query_id, a.vec_id, row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC) AS rank FROM probed p JOIN assigned a ON p.cluster = a.cluster AND p.query_id <> a.vec_id) SELECT query_id, rank, vec_id FROM cand WHERE rank <= 5 ORDER BY query_id, rank""",
     "ann_topk" ->

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph clustering for the dedup pipeline: near-dup PAIRS (the output
+  * of the minhash/simhash/ngram operators) are only half of
+  * deduplication — transitive closure must collapse them into duplicate
+  * CLUSTERS so each cluster keeps exactly one canonical representative.
+  * A pairwise keep-the-min rule is wrong under transitivity: for a
+  * chain a~b, b~c (a<b<c) it would drop b (loses to a) and keep c
+  * (beats nobody it was paired with), leaving two "representatives" of
+  * one duplicate group.
+  *
+  * The component algorithm is alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * ACM SoCC 2014): each round is two shuffle stages and the edge set
+  * converges to min-rooted stars in O(log^2 n) rounds — independent of
+  * component DIAMETER, which is what kills naive label propagation at
+  * corpus scale (a chain of boilerplate near-dups propagates one hop
+  * per round). Both stars use the min-JOIN formulation (aggregate the
+  * per-node min, join it back) rather than `collect_set` neighborhoods:
+  * a giant component's star center has degree = component size, and a
+  * collected neighbor array for such a node is an OOM on one row at
+  * 100 TB, while a partial-aggregated `min` + join never materializes a
+  * neighborhood.
+  */
+object Clustering {
+
+  /** Minimum-label connected components over an undirected edge list.
+    *
+    * @param edges two LONG columns naming the endpoints (`uCol`,`vCol`);
+    *              self-loops and duplicate/reversed pairs are tolerated.
+    * @return (`doc_id`, `cluster_id`) — one row per distinct endpoint,
+    *         `cluster_id` = smallest id reachable from it.
+    *
+    * Each round `localCheckpoint`s the edge frontier: iterative joins
+    * otherwise stack lineage (re-deriving round k replays rounds
+    * 1..k-1, and the plan itself grows unboundedly). On a real cluster
+    * with lossy executors this would be a reliable `checkpoint` to the
+    * checkpoint dir; local eager checkpoints are the single-JVM analog.
+    * Convergence = fixpoint of the canonical edge set, detected by
+    * (count, xor of per-edge hashes) — two scalar aggregates, no
+    * driver-side edge materialization.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      uCol: String = "id_a",
+      vCol: String = "id_b",
+      maxRounds: Int = 30
+  ): DataFrame = {
+    val raw = edges
+      .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    def canonical(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    /** (#edges, xor of edge hashes): cheap fixpoint fingerprint. The xor
+      * is order-independent and exact on the edge MULTISET — which after
+      * `canonical`'s distinct is the edge set itself.
+      */
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")
+      ).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    /** Large-star: every node links its LARGER neighbors to the min of
+      * its closed neighborhood. m(u) = least(u, min over N(u)).
+      */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+    }
+
+    /** Small-star: per larger endpoint, link all SMALLER neighbors (and
+      * the node itself) to the smallest of them.
+      */
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("x"), col("m")),
+          struct(col("u").as("x"), col("m"))
+        )).as("p"))
+        .select(col("p.x").as("u"), col("p.m").as("v"))
+        .filter(col("u") =!= col("v"))
+    }
+
+    var e = canonical(raw).localCheckpoint(true)
+    var fp = fingerprint(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = canonical(smallStar(largeStar(e))).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      e.unpersist()
+      e = next
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    // converged edges are min-rooted stars: (member, root). Roots appear
+    // only on the right side; emit them as their own cluster_id.
+    val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct()
+    members.union(roots)
+  }
+
+  /** Driver query: minhash near-dup pairs at Jaccard >= 0.7 collapsed
+    * into duplicate clusters. Output one row per clustered doc with its
+    * canonical representative (`keep` marks the min-id member). The
+    * DuckDB oracle recomputes the same pairs and closes them with a
+    * recursive CTE, so transitivity itself is hash-checked.
+    */
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .minhashPairs(Tables.documents(spark, dir), threshold = 0.7)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(
+        col("cluster_id"),
+        col("doc_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep")
+      )
+      .orderBy("cluster_id", "doc_id")
+  }
+}

@@ -471,6 +471,26 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * per-status, per-priority, and grand-total groups in ONE pass — a
+    * single EXPAND + one aggregation exchange instead of three separate
+    * scans unioned. `grouping()` flags disambiguate a NULL group key
+    * from a NULL data value, which matters once real (nullable) columns
+    * feed the sets.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        asc("g_status"), asc("g_prio"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** As-of join via composition (the custom-operator preference order's
     * first option): each purchase event picks up the most recent PRIOR
     * click of the same user — one window over the unioned stream instead

@@ -137,6 +137,59 @@ object TextAnalysis {
     winnowPairs(Tables.documents(spark, dir), minContainment = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** PII scrub: detect + redact emails, phone numbers, and IPv4
+    * addresses in one narrow codegen'd pass — counts per category plus
+    * a fingerprint of the redacted text (so redaction itself, not just
+    * detection, is oracle-checked). No shuffle: at 100 TB this runs at
+    * scan speed, and the redacted column would be written straight back
+    * out per-partition.
+    *
+    * Patterns are deliberately the intersection of Java-regex and RE2
+    * semantics — character classes, bounded repetition, and `\b` on
+    * ASCII neighbors behave identically — so the DuckDB oracle runs the
+    * byte-same patterns (see the kernel/regex equivalence notes in the
+    * verify recipe; no lookaround, no backreferences).
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"),
+      ip, "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(t, lit(ip)).cast("long").as("n_ips"),
+      md5(clean).as("clean_fp")
+    )
+  }
+
+  /** Driver query: the synthetic corpus is letters-only (zero digits,
+    * no '@'), so raw-text PII counts would be degenerately all-zero.
+    * Each doc is therefore augmented with doc_id-derived PII tokens —
+    * one email (two for odd ids), one phone, one IPv4 — built with the
+    * same string arithmetic in the DuckDB oracle, which makes every
+    * count column informative and the redaction fingerprint sensitive
+    * to match boundaries.
+    */
+  def piiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"), lit("@mail.example"),
+      expr("repeat(' alt' || cast(doc_id as string) || '@example.org', int(doc_id % 2))"),
+      lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((id % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (id % 256).cast("string"), lit(".0."), ((id * 7) % 256).cast("string")
+    )
+    piiScrub(
+      Tables.documents(spark, dir).select(col("doc_id"), aug.as("text"))
+    ).orderBy("doc_id")
+  }
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */

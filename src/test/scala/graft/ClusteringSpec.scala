@@ -1,0 +1,73 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** Connected components: checked against a driver-side union-find on
+  * random graphs, plus shape cases a star-contraction bug would break
+  * (chains, self-loops, reversed duplicates, singleton-free input).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference union-find, small-n driver-side ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label normalization: root of the path-compressed forest is the
+    // component min because unions always attach the larger root
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clustering
+      .connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a transitive chain collapses to one min-rooted cluster") {
+    // a~b, b~c, c~d: pairwise keep-min would leave two "representatives"
+    val got = components(Seq((10L, 7L), (10L, 12L), (12L, 99L)))
+    assert(got == Map(7L -> 7L, 10L -> 7L, 12L -> 7L, 99L -> 7L))
+  }
+
+  test("self-loops and reversed duplicate edges are tolerated") {
+    val got = components(Seq((5L, 5L), (3L, 9L), (9L, 3L), (3L, 9L)))
+    assert(got == Map(3L -> 3L, 9L -> 3L))
+  }
+
+  test("disjoint components stay disjoint") {
+    val got = components(Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("random graphs match a driver-side union-find") {
+    val rng = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n) {
+        (rng.nextInt(40).toLong, rng.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      val expect = unionFind(edges)
+      val got = components(edges)
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("long path converges within the round cap (log-round contraction)") {
+    // a 200-node path has diameter 199: label propagation would need 199
+    // rounds; star contraction must finish well inside maxRounds=30
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = components(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+}
