@@ -59,17 +59,29 @@ object WriteMetrics {
   }
 }
 
-/** Parquet-directory connector: tables are `<root>/<table>.parquet`
-  * files (the driver's testdata layout) or `<root>/<table>` directories
-  * (the engine's own write layout). Slash-qualified names ("t/slice")
+/** File-table connector over any Spark DataSource format (parquet, csv,
+  * json, orc, ...): tables are `<root>/<table>.<format>` single files
+  * (the driver's testdata layout) or `<root>/<table>` directories (the
+  * engine's own write layout). Slash-qualified names ("t/slice")
   * address per-subtask output dirs.
   *
   * All path probes go through the Hadoop `FileSystem` API resolved from
   * the root's scheme, NOT `java.io.File` — the root can be `hdfs://`,
   * `s3a://`, or a local path/`file:` URI, and a local-FS probe against a
   * remote root would silently mis-resolve every table.
+  *
+  * Text formats (csv/json) carry no embedded schema: pass `schema` in
+  * production — without it the connector falls back to inference, which
+  * costs an EXTRA FULL SCAN per table at read time (fine for ad-hoc
+  * exploration, wrong as the 100 TB steady state).
   */
-final class ParquetConnector(root: String) extends DocConnector {
+class FormatConnector(
+    root: String,
+    format: String = "parquet",
+    schema: Option[StructType] = None,
+    readOptions: Map[String, String] = Map.empty,
+    writeOptions: Map[String, String] = Map.empty
+) extends DocConnector {
 
   /** Hadoop conf from the active session (carries `fs.*` credentials and
     * endpoints); a bare Configuration only when no session exists.
@@ -79,17 +91,32 @@ final class ParquetConnector(root: String) extends DocConnector {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
+  /** csv defaults: header row so names survive the round-trip, schema
+    * inference only when no explicit schema was given.
+    */
+  private def fmtDefaults: Map[String, String] = format match {
+    case "csv" =>
+      Map("header" -> "true") ++
+        (if (schema.isEmpty) Map("inferSchema" -> "true") else Map.empty)
+    case _ => Map.empty
+  }
+
   private def scanPath(table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$table.parquet")
+    val p = new org.apache.hadoop.fs.Path(s"$root/$table.$format")
     if (p.getFileSystem(hconf).exists(p)) p.toString else s"$root/$table"
   }
 
-  override def scan(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(scanPath(table))
+  override def scan(spark: SparkSession, table: String): DataFrame = {
+    val reader = spark.read.format(format).options(fmtDefaults ++ readOptions)
+    schema.foreach(reader.schema)
+    reader.load(scanPath(table))
+  }
 
   override def bulk(df: DataFrame, table: String): Long = {
     val dest = s"$root/$table"
-    WriteMetrics.countingWrite(df)(_.write.mode(SaveMode.Overwrite).parquet(dest))
+    WriteMetrics.countingWrite(df)(
+      _.write.format(format).options(fmtDefaults ++ writeOptions)
+        .mode(SaveMode.Overwrite).save(dest))
   }
 
   override def listTables(pattern: String): Seq[String] = {
@@ -97,12 +124,17 @@ final class ParquetConnector(root: String) extends DocConnector {
     val fs = rootPath.getFileSystem(hconf)
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq
-      .map(_.getPath.getName.stripSuffix(".parquet"))
+      .map(_.getPath.getName.stripSuffix(s".$format"))
       .distinct.filter(globMatches(pattern, _)).sorted
   }
 
   override def location(table: String): Option[String] = Some(s"$root/$table")
 }
+
+/** The parquet steady state (self-describing schema, column pruning +
+  * predicate pushdown at the scan) — the default connector everywhere.
+  */
+final class ParquetConnector(root: String) extends FormatConnector(root, "parquet")
 
 /** In-memory mock connector — the worker-E2E stand-in for a live
   * document store (what the reference spins real ES containers for).

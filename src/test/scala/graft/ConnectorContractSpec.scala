@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{DocConnector, InMemoryConnector, ParquetConnector}
+import graft.sources.{DocConnector, FormatConnector, InMemoryConnector, ParquetConnector}
 
 /** The connector CONTRACT, run identically against every in-tree
   * implementation — the de-risking seam for a network-backed scroll/bulk
@@ -22,7 +22,16 @@ class ConnectorContractSpec extends SparkSpec {
 
   private def impls: Seq[(String, () => DocConnector)] = Seq(
     "InMemoryConnector" -> (() => new InMemoryConnector),
-    "ParquetConnector" -> (() => freshParquet())
+    "ParquetConnector" -> (() => freshParquet()),
+    // text formats: same contract through the same seam — csv/json carry
+    // no embedded schema, so the round-trip leans on header + inference
+    // (see FormatConnector's scale note about explicit schemas)
+    "FormatConnector(csv)" -> (() =>
+      new FormatConnector(
+        Files.createTempDirectory("graft_contract_csv").toString, "csv")),
+    "FormatConnector(json)" -> (() =>
+      new FormatConnector(
+        Files.createTempDirectory("graft_contract_json").toString, "json"))
   )
 
   private def seed(n: Int): DataFrame =
