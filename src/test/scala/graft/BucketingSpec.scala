@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Bucketing
+
+/** Bucketed-layout co-located joins: the spec asserts the PLAN (no
+  * Exchange between bucketed scans and the join), not just the result —
+  * the whole point of bucketing is what disappears from the executed
+  * plan.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSmjSession(tables: String*)(f: org.apache.spark.sql.SparkSession => Unit): Unit = {
+    // isolated runtime conf: force the sort-merge path (a broadcast would
+    // hide the exchange question entirely) without disturbing other suites
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def purge(): Unit = tables.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous aborted run can leave the managed location behind with
+      // no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete(); ()
+      }
+    }
+    purge()
+    try f(s) finally purge()
+  }
+
+  test("same-key bucketed tables join with zero Exchange and zero Sort") {
+    withSmjSession("b_left", "b_right") { s =>
+      import s.implicits._
+      val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "lv")
+      val right = (1L to 500L).map(i => (i % 100, -i)).toDF("k", "rv")
+      Bucketing.writeBucketed(left, "b_left", "k", 8)
+      Bucketing.writeBucketed(right, "b_right", "k", 8)
+
+      val joined = Bucketing.bucketedJoin(s, "b_left", "b_right", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // NOTE a per-partition Sort remains: since Spark 3.0 bucketed scans
+      // no longer report sortBy output ordering (legacy flag
+      // spark.sql.legacy.bucketedTableScan.outputOrdering) — but that
+      // Sort is bucket-local (network-free, O(bucket) not O(table)); the
+      // Exchange is the cost that matters at 100 TB and it is gone
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+
+      // and the exchange-free plan computes the same rows as a plain join
+      val expect = left.join(right, "k").count()
+      assert(joined.count() == expect)
+    }
+  }
+
+  test("unbucketed same join pays two Exchanges (the cost bucketing amortizes)") {
+    withSmjSession() { s =>
+      import s.implicits._
+      val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "lv")
+      val right = (1L to 500L).map(i => (i % 100, -i)).toDF("k", "rv")
+      val plan = left.join(right, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), s"control join should shuffle:\n$plan")
+    }
+  }
+
+  test("groupBy on the bucket key also skips the exchange") {
+    withSmjSession("b_agg") { s =>
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+      Bucketing.writeBucketed(df, "b_agg", "k", 8)
+      val agg = s.table("b_agg").groupBy("k").agg(sum("v").as("sv"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$plan")
+      assert(agg.count() == 50L)
+    }
+  }
+}
