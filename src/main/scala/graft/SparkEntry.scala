@@ -44,6 +44,7 @@ object SparkEntry {
     "q_json_extract"    -> (Relational.qJsonExtract _),
     "q_semi_anti"       -> (Relational.qSemiAnti _),
     "q_asof"            -> (Relational.qAsOf _),
+    "q_funnel"          -> (Relational.qFunnel _),
     "q_range_frame"     -> (Relational.qRangeFrame _),
     "q_approx_stats"    -> (Relational.qApproxStats _),
     "q_topn_group"      -> (Relational.qTopNPerGroup _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "sample_stratified" -> (TextAnalysis.stratifiedSampleQuery _),
     "split_assign"      -> (TextAnalysis.splitAssignQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
+    "tfidf_top_terms"   -> (TextAnalysis.tfidfQuery _),
     "contamination"     -> (TextAnalysis.contaminationQuery _),
     "doc_repetition"    -> (TextAnalysis.repetitionQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
@@ -136,6 +138,8 @@ object SparkEntry {
       """SELECT user_id, event_id, tus, count(*) OVER (PARTITION BY user_id ORDER BY tus RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events) WHERE user_id < 100 ORDER BY user_id, tus, event_id""",
     "q_asof" ->
       """SELECT user_id, event_id, tus, last_click_us FROM (SELECT user_id, event_id, event_type, tus, max(CASE WHEN event_type = 'click' THEN tus END) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events)) WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events), v AS (SELECT user_id, min(tus) AS fv FROM ev WHERE event_type = 'view' GROUP BY 1), c AS (SELECT e.user_id, min(e.tus) AS fc FROM ev e JOIN v USING (user_id) WHERE e.event_type = 'click' AND e.tus > v.fv GROUP BY 1), p AS (SELECT e.user_id, min(e.tus) AS fp FROM ev e JOIN c USING (user_id) WHERE e.event_type = 'purchase' AND e.tus > c.fc GROUP BY 1) SELECT count(v.fv) AS n_view, count(c.fc) AS n_click_after_view, count(p.fp) AS n_purchase_after_click FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     "q_semi_anti" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""",
     "q_topn_group" ->
@@ -180,6 +184,8 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val' WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test' ELSE 'train' END AS split FROM documents ORDER BY doc_id""",
     "top_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s FROM toks WHERE len(t) >= 2), inv AS (SELECT doc_id, unnest(s) AS gram FROM sh) SELECT gram, count(DISTINCT doc_id) AS df FROM inv GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""",
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), tok AS (SELECT doc_id, unnest(t) AS term FROM toks), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf), scored AS (SELECT doc_id, term, tf, df, CAST(tf * n AS DOUBLE) / df AS score FROM tf JOIN dft USING (term) CROSS JOIN n), ranked AS (SELECT doc_id, term, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",
     "contamination" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6), i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS s FROM toks WHERE len(t) >= 8), inv AS (SELECT doc_id, unnest(s) AS g FROM sh) SELECT tr.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs, count(*) AS shared_grams FROM (SELECT g, doc_id FROM inv WHERE doc_id >= 25) tr JOIN (SELECT g, doc_id AS eval_id FROM inv WHERE doc_id < 25) ev USING (g) GROUP BY 1 ORDER BY doc_id""",
     "doc_repetition" ->

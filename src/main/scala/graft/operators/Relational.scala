@@ -491,6 +491,37 @@ object Relational {
         asc("g_status"), asc("g_prio"),
         asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Conversion funnel: how many users progressed view -> click ->
+    * purchase IN ORDER (each stage strictly after the previous one's
+    * first occurrence). Three per-user min-aggregations chained by
+    * joins — every shuffle is on the SAME key (user_id), so Spark
+    * reuses one exchange layout across all stages rather than
+    * re-hashing; the stage frontiers (one row per qualifying user) are
+    * persisted because each feeds both the next stage's join and the
+    * final count.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .select("user_id", "event_type", "tus")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("fv")).persist(lvl)
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("tus") > col("fv"))
+      .groupBy("user_id").agg(min(col("tus")).as("fc")).persist(lvl)
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("tus") > col("fc"))
+      .groupBy("user_id").agg(min(col("tus")).as("fp"))
+    val out = v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(col("fv")).as("n_view"),
+        count(col("fc")).as("n_click_after_view"),
+        count(col("fp")).as("n_purchase_after_click"))
+    graft.engine.Caching.handoff(out, v, c)
+  }
+
   /** As-of join via composition (the custom-operator preference order's
     * first option): each purchase event picks up the most recent PRIOR
     * click of the same user — one window over the unioned stream instead

@@ -190,6 +190,46 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Per-doc top-k terms by TF-IDF — the keyword extractor a curation
+    * pipeline uses for topic tagging and boilerplate spotting.
+    *
+    * idf is the LOG-FREE variant N/df: `ln` is not correctly-rounded
+    * and can differ across engines in the last ulp, which would make
+    * cross-engine rank order nondeterministic near ties; `(tf*N)/df` is
+    * one exact int64 product (<= 2^53 here) and one IEEE division —
+    * bit-identical everywhere, so the ranking is hash-checkable. For
+    * fixed tf it orders terms exactly as ln(N/df) would (monotone).
+    *
+    * The per-doc ranking window is scale-safe HERE because its group is
+    * one doc's vocabulary (bounded by doc length) — never a corpus-wide
+    * partition; the corpus-size work is the tf aggregation (one shuffle
+    * on (doc, term), map-side combined) and the df join (one shuffle on
+    * term).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // feeds three consumers (df counts, N, the scored join): persist or
+      // recompute the tokenize+aggregate three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    val out = tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+    graft.engine.Caching.handoff(out, tf)
+  }
+
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), k = 5)
+      .orderBy("doc_id", "rank")
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */
