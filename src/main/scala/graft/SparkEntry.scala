@@ -82,7 +82,8 @@ object SparkEntry {
     "pipeline_curate"   -> (Curation.curateQuery _),
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
-    "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _)
+    "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
+    "stream_attribution"   -> (graft.streaming.EventStream.attributionBatch _)
   )
 
   /** The exact hyperplane constants the LSH queries embed in their Spark
@@ -215,6 +216,8 @@ object SparkEntry {
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_window_counts" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "stream_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events), c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM ev WHERE event_type = 'click'), p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM ev WHERE event_type = 'purchase') SELECT p.purchase_id, p.user_id, count(*) AS n_clicks, max(c.ctus) AS last_click_us FROM p JOIN c ON p.user_id = c.user_id AND c.ctus <= p.ptus AND c.ctus >= p.ptus - 1800000000 GROUP BY 1, 2 ORDER BY purchase_id"""
   )
 }

@@ -188,6 +188,57 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: every purchase matched to the same
+    * user's clicks in the preceding `window`. Both sides carry
+    * watermarks and the join condition bounds click event-time to
+    * [purchase - window, purchase], which is what lets Spark EVICT join
+    * state: clicks older than watermark+window and purchases older than
+    * the watermark can never match again and are dropped — state is
+    * bounded by in-flight event-time skew, not by stream history (the
+    * difference between a join that runs forever at 100 TB/day and one
+    * that accretes the whole click log in executor memory).
+    *
+    * Append-mode only (Spark's stream-stream inner-join contract);
+    * converges to [[attributionBatch]] — asserted in StreamingSpec.
+    */
+  def attributionStream(events: DataFrame, window: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("user_id") === col("buyer_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("buyer_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
+  /** Batch twin of [[attributionStream]], aggregated per purchase (click
+    * count + most recent click) — the oracle-checked target the stream
+    * must converge to. Exact integer-microsecond arithmetic both sides.
+    * Both join inputs shuffle on user_id only; the per-user time-range
+    * filter runs post-join, and per-user fan-out is bounded by that
+    * user's own activity, not the corpus.
+    */
+  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("tus").as("ctus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("tus").as("ptus"))
+    purchases.join(clicks, "user_id")
+      .filter(col("ctus") <= col("ptus") && col("ctus") >= col("ptus") - lit(1800000000L))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("ctus")).as("last_click_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -104,4 +104,34 @@ class QueriesSpec extends SparkSpec {
     assert(frames.select("media_id").distinct().count() ==
       Multimodal.assets(spark, sf).filter(col("modality") === "video").count())
   }
+
+  test("pii scrub: counts and redaction on boundary-crafted inputs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // two emails, dotted subdomain + plus-tag
+      (1L, "mail a.b+tag@sub.example.org and c@d.io please"),
+      // phone with dots, phone with dashes, and an IP — the phone regex
+      // must not eat the IP (an IPv4 has three dots, a phone two seps)
+      (2L, "call 555.123.4567 or 555-123-4567 from 10.0.0.1"),
+      // @ without a TLD and digits without separators: no matches
+      (3L, "not-an-email a@b and 5551234567 stay put"),
+      // boundary: email at string start, IP at string end
+      (4L, "x@y.zz then 192.168.100.200")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiScrub(docs)
+      .orderBy("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L, 0L, 0L), (2L, 0L, 2L, 1L), (3L, 0L, 0L, 0L), (4L, 1L, 0L, 1L)))
+    // redaction is total: no raw match survives in the fingerprinted text
+    val cleaned = docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("clean"))
+    val redacted = cleaned.filter(col("clean").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count()
+    assert(redacted == 0, "no email-shaped text may survive redaction")
+  }
 }

@@ -27,6 +27,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("stream-stream attribution join converges to the batch twin") {
+    val ckpt = Files.createTempDirectory("graft_attr_ckpt").toString
+    val stream = EventStream.readEvents(spark, sf, maxFilesPerTrigger = 1)
+    EventStream.runAvailableNow(
+      EventStream.attributionStream(stream), "attr_test", ckpt, OutputMode.Append
+    )
+    val streamed = spark.table("attr_test")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"), max(unix_micros(col("click_ts"))).as("last_click_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStream.attributionBatch(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "batch twin must attribute at least one purchase")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
+
   test("foreachBatch parquet upsert sink: last write wins, resumable") {
     val dest = Files.createTempDirectory("graft_upsert_dest").toString + "/out"
     val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
