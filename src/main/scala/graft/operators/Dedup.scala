@@ -46,6 +46,48 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Incremental dedup: a NEW ingestion batch checked against the
+    * already-ingested corpus — the steady-state shape of a continuously
+    * fed training pipeline, where re-deduplicating 100 TB from scratch
+    * per batch is not an option. Each new doc is tagged `dup_of_old`
+    * (content already ingested), `dup_of_new` (an earlier doc in the
+    * same batch has it first), or `kept`.
+    *
+    * At production scale the old side is the stored DIGEST table (16
+    * bytes/doc, maintained at ingest) — never a rescan of the corpus;
+    * here both sides hash from the same table, split at `splitId`, and
+    * the digest stage is persisted because old/new/first-seen all
+    * consume it. One shuffle on the digest key for all three.
+    */
+  def incremental(docs: DataFrame, splitId: Long): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = h.filter(col("doc_id") < splitId)
+      .select(col("h")).distinct().withColumn("is_old", lit(true))
+    val nw = h.filter(col("doc_id") >= splitId)
+    val firstNew = nw.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val out = nw
+      .join(old, Seq("h"), "left")
+      .join(firstNew, "h")
+      .select(
+        col("doc_id"),
+        when(col("is_old"), "dup_of_old")
+          .when(col("doc_id") =!= col("first_id"), "dup_of_new")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, h)
+  }
+
+  /** Driver query: the id midpoint plays the ingest cut. `div` (floor
+    * integer division) on both engines — a double-rounded cast would
+    * disagree between Spark (truncate) and DuckDB (round-half-even).
+    */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    incremental(docs, split)
+  }
+
   // --------------------------------------------------------------------
   // MinHash + LSH near-dedup
   // --------------------------------------------------------------------

@@ -464,6 +464,19 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Unpivot (melt): the wide month x event-type matrix from [[qPivot]]
+    * back to long form — the inverse pair proves both reshapes preserve
+    * the data (including explicit zero cells, which a plain re-aggregate
+    * would not produce). Narrow generated projection, no shuffle beyond
+    * the pivot's own.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    qPivot(spark, dir)
+      .unpivot(Array(col("month")), types.map(col(_)).toArray, "event_type", "cnt")
+      .orderBy("month", "event_type")
+  }
+
   /** Cube over order status x priority. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -66,6 +66,22 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy layout: a filter on the partition column prunes at plan time") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_p"
+    val df = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "purchase"))
+      .toDF("event_id", "event_type")
+    df.write.partitionBy("event_type").parquet(root)
+
+    val q = spark.read.parquet(root).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    // pruning must happen in PartitionFilters (directory-level, zero I/O
+    // on excluded partitions) — NOT as a row-level post-scan filter
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filter in scan:\n$scan")
+    assert(q.count() == 100L)
+  }
+
   test("groupBy on the bucket key also skips the exchange") {
     withSmjSession("b_agg") { s =>
       import s.implicits._
