@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 import java.lang.management.ManagementFactory
 import scala.jdk.CollectionConverters._
 
-/** Benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{q:sec,...},"sf":...,
-  *  "stats":{q:{"min":..,"med":..,"max":..,"gc":..},...}}
+/** Benchmark main. Prints ONE JSON line (kept compact — see OUTPUT
+  * BUDGET below):
+  * {"metric":"total","value":N,"unit":"sec","queries":{q:sec,...},"sf":...}
+  * Full-precision per-query min/med/max/gc stats go to the sidecar file
+  * named by SPARK_GRAFT_BENCH_STATS (default ./bench_stats.json).
   *
   * Round-5 postmortem: a single shared 50+-query session produced up-to-17x
   * per-query swings on bit-identical code (dedup_ngram 2.9s vs 50.7s across
@@ -97,14 +99,21 @@ object Bench {
     // stdout line is kept deliberately small (3-decimal values, no stats;
     // ~1.2 KB at 54 queries) and printed LAST, while the full-precision
     // per-query stats go to a sidecar file for human analysis.
-    def r3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // decimal-comma locale (de_DE, fr_FR) would emit 1,234 — invalid JSON
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, s) => "\"" + k + "\":" + r3(s.min) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, s) =>
       "\"" + k + "\":{\"min\":" + s.min + ",\"med\":" + s.med +
         ",\"max\":" + s.max + ",\"gc\":" + s.gc + "}"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    // sum the ROUNDED per-query values so value == sum(queries) holds
+    // exactly in the emitted artifact (a consumer sanity-checking the
+    // total against the map must not see a few-ms rounding drift)
+    val total =
+      if (results.nonEmpty) results.values.map(s => r3(s.min).toDouble).sum else 0.0
     val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS", "bench_stats.json")
     try {
       val w = new java.io.PrintWriter(statsPath, "UTF-8")

@@ -52,6 +52,7 @@ object SparkEntry {
     "q_distinct_count"  -> (Relational.qDistinctCount _),
     "q_pivot"           -> (Relational.qPivot _),
     "q_unpivot"         -> (Relational.qUnpivot _),
+    "q_histogram"       -> ((s, d) => Relational.qHistogram(s, d)),
     "q_cube"            -> (Relational.qCube _),
     "q_grouping_sets"   -> (Relational.qGroupingSets _),
     // -- training-data pipeline operators --------------------------------
@@ -85,7 +86,7 @@ object SparkEntry {
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
-    "stream_attribution"   -> (graft.streaming.EventStream.attributionBatch _)
+    "stream_attribution"   -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d))
   )
 
   /** The exact hyperplane constants the LSH queries embed in their Spark
@@ -153,6 +154,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_pivot" ->
       """SELECT strftime(ts, '%Y-%m') AS month, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view FROM events GROUP BY 1 ORDER BY 1""",
+    "q_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem) SELECT bucket, count(*) AS cnt, min(x) AS b_min, max(x) AS b_max FROM (SELECT l_extendedprice AS x, least(CAST(floor((l_extendedprice - s.lo) / ((s.hi - s.lo) / 20)) AS BIGINT), 19) AS bucket FROM lineitem, s) GROUP BY 1 ORDER BY bucket""",
     "q_unpivot" ->
       """WITH w AS (SELECT strftime(ts, '%Y-%m') AS month, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view FROM events GROUP BY 1) SELECT month, event_type, cnt FROM w UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view)) ORDER BY month, event_type""",
     "q_cube" ->
@@ -200,7 +203,7 @@ object SparkEntry {
     "ann_lsh" ->
       s"""$lshBucketsCte, cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id FROM allb q JOIN allb c ON q.t = c.t AND q.b = c.b WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id), scored AS (SELECT cand.query_id, cand.vec_id, row_number() OVER (PARTITION BY cand.query_id ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) DESC, cand.vec_id ASC) AS rank FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id JOIN embeddings ce ON ce.vec_id = cand.vec_id) SELECT query_id, rank, vec_id FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
     "dedup_incremental" ->
-      """WITH cut AS (SELECT max(doc_id) // 2 AS s FROM documents), h AS (SELECT doc_id, md5(text) AS h FROM documents), old AS (SELECT DISTINCT h FROM h, cut WHERE doc_id < s), nw AS (SELECT doc_id, h FROM h, cut WHERE doc_id >= s), firstnew AS (SELECT h, min(doc_id) AS first_id FROM nw GROUP BY 1) SELECT n.doc_id, CASE WHEN o.h IS NOT NULL THEN 'dup_of_old' WHEN n.doc_id <> f.first_id THEN 'dup_of_new' ELSE 'kept' END AS verdict FROM nw n LEFT JOIN old o USING (h) JOIN firstnew f USING (h) ORDER BY n.doc_id""",
+      """WITH cut AS (SELECT max(doc_id) // 2 AS s FROM documents), h AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents), old AS (SELECT DISTINCT h FROM h, cut WHERE doc_id < s), nw AS (SELECT doc_id, h FROM h, cut WHERE doc_id >= s), firstnew AS (SELECT h, min(doc_id) AS first_id FROM nw GROUP BY 1) SELECT n.doc_id, CASE WHEN o.h IS NOT NULL THEN 'dup_of_old' WHEN n.doc_id <> f.first_id THEN 'dup_of_new' ELSE 'kept' END AS verdict FROM nw n LEFT JOIN old o USING (h) JOIN firstnew f USING (h) ORDER BY n.doc_id""",
     "dedup_minhash" ->
       """WITH rep AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text FROM documents GROUP BY md5(text)), toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM rep WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3), inv AS (SELECT doc_id, unnest(s) AS g FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, inter * 1.0 / (la.n + lb.n - inter) AS jaccard FROM pairs JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id) WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
     "dedup_simhash" ->

@@ -32,15 +32,23 @@ object Clustering {
   /** Minimum-label connected components over an undirected edge list.
     *
     * @param edges two LONG columns naming the endpoints (`uCol`,`vCol`);
-    *              self-loops and duplicate/reversed pairs are tolerated.
+    *              self-loops and duplicate/reversed pairs are tolerated
+    *              (a node appearing ONLY in self-loops labels itself).
     * @return (`doc_id`, `cluster_id`) — one row per distinct endpoint,
-    *         `cluster_id` = smallest id reachable from it.
+    *         `cluster_id` = smallest id reachable from it. The result is
+    *         persisted + materialized (caller/harness releases it, as
+    *         with every handoff-cached operator result).
     *
     * Each round `localCheckpoint`s the edge frontier: iterative joins
     * otherwise stack lineage (re-deriving round k replays rounds
     * 1..k-1, and the plan itself grows unboundedly). On a real cluster
     * with lossy executors this would be a reliable `checkpoint` to the
     * checkpoint dir; local eager checkpoints are the single-JVM analog.
+    * NOTE `Dataset.unpersist` is a no-op on a localCheckpoint'ed frame
+    * (the blocks are RDD-level, invisible to the CacheManager), so each
+    * round releases its predecessor through the checkpointed RDD itself
+    * — without that, up to maxRounds edge-set copies sit in the block
+    * manager until the ContextCleaner happens to reap them.
     * Convergence = fixpoint of the canonical edge set, detected by
     * (count, xor of per-edge hashes) — two scalar aggregates, no
     * driver-side edge materialization.
@@ -51,9 +59,21 @@ object Clustering {
       vCol: String = "id_b",
       maxRounds: Int = 30
   ): DataFrame = {
-    val raw = edges
+    val raw0 = edges
       .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    val raw = raw0.filter(col("u") =!= col("v"))
+
+    /** Eagerly checkpoint `df` and hand back a release hook for its
+      * RDD-level blocks (see the unpersist note in the scaladoc).
+      */
+    def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+      val cp = df.localCheckpoint(true)
+      val release = () => cp.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+      }.getOrElse(())
+      (cp, release)
+    }
 
     def canonical(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -99,26 +119,43 @@ object Clustering {
         .filter(col("u") =!= col("v"))
     }
 
-    var e = canonical(raw).localCheckpoint(true)
+    var (e, releaseE) = checkpointed(canonical(raw))
     var fp = fingerprint(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = canonical(smallStar(largeStar(e))).localCheckpoint(true)
+      val (next, releaseNext) = checkpointed(canonical(smallStar(largeStar(e))))
       val nfp = fingerprint(next)
       converged = nfp == fp
-      e.unpersist()
+      releaseE()
       e = next
+      releaseE = releaseNext
       fp = nfp
       rounds += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
 
     // converged edges are min-rooted stars: (member, root). Roots appear
-    // only on the right side; emit them as their own cluster_id.
+    // only on the right side; emit them as their own cluster_id, and
+    // nodes that only ever appeared in self-loops as singletons.
     val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val roots = e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct()
-    members.union(roots)
+    val labeled = members.union(roots)
+    val nodes = raw0.select(col("u")).union(raw0.select(col("v").as("u"))).distinct()
+    val singletons = nodes.join(labeled, nodes("u") === labeled("doc_id"), "left_anti")
+      .select(col("u").as("doc_id"), col("u").as("cluster_id"))
+    // materialize into a normal (CacheManager-visible) persist, then drop
+    // the final frontier's RDD blocks — the caller releases the result.
+    // MEMORY_AND_DISK evicts to disk rather than dropping, which matters
+    // here: out's lineage bottoms out in the released checkpoint, so a
+    // genuinely LOST partition (executor death on a real cluster) is not
+    // recomputable — the cluster deployment swaps localCheckpoint for
+    // reliable checkpoint() exactly as the scaladoc prescribes.
+    val out = labeled.union(singletons)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releaseE()
+    out
   }
 
   /** Driver query: minhash near-dup pairs at Jaccard >= 0.7 collapsed

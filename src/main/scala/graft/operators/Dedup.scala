@@ -60,7 +60,11 @@ object Dedup {
     * consume it. One shuffle on the digest key for all three.
     */
   def incremental(docs: DataFrame, splitId: Long): DataFrame = {
-    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // null-safe digest: md5(NULL) is NULL and a NULL key falls out of
+    // every (null-unsafe) join below — the doc would silently VANISH
+    // from the verdicts instead of being tagged. NULL text dedups as
+    // empty content (file connectors read empty fields as NULL).
+    val h = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val old = h.filter(col("doc_id") < splitId)
       .select(col("h")).distinct().withColumn("is_old", lit(true))

@@ -451,17 +451,42 @@ object Relational {
     * matches the oracle's CASE columns; nulls coalesce to 0 because a
     * CASE-sum yields 0 where pivot-count yields null.
     */
+  /** The corpus's closed event-type vocabulary — shared by the pivot /
+    * unpivot inverse pair so the two column lists cannot drift apart.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
     val pivoted = Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
-      .pivot("event_type", types)
+      .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
     pivoted
       .select(
-        col("month") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*
+        col("month") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*
       )
       .orderBy("month")
+  }
+
+  /** Equi-width histogram over a numeric column: the classic two-pass
+    * shape — a one-row min/max aggregate BROADCAST back over the scan,
+    * so the second pass is a narrow projection + one aggregation
+    * exchange on the bucket id. All bucket arithmetic is IEEE double
+    * (subtraction, one division, floor), bit-identical across engines;
+    * the top edge (x == max) clamps into the last bucket.
+    */
+  def qHistogram(spark: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val stats = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(stats))
+      .withColumn(
+        "bucket",
+        least(
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets)).cast("long"),
+          lit(buckets - 1L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min(col("x")).as("b_min"), max(col("x")).as("b_max"))
+      .orderBy("bucket")
   }
 
   /** Unpivot (melt): the wide month x event-type matrix from [[qPivot]]
@@ -470,12 +495,10 @@ object Relational {
     * would not produce). Narrow generated projection, no shuffle beyond
     * the pivot's own.
     */
-  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
     qPivot(spark, dir)
-      .unpivot(Array(col("month")), types.map(col(_)).toArray, "event_type", "cnt")
+      .unpivot(Array(col("month")), EventTypes.map(col(_)).toArray, "event_type", "cnt")
       .orderBy("month", "event_type")
-  }
 
   /** Cube over order status x priority. */
   def qCube(spark: SparkSession, dir: String): DataFrame =

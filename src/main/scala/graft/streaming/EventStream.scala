@@ -49,6 +49,13 @@ object EventStream {
     */
   val SessionGapUs: Long = 30L * 60 * 1000L * 1000L
 
+  /** Attribution lookback (micros) — the ONE constant behind both
+    * [[attributionStream]] and [[attributionBatch]], so the stream and
+    * its oracle-checked batch twin can never silently diverge on the
+    * window length.
+    */
+  val AttributionWindowUs: Long = 30L * 60 * 1000L * 1000L
+
   /** Batch sessionization: gap-based session ids via the classic
     * lag -> new-session flag -> running sum. All arithmetic is exact
     * integer microseconds on both engines (DuckDB timestamps are
@@ -189,7 +196,7 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream attribution join: every purchase matched to the same
-    * user's clicks in the preceding `window`. Both sides carry
+    * user's clicks in the preceding `windowUs`. Both sides carry
     * watermarks and the join condition bounds click event-time to
     * [purchase - window, purchase], which is what lets Spark EVICT join
     * state: clicks older than watermark+window and purchases older than
@@ -201,7 +208,7 @@ object EventStream {
     * Append-mode only (Spark's stream-stream inner-join contract);
     * converges to [[attributionBatch]] — asserted in StreamingSpec.
     */
-  def attributionStream(events: DataFrame, window: String = "30 minutes"): DataFrame = {
+  def attributionStream(events: DataFrame, windowUs: Long = AttributionWindowUs): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -213,7 +220,7 @@ object EventStream {
       clicks,
       col("user_id") === col("buyer_id") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("purchase_id"), col("buyer_id").as("user_id"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
@@ -225,7 +232,8 @@ object EventStream {
     * filter runs post-join, and per-user fan-out is bounded by that
     * user's own activity, not the corpus.
     */
-  def attributionBatch(spark: SparkSession, dir: String): DataFrame = {
+  def attributionBatch(
+      spark: SparkSession, dir: String, windowUs: Long = AttributionWindowUs): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -233,7 +241,7 @@ object EventStream {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("tus").as("ptus"))
     purchases.join(clicks, "user_id")
-      .filter(col("ctus") <= col("ptus") && col("ctus") >= col("ptus") - lit(1800000000L))
+      .filter(col("ctus") <= col("ptus") && col("ctus") >= col("ptus") - lit(windowUs))
       .groupBy(col("purchase_id"), col("user_id"))
       .agg(count(lit(1)).as("n_clicks"), max(col("ctus")).as("last_click_us"))
       .orderBy("purchase_id")

@@ -17,14 +17,18 @@ class BucketingSpec extends SparkSpec {
     // hide the exchange question entirely) without disturbing other suites
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def rmTree(f: java.io.File): Unit = {
+      // recursive: an aborted saveAsTable leaves _temporary/ SUBDIRS that
+      // a flat delete can't remove; listFiles is null if racing deletion
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     def purge(): Unit = tables.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       // a previous aborted run can leave the managed location behind with
       // no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
       val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete()); dir.delete(); ()
-      }
+      if (dir.exists()) rmTree(dir)
     }
     purge()
     try f(s) finally purge()

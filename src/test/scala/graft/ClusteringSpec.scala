@@ -41,8 +41,10 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("self-loops and reversed duplicate edges are tolerated") {
+    // a node appearing ONLY in self-loops must still be labeled (its own
+    // singleton cluster), not silently dropped from the output
     val got = components(Seq((5L, 5L), (3L, 9L), (9L, 3L), (3L, 9L)))
-    assert(got == Map(3L -> 3L, 9L -> 3L))
+    assert(got == Map(3L -> 3L, 9L -> 3L, 5L -> 5L))
   }
 
   test("disjoint components stay disjoint") {
