@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming dedup ingest: the continuous form of
+  * [[graft.operators.Dedup.incremental]] — every micro-batch is checked
+  * against the PERSISTENT digest table of everything ever ingested, and
+  * only first-seen content lands in the destination.
+  *
+  * Scale/correctness shape:
+  *   - The digest table is 16 bytes per ingested doc and is the ONLY
+  *     thing the batch joins against — never the accumulated corpus.
+  *   - Both destination docs and new digests write into a
+  *     deterministic `batch=<id>` subdirectory with overwrite
+  *     semantics, so a foreachBatch REPLAY after a crash (at-least-once
+  *     delivery) rewrites the same files instead of appending
+  *     duplicates — idempotence by layout, the parquet analog of the
+  *     reference's overwrite-by-slice bulk contract.
+  *   - Within a batch, content keeps the min doc_id (same rule as the
+  *     batch operator), then survivors anti-join the stored digests.
+  */
+object IngestDedup {
+
+  /** Digest-table scan that tolerates the empty-first-batch case. The
+    * `batch` partition column is part of the schema so a replaying batch
+    * can exclude ITS OWN previously-written digests — without that, a
+    * crash-replay would anti-join its docs against itself and overwrite
+    * the destination partition with nothing (silent data loss).
+    */
+  private def storedDigests(spark: org.apache.spark.sql.SparkSession, digestDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(digestDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(digestDir)
+    else spark.emptyDataFrame
+      .select(lit("").as("h"), lit(0L).as("batch")).limit(0)
+  }
+
+  /** Process one micro-batch: returns (docs written). Exposed for the
+    * spec to drive directly; the streaming query calls it per batch.
+    */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      destDir: String,
+      digestDir: String
+  ): Long = {
+    val spark = batch.sparkSession
+    val h = batch.select(
+      col("doc_id"), col("text"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val firstInBatch = h.groupBy("h").agg(min(col("doc_id")).as("__keep"))
+    val prior = storedDigests(spark, digestDir)
+      .filter(col("batch") =!= lit(batchId)) // replay: self-exclusion
+      .select(col("h"))
+    val kept = h.join(firstInBatch, "h")
+      .filter(col("doc_id") === col("__keep"))
+      .join(prior, Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val written = graft.sources.WriteMetrics.countingWrite(kept.select(col("doc_id"), col("text")))(
+        _.write.mode(SaveMode.Overwrite).parquet(s"$destDir/batch=$batchId"))
+      // digests AFTER docs: a crash between the two re-runs the batch,
+      // and the overwrite layout makes the re-run converge
+      kept.select(col("h")).write.mode(SaveMode.Overwrite)
+        .parquet(s"$digestDir/batch=$batchId")
+      written
+    } finally { kept.unpersist(false); () }
+  }
+
+  /** Drain a doc stream (columns `doc_id`, `text`) into `destDir` with
+    * digest-table dedup, AvailableNow semantics (the scroll-loop drain).
+    */
+  def runDedupIngest(
+      docs: DataFrame,
+      destDir: String,
+      digestDir: String,
+      checkpoint: String
+  ): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, destDir, digestDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -44,6 +44,45 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("dedup ingest: digest table drops cross-batch and in-batch dups; replay converges") {
+    import graft.streaming.IngestDedup
+    val dest = Files.createTempDirectory("graft_ingest").toString + "/docs"
+    val digests = Files.createTempDirectory("graft_ingest_h").toString + "/digests"
+    // batch 0: one in-batch dup (ids 1/2 share content)
+    val b0 = Seq((1L, "alpha text"), (2L, "alpha text"), (3L, "beta text")).toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b0, 0L, dest, digests) == 2L)
+    // batch 1: cross-batch dup (alpha again) + one genuinely new doc
+    val b1 = Seq((4L, "alpha text"), (5L, "gamma text")).toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b1, 1L, dest, digests) == 1L)
+    assert(spark.read.parquet(dest).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // crash replay of batch 1: overwrite-by-batch layout converges
+    assert(IngestDedup.processBatch(b1, 1L, dest, digests) == 1L)
+    assert(spark.read.parquet(dest).count() == 3L)
+  }
+
+  test("dedup ingest end-to-end: file stream drains with AvailableNow") {
+    import graft.streaming.IngestDedup
+    val src = Files.createTempDirectory("graft_ingest_src").toString
+    val dest = Files.createTempDirectory("graft_ingest_e2e").toString + "/docs"
+    val digests = Files.createTempDirectory("graft_ingest_e2e_h").toString + "/digests"
+    val ckpt = Files.createTempDirectory("graft_ingest_e2e_ck").toString
+    // two source files -> two micro-batches (maxFilesPerTrigger=1);
+    // content "dup text" spans them, so the dedup must be CROSS-batch
+    Seq((1L, "dup text"), (2L, "uniq a")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f1")
+    Seq((3L, "dup text"), (4L, "uniq b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    IngestDedup.runDedupIngest(stream, dest, digests, ckpt)
+    val got = spark.read.parquet(dest).select("text").as[String].collect().sorted.toSeq
+    assert(got == Seq("dup text", "uniq a", "uniq b"),
+      s"exactly one copy of the duplicated content must survive: $got")
+  }
+
   test("foreachBatch parquet upsert sink: last write wins, resumable") {
     val dest = Files.createTempDirectory("graft_upsert_dest").toString + "/out"
     val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
