@@ -76,6 +76,11 @@ final class Graft(
 
   def isRunning: Boolean = runFlag.get
 
+  private def groupFor(name: String): String = s"graft-task-$name"
+
+  /** Whether a drain of this task is in flight (its job group is live). */
+  def isTaskRunning(name: String): Boolean = activeGroups.contains(groupFor(name))
+
   /** POST /_start — allow [[runTask]] to consume backlogs again. */
   def start(): Unit = runFlag.set(true)
 
@@ -106,6 +111,13 @@ final class Graft(
       indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty,
       buckets: Int = 3
   ): Seq[SubtaskSpec] = {
+    // re-adding while a drain is in flight would orphan the running
+    // TaskState: the drain keeps recording completions into the REPLACED
+    // state, the live one re-queues work already done (hours of
+    // duplicated transfer at scale). Refuse; stop the run first.
+    if (isTaskRunning(spec.name))
+      throw new IllegalStateException(
+        s"task '${spec.name}' has a run in flight; stop it before re-adding")
     // semantic validation: every referenced transform must be registered
     val pipelineMutators = spec.mutators.map(ref => mutators.require(ref.id))
     val storedFilters = spec.indexFilters.map(ref => filters.require(ref.id))
@@ -140,11 +152,20 @@ final class Graft(
   ): Seq[Transfer.TableResult] = {
     val st = Option(tasks.get(name))
       .getOrElse(throw new NoSuchElementException(s"no such task: $name"))
-    val group = s"graft-task-$name"
+    // a run submitted while the manager is stopped would skip every
+    // subtask and report a convincing-but-false "done, 0 transferred";
+    // reject it instead (409 over HTTP)
+    if (!runFlag.get)
+      throw new IllegalStateException("manager is stopped; POST /_start before running")
+    val group = groupFor(name)
+    // per-task single-drain claim at the facade level too (HttpApi has
+    // its own; direct embedders get the same protection)
+    if (!activeGroups.add(group))
+      throw new IllegalStateException(s"task '$name' is already running")
     spark.sparkContext.setJobGroup(group, s"graft task $name", interruptOnCancel = true)
-    activeGroups.add(group)
     try {
-      val results = st.backlog.flatMap { sub =>
+      val queue = st.synchronized(st.backlog)
+      val results = queue.flatMap { sub =>
         if (!runFlag.get) None
         else
           try {
@@ -157,7 +178,10 @@ final class Graft(
               })
             // resolve outputPath to a real location when the sink has one
             val resolved = st.sink.location(r.outputPath).fold(r)(loc => r.copy(outputPath = loc))
-            st.completed += sub.subtaskId
+            // synchronized: completed/backlog are read from HTTP threads
+            // (status) while the drain thread writes them, and += on an
+            // immutable Set var is a lost-update race unguarded
+            st.synchronized { st.completed += sub.subtaskId }
             onComplete(name, sub)
             Some(resolved)
           } catch {
@@ -166,7 +190,9 @@ final class Graft(
               None
           }
       }
-      st.backlog = st.backlog.filterNot(s => st.completed.contains(s.subtaskId))
+      st.synchronized {
+        st.backlog = st.backlog.filterNot(s => st.completed.contains(s.subtaskId))
+      }
       results
     } finally {
       activeGroups.remove(group)
@@ -178,8 +204,9 @@ final class Graft(
   def status(name: String): TaskStatus = {
     val st = Option(tasks.get(name))
       .getOrElse(throw new NoSuchElementException(s"no such task: $name"))
-    val total = (st.completed.size + st.backlog.count(s => !st.completed.contains(s.subtaskId))).toLong
-    val done = st.completed.size.toLong
+    val (completedSnap, backlogSnap) = st.synchronized((st.completed, st.backlog))
+    val total = (completedSnap.size + backlogSnap.count(s => !completedSnap.contains(s.subtaskId))).toLong
+    val done = completedSnap.size.toLong
     TaskStatus(
       total = total,
       completed = done,
@@ -204,6 +231,13 @@ final class Graft(
     * (both stores, `tasks.js:89-97`).
     */
   def removeTask(name: String): Unit = {
+    // deleting a task with a drain in flight leaves that drain writing
+    // into orphaned state — and a re-add + re-run would start a SECOND
+    // concurrent drain over the same output paths. Refuse (409 over
+    // HTTP); stop the run first.
+    if (isTaskRunning(name))
+      throw new IllegalStateException(
+        s"task '$name' has a run in flight; stop it before deleting")
     tasks.remove(name)
     mutators.removeNamespace(name)
     filters.removeNamespace(name)

@@ -111,7 +111,16 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("POST", List("tasks", id))   => addTask(ex, id)
         case ("GET", List("tasks", id))    => getTask(ex, id)
         case ("DELETE", List("tasks", id)) =>
-          g.removeTask(id); runs.remove(id); json(ex, 204, null)
+          // the claim marks "running" BEFORE the drain thread starts, so
+          // checking it under the runs lock closes the submit-to-start
+          // window that Graft's own job-group guard can't see
+          runs.synchronized {
+            if (Option(runs.get(id)).exists(_.state == "running"))
+              throw new IllegalStateException(
+                s"task '$id' has a run in flight; stop it before deleting")
+            g.removeTask(id); runs.remove(id)
+          }
+          json(ex, 204, null)
         case ("GET", List("tasks", id, "errors"))  => getErrors(ex, id)
         case ("POST", List("tasks", id, "_run"))   => runTask(ex, id)
         case ("GET", List("tasks", id, "_run"))    => getRun(ex, id)
@@ -129,7 +138,12 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       }
     } catch {
       case e: NoSuchElementException => json(ex, 404, Map("error" -> e.getMessage))
+      // client-side syntax errors are 4xx, not server faults
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        json(ex, 400, Map("error" -> s"malformed JSON body: ${e.getOriginalMessage}"))
       case e: IllegalArgumentException => json(ex, 400, Map("error" -> e.getMessage))
+      // lifecycle conflicts (run in flight, manager stopped) are 409
+      case e: IllegalStateException => json(ex, 409, Map("error" -> e.getMessage))
       case e: Exception => json(ex, 500, Map("error" -> e.toString))
     } finally ex.close()
   }
@@ -164,7 +178,12 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
   }
 
   private def getAllTasks(ex: HttpExchange): Unit =
-    json(ex, 200, g.listTasks.map(id => id -> statusMap(id)).toMap.asJava)
+    // tolerate a concurrent DELETE between the listing snapshot and the
+    // per-task lookup — one vanished member must not 404 the collection
+    json(ex, 200, g.listTasks.flatMap { id =>
+      try Some(id -> statusMap(id))
+      catch { case _: NoSuchElementException => None }
+    }.toMap.asJava)
 
   private def getTask(ex: HttpExchange, id: String): Unit = {
     if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
@@ -201,6 +220,11 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
 
   private def runTask(ex: HttpExchange, id: String): Unit = {
     if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
+    // reject at claim time rather than letting the async runnable fail:
+    // a run while stopped would otherwise surface as a recorded failure
+    if (!g.isRunning) {
+      json(ex, 409, Map("error" -> "manager is stopped; POST /_start before running")); return
+    }
     // claim atomically: one drain per task at a time
     val claimed = runs.synchronized {
       Option(runs.get(id)).forall(_.state != "running") && {
@@ -279,6 +303,13 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     val body = mapper.readTree(ex.getRequestBody)
     val f = graft.transform.StoredFilter(
       ObjectId(ns, id), reqText(body, "type"), reqText(body, "pattern"))
+    // force the (lazy) regex NOW: a broken pattern must 400 here, at the
+    // store, not later inside task planning attributed to the wrong call
+    try java.util.regex.Pattern.compile(f.pattern)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(s"invalid pattern: ${e.getMessage}")
+    }
     g.filters.add(f.id, f)
     json(ex, 200, Map.empty)
   }

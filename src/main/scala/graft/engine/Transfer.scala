@@ -43,7 +43,8 @@ object Transfer {
       destPath: String,
       pipeline: Pipeline,
       upsertKeys: Seq[String] = Seq.empty,
-      versionCols: Seq[Column] = Seq.empty
+      versionCols: Seq[Column] = Seq.empty,
+      tableName: Option[String] = None
   ): TableResult = {
     val src = spark.read.parquet(sourcePath)
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
@@ -61,7 +62,10 @@ object Transfer {
         if (d.columns.contains("_index")) writer.partitionBy("_index") else writer
       finalWriter.parquet(destPath)
     }
-    TableResult(sourcePath, written, destPath)
+    // `table` carries the logical name when the caller has one — the
+    // other overloads put subtaskId here, and a caller correlating
+    // results to task.tables must not have to match on a file path
+    TableResult(tableName.getOrElse(sourcePath), written, destPath)
   }
 
   /** The subtask's size-range predicate, pushed into the scan.
@@ -149,14 +153,22 @@ object Transfer {
       indexConfigs: Seq[IndexConfig],
       indexFilters: Seq[MetadataFilters.IndexPred] = Seq.empty
   ): Seq[TableResult] = {
-    val keptConfigs = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters)
-    val kept = task.tables.filter(t => keptConfigs.exists(_.name == t))
+    // no metadata catalog = keep everything (MetadataFilters' own
+    // convention): an empty indexConfigs must not silently prune every
+    // table into a vacuous "success"
+    val kept =
+      if (indexConfigs.isEmpty) task.tables
+      else {
+        val keptConfigs = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters)
+        task.tables.filter(t => keptConfigs.exists(_.name == t))
+      }
     kept.map { t =>
       transferTable(
         spark,
         s"${task.sourceDir}/$t.parquet",
         s"${task.destDir}/$t",
-        pipeline
+        pipeline,
+        tableName = Some(t)
       )
     }
   }

@@ -207,6 +207,49 @@ class HttpApiSpec extends SparkSpec {
     } finally api.close()
   }
 
+  test("lifecycle guards: stopped-manager 409, delete/re-add conflict mid-run, 400s") {
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import graft.sources.DocConnector
+    val src = new InMemoryConnector
+    src.bulk((0 until 5).map(n => (n.toLong, s"d$n")).toDF("id", "v"), "t1")
+    val slowSink = new DocConnector {
+      override def scan(spark: SparkSession, table: String): DataFrame =
+        throw new UnsupportedOperationException("sink only")
+      override def bulk(df: DataFrame, table: String): Long = {
+        df.foreachPartition { (_: Iterator[Row]) => Thread.sleep(30000) }
+        df.count()
+      }
+      override def listTables(pattern: String): Seq[String] = Seq.empty
+    }
+    val g = new Graft(spark, _ => (src, slowSink))
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    val addBody = """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["t1"]}"""
+    try {
+      // malformed JSON is the client's error, not a 500 server fault
+      assert(send("POST", s"$base/tasks/jobG", "{bad json").statusCode() == 400)
+      // a broken regex must be rejected AT THE STORE, not later at task add
+      assert(send("POST", s"$base/filters/ns/bad",
+        """{"type": "index", "pattern": "[unclosed"}""").statusCode() == 400)
+      assert(send("POST", s"$base/tasks/jobG", addBody).statusCode() == 200)
+      // a run submitted while stopped must refuse — not report a false done
+      assert(send("POST", s"$base/_stop").statusCode() == 200)
+      assert(send("POST", s"$base/tasks/jobG/_run").statusCode() == 409)
+      assert(send("POST", s"$base/_start").statusCode() == 200)
+      // with a drain in flight, delete and re-add are conflicts: both
+      // would orphan the running state (double-drain / lost completions)
+      assert(send("POST", s"$base/tasks/jobG/_run").statusCode() == 202)
+      Thread.sleep(1500)
+      assert(send("DELETE", s"$base/tasks/jobG").statusCode() == 409)
+      assert(send("POST", s"$base/tasks/jobG", addBody).statusCode() == 409)
+      // cleanup: interrupt the parked run, then the delete goes through
+      assert(send("POST", s"$base/_stop").statusCode() == 200)
+      pollRun(base, "jobG", deadlineSec = 30)
+      assert(send("DELETE", s"$base/tasks/jobG").statusCode() == 204)
+      assert(send("POST", s"$base/_start").statusCode() == 200)
+    } finally api.close()
+  }
+
   test("end-to-end over HTTP on real parquet: add with size buckets, async run, output lands") {
     // the production path: HTTP -> Graft -> Planner (size buckets) ->
     // Transfer -> ParquetConnector (observe-counted writes), no mocks
