@@ -208,16 +208,44 @@ object StoredFilter {
   * and optimizer-visible, unlike a black-box UDF.
   */
 object ExprMutators {
+  import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.expr
 
+  /** Functions an UPLOADED expression may not call. SQL expressions are
+    * vastly safer than the reference's eval'd JavaScript, but Spark's
+    * builtin surface still includes generic JVM reflection
+    * (`reflect`/`java_method` — arbitrary static method calls from a
+    * string) and driver-side env probes; a mutator arriving over the
+    * HTTP API must not become a remote-execution gadget. Denied at
+    * REGISTRATION (parse tree walk), so a bad expression 400s at the
+    * store rather than detonating inside a later transfer.
+    */
+  private val DeniedFunctions = Set("reflect", "java_method")
+
+  private def vet(sql: String): Column = {
+    val c = expr(sql)
+    // parse independently for the walk: Spark 4's Column no longer
+    // exposes its catalyst tree, and the parser is the same one expr uses
+    val called = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql).collect {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+    val bad = called.intersect(DeniedFunctions)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"expression calls forbidden function(s) ${bad.mkString(", ")}: $sql")
+    c
+  }
+
   def assign(id: ObjectId, predicateSql: String, assigns: (String, String)*): AssignMutator =
-    AssignMutator(id, expr(predicateSql), assigns.map { case (c, e) => c -> expr(e) })
+    AssignMutator(id, vet(predicateSql), assigns.map { case (c, e) => c -> vet(e) })
 
   def withColumn(id: ObjectId, column: String, exprSql: String): WithColumnMutator =
-    WithColumnMutator(id, column, expr(exprSql))
+    WithColumnMutator(id, column, vet(exprSql))
 
   def drop(id: ObjectId, predicateSql: String): DropMutator =
-    DropMutator(id, expr(predicateSql))
+    DropMutator(id, vet(predicateSql))
 }
 
 /** Namespaced in-memory registry of transforms — replaces the reference's

@@ -213,4 +213,22 @@ class MutatorSpec extends SparkSpec {
     assert(!model.ObjectId.valid("a-b"))    // alphanumeric only
     intercept[IllegalArgumentException](model.ObjectId("bad ns", "ok"))
   }
+
+  test("uploaded expressions may not call JVM reflection (reflect/java_method)") {
+    val oid = model.ObjectId("ns", "evil")
+    // arbitrary static method invocation from an uploaded string — the
+    // remote-execution gadget the deny-list exists for
+    val e1 = intercept[IllegalArgumentException](ExprMutators.withColumn(
+      oid, "x", "reflect('java.lang.System', 'getenv', 'PATH')"))
+    assert(e1.getMessage.contains("forbidden"))
+    intercept[IllegalArgumentException](ExprMutators.drop(
+      oid, "java_method('java.lang.Runtime', 'getRuntime') IS NOT NULL"))
+    // nested inside an innocent wrapper still caught (tree walk, not prefix match)
+    intercept[IllegalArgumentException](ExprMutators.assign(
+      oid, "true", "c" -> "upper(reflect('a', 'b'))"))
+    // and case variations
+    intercept[IllegalArgumentException](ExprMutators.drop(oid, "REFLECT('a', 'b') = 'x'"))
+    // ordinary expressions are untouched
+    assert(ExprMutators.drop(oid, "price < 10").id == oid)
+  }
 }
