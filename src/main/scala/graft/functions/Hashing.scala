@@ -170,7 +170,16 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
   * `size(array_union(a, b))`, each of which builds a per-row hash set.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // strict array<string> contract: the SQL surface (graft_sorted_intersect)
+  // accepts arbitrary expressions, and without declared input types an
+  // array<int> argument passes analysis and is read as string offsets —
+  // garbage counts instead of an AnalysisException
+  // (no explicit result type: AbstractDataType is private[sql]; the
+  // inferred Seq[ArrayType] conforms)
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def dataType: DataType = IntegerType
 

@@ -199,10 +199,17 @@ object SketchKernels {
     val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // null elements (possible through the SQL surface; never produced
+      // by the shingle kernels) are skipped, not matched — a null is not
+      // a shingle, and getUTF8String on one would NPE
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -263,13 +270,19 @@ object SketchKernels {
     var runAlive = true // false once the run is unmatchable (too long / non-ASCII)
     var i = 0
     while (i <= n) {
-      val c = if (i < n) s.charAt(i) else ' '
-      if (c >= '一' && c <= '鿿') cjk = true
-      if (c == '_' || Character.isLetterOrDigit(c)) {
-        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-        val asciiWord = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_'
+      // CODE POINTS, not chars: java regex \b boundary-tests the code
+      // point, and a supplementary-plane letter (U+1D49C, CJK Ext B) is
+      // one word CHARACTER to \b but two non-letter surrogates to a
+      // charAt scan — which would fabricate a boundary the regex spec
+      // does not have
+      val c = if (i < n) s.codePointAt(i) else ' '.toInt
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk = true
+      if (c == '_'.toInt || Character.isLetterOrDigit(c)) {
+        val lc = if (c >= 'A'.toInt && c <= 'Z'.toInt) c + 32 else c
+        val asciiWord = (lc >= 'a'.toInt && lc <= 'z'.toInt) ||
+          (lc >= '0'.toInt && lc <= '9'.toInt) || lc == '_'.toInt
         if (!asciiWord || run.length() >= 5) runAlive = false // longest marker is 5 chars
-        else if (runAlive) run.append(lc)
+        else if (runAlive) run.append(lc.toChar)
       } else {
         if (runAlive && run.length() > 0) {
           val w = run.toString
@@ -281,7 +294,7 @@ object SketchKernels {
         run.setLength(0)
         runAlive = true
       }
-      i += 1
+      i += (if (i < n) Character.charCount(c) else 1)
     }
     if (cjk) Zh
     else if (cEn >= Math.max(cFr, Math.max(cDe, cEs)) && cEn > 0) En
@@ -296,6 +309,15 @@ object SketchKernels {
     * re-hashing k chars, and — unlike xxh64 — reproducible in plain SQL
     * modular arithmetic, which is what keeps the winnow query
     * oracle-checkable.
+    *
+    * UNIT CONTRACT: grams are over UTF-16 code units (`charAt`), and the
+    * DuckDB oracle's `ascii(text[i])` units agree only while the corpus
+    * is BMP/ASCII (recorded in the verify recipe) — a supplementary
+    * character is one oracle unit but two kernel units. Fingerprints
+    * stay deterministic for dedup either way; only cross-engine parity
+    * needs the ASCII corpus. If the corpus goes multibyte, switch BOTH
+    * sides to one unit (code points) or drop those oracles to
+    * rows-only.
     */
   def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
     val text = input.toString

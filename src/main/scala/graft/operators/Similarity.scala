@@ -59,6 +59,34 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Per-query (rank, vec_id, cosine) top-k via the bounded-memory
+    * aggregate ([[graft.functions.TopKOrdTie]], rank = cosine DESC then
+    * vec_id ASC — identical output to the `row_number` window it
+    * replaces). Map-side partial top-k means the exchange carries
+    * `queries x k` rows instead of EVERY scored candidate, and no task
+    * ever sorts a whole query's candidate set — the shape that survives
+    * a 100 TB corpus where the per-query window sort cannot.
+    */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.agg.topKOrdTie(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        col("col.ord").as("cosine"))
+
+  /** Shared multi-table banding: one struct (t, bucket) per hash table. */
+  private def tableBuckets(
+      v: Column, bits: Int, tables: Int, dim: Int, seedBase: Long): Column =
+    array(
+      (0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(v, bits, dim, seedBase + t).as("b"))
+      ): _*
+    )
+
   /** Exact cosine top-k: broadcast the query set, stream the corpus. */
   def bruteForceTopK(
       queries: DataFrame, // (query_id, q_vec)
@@ -68,11 +96,7 @@ object Similarity {
     val joined = corpus
       .join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+    topKByCosine(joined, k)
   }
 
   /** ANN via multi-table LSH: `tables` independent sign-projection hash
@@ -93,13 +117,10 @@ object Similarity {
       k: Int,
       bits: Int,
       tables: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      seedBase: Long = 42L
   ): DataFrame = {
-    def buckets(v: Column): Column = array(
-      (0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(v, bits, dim, seed = 42L + t).as("b"))
-      ): _*
-    )
+    def buckets(v: Column): Column = tableBuckets(v, bits, tables, dim, seedBase)
     val qb = queries.select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("bk"))
       .select(col("query_id"), col("q_vec"), col("bk.t"), col("bk.b"))
     val cb = corpus.select(col("vec_id"), col("embedding"), explode(buckets(col("embedding"))).as("bk"))
@@ -110,11 +131,7 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
     val joined = candidates
       .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+    topKByCosine(joined, k)
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path.
@@ -171,11 +188,9 @@ object Similarity {
       .join(broadcast(probed), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", vec.cosine(col("q_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+    // no dedup needed: each corpus vector has exactly ONE cluster, so a
+    // (query, vec) pair can match through at most one probed cluster
+    topKByCosine(joined, k)
   }
 
   /** EXACT all pairs above a cosine threshold — one broadcast nested-loop
@@ -237,11 +252,7 @@ object Similarity {
       dim: Int = 64,
       seedBase: Long = 42L
   ): DataFrame = {
-    def buckets(v: Column): Column = array(
-      (0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(v, bits, dim, seedBase + t).as("b"))
-      ): _*
-    )
+    def buckets(v: Column): Column = tableBuckets(v, bits, tables, dim, seedBase)
     val banded = corpus
       .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
       .select(col("vec_id"), col("bk.t"), col("bk.b"))

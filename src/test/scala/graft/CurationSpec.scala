@@ -26,7 +26,11 @@ class CurationSpec extends SparkSpec {
       "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu",
       "el", "los", "las", "y", "un", "una", "es", "por", "para",
       "THE", "Que", "EST", "xyz", "a1", "_es_", "the1", "1the", "nichts",
-      "lesx", "一", "é", "...", "", "q_ue", "thethe"))
+      "lesx", "一", "é", "...", "", "q_ue", "thethe",
+      // supplementary-plane word chars: one LETTER to regex \b, two
+      // surrogate CHARS to a charAt scan — a code-unit kernel fabricates
+      // a word boundary here ("the𝒜" must NOT count "the")
+      "the𝒜", "𝒜the", "𐀀es"))
     val seps = Gen.oneOf(Seq(" ", "  ", "\n", "\t", ", ", ".", "-", "_", ""))
     val doc = for {
       ws <- Gen.listOfN(12, words)
