@@ -55,9 +55,13 @@ object SparkEntry {
     "q_histogram"       -> ((s, d) => Relational.qHistogram(s, d)),
     "q_cube"            -> (Relational.qCube _),
     "q_grouping_sets"   -> (Relational.qGroupingSets _),
+    "q_corr_subquery"   -> (Relational.qCorrSubquery _),
+    "q_interval_join"   -> (Intervals.incidentOverlapQuery _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
     "dedup_incremental" -> (Dedup.incrementalQuery _),
+    "dedup_lines"       -> (Dedup.lineStatsQuery _),
+    "text_oov"          -> (TextAnalysis.oovQuery _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
     "dedup_simhash"     -> (Dedup.simhashQuery _),
     "dedup_ngram"       -> (Dedup.ngramJaccardQuery _),
@@ -162,6 +166,14 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_corr_subquery" ->
+      """WITH ca AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price FROM orders GROUP BY 1) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders o JOIN ca USING (o_custkey) WHERE o_totalprice > avg_price GROUP BY 1 ORDER BY 1""",
+    "q_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
+    "dedup_lines" ->
+      """WITH l AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS x FROM documents) WHERE length(trim(x)) > 0), c AS (SELECT line, count(*) AS n FROM l GROUP BY 1) SELECT doc_id, count(*) AS n_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac FROM l JOIN c USING (line) GROUP BY 1 ORDER BY 1""",
+    "text_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 16) SELECT doc_id, count(*) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1 ORDER BY 1""",
     "text_pii" ->
       """WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || repeat(' alt' || CAST(doc_id AS VARCHAR) || '@example.org', CAST(doc_id % 2 AS INT)) || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones, CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips, md5(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp FROM aug ORDER BY doc_id""",
     "q_json_extract" ->

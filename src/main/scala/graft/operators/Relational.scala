@@ -389,6 +389,26 @@ object Relational {
     * none urgent. Both sides hash-join on the key; the anti side streams
     * with no row materialization of the probe payload.
     */
+  /** Correlated scalar subquery, decorrelated by hand: orders priced
+    * above their own customer's average. SQL engines rewrite the
+    * correlated `(SELECT avg(..) WHERE o2.custkey = o.custkey)` into
+    * exactly this aggregate + equi-join — declaring the decorrelated form
+    * directly keeps the plan a hash aggregate plus one shuffle join at
+    * any scale (never a per-row subquery). The average divides an exact
+    * decimal sum by a count ONCE, so the threshold double is
+    * bit-identical across engines and the `>` cut is deterministic.
+    */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val custAvg = o.groupBy("o_custkey")
+      .agg((sumDec(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    o.join(custAvg, "o_custkey")
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)

@@ -230,6 +230,37 @@ object TextAnalysis {
     tfidfTopTerms(Tables.documents(spark, dir), k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Corpus-vocabulary OOV scoring: build the top-`vocabSize` term list
+    * from the corpus itself (ties broken by term so the cut is total and
+    * deterministic), then score each document by its fraction of
+    * out-of-vocabulary tokens. The classic two-pass "train a vocab,
+    * broadcast it, score the corpus" shape of LM-side quality filters:
+    * pass 1 is one term-keyed count (map-side combined — the heavy-hitter
+    * terms collapse per partition), the cut happens on the tiny count
+    * table, and pass 2 is a broadcast join — the corpus itself shuffles
+    * only for the final per-doc aggregate on `doc_id`.
+    */
+  def oovScore(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+    val vocab = toks
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // exact long/long division: bit-identical across engines
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    oovScore(Tables.documents(spark, dir), vocabSize = 16)
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */

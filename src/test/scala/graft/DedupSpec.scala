@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.functions.{sketch, text, vec}
 
 /** Dedup + similarity machinery on planted duplicates (the test corpus
@@ -341,5 +341,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().toMap
     assert(got(1L).isEmpty)
     assert(got(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("lineStats: per-doc dup-line fractions over genuinely multi-line docs") {
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "only unique here\n\n   \nrepeated inside\nrepeated inside"),
+      (4L, null.asInstanceOf[String]) // null text: no lines, drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineStats(docs)
+      .select("doc_id", "n_lines", "n_dup_lines")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nl, nd) => id -> ((nl, nd)) }.toMap
+    // doc 1/2: header+footer shared (2 dup lines of 3); blank lines dropped;
+    // doc 3: within-doc repeats count as duplicated lines too
+    assert(got == Map(1L -> (3L, 2L), 2L -> (3L, 2L), 3L -> (3L, 2L)))
+  }
+
+  test("oovScore: OOV fraction against the corpus top-K vocabulary") {
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the dog"),
+      (3L, "zebra quux")
+    ).toDF("doc_id", "text")
+    // vocab of size 2 = {the (5x), cat|dog ties -> 'cat' by term asc}
+    val got = TextAnalysis.oovScore(docs, vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nt, no) => id -> ((nt, no)) }.toMap
+    assert(got == Map(1L -> (4L, 0L), 2L -> (2L, 1L), 3L -> (2L, 2L)))
   }
 }
