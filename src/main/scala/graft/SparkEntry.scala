@@ -56,6 +56,7 @@ object SparkEntry {
     "q_cube"            -> (Relational.qCube _),
     "q_grouping_sets"   -> (Relational.qGroupingSets _),
     "q_corr_subquery"   -> (Relational.qCorrSubquery _),
+    "q_skew_join"       -> (Relational.qSkewJoin _),
     "q_interval_join"   -> (Intervals.incidentOverlapQuery _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
@@ -168,6 +169,8 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_corr_subquery" ->
       """WITH ca AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price FROM orders GROUP BY 1) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders o JOIN ca USING (o_custkey) WHERE o_totalprice > avg_price GROUP BY 1 ORDER BY 1""",
+    "q_skew_join" ->
+      """WITH a AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty FROM lineitem GROUP BY 1) SELECT l_returnflag, count(*) AS n_above, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN a USING (l_returnflag) WHERE l_quantity > avg_qty GROUP BY 1 ORDER BY 1""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->

@@ -409,6 +409,26 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Skew-safe join on a pathologically hot key: `l_returnflag` has 3
+    * distinct values, so a plain shuffle join lands the whole fact table
+    * on 3 reducers regardless of partition count. `Skew.saltedJoin`
+    * spreads each key over `salt` content-derived sub-keys and
+    * replicates the (tiny) per-flag aggregate side across them — result
+    * identical to the plain join (the oracle IS the plain join), plan
+    * parallelism = keys x salt. The threshold double divides an exact
+    * decimal sum once, so the `>` cut is engine-exact.
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy("l_returnflag")
+      .agg((sumDec(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    graft.engine.Skew.saltedJoin(li, avgQty, Seq("l_returnflag"), salt = 8)
+      .filter(col("l_quantity") > col("avg_qty"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_above"), sumDec(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
