@@ -57,6 +57,7 @@ object SparkEntry {
     "q_grouping_sets"   -> (Relational.qGroupingSets _),
     "q_corr_subquery"   -> (Relational.qCorrSubquery _),
     "q_skew_join"       -> (Relational.qSkewJoin _),
+    "q_retention"       -> (Relational.qRetention _),
     "q_interval_join"   -> (Intervals.incidentOverlapQuery _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
+    "stream_topk"          -> (graft.streaming.EventStream.windowedTopKBatch _),
     "stream_attribution"   -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d))
   )
 
@@ -171,6 +173,8 @@ object SparkEntry {
       """WITH ca AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price FROM orders GROUP BY 1) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders o JOIN ca USING (o_custkey) WHERE o_totalprice > avg_price GROUP BY 1 ORDER BY 1""",
     "q_skew_join" ->
       """WITH a AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty FROM lineitem GROUP BY 1) SELECT l_returnflag, count(*) AS n_above, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN a USING (l_returnflag) WHERE l_quantity > avg_qty GROUP BY 1 ORDER BY 1""",
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1) SELECT strftime(cohort, '%Y-%m-%d') AS cohort_d, CAST(date_diff('day', cohort, d) AS INT) AS days_since, count(*) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->
@@ -241,6 +245,8 @@ object SparkEntry {
       """SELECT user_id, session_id, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us FROM (SELECT user_id, event_id, tus, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL OR CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events)) GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_window_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "stream_topk" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_id, value FROM events), r AS (SELECT hour, event_id, value, row_number() OVER (PARTITION BY hour ORDER BY value DESC, event_id ASC) AS rnk FROM h) SELECT hour, rnk, event_id, value FROM r WHERE rnk <= 3 ORDER BY hour, rnk""",
     "stream_attribution" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events), c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM ev WHERE event_type = 'click'), p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM ev WHERE event_type = 'purchase') SELECT p.purchase_id, p.user_id, count(*) AS n_clicks, max(c.ctus) AS last_click_us FROM p JOIN c ON p.user_id = c.user_id AND c.ctus <= p.ptus AND c.ctus >= p.ptus - 1800000000 GROUP BY 1, 2 ORDER BY purchase_id"""
   )

@@ -598,6 +598,30 @@ object Relational {
     graft.engine.Caching.handoff(out, v, c)
   }
 
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later day they were active. Both sides of the join are per-user
+    * aggregates keyed on `user_id`, so the cohort join reuses one
+    * exchange layout; the retention matrix aggregate is
+    * (cohort, day-offset)-keyed and tiny. Day arithmetic is integer
+    * date subtraction — no fractional months_between to disagree on.
+    * (The test corpus spans 30 days, hence day-level cohorts; at
+    * production scale the same plan works with week/month truncation.)
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val active = ev.distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    active.join(cohort, "user_id")
+      .groupBy(
+        // string date: parquet DATE decodes to incompatible dtypes across
+        // the two engines' pandas bridges (see q_pivot's month column)
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_d"),
+        datediff(col("d"), col("cohort")).as("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_d", "days_since")
+  }
+
   /** As-of join via composition (the custom-operator preference order's
     * first option): each purchase event picks up the most recent PRIOR
     * click of the same user — one window over the unioned stream instead

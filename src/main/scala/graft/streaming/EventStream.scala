@@ -259,6 +259,47 @@ object EventStream {
         col("cnt")
       )
 
+  /** Watermarked per-window bounded top-k: the highest-`value` events of
+    * each tumbling hour, ranked by the custom [[graft.functions.TopKOrdTie]]
+    * aggregate INSIDE Structured Streaming state. This is the aggregate's
+    * hardest contract surface: streaming state round-trips the
+    * aggregation buffer through serialize/deserialize on every
+    * micro-batch, so k-bounded buffer semantics (and NaN/tie ordering)
+    * must survive persistence — the suite asserts convergence to the
+    * batch twin below. State per window is O(k), not O(rows): the same
+    * property that makes the batch aggregate shuffle-light makes the
+    * streaming state bounded.
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.agg.topKOrdTie(col("value"), col("event_id"), k).as("top"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        posexplode(col("top")))
+      .select(
+        col("hour"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tie").as("event_id"),
+        col("col.ord").as("value"))
+
+  /** Batch twin of [[windowedTopK]], oracle-checked (row_number in the
+    * oracle; the bounded aggregate here — same rows proves the aggregate
+    * against the window-function semantics it replaces).
+    */
+  def windowedTopKBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"))
+      .agg(graft.functions.agg.topKOrdTie(col("value"), col("event_id"), 3).as("top"))
+      .select(col("hour"), posexplode(col("top")))
+      .select(
+        col("hour"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tie").as("event_id"),
+        col("col.ord").as("value"))
+      .orderBy("hour", "rnk")
+
   /** Batch twin of [[windowedCounts]] — byte-identical aggregation over
     * the same table, oracle-checked; the streaming path must converge to
     * this (asserted in the test suite).

@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("windowed top-k stream (TypedImperativeAggregate state) converges to the batch twin") {
+    val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+    // maxFilesPerTrigger=1 with a multi-file source would be ideal; the
+    // events table is one file, so buffer serialization is still forced
+    // by the shuffle's partial/final aggregation round-trip per batch
+    val stream = EventStream.readEvents(spark, sf)
+    EventStream.runAvailableNow(
+      EventStream.windowedTopK(stream), "topk_test", ckpt, OutputMode.Complete
+    )
+    val streamed = spark.table("topk_test")
+      .select("hour", "rnk", "event_id")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = EventStream.windowedTopKBatch(spark, sf)
+      .select("hour", "rnk", "event_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
+
   test("stream-stream attribution join converges to the batch twin") {
     val ckpt = Files.createTempDirectory("graft_attr_ckpt").toString
     val stream = EventStream.readEvents(spark, sf, maxFilesPerTrigger = 1)
