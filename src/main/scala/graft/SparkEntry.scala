@@ -58,6 +58,7 @@ object SparkEntry {
     "q_corr_subquery"   -> (Relational.qCorrSubquery _),
     "q_skew_join"       -> (Relational.qSkewJoin _),
     "q_retention"       -> (Relational.qRetention _),
+    "q_group_median"    -> (Relational.qGroupMedian _),
     "q_interval_join"   -> (Intervals.incidentOverlapQuery _),
     // -- training-data pipeline operators --------------------------------
     "dedup_exact"       -> (Dedup.exactClusters _),
@@ -173,6 +174,8 @@ object SparkEntry {
       """WITH ca AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price FROM orders GROUP BY 1) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM orders o JOIN ca USING (o_custkey) WHERE o_totalprice > avg_price GROUP BY 1 ORDER BY 1""",
     "q_skew_join" ->
       """WITH a AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty FROM lineitem GROUP BY 1) SELECT l_returnflag, count(*) AS n_above, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN a USING (l_returnflag) WHERE l_quantity > avg_qty GROUP BY 1 ORDER BY 1""",
+    "q_group_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1) SELECT strftime(cohort, '%Y-%m-%d') AS cohort_d, CAST(date_diff('day', cohort, d) AS INT) AS days_since, count(*) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_interval_join" ->

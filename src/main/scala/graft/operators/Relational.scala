@@ -598,6 +598,23 @@ object Relational {
     graft.engine.Caching.handoff(out, v, c)
   }
 
+  /** Exact per-group percentiles on a BOUNDED-DOMAIN column: `percentile`
+    * is an exact aggregate whose state is the per-group value-count map,
+    * so on a domain like l_quantity (50 integer values) state is O(50)
+    * per group at any corpus size and partial-aggregates map-side — the
+    * scale-safe exact path that `q_percentiles`' GlobalRank covers for
+    * unbounded domains. Integer-valued doubles make the interpolation
+    * arithmetic ((1-d)*lo + d*hi at most one .5 step) engine-exact.
+    */
+  def qGroupMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Cohort retention: users grouped by first-seen day, counted on each
     * later day they were active. Both sides of the join are per-user
     * aggregates keyed on `user_id`, so the cohort join reuses one
