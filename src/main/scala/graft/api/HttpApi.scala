@@ -214,19 +214,34 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     val sizeCols = Option(body.get("sizeCols"))
       .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
-    val backlog = g.addTask(spec, sizeCols)
+    // same submit-to-start guard as DELETE: a re-add between a run's 202
+    // and its drain thread starting would replace the TaskState under the
+    // run. Planning inside the lock serializes control-plane mutations
+    // for its duration — the recorded synchronous-add-planning trade-off;
+    // reads (getRun/status) are lock-free on the concurrent map.
+    val backlog = runs.synchronized {
+      if (Option(runs.get(id)).exists(_.state == "running"))
+        throw new IllegalStateException(
+          s"task '$id' has a run in flight; stop it before re-adding")
+      g.addTask(spec, sizeCols)
+    }
     json(ex, 200, Map("backlog" -> backlog.size))
   }
 
   private def runTask(ex: HttpExchange, id: String): Unit = {
-    if (!g.listTasks.contains(id)) { json(ex, 404, Map("error" -> s"task '$id' not found")); return }
     // reject at claim time rather than letting the async runnable fail:
     // a run while stopped would otherwise surface as a recorded failure
     if (!g.isRunning) {
       json(ex, 409, Map("error" -> "manager is stopped; POST /_start before running")); return
     }
-    // claim atomically: one drain per task at a time
+    // claim atomically: one drain per task at a time. The existence
+    // check lives INSIDE the lock because DELETE removes the task under
+    // the same lock — outside it, a concurrent delete between check and
+    // claim would record a phantom "failed" run for a vanished task.
     val claimed = runs.synchronized {
+      if (!g.listTasks.contains(id)) {
+        json(ex, 404, Map("error" -> s"task '$id' not found")); return
+      }
       Option(runs.get(id)).forall(_.state != "running") && {
         runs.put(id, RunSummary("running", 0, 0L, None)); true
       }

@@ -59,8 +59,13 @@ object Clustering {
       vCol: String = "id_b",
       maxRounds: Int = 30
   ): DataFrame = {
+    // one evaluation of the caller's edge pipeline feeds BOTH the first
+    // frontier checkpoint and the node set for singleton labeling — an
+    // uncached input (the public API takes any edge DataFrame) would
+    // otherwise re-run its full upstream pipeline for the final labels
     val raw0 = edges
       .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = raw0.filter(col("u") =!= col("v"))
 
     /** Eagerly checkpoint `df` and hand back a release hook for its
@@ -155,6 +160,7 @@ object Clustering {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     releaseE()
+    raw0.unpersist(blocking = false)
     out
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -25,14 +26,17 @@ import graft.Tables
   */
 object Intervals {
 
-  /** Floor division, correct for negative epochs too (`div` truncates
-    * toward zero; bins must tile the line monotonically). Subtracting the
-    * non-negative `pmod` remainder first makes the numerator an exact
-    * multiple of `w`, so the double division is exact — no off-by-one at
-    * bin boundaries from float rounding.
+  /** Floor division, exact over the FULL long range and correct for
+    * negative epochs (`div` truncates toward zero; bins must tile the
+    * line monotonically). Subtracting the non-negative `pmod` remainder
+    * makes the numerator an exact multiple of `w`; the division then
+    * runs in decimal — `/` on longs is double division, which rounds
+    * the numerator above 2^53 and shifts bin ids at boundaries (this
+    * codebase carries nanosecond epochs ~1.7e18, well past that).
     */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    ((c - pmod(c, lit(w))).cast(DecimalType(38, 0)) / lit(w).cast(DecimalType(38, 0)))
+      .cast("long")
 
   /** Overlap-join two interval tables on closed intervals
     * `[start, end]` (micros or any monotone long). Column names of the

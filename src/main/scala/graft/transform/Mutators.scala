@@ -226,11 +226,23 @@ object ExprMutators {
     val c = expr(sql)
     // parse independently for the walk: Spark 4's Column no longer
     // exposes its catalyst tree, and the parser is the same one expr uses
-    val called = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseExpression(sql).collect {
-        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-          f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-      }.toSet
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+    // `collect` walks expression children only — a subquery's inner plan
+    // is NOT a child, so `(SELECT reflect(...))` would smuggle a denied
+    // call past the function walk. Subqueries have no meaning in a
+    // per-row mutator anyway (no other table is in scope): reject the
+    // whole construct instead of trying to walk every plan shape.
+    parsed.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        throw new IllegalArgumentException(
+          s"subqueries are not allowed in uploaded expressions: $sql")
+      case _ => ()
+    }
+    val called = parsed.collect {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
     val bad = called.intersect(DeniedFunctions)
     if (bad.nonEmpty)
       throw new IllegalArgumentException(

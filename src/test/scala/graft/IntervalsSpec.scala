@@ -55,6 +55,30 @@ class IntervalsSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
   }
 
+  test("overlapJoin is exact at nanosecond-epoch magnitudes (beyond double precision)") {
+    import spark.implicits._
+    // ~1.7e18 ns epochs: (base + small offsets) are NOT representable in
+    // a double, so a float-rounded bin id would mis-bin these endpoints
+    val base = 1700000000000000000L
+    val w = 3600L * 1000000000L // 1h bins in ns
+    val left = Seq(
+      (1L, base - 1L, base + 1L),          // straddles a bin boundary iff base % w near 0
+      (2L, base + w - 1L, base + w + 1L),  // straddles the next boundary
+      (3L, base + 10L, base + 20L)
+    ).toDF("a_id", "a_start", "a_end")
+    val right = Seq(
+      (10L, base, base),                    // point at base
+      (11L, base + w, base + w),            // point one bin later
+      (12L, base + 15L, base + 16L)
+    ).toDF("b_id", "b_start", "b_end")
+    val got = Intervals
+      .overlapJoin(left, right, "a_start", "a_end", "b_start", "b_end", binWidth = w)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = naive(left, right)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("q_interval_join driver query returns one row per incident") {
     val out = Intervals.incidentOverlapQuery(spark, sf).collect()
     assert(out.nonEmpty)

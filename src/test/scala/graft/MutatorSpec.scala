@@ -231,4 +231,18 @@ class MutatorSpec extends SparkSpec {
     // ordinary expressions are untouched
     assert(ExprMutators.drop(oid, "price < 10").id == oid)
   }
+
+  test("uploaded expressions may not smuggle calls inside subqueries") {
+    val oid = model.ObjectId("ns", "sneaky")
+    // a subquery's inner plan is not an expression CHILD, so a plain
+    // function-walk never sees the reflect below — subqueries are
+    // rejected wholesale (they have no meaning in a per-row mutator)
+    val e = intercept[IllegalArgumentException](ExprMutators.drop(
+      oid, "(SELECT reflect('java.lang.System', 'getenv', 'PATH')) = 'x'"))
+    assert(e.getMessage.contains("subquer"))
+    intercept[IllegalArgumentException](ExprMutators.withColumn(
+      oid, "x", "EXISTS (SELECT 1)"))
+    intercept[IllegalArgumentException](ExprMutators.assign(
+      oid, "price IN (SELECT 1)", "c" -> "1"))
+  }
 }
