@@ -56,7 +56,8 @@ final class Graft(
       sink: DocConnector,
       var backlog: Seq[SubtaskSpec],
       var completed: Set[String],
-      progress: TrieMap[String, Progress]
+      progress: TrieMap[String, Progress],
+      typeFilters: Seq[MetadataFilters.TypePred] = Seq.empty
   )
 
   private val tasks = new java.util.concurrent.ConcurrentHashMap[String, TaskState]()
@@ -100,10 +101,10 @@ final class Graft(
     * subtracts completed subtasks — the reference's resume.
     *
     * Stored filters referenced by `spec.indexFilters` prune the table
-    * list at PLAN time (index-kind ones; type-kind stored filters apply
-    * on the metadata-transfer path), OR-combined with any programmatic
-    * `indexFilters` passed directly — multiple filters widen, never
-    * narrow (`subtasks.js:164`).
+    * list at PLAN time (index-kind ones; type-kind stored filters are
+    * retained and applied by [[transferTaskMetadata]]), OR-combined with
+    * any programmatic `indexFilters` passed directly — multiple filters
+    * widen, never narrow (`subtasks.js:164`).
     */
   def addTask(
       spec: TaskSpec,
@@ -126,6 +127,7 @@ final class Graft(
 
     val allIndexPreds = indexFilters ++
       storedFilters.filter(_.kind == StoredFilter.Index).map(_.indexPred)
+    val typePreds = storedFilters.filter(_.kind == StoredFilter.Type).map(_.typePred)
     val configs = spec.tables.map(t => IndexConfig(t))
     val potential = Planner.expand(
       spark, spec, sizeCols, configs, allIndexPreds, buckets, (s, t) => source.scan(s, t))
@@ -134,8 +136,32 @@ final class Graft(
     val priorProgress = Option(tasks.get(spec.name)).map(_.progress)
       .getOrElse(TrieMap.empty[String, Progress])
     tasks.put(spec.name,
-      TaskState(spec, pipeline, sizeCols, source, sink, backlog, prior, priorProgress))
+      TaskState(spec, pipeline, sizeCols, source, sink, backlog, prior, priorProgress,
+        typePreds))
     backlog
+  }
+
+  /** Run a task's METADATA transfer (K3/K4): index configs and templates
+    * flow source→dest through the task's index/template mutators, and the
+    * task's TYPE-kind stored filters prune mapping types (F2 — the
+    * reference applies them at type expansion, `subtasks.js:165`; our
+    * data subtasks have no type axis, so the mapping-key prune here is
+    * where a stored type filter acts — previously they were validated at
+    * add and then silently ignored).
+    */
+  def transferTaskMetadata(
+      name: String,
+      source: Catalog,
+      dest: Catalog,
+      indexPattern: String = "*",
+      templatePattern: String = "*",
+      tolerateMissingTemplates: Boolean = false
+  ): (Seq[IndexConfig], Seq[Template]) = {
+    val st = Option(tasks.get(name))
+      .getOrElse(throw new NoSuchElementException(s"no such task: $name"))
+    Transfer.transferMetadata(
+      source, dest, st.pipeline, indexPattern, templatePattern,
+      tolerateMissingTemplates, st.typeFilters)
   }
 
   /** Execute the backlog. Failures are recorded (P8) and do not abort the

@@ -188,10 +188,21 @@ object Transfer {
       pipeline: Pipeline,
       indexPattern: String = "*",
       templatePattern: String = "*",
-      tolerateMissingTemplates: Boolean = false
+      tolerateMissingTemplates: Boolean = false,
+      typeFilters: Seq[graft.transform.MetadataFilters.TypePred] = Seq.empty
   ): (Seq[IndexConfig], Seq[Template]) = {
+    // F2: type filters prune which mapping TYPES (mapping keys) each
+    // index carries across — OR-combined, none = keep all
+    // (`subtasks.js:165`'s getTypesFromMappings + predicate)
+    def pruneTypes(ic: IndexConfig): IndexConfig =
+      if (typeFilters.isEmpty) ic
+      else {
+        val kept = graft.transform.MetadataFilters
+          .applyTypeFilters(ic.mappings.keys.toSeq, typeFilters).toSet
+        ic.copy(mappings = ic.mappings.view.filterKeys(kept).toMap)
+      }
     val ics = source.getIndices(indexPattern).map { ic =>
-      dest.createIndex(pipeline.indexMutators.foldLeft(ic)((acc, f) => f(acc)))
+      dest.createIndex(pipeline.indexMutators.foldLeft(pruneTypes(ic))((acc, f) => f(acc)))
     }
     val tps =
       try source.getTemplates(templatePattern).map { t =>

@@ -188,6 +188,16 @@ final case class StoredFilter(id: ObjectId, kind: String, pattern: String) {
   require(
     kind == StoredFilter.Index || kind == StoredFilter.Type,
     s"filter kind must be '${StoredFilter.Index}' or '${StoredFilter.Type}', got '$kind'")
+  // compile eagerly at construction: an invalid pattern must fail the
+  // POST that stores the filter (400), not detonate inside a later task
+  // add that references it — stored-but-broken state fails every future
+  // task with an error pointing at the wrong request
+  try java.util.regex.Pattern.compile(pattern)
+  catch {
+    case e: java.util.regex.PatternSyntaxException =>
+      throw new IllegalArgumentException(
+        s"invalid filter pattern '$pattern': ${e.getMessage}")
+  }
   @transient private lazy val rx = pattern.r
   /** As an index-metadata predicate; never matches when kind is `type`. */
   def indexPred: MetadataFilters.IndexPred =

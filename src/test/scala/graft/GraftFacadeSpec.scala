@@ -64,6 +64,29 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g.mutators.list("job1").isEmpty)
   }
 
+  test("type-kind stored filters referenced by a task prune mapping types in metadata transfer (F2)") {
+    val g = new Graft(spark)
+    val dest = Files.createTempDirectory("graft_facade_types").toString
+    g.filters.add(
+      ObjectId("job4", "logsOnly"),
+      StoredFilter(ObjectId("job4", "logsOnly"), StoredFilter.Type, "logs.*"))
+    val spec = TaskSpec("job4", sourceDir = sf, destDir = dest,
+      tables = Seq("region"),
+      indexFilters = Seq(ActionRef(ObjectId("job4", "logsOnly"))))
+    g.addTask(spec)
+
+    val src = new graft.engine.Catalog
+    src.createIndex(IndexConfig(
+      "idx1",
+      mappings = Map("logs2024" -> "doc", "metrics" -> "doc", "logs2025" -> "doc")))
+    val dst = new graft.engine.Catalog
+    val (ics, _) = g.transferTaskMetadata(
+      "job4", src, dst, tolerateMissingTemplates = true)
+    // only mapping types matching the stored type filter cross over
+    assert(ics.map(_.mappings.keySet) == Seq(Set("logs2024", "logs2025")))
+    assert(dst.getIndices("idx1").head.mappings.keySet == Set("logs2024", "logs2025"))
+  }
+
   test("runTask records subtask errors and continues (P8)") {
     val g = new Graft(spark)
     val dest = Files.createTempDirectory("graft_facade_err").toString

@@ -232,6 +232,12 @@ class MutatorSpec extends SparkSpec {
     assert(ExprMutators.drop(oid, "price < 10").id == oid)
   }
 
+  test("stored filters reject an invalid regex at construction, not first use") {
+    val e = intercept[IllegalArgumentException](
+      StoredFilter(ObjectId("ns", "broken"), StoredFilter.Index, "("))
+    assert(e.getMessage.contains("invalid filter pattern"))
+  }
+
   test("uploaded expressions may not smuggle calls inside subqueries") {
     val oid = model.ObjectId("ns", "sneaky")
     // a subquery's inner plan is not an expression CHILD, so a plain
