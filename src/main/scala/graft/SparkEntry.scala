@@ -93,7 +93,7 @@ object SparkEntry {
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
-    "stream_topk"          -> (graft.streaming.EventStream.windowedTopKBatch _),
+    "stream_topk"          -> ((s, d) => graft.streaming.EventStream.windowedTopKBatch(s, d)),
     "stream_attribution"   -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d))
   )
 

@@ -72,7 +72,9 @@ object Bounds {
       .groupBy("__bucket")
       .agg(count(lit(1)).as("cnt"), max(col("__size")).as("maxSize"))
       .collect()
-      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+      // a bucket of only null sizes has a null max (bucket 0 owns nulls
+      // by the when-chain's otherwise): flush-size from 0.0, not an NPE
+      .map(r => (r.getInt(0), (r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
       .toMap
 
     lowers.indices.map { i =>

@@ -32,9 +32,13 @@ final class Catalog {
     import scala.jdk.CollectionConverters._
     val rx = globToRegex(pattern)
     val all = templates.values.asScala.toSeq.filter(t => rx.matches(t.name))
-    if (all.isEmpty)
+    // error-if-none runs AFTER the system (dot) filter: a pattern that
+    // matches only system templates is as typo'd as one matching nothing,
+    // and returning empty here would hide it as success
+    val visible = all.filterNot(_.name.startsWith("."))
+    if (visible.isEmpty)
       throw new NoSuchElementException(s"no templates found for pattern '$pattern'")
-    all.filterNot(_.name.startsWith(".")).sortBy(_.name)
+    visible.sortBy(_.name)
   }
 
   // -- K3: index DDL sink with system-setting projection ----------------

@@ -59,7 +59,12 @@ object Layout {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val normalized = cols.zipWithIndex.map { case (c, j) =>
-      normalize(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
+      // all-null column (or empty input): null min/max -> rank 0 for the
+      // dimension (normalize's hi <= lo path), not a driver NPE
+      val (lo, hi) =
+        if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) (0.0, 0.0)
+        else (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+      normalize(col(c), lo, hi, bits)
     }
     interleaveBits(normalized, bits)
   }

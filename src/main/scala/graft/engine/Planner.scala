@@ -32,7 +32,13 @@ object Planner {
     // default scan: the parquet layout rooted at the task's sourceDir
     val doScan = Option(scan).getOrElse(
       (s: SparkSession, t: String) => s.read.parquet(s"${task.sourceDir}/$t.parquet"))
-    val kept = MetadataFilters.applyIndexFilters(indexConfigs, indexFilters).map(_.name).toSet
+    // no catalog metadata at all = nothing to filter AGAINST, keep every
+    // task table — the same empty-catalog-keeps-everything invariant
+    // Transfer.runTask guards; an empty `kept` here would silently plan
+    // zero subtasks and report a vacuous "done"
+    val kept =
+      if (indexConfigs.isEmpty) task.tables.toSet
+      else MetadataFilters.applyIndexFilters(indexConfigs, indexFilters).map(_.name).toSet
     task.tables.filter(kept).flatMap { t =>
       val df = doScan(spark, t)
       sizeCols.get(t) match {

@@ -46,6 +46,11 @@ object Transfer {
       versionCols: Seq[Column] = Seq.empty,
       tableName: Option[String] = None
   ): TableResult = {
+    // a keyed upsert with no version order would build a row_number
+    // window with an empty ORDER BY — an AnalysisException at run time
+    // and, worse, a nondeterministic "latest" if it ever analyzed
+    require(upsertKeys.isEmpty || versionCols.nonEmpty,
+      "upsertKeys without versionCols: last-write-wins needs an ordering")
     val src = spark.read.parquet(sourcePath)
     val mutated = MutatorPipeline.applyColumnar(src, pipeline.columnMutators)
     val deduped =
@@ -204,13 +209,19 @@ object Transfer {
     val ics = source.getIndices(indexPattern).map { ic =>
       dest.createIndex(pipeline.indexMutators.foldLeft(pruneTypes(ic))((acc, f) => f(acc)))
     }
-    val tps =
-      try source.getTemplates(templatePattern).map { t =>
-        dest.createTemplate(pipeline.templateMutators.foldLeft(t)((acc, f) => f(acc)))
-      }
+    // tolerance covers ONLY the pattern-matched-nothing lookup: a
+    // NoSuchElementException thrown by a template MUTATOR (Map#apply on
+    // a missing key) or by createTemplate must propagate, not vanish as
+    // "no templates" after earlier templates were already written
+    val found =
+      try source.getTemplates(templatePattern)
       catch {
-        case _: NoSuchElementException if tolerateMissingTemplates => Seq.empty
+        case _: NoSuchElementException if tolerateMissingTemplates =>
+          Seq.empty[graft.model.Template]
       }
+    val tps = found.map { t =>
+      dest.createTemplate(pipeline.templateMutators.foldLeft(t)((acc, f) => f(acc)))
+    }
     (ics, tps)
   }
 }

@@ -288,10 +288,10 @@ object EventStream {
     * oracle; the bounded aggregate here — same rows proves the aggregate
     * against the window-function semantics it replaces).
     */
-  def windowedTopKBatch(spark: SparkSession, dir: String): DataFrame =
+  def windowedTopKBatch(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     graft.Tables.events(spark, dir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"))
-      .agg(graft.functions.agg.topKOrdTie(col("value"), col("event_id"), 3).as("top"))
+      .agg(graft.functions.agg.topKOrdTie(col("value"), col("event_id"), k).as("top"))
       .select(col("hour"), posexplode(col("top")))
       .select(
         col("hour"),

@@ -56,6 +56,11 @@ object IngestDedup {
       .select(col("h"))
     val kept = h.join(firstInBatch, "h")
       .filter(col("doc_id") === col("__keep"))
+      // at-least-once delivery can repeat the SAME (doc_id, text) row
+      // within one micro-batch; both copies pass the min-doc_id keep, so
+      // collapse to one row per content here — the operator's whole
+      // contract is that only first-seen content lands
+      .dropDuplicates("h")
       .join(prior, Seq("h"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -39,6 +39,21 @@ class EngineSpec extends SparkSpec {
     plan.foreach(b => assert(b.count < 2 * ideal, s"skewed bucket: $b"))
   }
 
+  test("bounds: null-heavy size column plans without crashing (nulls land in bucket 0)") {
+    import spark.implicits._
+    // constant non-null value + nulls: quantile cuts collapse to one
+    // value, bucket 0 holds ONLY nulls -> its max(size) is null
+    val df = Seq[java.lang.Double](5.0, 5.0, 5.0, null, null)
+      .toDF("sz")
+    val plan = Bounds.plan(df, "t", "sz", buckets = 3)
+    assert(plan.map(_.count).sum == 5L)
+    assert(plan.head.minSize.isNegInfinity)
+    // fully-null column: still a valid (single-bucket-shaped) plan
+    val allNull = Seq[java.lang.Double](null, null).toDF("sz")
+    val p2 = Bounds.plan(allNull, "t", "sz", buckets = 3)
+    assert(p2.map(_.count).sum == 2L)
+  }
+
   test("global rank: matches window row_number/ntile without a single-partition sort") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.lineitem(spark, sf)
@@ -272,6 +287,24 @@ class EngineSpec extends SparkSpec {
     val (_, tps) = Transfer.transferMetadata(
       src, new Catalog, Transfer.Pipeline(), tolerateMissingTemplates = true)
     assert(tps.isEmpty)
+    // a pattern matching ONLY system (dot) templates is as typo'd as one
+    // matching nothing: error-if-none runs after the dot filter
+    src.createTemplate(graft.model.Template(".monitoring", Seq(".mon-*")))
+    intercept[NoSuchElementException](src.getTemplates("*"))
+    // the mutator tolerance scope: a NoSuchElementException thrown by a
+    // template MUTATOR must propagate even with tolerance on
+    src.createTemplate(graft.model.Template("real", Seq("r-*")))
+    val boom = Transfer.Pipeline(templateMutators =
+      Seq(t => { t.settings("missing.key"); t }))
+    intercept[NoSuchElementException](
+      Transfer.transferMetadata(src, new Catalog, boom, tolerateMissingTemplates = true))
+  }
+
+  test("planner: empty catalog keeps every task table (no silent zero-subtask plan)") {
+    val task = TaskSpec("planEmpty", sf, "/tmp/unused", tables = Seq("region", "nation"))
+    val potential = graft.engine.Planner.expand(
+      spark, task, sizeCols = Map.empty, indexConfigs = Seq.empty)
+    assert(potential.map(_.table).toSet == Set("region", "nation"))
   }
 
   test("planner: expand x buckets, resume diff skips completed (P1/P5, subtasks.js:369-396)") {

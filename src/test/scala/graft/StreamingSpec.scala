@@ -78,6 +78,12 @@ class StreamingSpec extends SparkSpec {
     // crash replay of batch 1: overwrite-by-batch layout converges
     assert(IngestDedup.processBatch(b1, 1L, dest, digests) == 1L)
     assert(spark.read.parquet(dest).count() == 3L)
+    // at-least-once redelivery: the SAME row twice in one batch (same
+    // doc_id AND text) must land exactly once — both copies pass the
+    // min-doc_id keep, only the content-hash dedup collapses them
+    val b2 = Seq((6L, "delta text"), (6L, "delta text")).toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b2, 2L, dest, digests) == 1L)
+    assert(spark.read.parquet(dest).filter(col("doc_id") === 6L).count() == 1L)
   }
 
   test("dedup ingest end-to-end: file stream drains with AvailableNow") {
