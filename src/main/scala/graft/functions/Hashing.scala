@@ -30,7 +30,9 @@ private[functions] object TokenHash {
   * (two base hashes per token instead of `numHashes` passes over the
   * bytes), the standard trick for MinHash families.
   */
-case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   require(numHashes > 0 && numHashes <= 1024, s"numHashes out of range: $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -48,7 +50,9 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
 /** 64-bit SimHash of a token array: per-bit vote of each token's xxh64;
   * near-duplicate texts land within a small Hamming distance.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 
@@ -68,7 +72,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * signature from `md5(token)` hex, which xxh64 does not allow. Use
   * [[SimHash64]] when raw throughput matters more than SQL parity.
   */
-case class SimHashMd5(child: Expression) extends UnaryExpression {
+case class SimHashMd5(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 
@@ -89,7 +95,9 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
   * and `slice` copies — measured ~60x slower than this loop on the
   * benchmark corpus. Output order is first-occurrence, deduplicated.
   */
-case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   require(k > 0, "k must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -110,7 +118,9 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
   * hash set is a position-robust document fingerprint: shared substrings
   * of length >= k+w-1 are guaranteed to share a fingerprint.
   */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   require(k > 0 && w > 0, "k and w must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -132,7 +142,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   * set, and the SORTED output lets [[SortedIntersectCount]] verify
   * candidate pairs with a linear merge.
   */
-case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression {
+case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   require(k > 0, "k must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -151,7 +163,9 @@ case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression {
   * split-based formulation allocates every token string plus the array
   * per row just to take its length ([[SketchKernels.tokenCount]]).
   */
-case class TokenCountExpr(child: Expression) extends UnaryExpression {
+case class TokenCountExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = IntegerType
 
@@ -202,7 +216,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * [[SketchKernels.langId]] computes all five counts and the tie-break
   * pick in a single scan.
   */
-case class LangIdGuess(child: Expression) extends UnaryExpression {
+case class LangIdGuess(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = StringType
 

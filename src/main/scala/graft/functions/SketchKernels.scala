@@ -224,12 +224,17 @@ object SketchKernels {
     while (i + k <= n) {
       sb.setLength(0)
       var j = 0
+      var hasNull = false
       while (j < k) {
         if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        // null elements arrive through the SQL surface (array('a', NULL));
+        // skip shingles containing them like the minhash/simhash kernels
+        // skip null tokens, instead of NPE-ing the task
+        val t = toks.getUTF8String(i + j)
+        if (t == null) hasNull = true else sb.append(t.toString)
         j += 1
       }
-      seen.add(UTF8String.fromString(sb.toString))
+      if (!hasNull) seen.add(UTF8String.fromString(sb.toString))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

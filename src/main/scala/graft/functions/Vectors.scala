@@ -17,8 +17,14 @@ import org.apache.spark.sql.types._
   * Accumulation is double-precision and strictly sequential, so results
   * are deterministic for a given vector pair.
   */
-abstract class FloatVecBinary extends BinaryExpression {
-  // inputs must be array<float>; callers are the engine's own operators
+abstract class FloatVecBinary extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // array<float> enforced at ANALYSIS: these are also SQL functions
+  // (graft_dot/graft_cosine), and a numeric-literal array there is
+  // array<double>/array<decimal> — getFloat on those buffers reads
+  // misaligned garbage, so reject the query instead
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
 }
 

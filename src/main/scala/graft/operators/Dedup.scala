@@ -14,6 +14,17 @@ import graft.functions.{text, sketch}
   */
 object Dedup {
 
+  /** Ordered (id_a < id_b) pair combinations from a SORTED posting-list
+    * array — the one emission kernel shared by every inverted-index
+    * join (n-gram prefix candidates, winnow fingerprint pairs), so a
+    * fix to its slice bounds can't silently miss a twin copy.
+    */
+  private[operators] def orderedPairs(ids: String): Column =
+    explode(expr(
+      s"flatten(transform($ids, (a, i) -> " +
+        s"transform(slice($ids, i + 2, size($ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
+    ))
+
   // --------------------------------------------------------------------
   // Exact dedup: hash-groupBy on content. One shuffle on the digest key;
   // at 100 TB the map-side partial agg collapses each partition's dups
@@ -39,11 +50,15 @@ object Dedup {
     val h =
       if (contentCols.sizeIs == 1) md5(contentCols.head.cast("string"))
       else md5(to_json(struct(contentCols: _*)))
-    val withH = df.withColumn("__h", h)
-    val keep = withH.groupBy(col("__h")).agg(min(idCol).as("__keep"))
-    withH
-      .join(keep, withH("__h") === keep("__h") && idCol === col("__keep"), "left_semi")
-      .drop("__h")
+    // ONE aggregation: min_by keeps the min-id row per digest with
+    // map-side partial aggregation — the former groupBy + semi-join pair
+    // consumed the digest projection twice, re-running the source scan
+    // and the md5 for the probe side (a second full corpus pass at
+    // 100 TB unless the caller pre-persisted)
+    df.withColumn("__h", h)
+      .groupBy(col("__h"))
+      .agg(min_by(struct(df.columns.map(col): _*), idCol).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** Incremental dedup: a NEW ingestion batch checked against the
@@ -214,21 +229,11 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // verify: fetch shingle sets for candidate ids only
-    val shA = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = candidates
-      .join(shA, Seq("id_a"))
-      .join(shB, Seq("id_b"))
-      // merge-count on the sorted sets: |a∪b| = |a|+|b|-|a∩b|, no hash
-      // sets and no union array per candidate row
-      .withColumn("__i", sketch.sortedIntersectCount(col("sh_a"), col("sh_b")))
-      .withColumn(
-        "jaccard",
-        col("__i").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__i"))
-      )
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // verify: fetch shingle sets for candidate ids only — the same
+    // sorted-merge verifier the n-gram join uses (one copy of the
+    // jaccard formula and threshold cut)
+    val pairs =
+      verifiedJaccard(candidates, s.select(col("doc_id"), col("sh").as("s")), threshold)
     // pairs are tiny relative to the signature table: materialize them,
     // release the signatures — nothing big outlives the call
     graft.engine.Caching.handoff(pairs, s)
@@ -359,8 +364,16 @@ object Dedup {
     val prefix = inv.hint("shuffle_hash").join(dfs, Seq("g"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("__df"), col("g"))).as("dg"), first(col("n")).as("n"))
+      // prefix length = n - ceil(t*n) + 1 (the AllPairs lemma bound).
+      // Computed IN SQL from the threshold literal: interpolating the
+      // Scala double 1.0-t bakes in its binary error (1.0-0.8 =
+      // 0.1999...96 -> a one-too-SHORT prefix at t=0.8, i.e. silently
+      // missed pairs from an operator documented exact). The 1e-9 guard
+      // absorbs the remaining representation noise in ceil's argument in
+      // the SAFE direction only (a razor-edge t*n may lengthen the
+      // prefix by one, never shorten it).
       .select(col("doc_id"), explode(expr(
-        s"transform(slice(array_sort(dg), 1, int(floor(${1.0 - threshold} * n) + 1)), x -> x.g)"
+        s"transform(slice(array_sort(dg), 1, int(n - ceil($threshold * n - 1e-9) + 1)), x -> x.g)"
       )).as("g"))
     // grouped emission, not a self-join: one shuffle folds the per-gram
     // posting list and ordered array combinations emit the candidate
@@ -370,10 +383,7 @@ object Dedup {
     prefix
       .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
-      )).as("p"))
+      .select(orderedPairs("ids").as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
   }

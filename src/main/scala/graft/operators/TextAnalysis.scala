@@ -114,10 +114,7 @@ object TextAnalysis {
     // ids are sorted, so ordered combinations give id_a < id_b directly
     val emitted = grouped
       .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS id_a, b AS id_b))))"
-      )).as("p"))
+      .select(Dedup.orderedPairs("ids").as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     val pairs = emitted
       .groupBy("id_a", "id_b")

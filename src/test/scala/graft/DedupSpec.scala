@@ -343,6 +343,21 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == Seq("a b c", "b c d"))
   }
 
+  test("prefix filtering: lemma bound survives float thresholds (t=0.8, J=4/5 pair)") {
+    // J(A,B) = 4/5 = 0.8 >= t. The lemma prefix for |A|=5 at t=0.8 is
+    // 5 - ceil(4) + 1 = 2; interpolating the Scala double 1.0-0.8
+    // (0.1999...96) gave floor(0.999...)+1 = 1 — A then indexed only its
+    // unique shingle, B only s1, and the qualifying pair vanished from
+    // an operator documented EXACT
+    val sh = Seq(
+      (1L, Seq("x", "s1", "s2", "s3", "s4")),
+      (2L, Seq("s1", "s2", "s3", "s4"))
+    ).toDF("doc_id", "s")
+    val cands = Dedup.prefixCandidates(sh, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), s"J=0.8 pair must be a candidate, got $cands")
+  }
+
   test("lineStats: per-doc dup-line fractions over genuinely multi-line docs") {
     val docs = Seq(
       (1L, "header\nunique one\nfooter"),
