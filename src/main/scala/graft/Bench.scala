@@ -65,20 +65,30 @@ object Bench {
       // reported numbers are steady-state throughput, not first-query warmup
       runOnce()
       val gc0 = gcSeconds()
-      // ADAPTIVE iteration count: a 0.2s query's min-of-2 still carries
-      // ±0.1s of scheduler/startup noise (= a phantom 1.5x swing between
-      // runs), so cheap queries keep sampling until ~2s of timed work or
-      // 10 iterations — expensive queries stay at the configured count.
+      // ADAPTIVE iteration count, two rules:
+      //  - cheap queries keep sampling until ~2s of timed work or 10
+      //    iterations (a 0.2s query's min-of-2 carries ±0.1s of
+      //    scheduler noise = a phantom 1.5x swing between runs);
+      //  - queries STILL IMPROVING keep sampling (max 8): the heaviest
+      //    codegen query (dedup_ngram) takes 3+ iterations to JIT-warm
+      //    (measured 14.5 -> 8.7 -> 3.6 -> 3.3s in one JVM), so a fixed
+      //    2-iteration min lands anywhere on that curve and swung
+      //    2.8/5.8/9.0s across idle runs of IDENTICAL code. "Improving"
+      //    = the newest sample beat the running min by >20%.
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var spent = 0.0
-      while (samples.length < iters || (spent < 2.0 && samples.length < 10)) {
+      var improving = true
+      while (samples.length < iters || (spent < 2.0 && samples.length < 10) ||
+             (improving && samples.length < 8)) {
         // drop blocks persisted by the previous iteration BEFORE the clock
         // starts: several operators persist a shared stage, and carried-over
         // blocks both under-report the re-run and pile up memory pressure.
         spark.catalog.clearCache()
+        val prevMin = if (samples.isEmpty) Double.MaxValue else samples.min
         val t0 = System.nanoTime()
         runOnce()
         val dt = (System.nanoTime() - t0) / 1e9
+        improving = dt < prevMin * 0.8
         samples += dt
         spent += dt
       }
