@@ -73,6 +73,9 @@ object SparkEntry {
     "ann_topk"          -> (Similarity.annTopKQuery _),
     "ann_lsh"           -> (Similarity.annLshQuery _),
     "ann_ivf"           -> (Similarity.annIvfQuery _),
+    "embed_centroids"   -> (Similarity.centroidsQuery _),
+    "q_transitions"     -> (Relational.qTransitions _),
+    "q_anomaly"         -> (Relational.qAnomaly _),
     "text_tokens"       -> (TextAnalysis.textTokens _),
     "text_tokens_bpe"   -> (TextAnalysis.textTokensBpe _),
     "text_quality"      -> (TextAnalysis.textQuality _),
@@ -178,6 +181,12 @@ object SparkEntry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1) SELECT strftime(cohort, '%Y-%m-%d') AS cohort_d, CAST(date_diff('day', cohort, d) AS INT) AS days_since, count(*) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS to_type FROM events) SELECT event_type AS from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events), st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS n FROM e GROUP BY 1), z AS (SELECT e.event_type, (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z FROM e JOIN st USING (event_type)) SELECT event_type, count(*) AS n_events, count(CASE WHEN abs(z) > 3 THEN 1 END) AS n_outliers FROM z GROUP BY 1 ORDER BY 1""",
+    "embed_centroids" ->
+      """WITH q AS (SELECT label, unnest(range(len(embedding))) AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe FROM embeddings WHERE embedding IS NOT NULL), a AS (SELECT label, dim, CAST(sum(qe) AS BIGINT) AS qs, count(*) AS n_vecs FROM q GROUP BY 1, 2) SELECT label, dim, n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * n_vecs AS DOUBLE) AS centroid FROM a ORDER BY label, dim""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->

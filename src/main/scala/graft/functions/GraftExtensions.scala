@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => LangIdGuess(es(0))
     ))
     e.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      info("graft_vec_sum", "graft_vec_sum(arr) - elementwise sum of array<bigint> per group"),
+      (es: Seq[Expression]) => VecSumLong(es(0))
+    ))
+    e.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - |a INTERSECT b| of two sorted distinct string arrays"),

@@ -52,5 +52,7 @@ object Register {
       "graft_langid", es => LangIdGuess(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect", es => SortedIntersectCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_vec_sum", es => VecSumLong(es(0)), "scala_udf")
   }
 }

@@ -639,6 +639,61 @@ object Relational {
       .orderBy("cohort_d", "days_since")
   }
 
+  /** Markov transition counts over each user's event sequence: for
+    * every consecutive (event, next-event) pair within a user, count the
+    * (from_type, to_type) edge — the clickstream transition matrix a
+    * product-analytics engine derives journey models from. One window
+    * partitioned by `user_id` (bounded per-user state, no global sort)
+    * feeding a tiny `type x type` aggregate; the exchange layout of the
+    * window is reused by nothing downstream, so the plan is one shuffle
+    * on `user_id` plus a map-side-combined aggregate. Exact
+    * integer-microsecond time axis with `event_id` tiebreak for oracle
+    * determinism (see qAsOf).
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .select("user_id", "event_id", "event_type", "tus")
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Z-score anomaly counts per event type: two passes over the events
+    * table — a per-type moment aggregate (sum, sum-of-squares, count on
+    * EXACT integer cents, so the partial aggregation order cannot
+    * perturb the statistics), broadcast back for the z-score filter.
+    * Both passes partial-aggregate map-side; the broadcast keeps the big
+    * side shuffle-free, so at 100 TB the cost is two scans and no
+    * exchange of event rows. The mean/stddev arithmetic is double, but
+    * every operand derives from bit-exact integers via IEEE-deterministic
+    * ops (cast, /, sqrt), so the DuckDB twin computing the identical
+    * expression tree lands on identical bits — which makes the >3-sigma
+    * cut itself deterministic, not just "close".
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val stats = ev.groupBy("event_type").agg(
+      sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("ss"),
+      count(lit(1)).as("n"))
+    val mean = col("s").cast(DoubleType) / col("n")
+    val sd = sqrt(
+      (col("ss").cast(DoubleType) -
+        col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n")) / (col("n") - 1))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("c").cast(DoubleType) - mean) / sd)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(abs(col("z")) > 3, lit(1))).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** As-of join via composition (the custom-operator preference order's
     * first option): each purchase event picks up the most recent PRIOR
     * click of the same user — one window over the unioned stream instead

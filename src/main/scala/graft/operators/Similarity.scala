@@ -278,6 +278,52 @@ object Similarity {
   // -- driver-contract queries ------------------------------------------
 
   /** Brute-force exact top-5 for the first 16 vectors as queries. */
+  /** Per-label embedding centroids via [[graft.functions.vecagg.vecSumLong]]
+    * — the class-prototype aggregate an embedding pipeline runs for
+    * cluster seeding, label diagnostics, and nearest-centroid
+    * classification. The naive plan (posexplode to (label, dim, value) +
+    * groupBy) inflates the corpus d× before its shuffle; the custom
+    * vector-sum aggregate keeps ONE d-length buffer per label per
+    * partition, so the exchange carries `labels × d` longs total.
+    *
+    * Elements are quantized to exact integers (round(x * scale), scale
+    * 1e3 keeps ~2^43 rows-per-label of headroom) BEFORE aggregation:
+    * integer addition is order-independent, so the centroid derived from
+    * the quantized sum is bit-reproducible under any partitioning and
+    * hash-comparable against a single-threaded SQL oracle — a float-sum
+    * centroid is neither. The posexplode here runs on the `labels × d`
+    * AGGREGATE (tiny), not on the corpus.
+    */
+  def centroids(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    val q = transform(
+      col("embedding"),
+      e => round(e.cast(org.apache.spark.sql.types.DoubleType) * scale)
+        .cast(org.apache.spark.sql.types.LongType))
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .groupBy(col("label"))
+      .agg(
+        graft.functions.vecagg.vecSumLong(q).as("qsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"), posexplode(col("qsum")).as(Seq("dim", "qs")))
+      .select(
+        col("label"),
+        col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
+        col("n_vecs"),
+        // divide by the EXACT integer scale*n (cast once), mirroring the
+        // oracle's CAST(scale * n_vecs AS DOUBLE) operand for operand
+        (col("qs").cast(org.apache.spark.sql.types.DoubleType) /
+          (lit(scale.toLong) * col("n_vecs")).cast(org.apache.spark.sql.types.DoubleType))
+          .as("centroid"))
+  }
+
+  /** Driver query: the 64-dim centroid of every label, flattened to
+    * (label, dim, n_vecs, centroid) rows for the oracle hash.
+    */
+  def centroidsQuery(spark: SparkSession, dir: String): DataFrame =
+    centroids(Tables.embeddings(spark, dir))
+      .orderBy("label", "dim")
+
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.vecagg
+import graft.operators.Similarity
+
+/** The elementwise vector-sum aggregate and the centroid operator built
+  * on it: algebra, null/ragged handling, partial-merge correctness
+  * across partitions, the SQL surface, and the centroid's exactness
+  * contract (quantized-integer arithmetic == order-independent).
+  */
+class VecSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vecSumLong sums elementwise with map-side partials across partitions") {
+    val df = (1 to 100)
+      .map(i => (i % 4, Array(i.toLong, 2L * i, -i.toLong)))
+      .toDF("k", "v")
+      .repartition(8) // force partial buffers + exchange merge
+    val out = df.groupBy("k").agg(vecagg.vecSumLong(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val expect = (1 to 100).groupBy(_ % 4).map { case (k, is) =>
+      k -> Seq(is.map(_.toLong).sum, is.map(2L * _).sum, -is.map(_.toLong).sum)
+    }
+    assert(out == expect)
+  }
+
+  test("vecSumLong skips null arrays, zero-fills element nulls and ragged tails") {
+    val df = Seq(
+      (1, Some(Seq(Some(1L), None, Some(3L)))),
+      (1, None),
+      (1, Some(Seq(Some(10L)))),
+      (2, Some(Seq.empty[Option[Long]]))
+    ).toDF("k", "v")
+    val out = df.groupBy("k").agg(vecagg.vecSumLong(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1) == Seq(11L, 0L, 3L)) // ragged: dim = longest seen
+    assert(out(2) == Seq.empty[Long])  // only-empty group -> empty vector
+  }
+
+  test("graft_vec_sum is callable from SQL") {
+    Seq((1, Seq(1L, 2L)), (1, Seq(3L, 4L))).toDF("k", "v")
+      .createOrReplaceTempView("vs_in")
+    val out = spark.sql("SELECT graft_vec_sum(v) AS s FROM vs_in GROUP BY k")
+      .collect().map(_.getSeq[Long](0))
+    assert(out.toSeq == Seq(Seq(4L, 6L)))
+  }
+
+  test("centroids matches the posexplode formulation exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.centroids(emb)
+      .orderBy("label", "dim")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // naive d-times-inflation twin: posexplode + groupBy(label, pos)
+    val naive = emb.filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("label", "dim")
+      .agg(
+        sum(expr("CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)")).as("qs"),
+        count(lit(1)).as("n_vecs"))
+      .select(
+        col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
+        (col("qs").cast("double") / (lit(1000L) * col("n_vecs")).cast("double"))
+          .as("centroid"))
+      .orderBy("label", "dim")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    assert(got.length == naive.length && got.nonEmpty)
+    // exact bit equality, not tolerance: the quantized-integer contract
+    assert(got.sameElements(naive))
+  }
+
+  test("q_transitions edge counts equal a driver-side recount") {
+    val rows = operators.Relational.qTransitions(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // sum of all edges = events - one sequence-end per user
+    assert(total == nEvents - nUsers)
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("q_anomaly outlier counts are sane and deterministic across runs") {
+    val a = operators.Relational.qAnomaly(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = operators.Relational.qAnomaly(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).sum == Tables.events(spark, sf).count())
+    // outliers are a small minority per type
+    a.foreach { case (_, n, out) => assert(out >= 0 && out < n / 10) }
+  }
+}
