@@ -324,6 +324,67 @@ object Similarity {
     centroids(Tables.embeddings(spark, dir))
       .orderBy("label", "dim")
 
+  /** Nearest-centroid assignment — the k-means assignment step / a
+    * nearest-prototype classifier: every vector goes to the label whose
+    * centroid is closest in L2, and the output is the label x assigned
+    * confusion matrix. Dataflow at 100 TB: the centroid table is
+    * `labels` rows (one map-side-combined [[vecagg.vecSumLong]] pass),
+    * broadcast to the corpus scan; the per-vector argmin is a
+    * `min(struct(dist, label))` aggregate, so the corpus is never
+    * shuffled — only the final tiny confusion aggregate exchanges.
+    *
+    * Every distance is computed in QUANTIZED INTEGER space: vectors at
+    * round(x*1000), centroids re-quantized to the same grid, so dist =
+    * sum((qe-qc)^2) is exact int64 arithmetic — order-independent,
+    * engine-independent, and hence a hash-checkable argmin (float
+    * distances would make near-tie assignments an ulp lottery). Ties
+    * break to the smallest label.
+    */
+  def nearestCentroid(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val q = transform(
+      col("embedding"),
+      e => round(e.cast(DoubleType) * scale).cast(LongType))
+    // centroid model: one map-side-combined vector-sum pass reduced to
+    // `labels` rows, collected to the driver and embedded in the plan as
+    // literals (tiny by definition — the annIvf precedent). The argmin
+    // below is then a NARROW per-row expression: the corpus is scanned
+    // once and never shuffled; only the labels² confusion aggregate
+    // exchanges.
+    val cents: Array[(Int, Seq[Long])] = emb
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
+      // re-quantize the centroid onto the same integer grid as the
+      // vectors: round(qsum/n) — one deterministic double division
+      .select(
+        col("c_label"),
+        transform(col("qsum"), s => round(s.cast(DoubleType) / col("n")).cast(LongType))
+          .as("qc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val scored = cents.map { case (lbl, qc) =>
+      struct(
+        aggregate(
+          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x).as("dist"),
+        lit(lbl).as("c_label"))
+    }
+    emb.select(col("label"), q.as("qe"))
+      // argmin = array_min over the per-centroid (dist, label) structs —
+      // lexicographic struct ordering gives the smallest-label tiebreak
+      .select(col("label"), array_min(array(scored.toIndexedSeq: _*)).as("best"))
+      .groupBy(col("label"), col("best.c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  /** Driver query: the true-label x assigned-centroid confusion matrix. */
+  def assignQuery(spark: SparkSession, dir: String): DataFrame =
+    nearestCentroid(Tables.embeddings(spark, dir))
+
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb

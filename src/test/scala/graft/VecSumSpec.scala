@@ -75,6 +75,41 @@ class VecSumSpec extends SparkSpec {
     assert(got.sameElements(naive))
   }
 
+  test("nearestCentroid assigns every vector once and beats the window twin") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.nearestCentroid(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._3).sum == emb.filter(col("embedding").isNotNull).count())
+
+    // window-based twin over the same quantized-integer distances
+    import org.apache.spark.sql.expressions.Window
+    val q = transform(col("embedding"),
+      e => round(e.cast("double") * 1000).cast("long"))
+    val cents = emb.filter(col("embedding").isNotNull)
+      .groupBy(col("label").as("c_label"))
+      .agg(vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
+      .select(col("c_label"),
+        transform(col("qsum"), s => round(s.cast("double") / col("n")).cast("long")).as("qc"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_label"))
+    val naive = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), q.as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("qe"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.sameElements(naive))
+    // the labels carry signal: own-label assignment dominates
+    val own = got.filter(t => t._1 == t._2).map(_._3).sum
+    assert(own * 3 > got.map(_._3).sum)
+  }
+
   test("q_transitions edge counts equal a driver-side recount") {
     val rows = operators.Relational.qTransitions(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum
