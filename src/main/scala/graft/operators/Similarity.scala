@@ -385,6 +385,59 @@ object Similarity {
   def assignQuery(spark: SparkSession, dir: String): DataFrame =
     nearestCentroid(Tables.embeddings(spark, dir))
 
+  /** One Lloyd (k-means) iteration, seeded from the label centroids:
+    * re-assign every vector to its nearest centroid (the same
+    * driver-collected literal argmin as [[nearestCentroid]] — corpus
+    * never shuffles for the assignment), then recompute each cluster's
+    * centroid with one [[vecagg.vecSumLong]] pass over the re-assigned
+    * corpus. Per iteration the dataflow is two narrow corpus scans plus
+    * a `clusters × d`-long exchange — the shape an iterative fit keeps
+    * at any corpus size (loop this function for full k-means; each step
+    * is independently oracle-checkable because assignment and centroid
+    * arithmetic both stay on the exact integer grid).
+    */
+  def kmeansStep(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val q = transform(
+      col("embedding"),
+      e => round(e.cast(DoubleType) * scale).cast(LongType))
+    val cents: Array[(Int, Seq[Long])] = emb
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("c_label"),
+        transform(col("qsum"), s => round(s.cast(DoubleType) / col("n")).cast(LongType))
+          .as("qc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val scored = cents.map { case (lbl, qc) =>
+      struct(
+        aggregate(
+          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x).as("dist"),
+        lit(lbl).as("c_label"))
+    }
+    emb.select(q.as("qe"))
+      .select(col("qe"), array_min(array(scored.toIndexedSeq: _*)).getField("c_label").as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("n_vecs"), posexplode(col("qsum")).as(Seq("dim", "qs")))
+      .select(
+        col("cluster"),
+        col("dim").cast(LongType).as("dim"),
+        col("n_vecs"),
+        (col("qs").cast(DoubleType) /
+          (lit(scale.toLong) * col("n_vecs")).cast(DoubleType)).as("centroid"))
+      .orderBy("cluster", "dim")
+  }
+
+  /** Driver query: cluster centroids after one Lloyd step. */
+  def kmeansStepQuery(spark: SparkSession, dir: String): DataFrame =
+    kmeansStep(Tables.embeddings(spark, dir))
+
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb

@@ -110,6 +110,23 @@ class VecSumSpec extends SparkSpec {
     assert(own * 3 > got.map(_._3).sum)
   }
 
+  test("kmeansStep moves mass toward assigned clusters and conserves vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val step = Similarity.kmeansStep(emb).collect()
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val dims = step.map(_.getLong(1)).distinct.length
+    // every (cluster, dim) row carries the full cluster population;
+    // summed over one dim the populations partition the corpus
+    assert(step.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum == n)
+    assert(dims == 64)
+    // the step's cluster sizes equal the confusion matrix's column sums
+    val assignedSizes = Similarity.nearestCentroid(emb).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val stepSizes = step.filter(_.getLong(1) == 0L)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(stepSizes == assignedSizes)
+  }
+
   test("q_transitions edge counts equal a driver-side recount") {
     val rows = operators.Relational.qTransitions(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum
