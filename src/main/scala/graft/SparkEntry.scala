@@ -186,13 +186,13 @@ object SparkEntry {
     "q_transitions" ->
       """WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS to_type FROM events) SELECT event_type AS from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_anomaly" ->
-      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events), st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS n FROM e GROUP BY 1), z AS (SELECT e.event_type, (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z FROM e JOIN st USING (event_type)) SELECT event_type, count(*) AS n_events, count(CASE WHEN abs(z) > 3 THEN 1 END) AS n_outliers FROM z GROUP BY 1 ORDER BY 1""",
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events), st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS n FROM e GROUP BY 1), z AS (SELECT e.event_type, CASE WHEN n >= 2 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0 THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) END AS z FROM e JOIN st USING (event_type)) SELECT event_type, count(*) AS n_events, count(CASE WHEN abs(z) > 3 THEN 1 END) AS n_outliers FROM z GROUP BY 1 ORDER BY 1""",
     "embed_centroids" ->
-      """WITH q AS (SELECT label, unnest(range(len(embedding))) AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe FROM embeddings WHERE embedding IS NOT NULL), a AS (SELECT label, dim, CAST(sum(qe) AS BIGINT) AS qs, count(*) AS n_vecs FROM q GROUP BY 1, 2) SELECT label, dim, n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * n_vecs AS DOUBLE) AS centroid FROM a ORDER BY label, dim""",
+      """WITH q AS (SELECT label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), a AS (SELECT label, dim, CAST(sum(qe) AS BIGINT) AS qs, count(*) AS n_vecs FROM q GROUP BY 1, 2) SELECT label, dim, n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * n_vecs AS DOUBLE) AS centroid FROM a ORDER BY label, dim""",
     "embed_assign" ->
-      """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, eq.label, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2, 3), r AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc) SELECT label, c_label AS assigned, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+      """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, eq.label, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2, 3), r AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc) SELECT label, c_label AS assigned, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
     "kmeans_step" ->
-      """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), nc AS (SELECT a.cluster, eq.dim, CAST(sum(eq.qe) AS BIGINT) AS qs, count(*) AS nv FROM eq JOIN a USING (vec_id) GROUP BY 1, 2) SELECT cluster, dim, nv AS n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * nv AS DOUBLE) AS centroid FROM nc ORDER BY cluster, dim""",
+      """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), nc AS (SELECT a.cluster, eq.dim, CAST(sum(eq.qe) AS BIGINT) AS qs, count(*) AS nv FROM eq JOIN a USING (vec_id) GROUP BY 1, 2) SELECT cluster, dim, nv AS n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * nv AS DOUBLE) AS centroid FROM nc ORDER BY cluster, dim""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->

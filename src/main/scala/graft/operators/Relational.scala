@@ -676,17 +676,25 @@ object Relational {
     */
   def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .select(col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
     val stats = ev.groupBy("event_type").agg(
       sum(col("c")).as("s"),
       sum(col("c") * col("c")).as("ss"),
       count(lit(1)).as("n"))
     val mean = col("s").cast(DoubleType) / col("n")
-    val sd = sqrt(
-      (col("ss").cast(DoubleType) -
-        col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n")) / (col("n") - 1))
+    // the variance numerator, pre-division: guarding on num > 0 (not on
+    // a computed sd) keeps the zero/degenerate test in exact arithmetic
+    val num = col("ss").cast(DoubleType) -
+      col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n")
+    // z is NULL (→ never an outlier) for degenerate groups: n < 2 has no
+    // sample variance, and a constant-valued group has sd = 0 — without
+    // the guard z = 0/0 = NaN, and NaN > 3 is TRUE under Spark ordering,
+    // flagging EVERY row of a constant group as an outlier
+    val z = when(
+      col("n") >= 2 && num > 0,
+      (col("c").cast(DoubleType) - mean) / sqrt(num / (col("n") - 1)))
     ev.join(broadcast(stats), "event_type")
-      .withColumn("z", (col("c").cast(DoubleType) - mean) / sd)
+      .withColumn("z", z)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),

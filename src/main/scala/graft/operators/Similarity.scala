@@ -277,7 +277,67 @@ object Similarity {
 
   // -- driver-contract queries ------------------------------------------
 
-  /** Brute-force exact top-5 for the first 16 vectors as queries. */
+  /** Quantize an embedding onto an exact integer grid: floor(x*scale +
+    * 0.5) — the repo-wide half-up formulation (floor is exact on both
+    * engines; `round()` HALF_UP-vs-std::round tie behavior is exactly
+    * the divergence class the oracle rules exclude). Null ELEMENTS
+    * quantize to 0, matching [[graft.functions.VecSumLong]]'s documented
+    * null-as-zero semantics — without this, a single null element would
+    * null-propagate through the distance fold and send the vector to the
+    * smallest label regardless of distance.
+    */
+  private def quantized(scale: Int): Column = transform(
+    col("embedding"),
+    e => coalesce(
+      floor(e.cast(org.apache.spark.sql.types.DoubleType) * scale + lit(0.5))
+        .cast(org.apache.spark.sql.types.LongType),
+      lit(0L)))
+
+  /** The integer-sum -> double centroid projection shared by
+    * [[centroids]] and [[kmeansStep]]: qs / (scale*n) with the divisor
+    * formed as an exact integer and cast once, mirroring the oracle's
+    * CAST(scale * n AS DOUBLE) operand for operand.
+    */
+  private def centroidCol(scale: Int): Column =
+    col("qs").cast(org.apache.spark.sql.types.DoubleType) /
+      (lit(scale.toLong) * col("n_vecs")).cast(org.apache.spark.sql.types.DoubleType)
+
+  /** Centroid model on the quantized grid, collected to the driver
+    * (`labels` rows — tiny by definition; the annIvf precedent): one
+    * map-side-combined [[vecagg.vecSumLong]] pass, each centroid
+    * re-quantized onto the vector grid via floor(qsum/n + 0.5) — one
+    * deterministic double division.
+    */
+  private def centroidModel(emb: DataFrame, scale: Int): Array[(Int, Seq[Long])] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    emb
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.vecagg.vecSumLong(quantized(scale)).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("c_label"),
+        transform(col("qsum"), s => floor(s.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
+          .as("qc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+  }
+
+  /** Per-centroid (dist, label) structs over a quantized `qe` column:
+    * dist = sum((qe-qc)^2) folded left in exact int64 — the narrow
+    * argmin operand for [[nearestCentroid]] and [[kmeansStep]].
+    * `array_min` over these gives the nearest centroid with a
+    * smallest-label tiebreak (lexicographic struct ordering).
+    */
+  private def scoredStructs(cents: Array[(Int, Seq[Long])]): Seq[Column] =
+    cents.toIndexedSeq.map { case (lbl, qc) =>
+      struct(
+        aggregate(
+          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x).as("dist"),
+        lit(lbl).as("c_label"))
+    }
+
   /** Per-label embedding centroids via [[graft.functions.vecagg.vecSumLong]]
     * — the class-prototype aggregate an embedding pipeline runs for
     * cluster seeding, label diagnostics, and nearest-centroid
@@ -286,36 +346,27 @@ object Similarity {
     * vector-sum aggregate keeps ONE d-length buffer per label per
     * partition, so the exchange carries `labels × d` longs total.
     *
-    * Elements are quantized to exact integers (round(x * scale), scale
-    * 1e3 keeps ~2^43 rows-per-label of headroom) BEFORE aggregation:
+    * Elements are quantized to exact integers ([[quantized]], scale 1e3
+    * keeps ~2^43 rows-per-label of headroom) BEFORE aggregation:
     * integer addition is order-independent, so the centroid derived from
     * the quantized sum is bit-reproducible under any partitioning and
     * hash-comparable against a single-threaded SQL oracle — a float-sum
     * centroid is neither. The posexplode here runs on the `labels × d`
     * AGGREGATE (tiny), not on the corpus.
     */
-  def centroids(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
-    val q = transform(
-      col("embedding"),
-      e => round(e.cast(org.apache.spark.sql.types.DoubleType) * scale)
-        .cast(org.apache.spark.sql.types.LongType))
+  def centroids(embeddings: DataFrame, scale: Int = 1000): DataFrame =
     embeddings
       .filter(col("embedding").isNotNull)
       .groupBy(col("label"))
       .agg(
-        graft.functions.vecagg.vecSumLong(q).as("qsum"),
+        graft.functions.vecagg.vecSumLong(quantized(scale)).as("qsum"),
         count(lit(1)).as("n_vecs"))
       .select(col("label"), col("n_vecs"), posexplode(col("qsum")).as(Seq("dim", "qs")))
       .select(
         col("label"),
         col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
         col("n_vecs"),
-        // divide by the EXACT integer scale*n (cast once), mirroring the
-        // oracle's CAST(scale * n_vecs AS DOUBLE) operand for operand
-        (col("qs").cast(org.apache.spark.sql.types.DoubleType) /
-          (lit(scale.toLong) * col("n_vecs")).cast(org.apache.spark.sql.types.DoubleType))
-          .as("centroid"))
-  }
+        centroidCol(scale).as("centroid"))
 
   /** Driver query: the 64-dim centroid of every label, flattened to
     * (label, dim, n_vecs, centroid) rows for the oracle hash.
@@ -328,54 +379,27 @@ object Similarity {
     * nearest-prototype classifier: every vector goes to the label whose
     * centroid is closest in L2, and the output is the label x assigned
     * confusion matrix. Dataflow at 100 TB: the centroid table is
-    * `labels` rows (one map-side-combined [[vecagg.vecSumLong]] pass),
-    * broadcast to the corpus scan; the per-vector argmin is a
-    * `min(struct(dist, label))` aggregate, so the corpus is never
-    * shuffled — only the final tiny confusion aggregate exchanges.
+    * `labels` rows (one map-side-combined [[vecagg.vecSumLong]] pass)
+    * collected to the driver and embedded as plan literals; the
+    * per-vector argmin is `array_min` over per-centroid structs, so the
+    * corpus is never shuffled or joined — only the final tiny confusion
+    * aggregate exchanges.
     *
-    * Every distance is computed in QUANTIZED INTEGER space: vectors at
-    * round(x*1000), centroids re-quantized to the same grid, so dist =
-    * sum((qe-qc)^2) is exact int64 arithmetic — order-independent,
-    * engine-independent, and hence a hash-checkable argmin (float
-    * distances would make near-tie assignments an ulp lottery). Ties
-    * break to the smallest label.
+    * Every distance is computed in QUANTIZED INTEGER space
+    * ([[quantized]] vectors, centroids re-quantized to the same grid),
+    * so dist = sum((qe-qc)^2) is exact int64 arithmetic —
+    * order-independent, engine-independent, and hence a hash-checkable
+    * argmin (float distances would make near-tie assignments an ulp
+    * lottery). Ties break to the smallest label.
     */
   def nearestCentroid(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
     val emb = embeddings.filter(col("embedding").isNotNull)
-    val q = transform(
-      col("embedding"),
-      e => round(e.cast(DoubleType) * scale).cast(LongType))
-    // centroid model: one map-side-combined vector-sum pass reduced to
-    // `labels` rows, collected to the driver and embedded in the plan as
-    // literals (tiny by definition — the annIvf precedent). The argmin
-    // below is then a NARROW per-row expression: the corpus is scanned
-    // once and never shuffled; only the labels² confusion aggregate
-    // exchanges.
-    val cents: Array[(Int, Seq[Long])] = emb
-      .groupBy(col("label").as("c_label"))
-      .agg(graft.functions.vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
-      // re-quantize the centroid onto the same integer grid as the
-      // vectors: round(qsum/n) — one deterministic double division
-      .select(
-        col("c_label"),
-        transform(col("qsum"), s => round(s.cast(DoubleType) / col("n")).cast(LongType))
-          .as("qc"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    val scored = cents.map { case (lbl, qc) =>
-      struct(
-        aggregate(
-          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, x) => acc + x).as("dist"),
-        lit(lbl).as("c_label"))
-    }
-    emb.select(col("label"), q.as("qe"))
-      // argmin = array_min over the per-centroid (dist, label) structs —
-      // lexicographic struct ordering gives the smallest-label tiebreak
-      .select(col("label"), array_min(array(scored.toIndexedSeq: _*)).as("best"))
+    // the centroid model is driver-collected literals, so the argmin is
+    // a NARROW per-row expression: the corpus is scanned once and never
+    // shuffled; only the labels² confusion aggregate exchanges
+    val scored = scoredStructs(centroidModel(emb, scale))
+    emb.select(col("label"), quantized(scale).as("qe"))
+      .select(col("label"), array_min(array(scored: _*)).as("best"))
       .groupBy(col("label"), col("best.c_label").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
@@ -397,40 +421,18 @@ object Similarity {
     * arithmetic both stay on the exact integer grid).
     */
   def kmeansStep(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
     val emb = embeddings.filter(col("embedding").isNotNull)
-    val q = transform(
-      col("embedding"),
-      e => round(e.cast(DoubleType) * scale).cast(LongType))
-    val cents: Array[(Int, Seq[Long])] = emb
-      .groupBy(col("label").as("c_label"))
-      .agg(graft.functions.vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
-      .select(
-        col("c_label"),
-        transform(col("qsum"), s => round(s.cast(DoubleType) / col("n")).cast(LongType))
-          .as("qc"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    val scored = cents.map { case (lbl, qc) =>
-      struct(
-        aggregate(
-          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, x) => acc + x).as("dist"),
-        lit(lbl).as("c_label"))
-    }
-    emb.select(q.as("qe"))
-      .select(col("qe"), array_min(array(scored.toIndexedSeq: _*)).getField("c_label").as("cluster"))
+    val scored = scoredStructs(centroidModel(emb, scale))
+    emb.select(quantized(scale).as("qe"))
+      .select(col("qe"), array_min(array(scored: _*)).getField("c_label").as("cluster"))
       .groupBy(col("cluster"))
       .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n_vecs"))
       .select(col("cluster"), col("n_vecs"), posexplode(col("qsum")).as(Seq("dim", "qs")))
       .select(
         col("cluster"),
-        col("dim").cast(LongType).as("dim"),
+        col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
         col("n_vecs"),
-        (col("qs").cast(DoubleType) /
-          (lit(scale.toLong) * col("n_vecs")).cast(DoubleType)).as("centroid"))
+        centroidCol(scale).as("centroid"))
       .orderBy("cluster", "dim")
   }
 
@@ -438,6 +440,7 @@ object Similarity {
   def kmeansStepQuery(spark: SparkSession, dir: String): DataFrame =
     kmeansStep(Tables.embeddings(spark, dir))
 
+  /** Brute-force exact top-5 for the first 16 vectors as queries. */
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb

@@ -60,7 +60,7 @@ class VecSumSpec extends SparkSpec {
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .groupBy("label", "dim")
       .agg(
-        sum(expr("CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)")).as("qs"),
+        sum(expr("COALESCE(CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0)")).as("qs"),
         count(lit(1)).as("n_vecs"))
       .select(
         col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
@@ -84,12 +84,12 @@ class VecSumSpec extends SparkSpec {
     // window-based twin over the same quantized-integer distances
     import org.apache.spark.sql.expressions.Window
     val q = transform(col("embedding"),
-      e => round(e.cast("double") * 1000).cast("long"))
+      e => coalesce(floor(e.cast("double") * 1000 + lit(0.5)).cast("long"), lit(0L)))
     val cents = emb.filter(col("embedding").isNotNull)
       .groupBy(col("label").as("c_label"))
       .agg(vecagg.vecSumLong(q).as("qsum"), count(lit(1)).as("n"))
       .select(col("c_label"),
-        transform(col("qsum"), s => round(s.cast("double") / col("n")).cast("long")).as("qc"))
+        transform(col("qsum"), s => floor(s.cast("double") / col("n") + lit(0.5)).cast("long")).as("qc"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_label"))
     val naive = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), q.as("qe"))
