@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VecSumLong(es(0))
     ))
     e.injectFunction((
+      FunctionIdentifier("graft_vec_sqdist"),
+      info("graft_vec_sqdist", "graft_vec_sqdist(a, b) - exact int64 squared L2 of two array<bigint>"),
+      (es: Seq[Expression]) => VecSqDistLong(es(0), es(1))
+    ))
+    e.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - |a INTERSECT b| of two sorted distinct string arrays"),

@@ -54,5 +54,7 @@ object Register {
       "graft_sorted_intersect", es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_vec_sum", es => VecSumLong(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_vec_sqdist", es => VecSqDistLong(es(0), es(1)), "scala_udf")
   }
 }

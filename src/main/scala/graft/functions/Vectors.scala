@@ -98,10 +98,65 @@ case class VecCosine(left: Expression, right: Expression) extends FloatVecBinary
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance on QUANTIZED integer vectors (`array<bigint>`):
+  * sum((a_i - b_i)^2) over the common prefix, in exact int64 — the
+  * codegen'd kernel behind the centroid argmin
+  * ([[graft.operators.Similarity.nearestCentroid]]/`kmeansStep`), where
+  * the interpreted `zip_with` + `aggregate` fold costs a per-element
+  * lambda dispatch × centroids × rows. Null ELEMENTS count as 0,
+  * matching [[VecSumLong]]'s null-as-zero contract (and the quantizer,
+  * which coalesces them to 0 before this kernel ever sees them).
+  * Integer arithmetic keeps the distance order-independent and
+  * engine-exact; overflow wraps like BIGINT (quantized unit-scale
+  * embeddings are orders of magnitude below the edge).
+  */
+case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = ($x.isNullAt($i) ? 0L : $x.getLong($i))
+         |          - ($y.isNullAt($i) ? 0L : $y.getLong($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. */
 object vec {
   def dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(VecDot(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     GraftExpressionBridge.column(VecCosine(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  def sqDistLong(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(VecSqDistLong(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }

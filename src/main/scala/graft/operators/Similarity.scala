@@ -323,18 +323,17 @@ object Similarity {
   }
 
   /** Per-centroid (dist, label) structs over a quantized `qe` column:
-    * dist = sum((qe-qc)^2) folded left in exact int64 — the narrow
-    * argmin operand for [[nearestCentroid]] and [[kmeansStep]].
-    * `array_min` over these gives the nearest centroid with a
-    * smallest-label tiebreak (lexicographic struct ordering).
+    * dist = sum((qe-qc)^2) in exact int64 via the codegen'd
+    * [[vec.sqDistLong]] kernel (an interpreted `zip_with`+`aggregate`
+    * fold pays a lambda dispatch per element × centroids × rows — the
+    * equivalence is pinned in VecSumSpec). `array_min` over these gives
+    * the nearest centroid with a smallest-label tiebreak (lexicographic
+    * struct ordering).
     */
   private def scoredStructs(cents: Array[(Int, Seq[Long])]): Seq[Column] =
     cents.toIndexedSeq.map { case (lbl, qc) =>
       struct(
-        aggregate(
-          zip_with(col("qe"), typedLit(qc), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, x) => acc + x).as("dist"),
+        vec.sqDistLong(col("qe"), typedLit(qc)).as("dist"),
         lit(lbl).as("c_label"))
     }
 

@@ -110,6 +110,30 @@ class VecSumSpec extends SparkSpec {
     assert(own * 3 > got.map(_._3).sum)
   }
 
+  test("sqDistLong kernel equals the zip_with/aggregate fold and handles nulls") {
+    import graft.functions.vec
+    val df = Seq(
+      (Seq(Some(1L), Some(2L), Some(3L)), Seq(4L, 6L, 3L)),   // 9 + 16 = 25
+      (Seq(Some(-5L), None), Seq(0L, 7L)),                    // 25 + 49 = 74 (null -> 0)
+      (Seq.empty[Option[Long]], Seq(9L))                      // empty prefix -> 0
+    ).toDF("a", "b")
+    val got = df.select(vec.sqDistLong(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(25L, 74L, 0L))
+    // fold twin over the equal-length rows (zip_with null-pads unequal
+    // lengths, so the contract is only compared where dims agree)
+    val fold = df.limit(1).select(
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fold == Seq(25L))
+    // SQL surface
+    val sql = spark.sql("SELECT graft_vec_sqdist(array(1L, 2L), array(3L, 0L)) AS d")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql == Seq(8L))
+  }
+
   test("kmeansStep moves mass toward assigned clusters and conserves vectors") {
     val emb = Tables.embeddings(spark, sf)
     val step = Similarity.kmeansStep(emb).collect()
