@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
@@ -106,12 +106,22 @@ case class VecCosine(left: Expression, right: Expression) extends FloatVecBinary
   * lambda dispatch × centroids × rows. Null ELEMENTS count as 0,
   * matching [[VecSumLong]]'s null-as-zero contract (and the quantizer,
   * which coalesces them to 0 before this kernel ever sees them).
+  * Vectors of unequal length compare over their common prefix
+  * (`min(n, m)` — mirroring the oracle's inner join on dim).
   * Integer arithmetic keeps the distance order-independent and
-  * engine-exact; overflow wraps like BIGINT (quantized unit-scale
-  * embeddings are orders of magnitude below the edge).
+  * engine-exact. Overflow wraps like Java long arithmetic — it does NOT
+  * raise under ANSI mode the way built-in BIGINT expressions do; the
+  * quantized unit-scale embeddings this kernel serves sit orders of
+  * magnitude below the edge, but callers feeding raw unquantized longs
+  * through the SQL surface own that check.
   */
 case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    with ImplicitCastInputTypes {
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes): array<int>
+  // literals — the natural SQL spelling — widen losslessly to
+  // array<bigint>, matching graft_vec_sum's surface; the float kernels
+  // above reject instead because a numeric-literal array there would be
+  // array<double> read through getFloat
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
 

@@ -281,10 +281,10 @@ object Similarity {
     * 0.5) — the repo-wide half-up formulation (floor is exact on both
     * engines; `round()` HALF_UP-vs-std::round tie behavior is exactly
     * the divergence class the oracle rules exclude). Null ELEMENTS
-    * quantize to 0, matching [[graft.functions.VecSumLong]]'s documented
-    * null-as-zero semantics — without this, a single null element would
-    * null-propagate through the distance fold and send the vector to the
-    * smallest label regardless of distance.
+    * quantize to 0 here, BEFORE any consumer: [[graft.functions.VecSumLong]]
+    * and [[graft.functions.VecSqDistLong]] both define null-as-zero, and
+    * the oracle twins COALESCE at the same point, so every downstream
+    * sum/distance sees the identical integer grid on both engines.
     */
   private def quantized(scale: Int): Column = transform(
     col("embedding"),

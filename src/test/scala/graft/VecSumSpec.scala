@@ -120,18 +120,30 @@ class VecSumSpec extends SparkSpec {
     val got = df.select(vec.sqDistLong(col("a"), col("b")).as("d"))
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(25L, 74L, 0L))
-    // fold twin over the equal-length rows (zip_with null-pads unequal
-    // lengths, so the contract is only compared where dims agree)
-    val fold = df.limit(1).select(
+    // randomized fold-vs-kernel equivalence on the shapes the operators
+    // feed it: equal-length, null-free (the quantizer coalesces nulls
+    // away before either implementation runs; on null elements the fold
+    // null-propagates where the kernel zero-fills, BY DESIGN — row 2
+    // above pins the kernel side of that difference)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(64)((
+      Seq.fill(16)(rnd.nextLong() % 1000L),
+      Seq.fill(16)(rnd.nextLong() % 1000L)))
+    val rdf = rows.toDF("a", "b")
+    val kernel = rdf.select(vec.sqDistLong(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val fold = rdf.select(
       aggregate(
         zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x).as("d"))
       .collect().map(_.getLong(0)).toSeq
-    assert(fold == Seq(25L))
-    // SQL surface
-    val sql = spark.sql("SELECT graft_vec_sqdist(array(1L, 2L), array(3L, 0L)) AS d")
+    assert(kernel == fold)
+    // SQL surface — int literals must widen to bigint implicitly
+    val sql = spark.sql(
+      "SELECT graft_vec_sqdist(array(1L, 2L), array(3L, 0L)) AS d UNION ALL " +
+      "SELECT graft_vec_sqdist(array(1, 2), array(3, 0)) AS d")
       .collect().map(_.getLong(0)).toSeq
-    assert(sql == Seq(8L))
+    assert(sql == Seq(8L, 8L))
   }
 
   test("kmeansStep moves mass toward assigned clusters and conserves vectors") {
