@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.vecagg
+import graft.functions.{VecSumBuffer, vecagg}
 import graft.operators.Similarity
 
 /** The elementwise vector-sum aggregate and the centroid operator built
@@ -38,6 +39,40 @@ class VecSumSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     assert(out(1) == Seq(11L, 0L, 3L)) // ragged: dim = longest seen
     assert(out(2) == Seq.empty[Long])  // only-empty group -> empty vector
+  }
+
+  test("property: VecSumBuffer merge is order-independent and matches the flat sum") {
+    val genVecs = Gen.listOfN(
+      12,
+      Gen.listOf(Gen.chooseNum(-1000000L, 1000000L)).map(_.take(8)))
+    val p = Prop.forAll(genVecs, Gen.long) { (vecs, seed) =>
+      def sumInto(buf: VecSumBuffer, v: Seq[Long]): Unit = {
+        buf.ensure(v.length)
+        v.zipWithIndex.foreach { case (x, i) => buf.sums(i) += x }
+      }
+      // sequential single-buffer update
+      val seq = new VecSumBuffer
+      vecs.foreach(v => sumInto(seq, v))
+      // random partitioning into partial buffers, merged in shuffled order
+      val rnd = new scala.util.Random(seed)
+      val parts = vecs.groupBy(_ => rnd.nextInt(4)).values.toSeq
+      val partials = parts.map { vs =>
+        val b = new VecSumBuffer; vs.foreach(v => sumInto(b, v)); b
+      }
+      val merged = new VecSumBuffer
+      rnd.shuffle(partials).foreach { b =>
+        merged.ensure(b.dim)
+        (0 until b.dim).foreach(i => merged.sums(i) += b.sums(i))
+      }
+      val d = math.max(seq.dim, merged.dim)
+      (0 until d).forall { i =>
+        val a = if (i < seq.dim) seq.sums(i) else 0L
+        val b = if (i < merged.dim) merged.sums(i) else 0L
+        a == b
+      } && seq.dim == merged.dim
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
   }
 
   test("graft_vec_sum is callable from SQL") {
