@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incrementalQuery _),
     "dedup_lines"       -> (Dedup.lineStatsQuery _),
     "text_oov"          -> (TextAnalysis.oovQuery _),
+    "text_ttr"          -> (TextAnalysis.ttrQuery _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
     "dedup_simhash"     -> (Dedup.simhashQuery _),
     "dedup_ngram"       -> (Dedup.ngramJaccardQuery _),
@@ -197,6 +198,8 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->
       """WITH l AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS x FROM documents) WHERE length(trim(x)) > 0), c AS (SELECT line, count(*) AS n FROM l GROUP BY 1) SELECT doc_id, count(*) AS n_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac FROM l JOIN c USING (line) GROUP BY 1 ORDER BY 1""",
+    "text_ttr" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types, CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr FROM tok GROUP BY 1 ORDER BY 1""",
     "text_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 16) SELECT doc_id, count(*) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1 ORDER BY 1""",
     "text_pii" ->

@@ -258,6 +258,32 @@ object TextAnalysis {
   def oovQuery(spark: SparkSession, dir: String): DataFrame =
     oovScore(Tables.documents(spark, dir), vocabSize = 16)
 
+  /** Type-token ratio (lexical diversity): n_types / n_tokens per doc —
+    * the "fraction of unique words" quality rule; low TTR flags the
+    * boilerplate/keyword-stuffing documents a curation pass drops.
+    * Entirely narrow and shuffle-free: tokenize + `array_distinct` per
+    * row, no explode, no aggregation — at 100 TB this is scan-speed.
+    * The ratio is exact-integer / exact-integer in one double division,
+    * so it is bit-identical across engines; the token-string parity
+    * with the DuckDB tokenizer is already pinned by text_oov (whose
+    * vocab join would diverge on any tokenization mismatch).
+    */
+  def ttrScore(docs: DataFrame): DataFrame = {
+    val t = text.tokens(col("text"))
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def ttrQuery(spark: SparkSession, dir: String): DataFrame =
+    ttrScore(Tables.documents(spark, dir))
+
   /** Whole-document fingerprint (canonicalized md5) — the oracle-checkable
     * twin of the winnowing fingerprint below.
     */

@@ -10,6 +10,21 @@ import graft.operators.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("type-token ratio ranks repetitive text below diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a quick brown fox jumps over the lazy dog"),
+      (3L, "   "),   // blank: excluded, not 0/0
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ttrScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((8L, 1L, 0.125)))
+    assert(out(2L)._1 == 9L && out(2L)._2 == 9L && out(2L)._3 == 1.0)
+    assert(out(1L)._3 < out(2L)._3)
+  }
+
   test("fused langId kernel equals the five-regex formulation") {
     import graft.functions.text
     // on the real corpus
