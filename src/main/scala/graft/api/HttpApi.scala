@@ -115,7 +115,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
           // checking it under the runs lock closes the submit-to-start
           // window that Graft's own job-group guard can't see
           runs.synchronized {
-            if (Option(runs.get(id)).exists(_.state == "running"))
+            if (Option(runs.get(id)).exists(s => s.state == "running" || s.state == "planning"))
               throw new IllegalStateException(
                 s"task '$id' has a run in flight; stop it before deleting")
             g.removeTask(id); runs.remove(id)
@@ -216,15 +216,33 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       .getOrElse(Map.empty[String, String])
     // same submit-to-start guard as DELETE: a re-add between a run's 202
     // and its drain thread starting would replace the TaskState under the
-    // run. Planning inside the lock serializes control-plane mutations
-    // for its duration — the recorded synchronous-add-planning trade-off;
-    // reads (getRun/status) are lock-free on the concurrent map.
-    val backlog = runs.synchronized {
-      if (Option(runs.get(id)).exists(_.state == "running"))
+    // run. But planning (Planner.expand) executes Spark jobs to collect
+    // size stats and can take seconds — holding the runs lock for its
+    // duration would stall every other control-plane request (DELETE,
+    // POST _run claim) behind one slow plan. So: claim the id under the
+    // lock with a lightweight "planning" marker, plan OUTSIDE the lock,
+    // then restore under the lock. DELETE and _run treat "planning" as
+    // busy, so the submit-to-start guard the long-held lock used to
+    // provide still holds, per-task, without the global stall.
+    val prev = runs.synchronized {
+      val cur = Option(runs.get(id))
+      if (cur.exists(s => s.state == "running" || s.state == "planning"))
         throw new IllegalStateException(
           s"task '$id' has a run in flight; stop it before re-adding")
-      g.addTask(spec, sizeCols)
+      runs.put(id, RunSummary("planning", 0, 0L, None))
+      cur
     }
+    val backlog =
+      try g.addTask(spec, sizeCols)
+      finally runs.synchronized {
+        // restore whatever run summary the task had before planning (the
+        // marker is control-plane state, not a run result); on planning
+        // failure this also clears the marker so the task isn't wedged
+        prev match {
+          case Some(s) => runs.put(id, s)
+          case None    => runs.remove(id)
+        }
+      }
     json(ex, 200, Map("backlog" -> backlog.size))
   }
 
@@ -242,7 +260,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       if (!g.listTasks.contains(id)) {
         json(ex, 404, Map("error" -> s"task '$id' not found")); return
       }
-      Option(runs.get(id)).forall(_.state != "running") && {
+      Option(runs.get(id)).forall(s => s.state != "running" && s.state != "planning") && {
         runs.put(id, RunSummary("running", 0, 0L, None)); true
       }
     }

@@ -5,7 +5,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -39,13 +40,19 @@ case class VecSumLong(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[VecSumBuffer] with ImplicitCastInputTypes {
+) extends TypedImperativeAggregate[VecSumBuffer] {
 
-  override def inputTypes = Seq(ArrayType(LongType))
+  // integral element types read natively; fractional rejected at
+  // analysis (see [[graft.functions.IntegralVecType]] — the old
+  // ImplicitCastInputTypes surface truncated array<double> silently)
+  override def checkInputDataTypes(): TypeCheckResult =
+    IntegralVecType.check("graft_vec_sum", Seq(child.dataType))
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val getElem = IntegralVecType.getter(child.dataType)
 
   override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
 
@@ -57,7 +64,7 @@ case class VecSumLong(
       buf.ensure(n)
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) buf.sums(i) += arr.getLong(i)
+        if (!arr.isNullAt(i)) buf.sums(i) += getElem(arr, i)
         i += 1
       }
     }

@@ -1,11 +1,48 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.types._
+
+/** Shared analysis + element-access plumbing for the integer vector
+  * kernels ([[VecSqDistLong]], [[graft.functions.VecSumLong]]): accept
+  * ANY integral element type (`array<tinyint|smallint|int|bigint>`)
+  * read natively — no implicit cast pass over the array — and reject
+  * fractional/decimal element types at ANALYSIS. The previous
+  * `ImplicitCastInputTypes` surface silently truncated `array<double>`
+  * SQL arguments toward zero element-by-element; an integer kernel
+  * that quietly eats floats is a wrong-answer factory on the SQL
+  * surface, so mistyped queries now fail like the float kernels do.
+  */
+private[functions] object IntegralVecType {
+  def check(fn: String, types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+      case ArrayType(LongType | IntegerType | ShortType | ByteType, _) => true
+      case _                                                           => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<integral> arguments (fractional elements would " +
+        s"truncate); got ${types.map(_.catalogString).mkString(", ")}")
+
+  /** Boxed-eval element reader for the resolved element type. */
+  def getter(dt: DataType): (ArrayData, Int) => Long = dt match {
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+    case ArrayType(ShortType, _)   => (a, i) => a.getShort(i).toLong
+    case ArrayType(ByteType, _)    => (a, i) => a.getByte(i).toLong
+    case other => throw new IllegalStateException(s"unchecked input type $other")
+  }
+
+  /** Codegen element reader: a `long`-valued Java expression. */
+  def genGet(arr: String, dt: DataType, idx: String): String = dt match {
+    case ArrayType(et, _) => s"(long)(${CodeGenerator.getValue(arr, et, idx)})"
+    case other => throw new IllegalStateException(s"unchecked input type $other")
+  }
+}
 
 /** Native Catalyst expressions for embedding math (`Array[Float]` columns).
   *
@@ -115,15 +152,18 @@ case class VecCosine(left: Expression, right: Expression) extends FloatVecBinary
   * magnitude below the edge, but callers feeding raw unquantized longs
   * through the SQL surface own that check.
   */
-case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpression
-    with ImplicitCastInputTypes {
-  // ImplicitCastInputTypes (not bare ExpectsInputTypes): array<int>
-  // literals — the natural SQL spelling — widen losslessly to
-  // array<bigint>, matching graft_vec_sum's surface; the float kernels
-  // above reject instead because a numeric-literal array there would be
-  // array<double> read through getFloat
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+  // Any integral element type is read natively (array<int> literals —
+  // the natural SQL spelling — work without a cast pass over the
+  // array); fractional/decimal element types are rejected at analysis
+  // like the float kernels above, instead of the silent element-wise
+  // truncation the old ImplicitCastInputTypes surface performed.
+  override def checkInputDataTypes(): TypeCheckResult =
+    IntegralVecType.check("graft_vec_sqdist", Seq(left.dataType, right.dataType))
   override def dataType: DataType = LongType
+
+  @transient private lazy val getL = IntegralVecType.getter(left.dataType)
+  @transient private lazy val getR = IntegralVecType.getter(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -132,8 +172,8 @@ case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpr
     var s = 0L
     var i = 0
     while (i < n) {
-      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
-      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      val xv = if (x.isNullAt(i)) 0L else getL(x, i)
+      val yv = if (y.isNullAt(i)) 0L else getR(y, i)
       val d = xv - yv
       s += d * d
       i += 1
@@ -149,8 +189,8 @@ case class VecSqDistLong(left: Expression, right: Expression) extends BinaryExpr
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = ($x.isNullAt($i) ? 0L : $x.getLong($i))
-         |          - ($y.isNullAt($i) ? 0L : $y.getLong($i));
+         |  long $d = ($x.isNullAt($i) ? 0L : ${IntegralVecType.genGet(x, left.dataType, i)})
+         |          - ($y.isNullAt($i) ? 0L : ${IntegralVecType.genGet(y, right.dataType, i)});
          |  $s += $d * $d;
          |}
          |${ev.value} = $s;

@@ -54,8 +54,14 @@ object Dedup {
     // map-side partial aggregation — the former groupBy + semi-join pair
     // consumed the digest projection twice, re-running the source scan
     // and the md5 for the probe side (a second full corpus pass at
-    // 100 TB unless the caller pre-persisted)
-    df.withColumn("__h", h)
+    // 100 TB unless the caller pre-persisted).
+    // idCol.isNotNull first: min_by ignores null ordering keys, so a
+    // digest group whose ids are ALL null would otherwise emit one
+    // all-null row (__row.* of a null struct) — the old min + semi-join
+    // dropped such groups, and dropping is the contract (a row without
+    // an id can't be the kept representative of anything).
+    df.filter(idCol.isNotNull)
+      .withColumn("__h", h)
       .groupBy(col("__h"))
       .agg(min_by(struct(df.columns.map(col): _*), idCol).as("__row"))
       .select(col("__row.*"))

@@ -54,11 +54,20 @@ object Intervals {
       binWidth: Long
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val lb = left.withColumn(
+    // the working bin column must not collide with a caller column of
+    // the same name — that would silently change the join key; fail at
+    // plan time instead of documenting-and-hoping
+    require(!left.columns.contains("graft_bin") && !right.columns.contains("graft_bin"),
+      "inputs must not contain a 'graft_bin' column (reserved working name)")
+    // backwards intervals (end < start) are excluded explicitly: Spark's
+    // `sequence(a, b)` DESCENDS when b < a rather than erroring, so a
+    // malformed row would otherwise bin over the reversed range and
+    // could still pass the canonical-bin guard against itself
+    val lb = left.filter(col(lStart) <= col(lEnd)).withColumn(
       "graft_bin",
       explode(sequence(floorDiv(col(lStart), binWidth), floorDiv(col(lEnd), binWidth)))
     )
-    val rb = right.withColumn(
+    val rb = right.filter(col(rStart) <= col(rEnd)).withColumn(
       "graft_bin",
       explode(sequence(floorDiv(col(rStart), binWidth), floorDiv(col(rEnd), binWidth)))
     )

@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "same text"), (3L, "other")))
   }
 
+  test("exact dedup drops rows with null ids, never emits an all-null row") {
+    // a digest group whose ids are ALL null must vanish (not surface as
+    // a null struct expanded to an all-null row), and a null-id row must
+    // never beat a real id as the kept representative
+    val df = Seq(
+      (Some(5L), "kept"), (None: Option[Long], "kept"),
+      (None: Option[Long], "ghost"), (None: Option[Long], "ghost")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, Seq(col("text")), col("doc_id"))
+      .as[(Option[Long], String)].collect().toSeq
+    assert(out == Seq((Some(5L), "kept")))
+  }
+
   test("minhash LSH finds the near-identical pair, not the disjoint one") {
     // 1 and 2 differ by one trailing word (near-dup, not byte-identical —
     // byte-identical clones collapse to a representative before banding)

@@ -55,6 +55,27 @@ class IntervalsSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
   }
 
+  test("overlapJoin rejects a reserved-name collision and excludes backwards intervals") {
+    import spark.implicits._
+    val left = Seq((1L, 0L, 10L)).toDF("a_id", "a_start", "a_end")
+    val right = Seq((2L, 5L, 15L)).toDF("b_id", "b_start", "b_end")
+    // an input already carrying the working column would silently change
+    // the join key — must fail at plan time
+    intercept[IllegalArgumentException] {
+      Intervals.overlapJoin(
+        left.withColumn("graft_bin", col("a_id")),
+        right, "a_start", "a_end", "b_start", "b_end", 10L)
+    }
+    // a backwards interval (end < start) is malformed for a closed
+    // interval and is excluded, not silently binned over the reversed
+    // range (sequence() DESCENDS when stop < start)
+    val withBad = left.union(Seq((3L, 50L, 20L)).toDF("a_id", "a_start", "a_end"))
+    val got = Intervals
+      .overlapJoin(withBad, right, "a_start", "a_end", "b_start", "b_end", 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("overlapJoin is exact at nanosecond-epoch magnitudes (beyond double precision)") {
     import spark.implicits._
     // ~1.7e18 ns epochs: (base + small offsets) are NOT representable in

@@ -83,6 +83,24 @@ class VecSumSpec extends SparkSpec {
     assert(out.toSeq == Seq(Seq(4L, 6L)))
   }
 
+  test("integer kernels accept array<int> natively and reject fractional arrays at analysis") {
+    // int elements read natively (no cast pass over the array)
+    val ints = spark.sql(
+      "SELECT graft_vec_sum(v) AS s FROM VALUES (array(1, 2)), (array(3, 4)) t(v)")
+      .collect().map(_.getSeq[Long](0))
+    assert(ints.toSeq == Seq(Seq(4L, 6L)))
+    // a fractional array into an integer kernel is a silent-truncation
+    // trap — must fail the query at analysis, like the float kernels do
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vec_sqdist(array(1.5d, 2.0d), array(1.0d, 1.0d))").collect()
+    }
+    assert(e1.getMessage.contains("array<integral>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vec_sum(v) FROM VALUES (array(1.5d)) t(v)").collect()
+    }
+    assert(e2.getMessage.contains("array<integral>"))
+  }
+
   test("centroids matches the posexplode formulation exactly") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.centroids(emb)
