@@ -9,12 +9,13 @@ import graft.Tables
   * columns with typed metadata, processed in partition-local batches.
   *
   * The Spark-side machinery — schema, partitioning, batch iteration,
-  * feature-vector output shape — is real and tested. The actual media
-  * decode is STUBBED (`FakeDecoder`): the image/audio codecs aren't in
-  * this container, so decode produces a deterministic feature vector
-  * from the bytes. Swapping in a real decoder is a one-function change
-  * behind [[Decoder]]; everything else (distribution, batching, schema)
-  * is unchanged.
+  * feature-vector output shape — is real and tested. IMAGE decode is
+  * real ([[ImageIoDecoder]], `javax.imageio` from the JDK — PNG/JPEG/
+  * GIF/BMP). Audio/video decode is STUBBED (`FakeDecoder`): those
+  * codecs aren't in this container, so decode produces a deterministic
+  * feature vector from the bytes. Swapping in a real A/V decoder is a
+  * one-function change behind [[Decoder]]; everything else
+  * (distribution, batching, schema) is unchanged.
   */
 object Multimodal {
 
@@ -55,6 +56,67 @@ object Multimodal {
       }
       val w = 64 + (math.abs(h) % 64).toInt
       (w, w, feats)
+    }
+  }
+
+  /** REAL image decoder backed by `javax.imageio` (ships with the JDK:
+    * PNG, JPEG, GIF, BMP — no new dependencies). Decodes intrinsic
+    * width/height and an 8-dim feature vector from a bounded 16x16
+    * pixel-grid sample, so cost per image is O(1) regardless of
+    * resolution — the per-partition batch shape around it is unchanged.
+    *
+    * Feature layout: [meanR, meanG, meanB, meanLuma, stdLuma,
+    * w/(w+h), h/(w+h), brightFraction(luma>0.5)] — all in [0,1],
+    * deterministic per byte-input (ImageIO decode is pure).
+    *
+    * Non-image modalities and UNDECODABLE image bytes delegate to
+    * `fallback` (default [[FakeDecoder]]) instead of failing the task:
+    * at corpus scale a handful of truncated/corrupt blobs per billion
+    * is the norm — a poison row must not kill a 100 TB job. Delegation
+    * is per-row and deterministic, so retries replay identically.
+    */
+  final class ImageIoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Array[Float]) = {
+      if (modality != "image") return fallback.decode(modality, content)
+      val img =
+        try {
+          // in-memory decode; the default ImageIO path spills a temp
+          // file per read, which is pure overhead for partition batches
+          javax.imageio.ImageIO.setUseCache(false)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        } catch { case _: java.io.IOException => null }
+      if (img == null) return fallback.decode(modality, content)
+      val w = img.getWidth
+      val h = img.getHeight
+      val gx = math.min(16, w)
+      val gy = math.min(16, h)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sl = 0.0; var sl2 = 0.0; var bright = 0
+      var y = 0
+      while (y < gy) {
+        var x = 0
+        while (x < gx) {
+          val px = img.getRGB(x * w / gx, y * h / gy)
+          val r = ((px >> 16) & 0xff) / 255.0
+          val g = ((px >> 8) & 0xff) / 255.0
+          val b = (px & 0xff) / 255.0
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          if (l > 0.5) bright += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (gx * gy).toDouble
+      val meanL = sl / n
+      val varL = math.max(0.0, sl2 / n - meanL * meanL)
+      val feats = Array(
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        meanL.toFloat, math.sqrt(varL).toFloat,
+        (w.toDouble / (w + h)).toFloat, (h.toDouble / (w + h)).toFloat,
+        (bright / n).toFloat
+      )
+      (w, h, feats)
     }
   }
 

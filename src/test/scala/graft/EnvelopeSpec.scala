@@ -45,6 +45,69 @@ class EnvelopeSpec extends SparkSpec {
       again.map(_.features.toSeq).sortBy(_.hashCode).toSeq)
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real PNG: intrinsic dims and pixel-derived features") {
+    val dec = new Multimodal.ImageIoDecoder()
+    // pure red 5x3
+    val (w, h, f) = dec.decode("image", pngBytes(5, 3, 0xff0000))
+    assert(w == 5 && h == 3)
+    assert(math.abs(f(0) - 1.0f) < 1e-3, "meanR of a pure-red image is 1")
+    assert(f(1) == 0.0f && f(2) == 0.0f, "no green/blue in a pure-red image")
+    assert(math.abs(f(3) - 0.299f) < 1e-3, "luma of pure red is 0.299")
+    assert(f(4) < 1e-3, "solid color has zero luma variance")
+    assert(math.abs(f(5) - 5.0f / 8) < 1e-6 && math.abs(f(6) - 3.0f / 8) < 1e-6)
+    assert(f(7) == 0.0f, "dark image: no pixels above the bright threshold")
+    // white image trips the bright fraction
+    val (_, _, fw) = dec.decode("image", pngBytes(2, 2, 0xffffff))
+    assert(fw(7) == 1.0f)
+    // JPEG decodes through the same path (lossy: assert within tolerance)
+    val img = new java.awt.image.BufferedImage(7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 7) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (jw, jh, jf) = dec.decode("image", bos.toByteArray)
+    assert(jw == 7 && jh == 4)
+    assert(math.abs(jf(3) - 0x80 / 255.0) < 0.05, "mid-gray luma survives JPEG round trip")
+  }
+
+  test("ImageIoDecoder: non-image modalities and corrupt bytes fall back to the stub") {
+    val dec = new Multimodal.ImageIoDecoder()
+    def norm(t: (Int, Int, Array[Float])) = (t._1, t._2, t._3.toSeq)
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(norm(dec.decode("audio", junk)) == norm(Multimodal.FakeDecoder.decode("audio", junk)))
+    // truncated/corrupt "image" bytes must not throw — they delegate
+    assert(norm(dec.decode("image", junk)) == norm(Multimodal.FakeDecoder.decode("image", junk)))
+    val truncatedPng = pngBytes(4, 4, 0x123456).take(20)
+    assert(norm(dec.decode("image", truncatedPng)) ==
+      norm(Multimodal.FakeDecoder.decode("image", truncatedPng)))
+  }
+
+  test("extractFeatures runs the real decoder distributed over binary-column assets") {
+    // a real binary-asset table: PNG bytes of varying dims/colors, built
+    // through the same schema shape as Multimodal.assets
+    val rows = (1 to 12).map { i =>
+      (i.toLong, "image", pngBytes(3 + i % 5, 2 + i % 3, 0x0000ff), i)
+    }
+    val assets = rows.toDF("media_id", "modality", "content", "k")
+      .repartition(4) // exercise the per-partition decoder path
+    val out = Multimodal.extractFeatures(assets, new Multimodal.ImageIoDecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.size == 12)
+    rows.foreach { case (id, _, _, i) =>
+      val f = out(id)
+      assert(f.width == 3 + i % 5 && f.height == 2 + i % 3,
+        s"media $id: expected intrinsic dims, got ${f.width}x${f.height}")
+      assert(math.abs(f.features(2) - 1.0f) < 1e-3, "pure blue: meanB is 1")
+    }
+  }
+
   test("langId on crafted sentences hits each branch") {
     val df = Seq(
       (1L, "the cat and the dog sat in the garden for it was warm"),
