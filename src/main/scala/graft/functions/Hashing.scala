@@ -209,6 +209,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `|a ∩ b|` of two SORTED distinct `array<bigint>` — the verification
+  * kernel for HASHED shingle sets ([[graft.operators.Dedup]] hashes
+  * shingles to xxhash64 before the pair-wise verify join, which ships
+  * one side's array through an exchange per candidate pair; 8-byte
+  * elements cut that payload ~3x vs strings and compare in one branch).
+  */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(
+      SketchKernels.sortedIntersectLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.sortedIntersectLong($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Marker-count language guess fused into one text pass — the kernel
   * twin of the five-regex formulation kept (as documentation and oracle
   * source) in [[graft.functions.text.langIdRegex]]: 4 marker-alternation
@@ -252,5 +278,8 @@ object sketch {
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftExpressionBridge.column(SortedIntersectCount(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SortedIntersectCountLong(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }

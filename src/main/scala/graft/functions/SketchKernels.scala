@@ -214,6 +214,28 @@ object SketchKernels {
     c
   }
 
+  /** See [[SortedIntersectCountLong]]: |a ∩ b| of two SORTED distinct
+    * `array<bigint>` by linear merge — the hashed-verification twin of
+    * [[sortedIntersect]] (8-byte compares instead of string compares).
+    */
+  def sortedIntersectLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val av = a.getLong(i)
+        val bv = b.getLong(j)
+        if (av == bv) { c += 1; i += 1; j += 1 }
+        else if (av < bv) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
   /** See [[ShingleSet]]. */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()

@@ -123,9 +123,21 @@ object Curation {
     * end to end (every stage, including the exact near-dup join, has a
     * DuckDB twin).
     */
-  def curateQuery(spark: SparkSession, dir: String): DataFrame =
-    curateWithReasons(Tables.documents(spark, dir))
+  def curateQuery(spark: SparkSession, dir: String): DataFrame = {
+    // near-dup runs over the exact-dedup SURVIVORS, but reuses the
+    // CORPUS-wide materialized ngram index ([[Dedup.corpusNgramIndex]],
+    // shared with the standalone dedup_ngram query) semi-joined to the
+    // survivor ids: the corpus-rarest-first order stays exact for any
+    // subset — the prefix lemma needs only a consistent shingle order —
+    // and the per-call shingling/df/sort stages disappear entirely.
+    // Verified output is identical to self-computing over the subset.
+    val amortizedNearDup: NearDupPairs =
+      (docs, t) => Dedup.ngramJaccardPairsIndexed(
+        Dedup.corpusNgramIndex(spark, dir, 3)
+          .join(docs.select("doc_id"), Seq("doc_id"), "left_semi"), t)
+    curateWithReasons(Tables.documents(spark, dir), nearDupPairs = amortizedNearDup)
       .groupBy("drop_reason")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("drop_reason")
+  }
 }

@@ -72,6 +72,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("ngram pairs identical with a precomputed SUPERSET corpus df table") {
+    // the amortization path: curation runs the exact join over the
+    // exact-dedup survivors but reuses the corpus-wide df table — the
+    // prefix lemma needs only a consistent shingle order, so the
+    // verified pair set must be bit-identical to the self-computed one
+    val full = Tables.documents(spark, sf)
+    val subset = full.filter(col("doc_id") % 2 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val self = Dedup.ngramJaccardPairs(subset, k = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val amortized = Dedup
+      .ngramJaccardPairs(subset, 3, 0.2, Some(Dedup.gramDf(full, 3)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(amortized == self)
+    // the indexed path curation uses: corpus-wide index semi-joined to
+    // the subset's ids must verify to the same pair set
+    val indexed = Dedup
+      .ngramJaccardPairsIndexed(
+        Dedup.ngramIndex(full, 3).join(subset.select("doc_id"), Seq("doc_id"), "left_semi"),
+        0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == self)
+    subset.unpersist()
+  }
+
+  test("corpusGramDf materializes once per (dir, k) and re-reads the same table") {
+    val a = Dedup.corpusGramDf(spark, sf, 3)
+    val b = Dedup.corpusGramDf(spark, sf, 3)
+    assert(a.inputFiles.nonEmpty && a.inputFiles.toSeq == b.inputFiles.toSeq,
+      "same key must read the same materialized files")
+    assert(Dedup.corpusGramDf(spark, sf, 4).inputFiles.toSeq != a.inputFiles.toSeq,
+      "different k is a different table")
+    // content equals a fresh computation
+    val fresh = Dedup.gramDf(Tables.documents(spark, sf), 3)
+      .as[(String, Long)].collect().toMap
+    assert(a.as[(String, Long)].collect().toMap == fresh)
+  }
+
   test("exact ngram jaccard join equals brute-force all-pairs jaccard") {
     val docs = Tables.documents(spark, sf).limit(100)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
