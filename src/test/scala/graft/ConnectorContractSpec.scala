@@ -2,10 +2,13 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{DocConnector, FormatConnector, InMemoryConnector, ParquetConnector}
+import graft.sources.{DocConnector, FormatConnector, HttpScrollConnector, InMemoryConnector, ParquetConnector}
 
 /** The connector CONTRACT, run identically against every in-tree
   * implementation — the de-risking seam for a network-backed scroll/bulk
@@ -14,11 +17,31 @@ import graft.sources.{DocConnector, FormatConnector, InMemoryConnector, ParquetC
   * [[graft.engine.Transfer]], which is exactly how the in-memory mock
   * earns its place in the worker E2E.
   */
-class ConnectorContractSpec extends SparkSpec {
+class ConnectorContractSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
   private def freshParquet(): DocConnector =
     new ParquetConnector(Files.createTempDirectory("graft_contract").toString)
+
+  private val servers = ArrayBuffer.empty[StubDocServer]
+
+  private def freshServer(rejectFirstBulkPosts: Int = 0, failFirstScrolls: Int = 0): StubDocServer = {
+    val s = new StubDocServer(rejectFirstBulkPosts, failFirstScrolls)
+    servers.synchronized { servers += s }
+    s
+  }
+
+  /** Deliberately tiny pages/flushes so the contract's 10-row tables
+    * exercise multi-page scrolls and multi-flush bulks over the socket.
+    */
+  private def freshHttp(server: StubDocServer): HttpScrollConnector =
+    new HttpScrollConnector(server.url, pageSize = 3, slices = 2, flushSize = 4,
+      sleepMs = _ => (), backoffSeed = Some(42L))
+
+  override def afterAll(): Unit = {
+    servers.foreach(_.stop())
+    super.afterAll()
+  }
 
   private def impls: Seq[(String, () => DocConnector)] = Seq(
     "InMemoryConnector" -> (() => new InMemoryConnector),
@@ -31,7 +54,10 @@ class ConnectorContractSpec extends SparkSpec {
         Files.createTempDirectory("graft_contract_csv").toString, "csv")),
     "FormatConnector(json)" -> (() =>
       new FormatConnector(
-        Files.createTempDirectory("graft_contract_json").toString, "json"))
+        Files.createTempDirectory("graft_contract_json").toString, "json")),
+    // the over-the-wire scroll/bulk implementation against an in-process
+    // HTTP stub — the reference's actual connector shape on a real socket
+    "HttpScrollConnector" -> (() => freshHttp(freshServer()))
   )
 
   private def seed(n: Int): DataFrame =
@@ -83,5 +109,46 @@ class ConnectorContractSpec extends SparkSpec {
       assert(c.scan(spark, "t/slice1").count() == 3L)
       assert(c.scan(spark, "t/slice2").count() == 5L)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // HTTP-only failure paths: the wire contract under injected faults
+  // ------------------------------------------------------------------
+
+  test("HttpScrollConnector: per-item es_rejected_execution_exception triage re-posts ONLY rejects") {
+    // the stub rejects every odd item of the first 3 bulk posts; the
+    // connector must keep the even successes, re-queue just the
+    // rejected half with backoff, and converge to a complete table
+    val server = freshServer(rejectFirstBulkPosts = 3)
+    val c = new HttpScrollConnector(server.url, pageSize = 10, slices = 1, flushSize = 100,
+      sleepMs = _ => (), backoffSeed = Some(7L))
+    assert(c.bulk(seed(10), "docs") == 10L)
+    // 3 rejecting posts (odd half re-queued each time) + the clean one:
+    // the retry loop must have re-posted, not given up or double-written
+    assert(server.bulkPosts.get() >= 4, s"expected >=4 posts, got ${server.bulkPosts.get()}")
+    assert(c.scan(spark, "docs").as[(Long, String)].collect().sorted.toSeq ==
+      seed(10).as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("HttpScrollConnector: overload past max retries fails the write, other errors fail fast") {
+    // every item of every flush rejects -> retry budget exhausts
+    val server = new StubDocServer(rejectAllBulkItems = true)
+    servers.synchronized { servers += server }
+    val c = new HttpScrollConnector(server.url, pageSize = 10, slices = 1, flushSize = 100,
+      sleepMs = _ => (), backoffSeed = Some(7L))
+    val e = intercept[Exception](c.bulk(seed(10), "docs"))
+    // the typed overload failure surfaces through Spark's task wrapper
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overloaded after")))
+  }
+
+  test("HttpScrollConnector: scroll continuations retry through transient 500s") {
+    val server = freshServer(failFirstScrolls = 2)
+    val c = freshHttp(server)
+    c.bulk(seed(10), "docs")
+    // pageSize 3 x 2 slices over 10 rows forces scroll continuations;
+    // the first two return injected 500s and must be retried, not lost
+    assert(c.scan(spark, "docs").count() == 10L)
   }
 }
