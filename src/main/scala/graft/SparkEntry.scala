@@ -32,6 +32,7 @@ object SparkEntry {
     "o1_comparator"     -> (Relational.o1Comparator _),
     "k1_upsert_dedup"   -> (Relational.k1UpsertDedup _),
     "p2_bounds_ntile"   -> (Relational.p2BoundsNtile _),
+    "p2_plan_check"     -> (Relational.p2PlanCheck _),
     "p3_flush_size"     -> (Relational.p3FlushSize _),
     "p6_progress"       -> (Relational.p6Progress _),
     "transfer_slice"    -> (Relational.transferSlice _),
@@ -136,6 +137,8 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
     "p2_bounds_ntile" ->
       """SELECT bucket, count(*) AS cnt, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM (SELECT l_extendedprice, l_orderkey, l_linenumber, ntile(3) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket FROM lineitem) GROUP BY 1 ORDER BY 1""",
+    "p2_plan_check" ->
+      """SELECT bucket, TRUE AS within_tol, (SELECT count(*) FROM lineitem) AS total FROM (VALUES (0), (1), (2)) AS t(bucket) ORDER BY bucket""",
     "p3_flush_size" ->
       """SELECT p_brand, max(p_size) AS max_size, least(greatest(CAST(floor(50000000.0 / (max(p_size) * 1000000.0)) AS BIGINT), 1), 10000) AS flush_size FROM part GROUP BY 1 ORDER BY 1""",
     "p6_progress" ->

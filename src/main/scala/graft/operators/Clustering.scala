@@ -53,12 +53,27 @@ object Clustering {
     * (count, xor of per-edge hashes) — two scalar aggregates, no
     * driver-side edge materialization.
     */
+  /** Labels plus run metadata: `converged` is false when the round
+    * budget ran out (labels are then BEST-EFFORT: correct for every
+    * component that reached its star fixpoint, possibly split for ones
+    * still merging); `rounds` is the number of iterations executed.
+    */
+  final case class CcResult(labels: DataFrame, converged: Boolean, rounds: Int)
+
   def connectedComponents(
       edges: DataFrame,
       uCol: String = "id_a",
       vCol: String = "id_b",
       maxRounds: Int = 30
-  ): DataFrame = {
+  ): DataFrame =
+    connectedComponentsWithStats(edges, uCol, vCol, maxRounds).labels
+
+  def connectedComponentsWithStats(
+      edges: DataFrame,
+      uCol: String = "id_a",
+      vCol: String = "id_b",
+      maxRounds: Int = 30
+  ): CcResult = {
     // one evaluation of the caller's edge pipeline feeds BOTH the first
     // frontier checkpoint and the node set for singleton labeling — an
     // uncached input (the public API takes any edge DataFrame) would
@@ -138,14 +153,34 @@ object Clustering {
       fp = nfp
       rounds += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // Non-convergence is NOT an abort: on a real corpus, throwing at
+    // round `maxRounds` forfeits hours of cluster work over (typically)
+    // a handful of still-merging giant components. Alternating
+    // large/small-star converges in O(log^2 n) rounds regardless of
+    // graph diameter (Kiveris et al., SoCC'14), so a blown budget means
+    // a pathological input — surface it loudly in the logs and in the
+    // returned flag, hand back the best-effort labels (exact for every
+    // component that reached its fixpoint), and let the caller decide.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxRounds=$maxRounds without reaching the " +
+          "edge fixpoint; labels are best-effort (unconverged components may be split)")
 
     // converged edges are min-rooted stars: (member, root). Roots appear
     // only on the right side; emit them as their own cluster_id, and
     // nodes that only ever appeared in self-loops as singletons.
     val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val roots = e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct()
-    val labeled = members.union(roots)
+    // at the fixpoint every node is either a member of exactly one star
+    // or a root — the union is already one row per node. Short of the
+    // fixpoint a node can be both, so the best-effort path collapses to
+    // one (minimal) label per node; the extra aggregation is paid ONLY
+    // on the unconverged path.
+    val labeledAll = members.union(roots)
+    val labeled =
+      if (converged) labeledAll
+      else labeledAll.groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"))
     val nodes = raw0.select(col("u")).union(raw0.select(col("v").as("u"))).distinct()
     val singletons = nodes.join(labeled, nodes("u") === labeled("doc_id"), "left_anti")
       .select(col("u").as("doc_id"), col("u").as("cluster_id"))
@@ -161,7 +196,7 @@ object Clustering {
     out.count()
     releaseE()
     raw0.unpersist(blocking = false)
-    out
+    CcResult(out, converged, rounds)
   }
 
   /** Driver query: minhash near-dup pairs at Jaccard >= 0.7 collapsed

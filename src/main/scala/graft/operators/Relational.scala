@@ -271,6 +271,44 @@ object Relational {
     * (`MAX_FLUSH_SIZE` `subtasks.js:15`). p_size (in "MB") plays
     * maxDocSize; one shard.
     */
+  /** P2's PLANNER twin oracle-checked end-to-end: run the sampling
+    * planner ([[graft.engine.Bounds.plan]], approxQuantile-driven) and
+    * assert IN-ENGINE that its plan has the properties the exact
+    * GlobalRank formulation (`p2_bounds_ntile`) guarantees:
+    *
+    *  - the buckets TILE the domain (adjacent ranges share a boundary,
+    *    the ends are unbounded) — so their counts must sum to EXACTLY
+    *    the table count, which the oracle checks independently;
+    *  - each bucket's count sits within the Greenwald-Khanna tolerance
+    *    of the exact equi-depth count N/buckets: a cut at relative
+    *    error eps displaces a boundary by <= eps*N ranks, so a bucket
+    *    (two cuts) deviates by <= 2*eps*N (+1 boundary slop).
+    *
+    * Emitted rows are deterministic (booleans + the exact total), so
+    * the DuckDB twin is exact even though the sampled cut VALUES are
+    * not — the property, not the sample, is the contract.
+    */
+  def p2PlanCheck(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 3
+    val relErr = 0.01
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("sz"))
+    val plan = graft.engine.Bounds.plan(li, "lineitem", "sz", buckets, relErr = relErr)
+    val total = plan.map(_.count).sum
+    val tiles = plan.size == buckets &&
+      plan.head.minSize == Double.NegativeInfinity &&
+      plan.last.maxSize == Double.MaxValue &&
+      plan.sliding(2).forall {
+        case Seq(a, b) => a.maxSize == b.minSize
+        case _         => true
+      }
+    val tol = 2.0 * relErr * total + 1
+    val rows = plan.zipWithIndex.map { case (s, i) =>
+      (i, tiles && math.abs(s.count - total.toDouble / buckets) <= tol, total)
+    }
+    spark.createDataFrame(rows).toDF("bucket", "within_tol", "total").orderBy("bucket")
+  }
+
   def p3FlushSize(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy("p_brand")

@@ -72,4 +72,30 @@ class ClusteringSpec extends SparkSpec {
     val got = components(edges)
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
+
+  test("2000-node path: rounds stay O(log^2 n), far under the diameter") {
+    import spark.implicits._
+    // diameter 1999 — an adversarial input for any propagation scheme;
+    // alternating large/small-star must close it in ~log^2 rounds
+    val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val res = Clustering.connectedComponentsWithStats(edges)
+    assert(res.converged, "chain must reach the star fixpoint")
+    assert(res.rounds <= 15, s"expected O(log^2 n) rounds, took ${res.rounds}")
+    val labels = res.labels.as[(Long, Long)].collect()
+    assert(labels.length == 2000 && labels.forall(_._2 == 0L))
+    res.labels.unpersist()
+  }
+
+  test("blown round budget returns best-effort labels and converged=false, no abort") {
+    import spark.implicits._
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val res = Clustering.connectedComponentsWithStats(edges, maxRounds = 1)
+    assert(!res.converged && res.rounds == 1)
+    // every node still gets a label (possibly split components), and
+    // labels never invent nodes
+    val labels = res.labels.as[(Long, Long)].collect()
+    assert(labels.map(_._1).sorted.toSeq == (0L until 200L))
+    assert(labels.forall { case (doc, root) => root <= doc })
+    res.labels.unpersist()
+  }
 }
