@@ -86,6 +86,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).filter(col("doc_id") === 6L).count() == 1L)
   }
 
+  test("dedup ingest: prefix-partitioned digests prune the prior-digest scan") {
+    import graft.streaming.IngestDedup
+    val dest = Files.createTempDirectory("graft_ingest_pp").toString + "/docs"
+    val digests = Files.createTempDirectory("graft_ingest_pp_h").toString + "/digests"
+    // batch 0: enough distinct content to spread digests over many of
+    // the 256 md5-prefix partitions
+    val b0 = (1 to 400).map(i => (i.toLong, s"doc body number $i")).toDF("doc_id", "text")
+    IngestDedup.processBatch(b0, 0L, dest, digests)
+    // the stored layout IS prefix-partitioned
+    val allDigests = spark.read.parquet(digests)
+    assert(allDigests.columns.toSet == Set("h", "hp", "batch"))
+    val totalFiles = allDigests.inputFiles.length
+    assert(totalFiles > 10, s"expected many prefix partitions, got $totalFiles files")
+    // a one-doc batch touches ONE prefix: its prior-digest scan must
+    // read only that partition's files, not the whole history
+    val one = Seq((1001L, "a new single document")).toDF("doc_id", "text")
+    val hp = one.select(substring(md5(col("text")), 1, 2)).as[String].head()
+    val pruned = IngestDedup.priorDigests(spark, digests, 1L, Seq(hp))
+    val scannedFiles = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles.toInt
+    }.getOrElse(fail("no file scan in the prior-digest plan"))
+    assert(scannedFiles < totalFiles,
+      s"prefix pruning must cut the scan: read $scannedFiles of $totalFiles files")
+    assert(scannedFiles >= 0 && IngestDedup.processBatch(one, 1L, dest, digests) == 1L)
+    // and correctness is unchanged: re-ingesting old + new content drops
+    // the old, keeps nothing new twice
+    val b2 = Seq((2001L, "doc body number 7"), (2002L, "a new single document"))
+      .toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b2, 2L, dest, digests) == 0L)
+  }
+
   test("dedup ingest end-to-end: file stream drains with AvailableNow") {
     import graft.streaming.IngestDedup
     val src = Files.createTempDirectory("graft_ingest_src").toString
