@@ -70,6 +70,49 @@ class WorkerE2ESpec extends SparkSpec {
     }
   }
 
+  test("worker E2E over the HTTP scroll/bulk connector: full pipeline on a real socket") {
+    // the same lifecycle as the mock-connector test, but source AND sink
+    // are HttpScrollConnectors speaking the scroll/bulk wire contract to
+    // in-process stub stores — planning (scan-driven size stats),
+    // sliced-scroll reads, mutators, flush-batched bulk writes and
+    // progress accounting all cross the socket
+    val srcServer = new StubDocServer()
+    val dstServer = new StubDocServer()
+    try {
+      val src = new graft.sources.HttpScrollConnector(
+        srcServer.url, pageSize = 4, slices = 2, flushSize = 4, sleepMs = _ => ())
+      val sink = new graft.sources.HttpScrollConnector(
+        dstServer.url, pageSize = 4, slices = 2, flushSize = 4, sleepMs = _ => ())
+      src.bulk((0 until 10).map(n => (n.toLong, s"data$n")).toDF("id", "something"), "first")
+      src.bulk((0 until 5).map(n => (n.toLong, s"data$n")).toDF("id", "something"), "second")
+
+      val g = new Graft(spark, _ => (src, sink))
+      g.mutators.add(
+        ObjectId("http", "dropEven"),
+        transform.DropMutator(ObjectId("http", "dropEven"),
+          org.apache.spark.sql.functions.col("id") % 2 === 0))
+      val backlog = g.addTask(TaskSpec(
+        name = "httpTask", sourceDir = srcServer.url, destDir = dstServer.url,
+        tables = Seq("first", "second"),
+        mutators = Seq(ActionRef(ObjectId("http", "dropEven")))))
+      assert(backlog.size == 2)
+      assert(backlog.find(_.table == "first").map(_.count).contains(10L))
+
+      var ticks = 0L
+      val results = g.runTask("httpTask",
+        onProgress = (_, _, p) => ticks += p.tick)
+      assert(results.map(_.rowsWritten).sum == 7L) // odd ids: 5 of 10 + 2 of 5
+      assert(ticks == 7L)
+      assert(g.status("httpTask").percentComplete == 100.0)
+      val firstOut = sink.listTables("first/*")
+      assert(firstOut.size == 1)
+      assert(sink.scan(spark, firstOut.head).count() == 5L)
+      val secondOut = sink.listTables("second/*")
+      assert(secondOut.size == 1)
+      assert(sink.scan(spark, secondOut.head).count() == 2L)
+    } finally { srcServer.stop(); dstServer.stop() }
+  }
+
   test("mutators apply on the connector path and resume skips completed work") {
     val src = seeded()
     val sink = new InMemoryConnector
