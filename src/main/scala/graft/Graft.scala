@@ -271,9 +271,18 @@ final class Graft(
 }
 
 object Graft {
-  /** Default connector pair: the parquet layout rooted at the task's
-    * source/dest directories.
+  /** Default connector pair: scheme-dispatched from the task's
+    * source/dest roots — `http(s)://` roots get the over-the-wire
+    * scroll/bulk connector ([[graft.sources.HttpScrollConnector]]),
+    * anything else the parquet layout. A task can mix them (scroll a
+    * live store into parquet, or reindex parquet into a live store —
+    * the reference's whole use case).
     */
   def parquetConnectors(spec: TaskSpec): (DocConnector, DocConnector) =
-    (new ParquetConnector(spec.sourceDir), new ParquetConnector(spec.destDir))
+    (forRoot(spec.sourceDir), forRoot(spec.destDir))
+
+  private def forRoot(root: String): DocConnector =
+    if (root.startsWith("http://") || root.startsWith("https://"))
+      new graft.sources.HttpScrollConnector(root)
+    else new ParquetConnector(root)
 }

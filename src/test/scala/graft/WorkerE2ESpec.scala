@@ -113,6 +113,14 @@ class WorkerE2ESpec extends SparkSpec {
     } finally { srcServer.stop(); dstServer.stop() }
   }
 
+  test("default connector factory dispatches http(s) roots to the wire connector") {
+    val mixed = Graft.parquetConnectors(TaskSpec(
+      "t", sourceDir = "http://example.invalid:9200", destDir = "/tmp/out",
+      tables = Seq("first")))
+    assert(mixed._1.isInstanceOf[graft.sources.HttpScrollConnector])
+    assert(mixed._2.isInstanceOf[graft.sources.ParquetConnector])
+  }
+
   test("mutators apply on the connector path and resume skips completed work") {
     val src = seeded()
     val sink = new InMemoryConnector
