@@ -91,6 +91,8 @@ object SparkEntry {
     "q_percentiles"     -> (Relational.qPercentilesQuery _),
     "sample_stratified" -> (TextAnalysis.stratifiedSampleQuery _),
     "split_assign"      -> (TextAnalysis.splitAssignQuery _),
+    "pack_sequences"    -> (TextAnalysis.packSequencesQuery _),
+    "mix_sources"       -> (TextAnalysis.mixSourcesQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfQuery _),
     "contamination"     -> (TextAnalysis.contaminationQuery _),
@@ -233,6 +235,10 @@ object SparkEntry {
       """SELECT doc_id, source FROM (SELECT doc_id, source, list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM documents) WHERE h < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 49152 ELSE 16384 END ORDER BY doc_id""",
     "split_assign" ->
       """SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val' WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test' ELSE 'train' END AS split FROM documents ORDER BY doc_id""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM documents), c AS (SELECT doc_id, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) SELECT doc_id, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, n_tokens FROM c ORDER BY doc_id""",
+    "mix_sources" ->
+      """WITH ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM documents), tgt AS (SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)) SELECT doc_id, source FROM ranked, tgt WHERE rnk <= t ORDER BY doc_id""",
     "top_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s FROM toks WHERE len(t) >= 2), inv AS (SELECT doc_id, unnest(s) AS gram FROM sh) SELECT gram, count(DISTINCT doc_id) AS df FROM inv GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""",
     "tfidf_top_terms" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -412,6 +413,64 @@ object TextAnalysis {
       Map("src0" -> 49152, "src1" -> 49152, "src2" -> 49152),
       defaultThreshold = 16384
     ).select("doc_id", "source").orderBy("doc_id")
+
+  /** Sequence PACKING (token-budget sharding): assign each document to
+    * a training sequence of ~`capacity` tokens. Deterministic and
+    * shuffle-bounded: documents hash into `groups` independent packing
+    * groups (the parallelism unit — each group packs alone, so there is
+    * NO global sort; at 100 TB `groups` scales with the corpus and each
+    * group's window sort is corpus/groups), are ordered by doc_id
+    * within the group, and get `seq_id = floor(cum_tokens_before /
+    * capacity)` — streaming greedy packing where a sequence may
+    * overflow by at most its last document (the standard tolerance;
+    * an over-capacity document occupies its own sequence). Content-
+    * hash grouping (md5, not xxhash) keeps the assignment replicable
+    * by any engine.
+    */
+  def packSequences(docs: DataFrame, capacity: Long = 256, groups: Int = 8): DataFrame = {
+    require(capacity > 0 && groups > 0, "positive capacity/groups")
+    val grp = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(groups.toLong)).cast("int")
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), sketch.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("grp", grp)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // `div`, not `/`: integer division keeps the id exact int64 on
+      // any engine (Spark `/` on longs is double division)
+      .withColumn("seq_id", expr(s"cum_before div ${capacity}L"))
+      .select("doc_id", "grp", "seq_id", "n_tokens")
+  }
+
+  def packSequencesQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Balanced source MIX: every source contributes exactly the size of
+    * the smallest source, members chosen by content-hash rank — the
+    * "equal mixing weights" training-mix primitive as a deterministic,
+    * RNG-free filter (stratifiedSample covers proportional weights;
+    * this covers exact per-source quotas). The per-source `row_number`
+    * sorts each source's partition; at 100 TB per-source quota
+    * selection swaps the rank window for a GlobalRank boundary-hash
+    * lookup per source (sort only the boundary partitions), same as
+    * the planner's ntile path.
+    */
+  def mixSources(docs: DataFrame): DataFrame = {
+    val target = docs.groupBy(col("source")).agg(count(lit(1)).as("src_n"))
+      .agg(min(col("src_n")).as("__target"))
+    docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .crossJoin(broadcast(target)) // 1-row scalar, never a driver collect
+      .filter(col("rnk") <= col("__target"))
+      .select("doc_id", "source")
+  }
+
+  def mixSourcesQuery(spark: SparkSession, dir: String): DataFrame =
+    mixSources(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.

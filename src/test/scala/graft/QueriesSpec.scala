@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * its schema and determinism.
   */
 class QueriesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("every SparkEntry query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -133,5 +134,43 @@ class QueriesSpec extends SparkSpec {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("clean"))
     val redacted = cleaned.filter(col("clean").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count()
     assert(redacted == 0, "no email-shaped text may survive redaction")
+  }
+
+  test("pack_sequences: budget respected modulo last-doc overflow; coverage total") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val capacity = 256L
+    val packed = TextAnalysis.packSequences(docs, capacity = capacity, groups = 8)
+      .as[(Long, Int, Long, Long)].collect()
+    // every doc packed exactly once
+    assert(packed.length == docs.count())
+    // per (grp, seq): the sequence's tokens minus its LAST doc must fit
+    // the budget (streaming packing overflows by at most one document),
+    // and sequence ids within a group are contiguous from 0
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((g, s), ds) =>
+      val toks = ds.sortBy(_._1).map(_._4)
+      assert(toks.init.sum < capacity,
+        s"grp=$g seq=$s holds ${toks.sum} tokens with room before its last doc")
+    }
+    packed.groupBy(_._2).foreach { case (g, ds) =>
+      val seqs = ds.map(_._3).distinct.sorted
+      assert(seqs.head == 0L && seqs.toSeq == (0L to seqs.last).toSeq,
+        s"grp=$g sequence ids must be contiguous: ${seqs.toSeq}")
+    }
+  }
+
+  test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val perSource = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val quota = perSource.values.min
+    val mixed = TextAnalysis.mixSources(docs).as[(Long, String)].collect()
+    val got = mixed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == perSource.keySet, "every source must appear in the mix")
+    assert(got.values.forall(_ == quota), s"unbalanced mix: $got (quota $quota)")
+    // pure function of content: a second run picks the same docs
+    val again = TextAnalysis.mixSources(docs).as[(Long, String)].collect()
+    assert(mixed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 }
