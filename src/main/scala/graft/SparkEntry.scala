@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.exactClusters _),
     "dedup_incremental" -> (Dedup.incrementalQuery _),
     "dedup_lines"       -> (Dedup.lineStatsQuery _),
+    "dedup_substring"   -> (Dedup.substringQuery _),
     "text_oov"          -> (TextAnalysis.oovQuery _),
     "text_ttr"          -> (TextAnalysis.ttrQuery _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "dedup_ngram"       -> (Dedup.ngramJaccardQuery _),
     "dedup_clusters"    -> (Clustering.dedupClustersQuery _),
     "embed_neardup"     -> (Dedup.embeddingNearDupQuery _),
+    "semdedup"          -> (Similarity.semDedupQuery _),
     "ann_topk"          -> (Similarity.annTopKQuery _),
     "ann_lsh"           -> (Similarity.annLshQuery _),
     "ann_ivf"           -> (Similarity.annIvfQuery _),
@@ -93,6 +95,7 @@ object SparkEntry {
     "split_assign"      -> (TextAnalysis.splitAssignQuery _),
     "pack_sequences"    -> (TextAnalysis.packSequencesQuery _),
     "mix_sources"       -> (TextAnalysis.mixSourcesQuery _),
+    "token_budget"      -> (TextAnalysis.tokenBudgetQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfQuery _),
     "contamination"     -> (TextAnalysis.contaminationQuery _),
@@ -199,12 +202,16 @@ object SparkEntry {
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, eq.label, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2, 3), r AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc) SELECT label, c_label AS assigned, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
     "kmeans_step" ->
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), nc AS (SELECT a.cluster, eq.dim, CAST(sum(eq.qe) AS BIGINT) AS qs, count(*) AS nv FROM eq JOIN a USING (vec_id) GROUP BY 1, 2) SELECT cluster, dim, nv AS n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * nv AS DOUBLE) AS centroid FROM nc ORDER BY cluster, dim""",
+    "semdedup" ->
+      """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), p AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id JOIN embeddings ea ON ea.vec_id = x.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.35) SELECT a.vec_id, a.cluster, CASE WHEN p.vec_id IS NULL THEN 'kept' ELSE 'dup' END AS verdict FROM a LEFT JOIN p USING (vec_id) ORDER BY a.vec_id""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->
       """WITH l AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS x FROM documents) WHERE length(trim(x)) > 0), c AS (SELECT line, count(*) AS n FROM l GROUP BY 1) SELECT doc_id, count(*) AS n_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines, CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac FROM l JOIN c USING (line) GROUP BY 1 ORDER BY 1""",
     "text_ttr" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types, CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr FROM tok GROUP BY 1 ORDER BY 1""",
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)), m AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)), g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS ns FROM m), si AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM g), sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 7 AS e FROM si GROUP BY 1, 2) SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens, CAST(min(s) AS BIGINT) AS first_pos FROM sp GROUP BY 1 ORDER BY doc_id""",
     "text_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 16) SELECT doc_id, count(*) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1 ORDER BY 1""",
     "text_pii" ->
@@ -239,6 +246,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM documents), c AS (SELECT doc_id, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) SELECT doc_id, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, n_tokens FROM c ORDER BY doc_id""",
     "mix_sources" ->
       """WITH ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM documents), tgt AS (SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)) SELECT doc_id, source FROM ranked, tgt WHERE rnk <= t ORDER BY doc_id""",
+    "token_budget" ->
+      """WITH d AS (SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens, md5(coalesce(text, '')) AS h, CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1000 ELSE 2000 END AS budget FROM documents), c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, budget, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM d) SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < budget ORDER BY doc_id""",
     "top_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s FROM toks WHERE len(t) >= 2), inv AS (SELECT doc_id, unnest(s) AS gram FROM sh) SELECT gram, count(DISTINCT doc_id) AS df FROM inv GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""",
     "tfidf_top_terms" ->

@@ -626,4 +626,75 @@ object Dedup {
     Similarity
       .cosineNearDupMulti(Tables.embeddings(spark, dir), threshold = 0.2, bits = 4, tables = 8)
       .orderBy(asc("id_a"), asc("id_b"))
+
+  // --------------------------------------------------------------------
+  // Exact SUBSTRING dedup: duplicated k-token spans ACROSS documents —
+  // the span-level exact dedup that whole-doc and line-level dedup both
+  // miss (quoted paragraphs, syndicated passages, license blocks mid-
+  // document). The published formulation builds a corpus suffix array;
+  // the distributed re-expression is a hashed rolling-window inverted
+  // index: same duplicated-span semantics for spans >= k tokens, two
+  // corpus passes, no global sort.
+  // --------------------------------------------------------------------
+
+  /** Per-document duplicated-span report: every maximal token span made
+    * of k-token windows that also occur in at least one OTHER document
+    * (cross-doc by contract — within-doc repetition is
+    * [[TextAnalysis.repetitionQuery doc_repetition]]'s job).
+    *
+    * Shape at 100 TB: the window stage is ~n_tokens rows per doc but
+    * each row is a skinny (hash, doc_id, pos) triple — the window TEXT
+    * itself never shuffles (xxhash64 before the exchange, the
+    * [[lineDups]] trick at span granularity). Pass 1 groups window
+    * hashes with map-side min/max partials (distinct-doc witness:
+    * min(doc_id) != max(doc_id) — no countDistinct state); pass 2
+    * joins occurrences back to the (much smaller) duplicated-hash set
+    * on the SAME key, so AQE plans both exchanges hash-partitioned on
+    * `h`. A boilerplate window shared by millions of docs contributes
+    * its occurrence rows and nothing more — no pair emission, no
+    * quadratic term anywhere. The island merge runs per doc (window
+    * partitioned by doc_id, bounded by doc length).
+    */
+  def substringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        // tokens contain no whitespace (split on \s+), so a single-space
+        // join is collision-free and matches the oracle's reconstruction
+        explode(expr(
+          s"transform(sequence(0, size(t) - $k), i -> " +
+            s"struct(i AS pos, xxhash64(array_join(slice(t, i + 1, $k), ' ')) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = wins
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(byDoc)
+    val spans = wins
+      .join(dupHashes, Seq("h"))
+      .select("doc_id", "pos")
+      // windows at pos p cover tokens [p, p+k-1]; merge overlap-or-touch
+      .withColumn("__new", when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+    val out = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        min(col("s")).cast("long").as("first_pos"))
+    graft.engine.Caching.handoff(out, wins)
+  }
+
+  def substringQuery(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(spark, dir), k = 8).orderBy("doc_id")
 }

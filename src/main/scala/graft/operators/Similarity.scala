@@ -439,6 +439,60 @@ object Similarity {
   def kmeansStepQuery(spark: SparkSession, dir: String): DataFrame =
     kmeansStep(Tables.embeddings(spark, dir))
 
+  /** Semantic dedup (SemDeDup): cluster the embedding space, then mark
+    * every vector that sits within `threshold` cosine of a LOWER-id
+    * member of its own cluster as `dup` — deterministic lowest-id-
+    * survivor semantics, so the verdict set is engine-independent and
+    * hash-checkable (the published method keeps an arbitrary
+    * representative per epsilon-ball; pinning the survivor to min id is
+    * the same dedup with a reproducible choice).
+    *
+    * Dataflow at 100 TB: assignment is the [[nearestCentroid]] shape —
+    * centroid literals broadcast in-plan, corpus scanned once, NO
+    * shuffle to cluster. The pairwise stage joins the corpus to itself
+    * on the cluster id (one exchange each side, AQE-planned); the
+    * within-cluster compare is quadratic in CLUSTER size by the
+    * method's published contract — k scales with the corpus so
+    * clusters stay bounded (SemDeDup ran 50k clusters for 5B
+    * embeddings), making per-cluster cost flat as the corpus grows.
+    * Cosine runs on the raw float vectors via the fused [[vec.cosine]]
+    * kernel only for co-clustered pairs.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double, scale: Int = 1000): DataFrame = {
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val scored = scoredStructs(centroidModel(emb, scale))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), quantized(scale).as("qe"))
+      .select(
+        col("vec_id"), col("embedding"),
+        array_min(array(scored: _*)).getField("c_label").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = assigned
+      .select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      .join(
+        assigned.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("v_a")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(vec.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    val out = assigned
+      .select("vec_id", "cluster")
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cluster"),
+        when(col("__dup"), lit("dup")).otherwise(lit("kept")).as("verdict"))
+    graft.engine.Caching.handoff(out, assigned)
+  }
+
+  /** Driver query: per-vector kept/dup verdicts. The synthetic corpus
+    * has no planted near-dups (within-cluster cosines top out ~0.47),
+    * so the threshold sits at 0.35 to exercise BOTH verdicts; a
+    * production near-dup sweep runs the same operator at ~0.9.
+    */
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, dir), threshold = 0.35).orderBy("vec_id")
+
   /** Brute-force exact top-5 for the first 16 vectors as queries. */
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

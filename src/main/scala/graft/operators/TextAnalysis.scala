@@ -472,6 +472,50 @@ object TextAnalysis {
   def mixSourcesQuery(spark: SparkSession, dir: String): DataFrame =
     mixSources(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Token-BUDGET selection: fill each source's token quota greedily in
+    * content-hash order — the "give me 50B tokens of web, 10B of code"
+    * primitive a training-mix config compiles down to. Deterministic
+    * and RNG-free like [[stratifiedSample]], but the quota is measured
+    * in TOKENS (what the training run actually consumes), not docs: a
+    * doc is kept while the tokens admitted before it are under budget,
+    * so a sequence may overflow by at most its last document (the
+    * [[packSequences]] tolerance). Per-source rank window at test
+    * scale; at 100 TB the same GlobalRank boundary-lookup swap as
+    * [[mixSources]] — find the hash cut where the running token sum
+    * crosses the budget, then one shuffle-free filter pass.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long
+  ): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val b = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // null text admits as a zero-token doc (coalesce BEFORE hash and
+    // count: a null __h would sort NULLS FIRST here but NULLS LAST in
+    // an ASC DuckDB window — the one divergence class the oracle rules
+    // can't see until a null row lands on a budget boundary)
+    docs
+      .select(
+        col("doc_id"), col("source"),
+        sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__h"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < b)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+  }
+
+  def tokenBudgetQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(
+      Tables.documents(spark, dir),
+      Map("src0" -> 4000L, "src1" -> 1000L),
+      defaultBudget = 2000L
+    ).orderBy("doc_id")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

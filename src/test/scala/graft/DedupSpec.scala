@@ -425,6 +425,88 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> (3L, 2L), 2L -> (3L, 2L), 3L -> (3L, 2L)))
   }
 
+  test("substringSpans: cross-doc duplicated windows merge into maximal spans") {
+    // docs 1 and 2 share the 5-token span "s1..s5" at different offsets;
+    // with k=4 that is two overlapping duplicated windows per doc, which
+    // must merge into ONE span of 5 tokens. doc 3 shares nothing.
+    val df = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 t1 t2"),
+      (2L, "s1 s2 s3 s4 s5 w1 w2 w3 w4"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(df, k = 4)
+      .select("doc_id", "n_spans", "dup_tokens", "first_pos")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> (1L, 5L, 2L), 2L -> (1L, 5L, 0L)))
+  }
+
+  test("substringSpans: disjoint shared spans stay separate, touching spans merge") {
+    // doc 1 vs 2 share span A (tokens 0..3); doc 1 vs 3 share span B —
+    // placed with a 1-token gap after A in doc 1, so doc 1 reports TWO
+    // spans. In doc 4 the same two spans touch back-to-back (duplicated
+    // windows at pos 0 and pos k — contiguous coverage) and merge to ONE.
+    val spanA = "p1 p2 p3 p4"
+    val spanB = "q1 q2 q3 q4"
+    val df = Seq(
+      (1L, s"$spanA gap $spanB"),
+      (2L, s"$spanA z1 z2 z3 z4 z5"),
+      (3L, s"y1 y2 y3 y4 y5 $spanB"),
+      (4L, s"$spanA $spanB x1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(df, k = 4)
+      .select("doc_id", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (2L, 8L))
+    assert(got(4L) == (1L, 8L))
+  }
+
+  test("substringSpans: within-doc repetition alone is not a duplicated span") {
+    // the repeated window lives only in doc 1 — cross-doc contract says
+    // no span (doc_repetition covers within-doc repeats)
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 m1 r1 r2 r3 r4"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9")
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(df, k = 4).count() == 0L)
+  }
+
+  test("tokenBudget: greedy per-source fill admits while under budget") {
+    // equal-sized docs make the kept COUNT order-independent: budget 5
+    // with 3-token docs admits cum_before 0 and 3 (overflow tolerance),
+    // rejects 6+ regardless of hash order
+    val docs = (1L to 6L).map(i => (i, "srcA", s"a$i b$i c$i")) ++
+      (7L to 8L).map(i => (i, "srcB", s"d$i e$i f$i"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenBudget(df, Map("srcA" -> 5L), defaultBudget = 100L)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.count(_._2 == "srcA") == 2)
+    assert(out.count(_._2 == "srcB") == 2) // under default budget, all kept
+    assert(out.filter(_._2 == "srcA").map(_._4).sorted.toSeq == Seq(0L, 3L))
+    // kept set is the md5-order prefix: recompute the greedy fill locally
+    val hashed = df.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .as[(Long, String, String)].collect()
+    val expectA = hashed.filter(_._2 == "srcA").sortBy(r => (r._3, r._1))
+      .zipWithIndex.filter { case (_, i) => i * 3 < 5 }.map(_._1._1).toSet
+    assert(out.filter(_._2 == "srcA").map(_._1).toSet == expectA)
+  }
+
+  test("semDedup: near-identical co-clustered vectors dedup to the min id") {
+    val e = (v: Seq[Double]) => v.map(_.toFloat).toArray
+    val df = Seq(
+      // label-0 cluster around (1,0,0,0): 10 and 11 are near-identical
+      (10L, e(Seq(1.0, 0.0, 0.0, 0.0)), 0),
+      (11L, e(Seq(0.999, 0.001, 0.0, 0.0)), 0),
+      (12L, e(Seq(0.7, 0.7, 0.05, 0.0)), 0), // same cluster, cos ~0.7 to v10: kept
+      // label-1 cluster far away on a different axis
+      (20L, e(Seq(0.0, 0.0, 1.0, 0.0)), 1),
+      (21L, e(Seq(0.0, 0.0, 0.0, 1.0)), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(df, threshold = 0.95)
+      .select("vec_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "kept", 11L -> "dup", 12L -> "kept", 20L -> "kept", 21L -> "kept"))
+  }
+
   test("oovScore: OOV fraction against the corpus top-K vocabulary") {
     val docs = Seq(
       (1L, "the the the cat"),
