@@ -112,6 +112,30 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All k-token window hashes of a text, index = window start position
+  * in `split(trim(text), "\\s+")` token coordinates — the sketch stage
+  * of substring-level dedup ([[graft.operators.Dedup.substringSpans]]).
+  * One fused pass ([[SketchKernels.tokenWindowHashes]]): the HOF
+  * composition it replaces materializes every window's joined text
+  * before hashing it.
+  */
+case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  require(k >= 2, s"window k must be >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.tokenWindowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.tokenWindowHashes($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
   * xxh64 over character k-grams, keep the minimum hash in each window of
   * `w` consecutive k-grams (rightmost min on ties), dedup. The selected
@@ -276,6 +300,8 @@ object sketch {
     GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
   def tokenCount(text: Column): Column =
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
+  def tokenWindowHashes(text: Column, k: Int): Column =
+    GraftExpressionBridge.column(TokenWindowHashes(GraftExpressionBridge.expression(text), k))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftExpressionBridge.column(SortedIntersectCount(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))

@@ -346,6 +346,73 @@ object SketchKernels {
     * sides to one unit (code points) or drop those oracles to
     * rows-only.
     */
+  /** See [[TokenWindowHashes]]: the 64-bit hash of EVERY k-token window
+    * of a text, one pass, index = window start position. Tokenization
+    * matches [[tokenShingles]] exactly (SQL space-only trim, `\s` run
+    * splitting, leading/trailing empty-token quirks), so window
+    * positions line up with `split(trim(text), '\\s+')` coordinates.
+    *
+    * Per-token hashes (char polynomial + splitmix64 finalizer) combine
+    * into a degree-(k-1) polynomial mod 2^64 ROLLED across positions:
+    * O(n_tokens) total work and zero per-window string materialization,
+    * where the `transform(sequence, slice + array_join + xxhash64)`
+    * composition it replaces copies every window's text (O(n·k) bytes
+    * of garbage per doc) and pays interpreted lambda dispatch per
+    * window. Equal windows hash equal on any engine/partition; distinct
+    * windows collide at ~2^-64 — the contract the line-dedup and
+    * minhash stages already accept.
+    */
+  def tokenWindowHashes(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) return new GenericArrayData(Array.empty[Long])
+    @inline def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    @inline def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // per-token hashes in one scan (growable long buffer, no strings)
+    var th = new Array[Long](16)
+    var n = 0
+    @inline def push(h: Long): Unit = {
+      if (n == th.length) th = java.util.Arrays.copyOf(th, n * 2)
+      th(n) = mix(h); n += 1
+    }
+    if (isSep(s.charAt(lo))) push(0L) // leading empty token
+    var i = lo
+    while (i < hi) {
+      if (!isSep(s.charAt(i))) {
+        var h = 1125899906842597L
+        while (i < hi && !isSep(s.charAt(i))) { h = h * 31 + s.charAt(i); i += 1 }
+        push(h)
+      } else i += 1
+    }
+    if (isSep(s.charAt(hi - 1))) push(0L) // trailing empty token
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 0x9E3779B97F4A7C15L // odd: multiplication is invertible mod 2^64
+    var pow = 1L // B^(k-1), wrapped
+    var j = 1
+    while (j < k) { pow *= B; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + th(j); j += 1 }
+    out(0) = h
+    var t = 1
+    while (t + k <= n) {
+      h = (h - th(t - 1) * pow) * B + th(t + k - 1)
+      out(t) = h
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
     val text = input.toString
     val n = text.length

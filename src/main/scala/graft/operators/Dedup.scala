@@ -655,20 +655,37 @@ object Dedup {
     * quadratic term anywhere. The island merge runs per doc (window
     * partitioned by doc_id, bounded by doc length).
     */
-  def substringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+  /** (doc_id, pos, h) occurrence rows of every k-token window. The
+    * kernel path is ONE fused codegen pass per doc
+    * ([[graft.functions.TokenWindowHashes]]: rolled polynomial over
+    * per-token hashes, no window text materialized); the composed path
+    * is the executable spec of the same window semantics (HOF slice +
+    * join + xxhash64) — DedupSpec asserts both mark the identical
+    * duplicated (doc_id, pos) set.
+    */
+  private[operators] def windowOccurrences(
+      docs: DataFrame, k: Int, kernel: Boolean): DataFrame =
+    if (kernel)
+      docs.select(
+        col("doc_id"),
+        posexplode(sketch.tokenWindowHashes(col("text"), k)).as(Seq("pos", "h")))
+    else
+      docs
+        .select(col("doc_id"), text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+        .select(
+          col("doc_id"),
+          // tokens contain no whitespace (split on \s+), so a single-space
+          // join is collision-free and matches the oracle's reconstruction
+          explode(expr(
+            s"transform(sequence(0, size(t) - $k), i -> " +
+              s"struct(i AS pos, xxhash64(array_join(slice(t, i + 1, $k), ' ')) AS h))")).as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  def substringSpans(docs: DataFrame, k: Int = 8, kernel: Boolean = true): DataFrame = {
     require(k >= 2, s"window k must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
-      .select(col("doc_id"), text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= k)
-      .select(
-        col("doc_id"),
-        // tokens contain no whitespace (split on \s+), so a single-space
-        // join is collision-free and matches the oracle's reconstruction
-        explode(expr(
-          s"transform(sequence(0, size(t) - $k), i -> " +
-            s"struct(i AS pos, xxhash64(array_join(slice(t, i + 1, $k), ' ')) AS h))")).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val wins = windowOccurrences(docs, k, kernel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = wins
       .groupBy(col("h"))

@@ -460,6 +460,25 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (1L, 8L))
   }
 
+  test("substringSpans: kernel and composed window paths agree end-to-end") {
+    // real corpus + a planted pair exercising the tokenization quirks
+    // (leading tab -> leading empty token; interior separator runs)
+    val quirks = Seq(
+      (9000001L, "\tq1 q2\t\tq3  q4 q5 q6 q7 q8 q9"),
+      (9000002L, "\tq1 q2 q3 q4 q5 q6 q7 q8 q9 tail")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").unionByName(quirks)
+    val viaKernel = Dedup.substringSpans(docs, k = 8, kernel = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaComposed = Dedup.substringSpans(docs, k = 8, kernel = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaKernel == viaComposed)
+    assert(viaKernel.nonEmpty)
+    // the quirk docs share a 9-token prefix window set in SHIFTED
+    // positions (doc 1's double-tab glues nothing: \s+ collapses runs)
+    assert(viaKernel.exists(_._1 == 9000001L))
+  }
+
   test("substringSpans: within-doc repetition alone is not a duplicated span") {
     // the repeated window lives only in doc 1 — cross-doc contract says
     // no span (doc_repetition covers within-doc repeats)
