@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incrementalQuery _),
     "dedup_lines"       -> (Dedup.lineStatsQuery _),
     "dedup_substring"   -> (Dedup.substringQuery _),
+    "dedup_scrub"       -> (Dedup.substringScrubQuery _),
     "text_oov"          -> (TextAnalysis.oovQuery _),
     "text_ttr"          -> (TextAnalysis.ttrQuery _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "embed_assign"      -> (Similarity.assignQuery _),
     "kmeans_step"       -> (Similarity.kmeansStepQuery _),
     "q_transitions"     -> (Relational.qTransitions _),
+    "q_asof_join"       -> (Relational.qAsofJoin _),
     "q_anomaly"         -> (Relational.qAnomaly _),
     "text_tokens"       -> (TextAnalysis.textTokens _),
     "text_tokens_bpe"   -> (TextAnalysis.textTokensBpe _),
@@ -194,6 +196,8 @@ object SparkEntry {
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1) SELECT strftime(cohort, '%Y-%m-%d') AS cohort_d, CAST(date_diff('day', cohort, d) AS INT) AS days_since, count(*) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_transitions" ->
       """WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS to_type FROM events) SELECT event_type AS from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS rnk FROM events WHERE event_type IN ('click', 'purchase')), c AS (SELECT user_id, event_id, event_type, tus, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, rnk, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id, last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, rnk, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_tus FROM ev) SELECT event_id AS purchase_id, user_id, click_id, tus - click_tus AS gap_us FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
     "q_anomaly" ->
       """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events), st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS n FROM e GROUP BY 1), z AS (SELECT e.event_type, CASE WHEN n >= 2 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0 THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) END AS z FROM e JOIN st USING (event_type)) SELECT event_type, count(*) AS n_events, count(CASE WHEN abs(z) > 3 THEN 1 END) AS n_outliers FROM z GROUP BY 1 ORDER BY 1""",
     "embed_centroids" ->
@@ -212,6 +216,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types, CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr FROM tok GROUP BY 1 ORDER BY 1""",
     "dedup_substring" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)), m AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)), g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS ns FROM m), si AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM g), sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 7 AS e FROM si GROUP BY 1, 2) SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens, CAST(min(s) AS BIGINT) AS first_pos FROM sp GROUP BY 1 ORDER BY doc_id""",
+    "dedup_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), mn AS (SELECT w, min(doc_id) AS mdoc FROM wins GROUP BY 1), remw AS (SELECT wins.doc_id, pos, unnest(range(8)) AS i FROM wins JOIN mn USING (w) WHERE wins.doc_id > mn.mdoc), rem AS (SELECT DISTINCT doc_id, pos + i AS tp FROM remw), tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS tp FROM toks), keptagg AS (SELECT tokpos.doc_id, string_agg(tok, ' ' ORDER BY tokpos.tp) AS clean FROM tokpos LEFT JOIN rem ON tokpos.doc_id = rem.doc_id AND tokpos.tp = rem.tp WHERE rem.doc_id IS NULL GROUP BY 1), remc AS (SELECT doc_id, count(*) AS n_rem FROM rem GROUP BY 1) SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(COALESCE(remc.n_rem, 0) AS BIGINT) AS n_removed, md5(COALESCE(keptagg.clean, '')) AS clean_fp FROM toks t LEFT JOIN keptagg ON t.doc_id = keptagg.doc_id LEFT JOIN remc ON t.doc_id = remc.doc_id ORDER BY t.doc_id""",
     "text_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 16) SELECT doc_id, count(*) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1 ORDER BY 1""",
     "text_pii" ->

@@ -714,4 +714,52 @@ object Dedup {
 
   def substringQuery(spark: SparkSession, dir: String): DataFrame =
     substringSpans(Tables.documents(spark, dir), k = 8).orderBy("doc_id")
+
+  /** Substring SCRUB — act on [[substringSpans]]'s report: every
+    * duplicated k-token window occurrence is REMOVED from every doc
+    * except the window's min-doc_id owner (keep-one semantics, the
+    * published exact-substring-dedup contract, with the survivor pinned
+    * deterministically — symmetric removal would destroy the text in
+    * every copy). Output per doc: token counts before/after and an
+    * md5 fingerprint of the cleaned text (space-joined kept tokens), so
+    * the redaction itself is oracle-checkable, like text_pii.
+    *
+    * Dataflow: the two skinny window passes of [[substringSpans]], then
+    * removable token positions (explode to (doc_id, tokpos), distinct —
+    * bounded by corpus token count), collected per AFFECTED doc only
+    * and joined back to the corpus (untouched docs carry a null set and
+    * skip the rewrite). The rewrite is a per-row HOF filter over the
+    * token array — O(tokens × removed) membership checks; the
+    * [[graft.functions.SketchKernels]] pattern is the swap-in if a real
+    * corpus makes that term matter. Doc text still never shuffles: only
+    * int position sets move.
+    */
+  def substringScrub(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    val wins = windowOccurrences(docs, k, kernel = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minDoc = wins.groupBy(col("h")).agg(min(col("doc_id")).as("__mn"))
+    val remSet = wins
+      .join(minDoc, Seq("h"))
+      .filter(col("doc_id") > col("__mn"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tp")).as("rem"))
+    val out = docs
+      .select(col("doc_id"), text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .join(remSet, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("rem").isNull, 0L).otherwise(size(col("rem")).cast("long")).as("n_removed"),
+        md5(expr(
+          "array_join(filter(t, (tok, i) -> rem IS NULL OR NOT array_contains(rem, i)), ' ')"))
+          .as("clean_fp"))
+    graft.engine.Caching.handoff(out, wins)
+  }
+
+  def substringScrubQuery(spark: SparkSession, dir: String): DataFrame =
+    substringScrub(Tables.documents(spark, dir), k = 8).orderBy("doc_id")
 }

@@ -700,6 +700,59 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** AS-OF join returning the matched ROW's payload: every `probeType`
+    * event matched to the LATEST `matchType` event of the same user
+    * at-or-before its timestamp (`<=` semantics; simultaneous matches
+    * are visible, ties take the max event_id — all pinned by the
+    * (tus, rnk, event_id) sort key). [[qAsOf]] is the timestamp-only
+    * strictly-before variant; this one carries the matched event's
+    * columns through the window (a struct carry-forward), which is what
+    * an as-of JOIN — as opposed to an as-of lookup — means.
+    *
+    * NOT a join at all in the plan: both event roles union into one
+    * stream and a single carry-forward window (`last ... ignoreNulls`)
+    * resolves every probe in one pass — one shuffle on user_id, one
+    * per-user sort, zero join state. The naive formulation is a range
+    * join (probe × every earlier match candidate) that explodes
+    * quadratically on active users; the carry-forward shape is how an
+    * as-of survives 100 TB of events. Probes with no prior match keep
+    * null match columns (left semantics).
+    */
+  def asofLastBefore(
+      events: DataFrame, matchType: String, probeType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("rnk"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(matchType, probeType))
+      // same-instant matches sort BEFORE the probe: visible at equal tus
+      .withColumn("rnk", when(col("event_type") === matchType, 0).otherwise(1))
+      .withColumn(
+        "__m",
+        last(
+          when(col("event_type") === matchType, struct(col("tus"), col("event_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === probeType)
+      .select(
+        col("event_id").as("probe_id"),
+        col("user_id"),
+        col("__m.event_id").as("match_id"),
+        (col("tus") - col("__m.tus")).as("gap_us"))
+  }
+
+  /** Driver query: each purchase matched to the user's latest prior
+    * (or simultaneous) click.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofLastBefore(
+      Tables.events(spark, dir)
+        .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+        .select("user_id", "event_id", "event_type", "tus"),
+      matchType = "click", probeType = "purchase")
+      .withColumnRenamed("probe_id", "purchase_id")
+      .withColumnRenamed("match_id", "click_id")
+      .orderBy("purchase_id")
+
   /** Z-score anomaly counts per event type: two passes over the events
     * table — a per-type moment aggregate (sum, sum-of-squares, count on
     * EXACT integer cents, so the partial aggregation order cannot

@@ -489,6 +489,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringSpans(df, k = 4).count() == 0L)
   }
 
+  test("substringScrub: min-doc owner keeps its text, later docs lose the span") {
+    // doc 1 owns the shared 4-token window (min id); doc 2 loses it and
+    // keeps only its unique tail; doc 3 untouched (n_removed 0)
+    val df = Seq(
+      (1L, "s1 s2 s3 s4 a1 a2"),
+      (2L, "s1 s2 s3 s4 b1 b2"),
+      (3L, "c1 c2 c3 c4 c5 c6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(df, k = 4)
+      .select("doc_id", "n_tokens", "n_removed", "clean_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == (6L, 0L, fp("s1 s2 s3 s4 a1 a2")))
+    assert(got(2L) == (6L, 4L, fp("b1 b2")))
+    assert(got(3L) == (6L, 0L, fp("c1 c2 c3 c4 c5 c6")))
+    // an exact-dup doc of the owner loses EVERYTHING
+    val dfDup = df.unionByName(Seq((4L, "s1 s2 s3 s4 a1 a2")).toDF("doc_id", "text"))
+    val g4 = Dedup.substringScrub(dfDup, k = 4)
+      .filter(col("doc_id") === 4L)
+      .select("n_removed", "clean_fp").as[(Long, String)].head()
+    assert(g4 == (6L, fp("")))
+  }
+
   test("tokenBudget: greedy per-source fill admits while under budget") {
     // equal-sized docs make the kept COUNT order-independent: budget 5
     // with 3-token docs admits cum_before 0 and 3 (overflow tolerance),

@@ -159,6 +159,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("asofLastBefore: latest at-or-before match, ties and no-match pinned") {
+    import graft.operators.Relational
+    // user 1: clicks at t=10 (id 1), t=20 (ids 2 and 3 SIMULTANEOUS),
+    //         purchase at t=20 (id 4: same-instant click visible, max id
+    //         wins), purchase at t=15 (id 5 -> click 1), purchase at t=5
+    //         (id 6 -> NO prior click: null match)
+    // user 2: purchase only (id 7) -> null match
+    val ev = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "click", 20L), (3L, 1L, "click", 20L),
+      (4L, 1L, "purchase", 20L), (5L, 1L, "purchase", 15L), (6L, 1L, "purchase", 5L),
+      (7L, 2L, "purchase", 30L), (8L, 1L, "error", 12L) // other types ignored
+    ).toDF("event_id", "user_id", "event_type", "tus")
+    val got = Relational.asofLastBefore(ev, "click", "purchase")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      4L -> ((Some(3L), Some(0L))),
+      5L -> ((Some(1L), Some(5L))),
+      6L -> ((None, None)),
+      7L -> ((None, None))))
+  }
+
   test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
