@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_lines"       -> (Dedup.lineStatsQuery _),
     "dedup_substring"   -> (Dedup.substringQuery _),
     "dedup_scrub"       -> (Dedup.substringScrubQuery _),
+    "dedup_leakage"     -> (Dedup.leakageQuery _),
     "text_oov"          -> (TextAnalysis.oovQuery _),
     "text_ttr"          -> (TextAnalysis.ttrQuery _),
     "dedup_minhash"     -> (Dedup.minhashQuery _),
@@ -216,6 +217,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types, CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr FROM tok GROUP BY 1 ORDER BY 1""",
     "dedup_substring" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)), m AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)), g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS ns FROM m), si AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM g), sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 7 AS e FROM si GROUP BY 1, 2) SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens, CAST(min(s) AS BIGINT) AS first_pos FROM sp GROUP BY 1 ORDER BY doc_id""",
+    "dedup_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), mn AS (SELECT w, min(doc_id) AS owner_id FROM wins GROUP BY 1), occ AS (SELECT wins.doc_id, mn.owner_id FROM wins JOIN mn USING (w) WHERE wins.doc_id <> mn.owner_id) SELECT downer.source AS src_owner, ddup.source AS src_dup, count(*) AS n_window_occ, count(DISTINCT occ.doc_id) AS n_docs FROM occ JOIN documents downer ON downer.doc_id = occ.owner_id JOIN documents ddup ON ddup.doc_id = occ.doc_id GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_scrub" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), winh AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8), wins AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS w FROM winh), mn AS (SELECT w, min(doc_id) AS mdoc FROM wins GROUP BY 1), remw AS (SELECT wins.doc_id, pos, unnest(range(8)) AS i FROM wins JOIN mn USING (w) WHERE wins.doc_id > mn.mdoc), rem AS (SELECT DISTINCT doc_id, pos + i AS tp FROM remw), tokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS tp FROM toks), keptagg AS (SELECT tokpos.doc_id, string_agg(tok, ' ' ORDER BY tokpos.tp) AS clean FROM tokpos LEFT JOIN rem ON tokpos.doc_id = rem.doc_id AND tokpos.tp = rem.tp WHERE rem.doc_id IS NULL GROUP BY 1), remc AS (SELECT doc_id, count(*) AS n_rem FROM rem GROUP BY 1) SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(COALESCE(remc.n_rem, 0) AS BIGINT) AS n_removed, md5(COALESCE(keptagg.clean, '')) AS clean_fp FROM toks t LEFT JOIN keptagg ON t.doc_id = keptagg.doc_id LEFT JOIN remc ON t.doc_id = remc.doc_id ORDER BY t.doc_id""",
     "text_oov" ->

@@ -762,4 +762,42 @@ object Dedup {
 
   def substringScrubQuery(spark: SparkSession, dir: String): DataFrame =
     substringScrub(Tables.documents(spark, dir), k = 8).orderBy("doc_id")
+
+  /** Cross-source LEAKAGE matrix: for every duplicated k-token window
+    * occurrence outside its min-doc owner, attribute one count to
+    * (owner's source -> duplicating source) — the "how much of source B
+    * is copied from source A" diagnostic that decides whether a new
+    * crawl actually adds tokens or re-ingests an existing slice (and
+    * the generalized form of train/eval contamination, which the
+    * `contamination` operator covers for a broadcast eval set).
+    *
+    * Same two skinny passes as [[substringScrub]]; the doc_id->source
+    * side joins touch only the LEAKING occurrence subset, and the
+    * output is |sources|² rows at most. n_docs is per-pair distinct
+    * duplicating docs (one extra partial-aggregated shuffle).
+    */
+  def leakageMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    val meta = docs.select(col("doc_id"), col("source"))
+    val wins = windowOccurrences(docs, k, kernel = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owner = wins.groupBy(col("h")).agg(min(col("doc_id")).as("owner_id"))
+    val out = wins
+      .join(owner, Seq("h"))
+      .filter(col("doc_id") =!= col("owner_id"))
+      .select("doc_id", "owner_id")
+      .join(
+        meta.select(col("doc_id").as("owner_id"), col("source").as("src_owner")),
+        Seq("owner_id"))
+      .join(meta.select(col("doc_id"), col("source").as("src_dup")), Seq("doc_id"))
+      .groupBy(col("src_owner"), col("src_dup"))
+      .agg(
+        count(lit(1)).as("n_window_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("src_owner", "src_dup")
+    graft.engine.Caching.handoff(out, wins)
+  }
+
+  def leakageQuery(spark: SparkSession, dir: String): DataFrame =
+    leakageMatrix(Tables.documents(spark, dir), k = 8)
 }

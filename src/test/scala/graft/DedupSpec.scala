@@ -514,6 +514,25 @@ class DedupSpec extends SparkSpec {
     assert(g4 == (6L, fp("")))
   }
 
+  test("leakageMatrix: window copies attribute to (owner source -> dup source)") {
+    // doc 1 (srcA) owns the shared window; docs 2 and 3 (srcB) copy it
+    // (2 window occurrences, 2 distinct docs); doc 4 (srcA) also copies
+    // it -> within-source leak row. doc 5 shares nothing.
+    val df = Seq(
+      (1L, "srcA", "s1 s2 s3 s4 a1 a2"),
+      (2L, "srcB", "x1 s1 s2 s3 s4 x2"),
+      (3L, "srcB", "s1 s2 s3 s4 y1 y2"),
+      (4L, "srcA", "z1 z2 s1 s2 s3 s4"),
+      (5L, "srcC", "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.leakageMatrix(df, k = 4)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("srcA", "srcA") -> ((1L, 1L)),
+      ("srcA", "srcB") -> ((2L, 2L))))
+  }
+
   test("tokenBudget: greedy per-source fill admits while under budget") {
     // equal-sized docs make the kept COUNT order-independent: budget 5
     // with 3-token docs admits cum_before 0 and 3 (overflow tolerance),
