@@ -270,6 +270,44 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("tokenWindowHashes: window counts and equality classes match the token windows") {
+    import graft.functions.{sketch, text}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // same adversarial-whitespace corpus shape as the shingle property:
+    // the kernel must agree with split(trim(text), '\s+') coordinates
+    val tok = Gen.oneOf(Seq("a", "bb", "ccc", "a.b", "xy", "Z9", "_", "é", "tok"))
+    val sep = Gen.oneOf(Seq(" ", "  ", "\t", "\n", "", "\f", "\r", " \t "))
+    val doc = for {
+      pad1 <- Gen.oneOf(Seq("", " ", "\t"))
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n, tok)
+      ss <- Gen.listOfN(n, sep)
+      pad2 <- Gen.oneOf(Seq("", " ", "\n"))
+    } yield pad1 + ws.zip(ss).map { case (w, s) => w + s }.mkString + pad2
+    val p = Prop.forAll(Gen.listOfN(10, doc), Gen.choose(2, 5)) { (texts, k) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(
+          col("id"),
+          sketch.tokenWindowHashes(col("text"), k).as("hs"),
+          text.tokens(col("text")).as("t"))
+        .as[(Long, Seq[Long], Seq[String])].collect()
+      val countsOk =
+        rows.forall { case (_, hs, t) => hs.length == math.max(0, t.length - k + 1) }
+      // equal windows <-> equal hashes: the PARTITION of (doc, pos)
+      // occurrences induced by kernel hashes must equal the partition
+      // induced by the reconstructed window text
+      val occ = rows.toSeq.flatMap { case (id, hs, t) =>
+        hs.zipWithIndex.map { case (h, p) => ((id, p), h, t.slice(p, p + k).mkString(" ")) }
+      }
+      val byHash = occ.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      val byText = occ.groupBy(_._3).values.map(_.map(_._1).toSet).toSet
+      countsOk && byHash == byText
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("fused tokenShingles equals sort_array(shingleSet(tokens)); merge intersect equals array_intersect") {
     import graft.functions.{sketch, text}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
