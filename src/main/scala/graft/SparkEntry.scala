@@ -105,6 +105,7 @@ object SparkEntry {
     "doc_repetition"    -> (TextAnalysis.repetitionQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
     "pipeline_curate"   -> (Curation.curateQuery _),
+    "pipeline_mix"      -> (Curation.mixQuery _),
     "heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     "q_sessionize"      -> (graft.streaming.EventStream.sessionizeBatch _),
     "stream_window_counts" -> (graft.streaming.EventStream.windowedCountsBatch _),
@@ -255,6 +256,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM documents), c AS (SELECT doc_id, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) SELECT doc_id, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, n_tokens FROM c ORDER BY doc_id""",
     "mix_sources" ->
       """WITH ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM documents), tgt AS (SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)) SELECT doc_id, source FROM ranked, tgt WHERE rnk <= t ORDER BY doc_id""",
+    "pipeline_mix" ->
+      """WITH d0 AS (SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens, md5(coalesce(text, '')) AS h FROM documents), gate AS (SELECT * FROM d0 WHERE n_tokens BETWEEN 12 AND 100000), ded AS (SELECT doc_id, source, n_tokens, h FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM gate) WHERE rn = 1), bud AS (SELECT doc_id, source, n_tokens FROM (SELECT doc_id, source, n_tokens, CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1000 ELSE 2000 END AS budget, COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM ded) WHERE cum_before < budget), g AS (SELECT doc_id, source, n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM bud), c AS (SELECT doc_id, source, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM g) SELECT doc_id, source, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM c ORDER BY doc_id""",
     "token_budget" ->
       """WITH d AS (SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens, md5(coalesce(text, '')) AS h, CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1000 ELSE 2000 END AS budget FROM documents), c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, budget, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM d) SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < budget ORDER BY doc_id""",
     "top_ngrams" ->

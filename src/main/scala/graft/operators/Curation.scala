@@ -140,4 +140,50 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("drop_reason")
   }
+
+  /** The training-MIX compile pipeline — from raw corpus to packed
+    * training sequences in one declarative plan:
+    *
+    *   token-range gate -> exact dedup -> per-source token budget ->
+    *   sequence packing
+    *
+    * ([[curateQuery]] is the cleaning capstone; this is the mixing one.)
+    * Every stage is an already-oracle-checked operator, and the
+    * composition is oracle-checked END TO END, so a budget change or a
+    * dedup fix can't silently shift downstream sequence assignment
+    * without the hash catching it. Dataflow: one narrow gate scan, one
+    * digest shuffle ([[Dedup.exact]]), the per-source budget window,
+    * then packing over (doc_id, n_tokens) rows only — document text is
+    * gone from the plan after the budget stage.
+    */
+  def mixPipeline(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000
+  ): DataFrame = {
+    val nTok = graft.functions.sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long")
+    val gate = docs.filter(nTok.between(minTokens, maxTokens))
+    val ded = Dedup.exact(gate, Seq(coalesce(col("text"), lit(""))), col("doc_id"))
+    val bud = TextAnalysis.tokenBudget(ded, budgets, defaultBudget)
+    TextAnalysis.packCounts(bud.select(col("doc_id"), col("source"), col("n_tokens")))
+      .select("doc_id", "source", "grp", "seq_id", "n_tokens")
+  }
+
+  /** Driver query: the standard budgets over the test corpus.
+    * minTokens = 12 sits INSIDE the corpus token range (10..99 at
+    * sf0.01), so the gate genuinely drops documents and shifts the
+    * downstream budget fill — a pass-through gate would leave the
+    * composition indistinguishable from plain token_budget + packing.
+    * (The corpus has no byte-identical docs, so the dedup stage's drop
+    * path is exercised by CurationSpec instead.)
+    */
+  def mixQuery(spark: SparkSession, dir: String): DataFrame =
+    mixPipeline(
+      Tables.documents(spark, dir),
+      Map("src0" -> 4000L, "src1" -> 1000L),
+      defaultBudget = 2000L,
+      minTokens = 12
+    ).orderBy("doc_id")
 }

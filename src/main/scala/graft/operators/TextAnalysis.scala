@@ -427,21 +427,30 @@ object TextAnalysis {
     * hash grouping (md5, not xxhash) keeps the assignment replicable
     * by any engine.
     */
-  def packSequences(docs: DataFrame, capacity: Long = 256, groups: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, capacity: Long = 256, groups: Int = 8): DataFrame =
+    packCounts(
+      docs.select(col("doc_id"), sketch.tokenCount(col("text")).cast("long").as("n_tokens")),
+      capacity, groups)
+
+  /** The packing stage itself, over precomputed (doc_id, n_tokens [,
+    * carry-through columns]) rows — lets a pipeline that already counted
+    * tokens (e.g. [[tokenBudget]]'s output) pack without re-reading doc
+    * text. Appends `grp` and `seq_id`, keeps every input column.
+    */
+  def packCounts(counts: DataFrame, capacity: Long = 256, groups: Int = 8): DataFrame = {
     require(capacity > 0 && groups > 0, "positive capacity/groups")
     val grp = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
       lit(groups.toLong)).cast("int")
     val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), sketch.tokenCount(col("text")).cast("long").as("n_tokens"))
+    counts
       .withColumn("grp", grp)
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // `div`, not `/`: integer division keeps the id exact int64 on
       // any engine (Spark `/` on longs is double division)
-      .withColumn("seq_id", expr(s"cum_before div ${capacity}L"))
-      .select("doc_id", "grp", "seq_id", "n_tokens")
+      .withColumn("seq_id", expr(s"__cum_before div ${capacity}L"))
+      .drop("__cum_before")
   }
 
   def packSequencesQuery(spark: SparkSession, dir: String): DataFrame =

@@ -115,6 +115,32 @@ class CurationSpec extends SparkSpec {
     assert(exact.values.sum == lsh.values.sum)
   }
 
+  test("mixPipeline: gate and dedup drops flow through to budget and packing") {
+    // srcA: one doc too short for the gate, one exact-dup pair (higher
+    // id dropped), the rest sized so the budget (10 tokens) admits the
+    // first two survivors in content-hash order
+    val docs = Seq(
+      (1L, "srcA", "tiny doc"), // 2 tokens: gated out
+      (2L, "srcA", "d1 d2 d3 d4 d5"),
+      (3L, "srcA", "d1 d2 d3 d4 d5"), // exact dup of 2: dropped
+      (4L, "srcA", "e1 e2 e3 e4 e5"),
+      (5L, "srcA", "f1 f2 f3 f4 f5"),
+      (6L, "srcB", "g1 g2 g3 g4 g5")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.mixPipeline(
+      docs, Map.empty, defaultBudget = 10L, minTokens = 5, maxTokens = 100)
+      .select("doc_id", "source", "seq_id", "n_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(1L), "gated-out doc must not reach packing")
+    assert(!ids.contains(3L), "exact dup must be dropped before the budget")
+    assert(ids.contains(2L), "min-id dup survivor stays")
+    assert(ids.contains(6L), "srcB under budget")
+    // budget 10 with 5-token docs: exactly 2 srcA survivors admitted
+    assert(out.count(_._2 == "srcA") == 2)
+    assert(out.forall(_._4 == 5L))
+  }
+
   test("curation is deterministic across runs") {
     val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
       .as[Long].collect().sorted.toSeq
