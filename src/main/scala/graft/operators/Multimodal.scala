@@ -11,11 +11,13 @@ import graft.Tables
   * The Spark-side machinery — schema, partitioning, batch iteration,
   * feature-vector output shape — is real and tested. IMAGE decode is
   * real ([[ImageIoDecoder]], `javax.imageio` from the JDK — PNG/JPEG/
-  * GIF/BMP). Audio/video decode is STUBBED (`FakeDecoder`): those
-  * codecs aren't in this container, so decode produces a deterministic
-  * feature vector from the bytes. Swapping in a real A/V decoder is a
-  * one-function change behind [[Decoder]]; everything else
-  * (distribution, batching, schema) is unchanged.
+  * GIF/BMP). AUDIO decode is real ([[WavPcmDecoder]],
+  * `javax.sound.sampled` from the JDK — WAV/AIFF/AU signed PCM). VIDEO
+  * decode is STUBBED (`FakeDecoder`): no video codec ships with the
+  * JDK, so decode produces a deterministic feature vector from the
+  * bytes. [[MediaIoDecoder]] composes all three behind the one
+  * [[Decoder]] seam; everything else (distribution, batching, schema)
+  * is decoder-agnostic.
   */
 object Multimodal {
 
@@ -118,6 +120,101 @@ object Multimodal {
       )
       (w, h, feats)
     }
+  }
+
+  /** REAL audio decoder backed by `javax.sound.sampled` (ships with the
+    * JDK: WAV/AIFF/AU container parsing + signed-PCM frames — no new
+    * dependencies). Decodes the container's true sample rate and channel
+    * count and an 8-dim feature vector from a bounded prefix of frames
+    * (≤ 65536), so cost per asset is O(1) regardless of duration — the
+    * image decoder's 16x16-grid bound, one modality over.
+    *
+    * Output mapping: width = sample rate (Hz), height = channels.
+    * Feature layout: [meanAbs, rms, zeroCrossRate(ch 0), peakAbs,
+    * rate/96k, channels/8, framesRead/65536, bitDepth/32] — all in
+    * [0,1], amplitudes normalized from signed 16-bit PCM.
+    *
+    * Non-audio modalities, non-PCM16 encodings (8-bit, float, ulaw) and
+    * undecodable bytes delegate to `fallback` per-row — same
+    * poison-blob contract as [[ImageIoDecoder]].
+    */
+  final class WavPcmDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Array[Float]) = {
+      if (modality != "audio") return fallback.decode(modality, content)
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (in == null) return fallback.decode(modality, content)
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0)
+          return fallback.decode(modality, content)
+        val ch = fmt.getChannels
+        val frameSize = fmt.getFrameSize // 2 * ch
+        val maxFrames = 65536
+        val buf = new Array[Byte](maxFrames * frameSize)
+        var off = 0
+        var r = 0
+        while (off < buf.length && r >= 0) {
+          r = in.read(buf, off, buf.length - off)
+          if (r > 0) off += r
+        }
+        val frames = off / frameSize
+        if (frames == 0) return fallback.decode(modality, content)
+        val big = fmt.isBigEndian
+        @inline def sample(idx: Int): Double = {
+          val b0 = buf(2 * idx); val b1 = buf(2 * idx + 1)
+          val s = if (big) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
+          s / 32768.0
+        }
+        val total = frames * ch
+        var sAbs = 0.0; var s2 = 0.0; var peak = 0.0
+        var i = 0
+        while (i < total) {
+          val v = sample(i)
+          val a = math.abs(v)
+          sAbs += a; s2 += v * v; if (a > peak) peak = a
+          i += 1
+        }
+        // zero crossings on channel 0 only (interleaved stride = ch)
+        var zc = 0
+        var f = 1
+        while (f < frames) {
+          if (sample(f * ch) * sample((f - 1) * ch) < 0) zc += 1
+          f += 1
+        }
+        val feats = Array(
+          (sAbs / total).toFloat,
+          math.sqrt(s2 / total).toFloat,
+          (zc.toDouble / math.max(1, frames - 1)).toFloat,
+          peak.toFloat,
+          math.min(1.0, fmt.getSampleRate / 96000.0).toFloat,
+          math.min(1.0, ch / 8.0).toFloat,
+          math.min(1.0, frames / 65536.0).toFloat,
+          16.0f / 32
+        )
+        (math.round(fmt.getSampleRate), ch, feats)
+      } catch {
+        case _: Exception => fallback.decode(modality, content)
+      } finally in.close()
+    }
+  }
+
+  /** The all-modality decoder a production pipeline wires in: real
+    * image and audio decode, video still behind the stub (no video
+    * codec ships with the JDK).
+    */
+  final class MediaIoDecoder(fallback: Decoder = FakeDecoder) extends Decoder {
+    private val img = new ImageIoDecoder(fallback)
+    private val wav = new WavPcmDecoder(fallback)
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Array[Float]) =
+      modality match {
+        case "image" => img.decode(modality, content)
+        case "audio" => wav.decode(modality, content)
+        case _       => fallback.decode(modality, content)
+      }
   }
 
   /** The multimodal envelope: treat each document's text bytes as an

@@ -89,6 +89,68 @@ class EnvelopeSpec extends SparkSpec {
       norm(Multimodal.FakeDecoder.decode("image", truncatedPng)))
   }
 
+  private def wavBytes(rate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate, 16, channels, true, false) // PCM16 LE
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavPcmDecoder decodes a real WAV: rate, channels, amplitude features") {
+    val dec = new Multimodal.WavPcmDecoder()
+    // mono 8 kHz square wave at half amplitude: alternating +/-16384
+    val square = Array.tabulate[Short](400)(i => if (i % 2 == 0) 16384 else -16384)
+    val (rate, ch, f) = dec.decode("audio", wavBytes(8000f, 1, square))
+    assert(rate == 8000 && ch == 1)
+    assert(math.abs(f(0) - 0.5f) < 1e-3, "meanAbs of a half-amplitude square is 0.5")
+    assert(math.abs(f(1) - 0.5f) < 1e-3, "rms of a square equals its amplitude")
+    assert(math.abs(f(2) - 1.0f) < 1e-2, "alternating samples cross zero every frame")
+    assert(math.abs(f(3) - 0.5f) < 1e-3, "peak")
+    assert(math.abs(f(4) - 8000f / 96000) < 1e-4, "rate feature")
+    // silence: all amplitude features zero
+    val (_, _, s) = dec.decode("audio", wavBytes(8000f, 1, Array.fill[Short](100)(0)))
+    assert(s(0) == 0.0f && s(1) == 0.0f && s(2) == 0.0f && s(3) == 0.0f)
+    // stereo carries the channel count through
+    val stereo = Array.tabulate[Short](200)(i => if ((i / 2) % 2 == 0) 8192 else -8192)
+    val (r2, ch2, _) = dec.decode("audio", wavBytes(44100f, 2, stereo))
+    assert(r2 == 44100 && ch2 == 2)
+  }
+
+  test("WavPcmDecoder: non-audio, corrupt bytes, and truncated WAV fall back") {
+    val dec = new Multimodal.WavPcmDecoder()
+    def norm(t: (Int, Int, Array[Float])) = (t._1, t._2, t._3.toSeq)
+    val junk = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+    assert(norm(dec.decode("image", junk)) == norm(Multimodal.FakeDecoder.decode("image", junk)))
+    assert(norm(dec.decode("audio", junk)) == norm(Multimodal.FakeDecoder.decode("audio", junk)))
+    val truncated = wavBytes(8000f, 1, Array.tabulate[Short](50)(_.toShort)).take(16)
+    assert(norm(dec.decode("audio", truncated)) ==
+      norm(Multimodal.FakeDecoder.decode("audio", truncated)))
+  }
+
+  test("MediaIoDecoder routes image and audio to real decoders, video to the stub") {
+    val dec = new Multimodal.MediaIoDecoder()
+    def norm(t: (Int, Int, Array[Float])) = (t._1, t._2, t._3.toSeq)
+    val png = pngBytes(4, 2, 0x00ff00)
+    assert(norm(dec.decode("image", png)) ==
+      norm(new Multimodal.ImageIoDecoder().decode("image", png)))
+    val wav = wavBytes(16000f, 1, Array.tabulate[Short](64)(i => (i * 100).toShort))
+    assert(norm(dec.decode("audio", wav)) ==
+      norm(new Multimodal.WavPcmDecoder().decode("audio", wav)))
+    val bytes = "not a video".getBytes("UTF-8")
+    assert(norm(dec.decode("video", bytes)) ==
+      norm(Multimodal.FakeDecoder.decode("video", bytes)))
+  }
+
   test("extractFeatures runs the real decoder distributed over binary-column assets") {
     // a real binary-asset table: PNG bytes of varying dims/colors, built
     // through the same schema shape as Multimodal.assets
