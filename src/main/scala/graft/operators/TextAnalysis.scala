@@ -431,6 +431,7 @@ object TextAnalysis {
     packCounts(
       docs.select(col("doc_id"), sketch.tokenCount(col("text")).cast("long").as("n_tokens")),
       capacity, groups)
+      .select("doc_id", "grp", "seq_id", "n_tokens") // stable public column order
 
   /** The packing stage itself, over precomputed (doc_id, n_tokens [,
     * carry-through columns]) rows — lets a pipeline that already counted
