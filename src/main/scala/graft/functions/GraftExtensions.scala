@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => TokenCountExpr(es(0))
     ))
     e.injectFunction((
+      FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes",
+        "graft_window_hashes(text, k) - hash of every k-token window, index = start position"),
+      (es: Seq[Expression]) => TokenWindowHashes(es(0), intArg(es, 1, "k"))
+    ))
+    e.injectFunction((
       FunctionIdentifier("graft_langid"),
       info("graft_langid", "graft_langid(text) - marker-heuristic language guess (en/fr/de/es/zh/unknown)"),
       (es: Seq[Expression]) => LangIdGuess(es(0))

@@ -49,6 +49,10 @@ object Register {
     reg.createOrReplaceTempFunction(
       "graft_token_count", es => TokenCountExpr(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_window_hashes",
+      es => TokenWindowHashes(es(0), intArg(es, 1, "k")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_langid", es => LangIdGuess(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect", es => SortedIntersectCount(es(0), es(1)), "scala_udf")

@@ -29,6 +29,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(3) == 2)
   }
 
+  test("graft_window_hashes is a SQL function; equal windows share a hash") {
+    graft.functions.Register.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_window_hashes('a b c a b c', 3) AS hs,
+        |       graft_window_hashes('x', 3) AS short
+        |""".stripMargin).collect().head
+    val hs = r.getSeq[Long](0)
+    assert(hs.length == 4, "6 tokens, k=3 -> 4 windows")
+    assert(hs(0) == hs(3), "'a b c' at pos 0 and 3 must collide")
+    assert(hs(0) != hs(1) && hs(1) != hs(2))
+    assert(r.getSeq[Long](1).isEmpty, "fewer than k tokens -> no windows")
+  }
+
   test("graft_topk aggregate from SQL equals the window formulation") {
     val got = spark.sql(
       s"""SELECT o_custkey, top FROM (
