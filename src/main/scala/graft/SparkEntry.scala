@@ -91,6 +91,7 @@ object SparkEntry {
     "text_langid"       -> (TextAnalysis.textLangId _),
     "text_fingerprint"  -> (TextAnalysis.textFingerprint _),
     "text_pii"          -> (TextAnalysis.piiQuery _),
+    "text_readability"  -> (TextAnalysis.readabilityQuery _),
     "text_winnow"       -> (TextAnalysis.textWinnow _),
     "winnow_pairs"      -> (TextAnalysis.winnowPairsQuery _),
     "q_percentiles"     -> (Relational.qPercentilesQuery _),
@@ -226,6 +227,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), vocab AS (SELECT term FROM cnt ORDER BY n DESC, term ASC LIMIT 16) SELECT doc_id, count(*) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac FROM tok LEFT JOIN vocab v ON tok.term = v.term GROUP BY 1 ORDER BY 1""",
     "text_pii" ->
       """WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || repeat(' alt' || CAST(doc_id AS VARCHAR) || '@example.org', CAST(doc_id % 2 AS INT)) || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones, CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips, md5(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp FROM aug ORDER BY doc_id""",
+    "text_readability" ->
+      """WITH m AS (SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS n_sentences, len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS n_syllables FROM documents) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, CASE WHEN n_tokens > 0 AND n_sentences > 0 THEN 206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_tokens AS DOUBLE)) END AS flesch FROM m ORDER BY doc_id""",
     "q_json_extract" ->
       """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n FROM (SELECT event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->

@@ -526,6 +526,36 @@ object TextAnalysis {
       defaultBudget = 2000L
     ).orderBy("doc_id")
 
+  /** Readability scoring: the Flesch reading-ease heuristic over
+    * whitespace tokens, punctuation-run sentences, and vowel-group
+    * "syllables" — the classic one-pass quality signal a curation
+    * config thresholds on. All three counts are integers from single
+    * regex passes (no shuffle, scan-speed); the final score is one
+    * fixed double expression tree over them, so the DuckDB twin lands
+    * on identical bits (the q_anomaly determinism argument). Docs with
+    * no tokens or no sentence terminator carry a null score rather
+    * than a division blow-up.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    docs
+      .select(
+        col("doc_id"),
+        sketch.tokenCount(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+      .withColumn(
+        "flesch",
+        when(
+          col("n_tokens") > 0 && col("n_sentences") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_tokens").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_tokens").cast("double"))))
+  }
+
+  def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 /** Capstone curation pipeline: every stage drops what it should, the
   * accounting adds up, and the run is deterministic.
@@ -113,6 +113,21 @@ class CurationSpec extends SparkSpec {
     assert(exact.getOrElse("near_dup", 0L) >= lsh.getOrElse("near_dup", 0L),
       s"exact=$exact lsh=$lsh")
     assert(exact.values.sum == lsh.values.sum)
+  }
+
+  test("readability: Flesch arithmetic on crafted counts, null without sentences") {
+    val docs = Seq(
+      (1L, "the cat sat. it was flat!"), // 6 tokens, 2 sentences, 6 vowel groups
+      (2L, "no terminator here"),        // sentences = 0 -> null score
+      (3L, "")                           // no tokens -> null score
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 6L && got(1L)._3 == 2L && got(1L)._4 == 6L)
+    val want = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(math.abs(got(1L)._5.get - want) < 1e-9)
+    assert(got(2L)._5.isEmpty && got(3L)._5.isEmpty)
   }
 
   test("mixPipeline: gate and dedup drops flow through to budget and packing") {
