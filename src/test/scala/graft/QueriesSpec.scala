@@ -159,6 +159,31 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: as-of joins nothing, substring dedup never nested-loops") {
+    import graft.operators.{Dedup, Relational, TextAnalysis}
+    // the as-of is a carry-forward window: NO join node of any kind may
+    // appear, and exactly one hash exchange (the user_id shuffle)
+    val ev = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "purchase", 20L), (3L, 2L, "purchase", 5L)
+    ).toDF("event_id", "user_id", "event_type", "tus")
+    val asofPlan = Relational.asofLastBefore(ev, "click", "purchase")
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), s"as-of must not plan a join:\n$asofPlan")
+    assert(asofPlan.contains("Window"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(asofPlan).size == 1, asofPlan)
+    // substring dedup joins only on hash/doc keys: a nested-loop or
+    // cartesian node would mean the pair-free design regressed
+    val spanPlan = Dedup.substringSpans(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct") && !spanPlan.contains("NestedLoop"),
+      s"substring dedup must stay equi-join only:\n$spanPlan")
+    // token budget is one shuffle: the per-source window partitioning
+    val tbPlan = TextAnalysis
+      .tokenBudget(Tables.documents(spark, sf), Map.empty, 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(tbPlan).size == 1, tbPlan)
+  }
+
   test("asofLastBefore: latest at-or-before match, ties and no-match pinned") {
     import graft.operators.Relational
     // user 1: clicks at t=10 (id 1), t=20 (ids 2 and 3 SIMULTANEOUS),
