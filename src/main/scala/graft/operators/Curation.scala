@@ -163,10 +163,23 @@ object Curation {
       minTokens: Int = 10,
       maxTokens: Int = 100000
   ): DataFrame = {
-    val nTok = graft.functions.sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long")
-    val gate = docs.filter(nTok.between(minTokens, maxTokens))
-    val ded = Dedup.exact(gate, Seq(coalesce(col("text"), lit(""))), col("doc_id"))
-    val bud = TextAnalysis.tokenBudget(ded, budgets, defaultBudget)
+    // ONE narrow gate scan computes every downstream column; doc TEXT
+    // leaves the plan here — dedup keys on the digest (same equivalence
+    // classes as hashing the text itself) and the budget stage consumes
+    // the precomputed (n_tokens, __h) instead of re-running the kernels
+    // post-shuffle
+    // named __ch, not __h: Dedup.exact reserves __h internally and
+    // would silently overwrite a caller column of that name
+    val gate = docs
+      .select(
+        col("doc_id"), col("source"),
+        graft.functions.sketch.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__ch"))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+    val ded = Dedup.exact(gate, Seq(col("__ch")), col("doc_id"))
+    val bud = TextAnalysis.budgetOver(
+      ded.withColumnRenamed("__ch", "__h"), budgets, defaultBudget)
     TextAnalysis.packCounts(bud.select(col("doc_id"), col("source"), col("n_tokens")))
       .select("doc_id", "source", "grp", "seq_id", "n_tokens")
   }

@@ -44,6 +44,12 @@ object Dedup {
     * a whole skewed cluster in sort order.
     */
   def exact(df: DataFrame, contentCols: Seq[Column], idCol: Column): DataFrame = {
+    // the working digest column would silently shadow a caller column
+    // of the same name (withColumn replaces): fail fast instead — the
+    // Intervals.overlapJoin reserved-name rule, applied here after the
+    // same bug class bit pipeline_mix's gate hash
+    require(!df.columns.contains("__h"),
+      "input already carries a column named __h (reserved by Dedup.exact)")
     // Single column hashes directly; multiple columns hash a JSON struct
     // encoding - a joined concat collides on column boundaries ("ab","" vs
     // "a","b") and on null-vs-empty (concat_ws skips NULLs).
@@ -644,8 +650,10 @@ object Dedup {
     *
     * Shape at 100 TB: the window stage is ~n_tokens rows per doc but
     * each row is a skinny (hash, doc_id, pos) triple — the window TEXT
-    * itself never shuffles (xxhash64 before the exchange, the
-    * [[lineDups]] trick at span granularity). Pass 1 groups window
+    * itself never shuffles (the kernel's rolled 64-bit polynomial hash
+    * before the exchange, the [[lineDups]] trick at span granularity;
+    * the composed spec path uses xxhash64 — equality classes agree, the
+    * VALUES differ). Pass 1 groups window
     * hashes with map-side min/max partials (distinct-doc witness:
     * min(doc_id) != max(doc_id) — no countDistinct state); pass 2
     * joins occurrences back to the (much smaller) duplicated-hash set

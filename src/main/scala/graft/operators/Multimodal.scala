@@ -148,8 +148,13 @@ object Multimodal {
       if (in == null) return fallback.decode(modality, content)
       try {
         val fmt = in.getFormat
+        // frameSize must be exactly 2 bytes * channels: a container
+        // declaring padded/nonstandard blockAlign would otherwise be
+        // silently misdecoded (sample() reads 2*idx) instead of
+        // falling back per the poison-blob contract
         if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0)
+          fmt.getSampleSizeInBits != 16 ||
+          fmt.getFrameSize != 2 * fmt.getChannels)
           return fallback.decode(modality, content)
         val ch = fmt.getChannels
         val frameSize = fmt.getFrameSize // 2 * ch

@@ -498,6 +498,28 @@ object TextAnalysis {
       docs: DataFrame,
       budgets: Map[String, Long],
       defaultBudget: Long
+  ): DataFrame =
+    // null text admits as a zero-token doc (coalesce BEFORE hash and
+    // count: a null __h would sort NULLS FIRST here but NULLS LAST in
+    // an ASC DuckDB window — the one divergence class the oracle rules
+    // can't see until a null row lands on a budget boundary)
+    budgetOver(
+      docs.select(
+        col("doc_id"), col("source"),
+        sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__h")),
+      budgets, defaultBudget)
+
+  /** The budget stage itself, over precomputed (doc_id, source,
+    * n_tokens, __h) rows — a pipeline that already tokenized and hashed
+    * ([[graft.operators.Curation.mixPipeline]]'s gate scan) must not
+    * pay those kernels again, and must not carry doc text into this
+    * stage's shuffle just to re-derive them.
+    */
+  def budgetOver(
+      d: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long
   ): DataFrame = {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val b = budgets.foldLeft(lit(defaultBudget)) {
@@ -505,16 +527,7 @@ object TextAnalysis {
     }
     val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // null text admits as a zero-token doc (coalesce BEFORE hash and
-    // count: a null __h would sort NULLS FIRST here but NULLS LAST in
-    // an ASC DuckDB window — the one divergence class the oracle rules
-    // can't see until a null row lands on a budget boundary)
-    docs
-      .select(
-        col("doc_id"), col("source"),
-        sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tokens"),
-        md5(coalesce(col("text"), lit(""))).as("__h"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < b)
       .select("doc_id", "source", "n_tokens", "cum_before")
   }
@@ -542,8 +555,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         sketch.tokenCount(t).cast("long").as("n_tokens"),
-        size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long").as("n_sentences"),
-        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+        // regexp_count, not size(regexp_extract_all): counting must not
+        // materialize every match string (bpeTokenCount precedent)
+        regexp_count(t, lit("[.!?]+")).cast("long").as("n_sentences"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("n_syllables"))
       .withColumn(
         "flesch",
         when(
