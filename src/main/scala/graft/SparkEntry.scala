@@ -80,6 +80,7 @@ object SparkEntry {
     "ann_lsh"           -> (Similarity.annLshQuery _),
     "ann_ivf"           -> (Similarity.annIvfQuery _),
     "embed_centroids"   -> (Similarity.centroidsQuery _),
+    "embed_quantize"    -> (Similarity.quantizeQuery _),
     "embed_assign"      -> (Similarity.assignQuery _),
     "kmeans_step"       -> (Similarity.kmeansStepQuery _),
     "q_transitions"     -> (Relational.qTransitions _),
@@ -209,6 +210,8 @@ object SparkEntry {
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, eq.label, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2, 3), r AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc) SELECT label, c_label AS assigned, count(*) AS n FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
     "kmeans_step" ->
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), nc AS (SELECT a.cluster, eq.dim, CAST(sum(eq.qe) AS BIGINT) AS qs, count(*) AS nv FROM eq JOIN a USING (vec_id) GROUP BY 1, 2) SELECT cluster, dim, nv AS n_vecs, CAST(qs AS DOUBLE) / CAST(1000 * nv AS DOUBLE) AS centroid FROM nc ORDER BY cluster, dim""",
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(COALESCE(e, CAST(0.0 AS FLOAT)) AS DOUBLE)) AS ve FROM embeddings WHERE embedding IS NOT NULL), m AS (SELECT vec_id, ve, COALESCE(list_max(list_transform(ve, x -> abs(x))), 0.0) AS max_abs FROM v), s AS (SELECT vec_id, ve, max_abs, CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS sc FROM m), q AS (SELECT vec_id, ve, sc, list_transform(ve, e -> CAST(floor(e * sc + 0.5) AS INT)) AS qv FROM s), e AS (SELECT vec_id, sc, qv, CASE WHEN sc > 0 THEN list_sum(list_transform(list_zip(ve, qv), p -> (p[1] - p[2] / sc) * (p[1] - p[2] / sc))) ELSE 0.0 END AS err FROM q) SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS scale_q, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(list_max(qv) AS BIGINT) AS max_q, CAST(floor(err * 1000000000 + 0.5) AS BIGINT) AS err_q FROM e ORDER BY vec_id""",
     "semdedup" ->
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), p AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id JOIN embeddings ea ON ea.vec_id = x.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.35) SELECT a.vec_id, a.cluster, CASE WHEN p.vec_id IS NULL THEN 'kept' ELSE 'dup' END AS verdict FROM a LEFT JOIN p USING (vec_id) ORDER BY a.vec_id""",
     "q_interval_join" ->

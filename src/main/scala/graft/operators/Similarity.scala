@@ -493,6 +493,39 @@ object Similarity {
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(spark, dir), threshold = 0.35).orderBy("vec_id")
 
+  /** Symmetric int8 quantization of the embedding column — the 4x
+    * storage/bandwidth compression an embedding store runs before
+    * anything else at 100 TB. Per vector: scale = 127/max|x|, q_i =
+    * floor(x_i*scale + 0.5) in [-127, 127] (the repo-wide half-up
+    * form), plus the reconstruction error — all derived through
+    * IEEE-deterministic double ops from the float input, so the DuckDB
+    * twin computing the identical expression tree lands on identical
+    * bits (the q_anomaly argument). All-zero vectors quantize to scale
+    * 0 / error 0 rather than dividing by zero. Narrow per-row HOFs:
+    * zero shuffle, scan speed.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .withColumn("__v", expr("transform(embedding, e -> CAST(coalesce(e, CAST(0.0 AS FLOAT)) AS DOUBLE))"))
+      .withColumn("max_abs", expr(
+        "aggregate(__v, CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, abs(e)))"))
+      .withColumn("__s", when(col("max_abs") > 0, lit(127.0) / col("max_abs")).otherwise(lit(0.0)))
+      .withColumn("__q", expr("transform(__v, e -> CAST(floor(e * __s + 0.5) AS INT))"))
+      .withColumn("__err", when(col("__s") > 0, expr(
+        "aggregate(zip_with(__v, __q, (a, b) -> (a - b / __s) * (a - b / __s)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).otherwise(lit(0.0)))
+      .select(
+        col("vec_id"),
+        size(col("__q")).cast("long").as("n_dims"),
+        expr("CAST(floor(__s * 1000000 + 0.5) AS BIGINT)").as("scale_q"),
+        expr("CAST(aggregate(__q, 0L, (a, x) -> a + x) AS BIGINT)").as("sum_q"),
+        expr("CAST(array_max(__q) AS BIGINT)").as("max_q"),
+        expr("CAST(floor(__err * 1000000000 + 0.5) AS BIGINT)").as("err_q"))
+
+  def quantizeQuery(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(spark, dir)).orderBy("vec_id")
+
   /** Brute-force exact top-5 for the first 16 vectors as queries. */
   def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
