@@ -117,6 +117,81 @@ object GlobalRank {
     (picked, total)
   }
 
+  /** Per-group running sum of `valueCol` over the rows strictly BEFORE
+    * each row in `sortCols` order — the scale-safe replacement for
+    * `sum(v).over(Window.partitionBy(group).orderBy(sort))`: a window
+    * partitioned by a low-cardinality group (source, packing group)
+    * puts an entire group in ONE task, so a 40-TB source sorts on a
+    * single core. Here instead:
+    *
+    *   1. `repartitionByRange` on (group, sort) — each group spans a
+    *      contiguous run of partitions, every partition sorts in
+    *      parallel;
+    *   2. per-(partition, group) sums — a TINY aggregate: contiguity
+    *      bounds it at `partitions + groups - 1` rows — turned into
+    *      prefix offsets by a window partitioned by group over those
+    *      tiny rows (never the data);
+    *   3. one broadcast join + a window partitioned by (partition,
+    *      group), so every task scans only its own slice.
+    *
+    * No driver collect, no single-partition window anywhere. Group
+    * values must be non-null (a null group key would drop its rows at
+    * the offset join).
+    */
+  def withGroupedCumSumBefore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outCol: String
+  ): DataFrame = {
+    val reserved = Seq("__pid", "__v", "__ps", "__off")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry reserved working columns ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val gcols = groupCols.map(col)
+    val ranged = df
+      .withColumn("__v", valueCol.cast(LongType))
+      .repartitionByRange(parts, (gcols ++ sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val psums = ranged
+      .groupBy(col("__pid") +: gcols: _*)
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__ps"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = psums
+      .withColumn("__off", coalesce(sum(col("__ps")).over(wOff), lit(0L)))
+      .drop("__ps")
+    val wIn = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offs), "__pid" +: groupCols)
+      .withColumn(outCol,
+        (col("__off") + coalesce(sum(col("__v")).over(wIn), lit(0L))).cast(LongType))
+      .drop("__pid", "__off", "__v")
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's `UTF8String` sort order
+    * for string columns. Driver-side offset math over collected string
+    * keys MUST use this, not `String.compareTo` (UTF-16 code units),
+    * or a supplementary character re-orders the offsets relative to
+    * the executors' range partitioning.
+    */
+  def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The rank interval of each `ntile(n)` bucket: (bucket, first rank,
     * last rank), 1-based — the closed form of [[ntileFromRank]]'s
     * bucket boundaries (first `total % n` buckets take `total/n + 1`

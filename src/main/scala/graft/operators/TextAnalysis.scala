@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.engine.GlobalRank
 import graft.functions.{text, sketch}
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -417,15 +417,16 @@ object TextAnalysis {
   /** Sequence PACKING (token-budget sharding): assign each document to
     * a training sequence of ~`capacity` tokens. Deterministic and
     * shuffle-bounded: documents hash into `groups` independent packing
-    * groups (the parallelism unit — each group packs alone, so there is
-    * NO global sort; at 100 TB `groups` scales with the corpus and each
-    * group's window sort is corpus/groups), are ordered by doc_id
-    * within the group, and get `seq_id = floor(cum_tokens_before /
-    * capacity)` — streaming greedy packing where a sequence may
-    * overflow by at most its last document (the standard tolerance;
-    * an over-capacity document occupies its own sequence). Content-
-    * hash grouping (md5, not xxhash) keeps the assignment replicable
-    * by any engine.
+    * groups, are ordered by doc_id within the group, and get `seq_id =
+    * floor(cum_tokens_before / capacity)` — streaming greedy packing
+    * where a sequence may overflow by at most its last document (the
+    * standard tolerance; an over-capacity document occupies its own
+    * sequence). Content-hash grouping (md5, not xxhash) keeps the
+    * assignment replicable by any engine. The running sum is
+    * [[graft.engine.GlobalRank.withGroupedCumSumBefore]] — ranged
+    * partitions sorted in parallel plus broadcast prefix offsets — so
+    * a group is NOT a parallelism bound: even `groups = 1` at 100 TB
+    * plans with no single-partition sort.
     */
   def packSequences(docs: DataFrame, capacity: Long = 256, groups: Int = 8): DataFrame =
     packCounts(
@@ -443,15 +444,18 @@ object TextAnalysis {
     val grp = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
       lit(groups.toLong)).cast("int")
-    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    counts
-      .withColumn("grp", grp)
-      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val cum = GlobalRank.withGroupedCumSumBefore(
+      counts.withColumn("grp", grp),
+      groupCols = Seq("grp"),
+      sortCols = Seq(col("doc_id")),
+      valueCol = col("n_tokens"),
+      outCol = "__cum_before")
       // `div`, not `/`: integer division keeps the id exact int64 on
       // any engine (Spark `/` on longs is double division)
       .withColumn("seq_id", expr(s"__cum_before div ${capacity}L"))
-      .drop("__cum_before")
+    // restore the caller's column order (the offset join floats the
+    // group key to the front)
+    cum.select((counts.columns :+ "grp" :+ "seq_id").map(col): _*)
   }
 
   def packSequencesQuery(spark: SparkSession, dir: String): DataFrame =
@@ -461,21 +465,34 @@ object TextAnalysis {
     * the smallest source, members chosen by content-hash rank — the
     * "equal mixing weights" training-mix primitive as a deterministic,
     * RNG-free filter (stratifiedSample covers proportional weights;
-    * this covers exact per-source quotas). The per-source `row_number`
-    * sorts each source's partition; at 100 TB per-source quota
-    * selection swaps the rank window for a GlobalRank boundary-hash
-    * lookup per source (sort only the boundary partitions), same as
-    * the planner's ntile path.
+    * this covers exact per-source quotas). Scale shape: a per-source
+    * rank window would sort each source in ONE task, so instead this is
+    * a [[graft.engine.GlobalRank.rowsAtRanks]] boundary-hash lookup —
+    * per-source counts (one tiny row per source) place each source's
+    * quota boundary at a global rank in the (source, __h, doc_id) total
+    * order, the point lookup sorts ONLY the partitions holding a
+    * boundary, and one shuffle-free broadcast-filter pass keeps rows at
+    * or below their source's boundary key. Driver state: one (count)
+    * row per source and one boundary row per source.
     */
   def mixSources(docs: DataFrame): DataFrame = {
-    val target = docs.groupBy(col("source")).agg(count(lit(1)).as("src_n"))
-      .agg(min(col("src_n")).as("__target"))
-    docs
-      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
-      .crossJoin(broadcast(target)) // 1-row scalar, never a driver collect
-      .filter(col("rnk") <= col("__target"))
+    val d = docs.select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (counts.isEmpty) return d.select("doc_id", "source").limit(0)
+    val target = counts.map(_._2).min
+    // boundary rank of source s = rows of all sources BEFORE s in the
+    // executors' range-partitioning order + target; that order for
+    // strings is unsigned UTF-8 bytes, hence utf8Lt (not compareTo)
+    val ranks = counts.sortWith((a, b) => GlobalRank.utf8Lt(a._1, b._1))
+      .scanLeft(0L)(_ + _._2).init.map(_ + target).toSeq
+    val (bounds, _) = GlobalRank.rowsAtRanks(
+      d, Seq(col("source"), col("__h"), col("doc_id")), _ => ranks)
+    val bsel = bounds.select(
+      col("source"), col("__h").as("__bh"), col("doc_id").as("__bid"))
+    d.join(broadcast(bsel), Seq("source"))
+      .filter(col("__h") < col("__bh") ||
+        (col("__h") === col("__bh") && col("doc_id") <= col("__bid")))
       .select("doc_id", "source")
   }
 
@@ -489,10 +506,11 @@ object TextAnalysis {
     * in TOKENS (what the training run actually consumes), not docs: a
     * doc is kept while the tokens admitted before it are under budget,
     * so a sequence may overflow by at most its last document (the
-    * [[packSequences]] tolerance). Per-source rank window at test
-    * scale; at 100 TB the same GlobalRank boundary-lookup swap as
-    * [[mixSources]] — find the hash cut where the running token sum
-    * crosses the budget, then one shuffle-free filter pass.
+    * [[packSequences]] tolerance). The running token sum is the
+    * [[graft.engine.GlobalRank.withGroupedCumSumBefore]] ranged shape
+    * (the output contract includes `cum_before` for every kept row, so
+    * a pure boundary lookup could not skip the prefix-sum pass anyway)
+    * — no per-source single-partition sort at any scale.
     */
   def tokenBudget(
       docs: DataFrame,
@@ -525,9 +543,12 @@ object TextAnalysis {
     val b = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
     }
-    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    GlobalRank.withGroupedCumSumBefore(
+        d,
+        groupCols = Seq("source"),
+        sortCols = Seq(col("__h"), col("doc_id")),
+        valueCol = col("n_tokens"),
+        outCol = "cum_before")
       .filter(col("cum_before") < b)
       .select("doc_id", "source", "n_tokens", "cum_before")
   }

@@ -76,6 +76,23 @@ class EngineSpec extends SparkSpec {
       "global rank plan fell back to a single-partition window")
   }
 
+  test("grouped cum-sum: matches the per-group running-sum window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("v"))
+    val got = graft.engine.GlobalRank.withGroupedCumSumBefore(
+      df, Seq("g"), Seq(col("l_orderkey"), col("l_linenumber")), col("v"), "cum")
+    val w = Window.partitionBy("g").orderBy(col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // empty input must not blow up (offset side has zero rows)
+    val empty = graft.engine.GlobalRank.withGroupedCumSumBefore(
+      df.limit(0), Seq("g"), Seq(col("l_orderkey")), col("v"), "cum")
+    assert(empty.count() == 0L)
+  }
+
   test("global rank: ntile formula edge cases (total < n, exact multiples)") {
     import graft.engine.GlobalRank.ntileFromRank
     def buckets(total: Long, n: Int): Seq[Long] = {

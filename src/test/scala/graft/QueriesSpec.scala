@@ -177,11 +177,42 @@ class QueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!spanPlan.contains("CartesianProduct") && !spanPlan.contains("NestedLoop"),
       s"substring dedup must stay equi-join only:\n$spanPlan")
-    // token budget is one shuffle: the per-source window partitioning
-    val tbPlan = TextAnalysis
-      .tokenBudget(Tables.documents(spark, sf), Map.empty, 100L)
-      .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllMatchIn(tbPlan).size == 1, tbPlan)
+    // token budget's shuffle shape moved to the ranged GlobalRank form:
+    // see "plan shapes: mix/budget/pack windows..." below
+  }
+
+  /** Every `WindowExec` in the plan must either ride the GlobalRank
+    * ranged shape (partitioned by `__pid`, so each task ranks only its
+    * own slice) or consume an aggregate's output (the tiny
+    * per-(partition, group) offset rows). A window partitioned by a raw
+    * low-cardinality column (source, grp) over unaggregated data is one
+    * task per key at 100 TB — the r8 scale-killer this guards against.
+    */
+  private def assertScalableWindows(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$name: expected the ranged-window shape, got\n$plan")
+    windows.foreach { w =>
+      val byPid = w.partitionSpec.exists(_.references.exists(_.name == "__pid"))
+      lazy val overAggregate =
+        w.child.find { case _: BaseAggregateExec => true; case _ => false }.isDefined
+      assert(byPid || overAggregate,
+        s"$name: window partitioned by [${w.partitionSpec.mkString(", ")}] rides raw data " +
+          s"— one task per key at scale:\n$plan")
+    }
+  }
+
+  test("plan shapes: mix/budget/pack windows never single-task a source or group") {
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    assertScalableWindows("mix_sources", TextAnalysis.mixSources(docs))
+    assertScalableWindows("token_budget",
+      TextAnalysis.tokenBudget(docs, Map("src0" -> 4000L), defaultBudget = 2000L))
+    assertScalableWindows("pack_sequences", TextAnalysis.packSequences(docs))
+    assertScalableWindows("pipeline_mix",
+      Curation.mixPipeline(docs, Map("src0" -> 4000L), defaultBudget = 2000L, minTokens = 12))
   }
 
   test("asofLastBefore: latest at-or-before match, ties and no-match pinned") {
