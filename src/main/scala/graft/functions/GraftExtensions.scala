@@ -99,5 +99,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_intersect(a, b) - |a INTERSECT b| of two sorted distinct string arrays"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))
     ))
+    e.injectFunction((
+      FunctionIdentifier("graft_scrub_join"),
+      info("graft_scrub_join",
+        "graft_scrub_join(text, removed) - space-join of tokens whose positions are not in the sorted removed set"),
+      (es: Seq[Expression]) => ScrubJoin(es(0), es(1))
+    ))
   }
 }

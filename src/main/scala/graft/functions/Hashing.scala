@@ -259,6 +259,34 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Space-join of the tokens of `text` whose positions are NOT in the
+  * SORTED `array<int>` `removed` — the rewrite stage of
+  * [[graft.operators.Dedup.substringScrub]], fused into one text pass
+  * ([[SketchKernels.scrubJoin]]). Token coordinates match
+  * [[TokenWindowHashes]]. Replaces the
+  * `array_join(filter(tokens(text), (tok, i) -> NOT array_contains(rem, i)), ' ')`
+  * composition, whose `array_contains` probe per token is
+  * O(tokens × removed) on heavily-duplicated docs.
+  */
+case class ScrubJoin(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType, ArrayType(IntegerType))
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.scrubJoin(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.scrubJoin($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Marker-count language guess fused into one text pass — the kernel
   * twin of the five-regex formulation kept (as documentation and oracle
   * source) in [[graft.functions.text.langIdRegex]]: 4 marker-alternation
@@ -308,4 +336,7 @@ object sketch {
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     GraftExpressionBridge.column(SortedIntersectCountLong(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  def scrubJoin(text: Column, removed: Column): Column =
+    GraftExpressionBridge.column(ScrubJoin(
+      GraftExpressionBridge.expression(text), GraftExpressionBridge.expression(removed)))
 }

@@ -57,6 +57,8 @@ object Register {
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect", es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_scrub_join", es => ScrubJoin(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_vec_sum", es => VecSumLong(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_vec_sqdist", es => VecSqDistLong(es(0), es(1)), "scala_udf")

@@ -413,6 +413,55 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** See [[ScrubJoin]]: the space-join of the tokens of `text` whose
+    * token positions are NOT in the SORTED int array `removed`, one
+    * pass — the rewrite stage of substring scrub. Tokenization matches
+    * [[tokenShingles]]/[[tokenWindowHashes]] exactly (SQL space-only
+    * trim, `\s` run splitting, leading/trailing empty-token quirks), so
+    * positions line up with [[tokenWindowHashes]] window coordinates.
+    * A two-pointer merge over (token index, removed positions) does
+    * O(tokens + removed) work where the
+    * `filter(t, (tok, i) -> NOT array_contains(rem, i))` composition
+    * it replaces pays O(tokens × removed) membership probes. Null or
+    * duplicate entries in `removed` are skipped; entries outside
+    * [0, n_tokens) remove nothing.
+    */
+  def scrubJoin(input: UTF8String, removed: ArrayData): UTF8String = {
+    val s = input.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) return UTF8String.fromString("")
+    @inline def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val nr = removed.numElements()
+    val sb = new java.lang.StringBuilder(hi - lo)
+    var r = 0     // merge pointer into the sorted removal positions
+    var idx = 0   // current token index
+    var first = true
+    @inline def emit(st: Int, en: Int): Unit = {
+      while (r < nr && (removed.isNullAt(r) || removed.getInt(r) < idx)) r += 1
+      if (!(r < nr && removed.getInt(r) == idx)) {
+        if (!first) sb.append(' ')
+        sb.append(s, st, en)
+        first = false
+      }
+      idx += 1
+    }
+    if (isSep(s.charAt(lo))) emit(lo, lo) // leading empty token
+    var i = lo
+    while (i < hi) {
+      if (!isSep(s.charAt(i))) {
+        val st = i
+        while (i < hi && !isSep(s.charAt(i))) i += 1
+        emit(st, i)
+      } else i += 1
+    }
+    if (isSep(s.charAt(hi - 1))) emit(hi, hi) // trailing empty token
+    UTF8String.fromString(sb.toString)
+  }
+
   def winnow(input: UTF8String, k: Int, w: Int): ArrayData = {
     val text = input.toString
     val n = text.length

@@ -734,13 +734,15 @@ object Dedup {
     *
     * Dataflow: the two skinny window passes of [[substringSpans]], then
     * removable token positions (explode to (doc_id, tokpos), distinct —
-    * bounded by corpus token count), collected per AFFECTED doc only
-    * and joined back to the corpus (untouched docs carry a null set and
-    * skip the rewrite). The rewrite is a per-row HOF filter over the
-    * token array — O(tokens × removed) membership checks; the
-    * [[graft.functions.SketchKernels]] pattern is the swap-in if a real
-    * corpus makes that term matter. Doc text still never shuffles: only
-    * int position sets move.
+    * bounded by corpus token count), collected SORTED per AFFECTED doc
+    * only and joined back to the corpus (untouched docs carry a null
+    * set and skip the rewrite). The rewrite is the fused
+    * [[graft.functions.ScrubJoin]] kernel: one text pass per doc with a
+    * two-pointer merge against the sorted removal positions —
+    * O(tokens + removed), where the `filter + array_contains` HOF twin
+    * (kept as the property-test oracle in DedupSpec) pays
+    * O(tokens × removed) on heavily-duplicated docs. Doc text still
+    * never shuffles: only int position sets move.
     */
   def substringScrub(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"window k must be >= 2, got $k")
@@ -753,18 +755,18 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
       .distinct()
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("tp")).as("rem"))
+      .agg(sort_array(collect_set(col("tp"))).as("rem"))
     val out = docs
-      .select(col("doc_id"), text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("text"))
+      .filter(sketch.tokenCount(coalesce(col("text"), lit(""))) > 0)
       .join(remSet, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
+        sketch.tokenCount(col("text")).cast("long").as("n_tokens"),
         when(col("rem").isNull, 0L).otherwise(size(col("rem")).cast("long")).as("n_removed"),
-        md5(expr(
-          "array_join(filter(t, (tok, i) -> rem IS NULL OR NOT array_contains(rem, i)), ' ')"))
-          .as("clean_fp"))
+        md5(sketch.scrubJoin(
+          col("text"),
+          coalesce(col("rem"), expr("cast(array() as array<int>)")))).as("clean_fp"))
     graft.engine.Caching.handoff(out, wins)
   }
 

@@ -308,6 +308,42 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("scrubJoin kernel equals the filter+array_contains HOF twin") {
+    import graft.functions.{sketch, text}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // same adversarial-whitespace docs as the window-hash property, plus
+    // removal sets with duplicates and out-of-range positions (no-ops on
+    // both sides; the kernel must also tolerate them)
+    val tok = Gen.oneOf(Seq("a", "bb", "ccc", "a.b", "xy", "Z9", "_", "é", "tok"))
+    val sep = Gen.oneOf(Seq(" ", "  ", "\t", "\n", "", "\f", "\r", " \t "))
+    val doc = for {
+      pad1 <- Gen.oneOf(Seq("", " ", "\t"))
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n, tok)
+      ss <- Gen.listOfN(n, sep)
+      pad2 <- Gen.oneOf(Seq("", " ", "\n"))
+    } yield pad1 + ws.zip(ss).map { case (w, s) => w + s }.mkString + pad2
+    val rem = Gen.listOf(Gen.choose(-2, 14))
+    val p = Prop.forAll(Gen.listOfN(12, Gen.zip(doc, rem))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((t, r), i) => (i.toLong, t, r.sorted) }
+        .toDF("id", "text", "rem")
+        .select(
+          sketch.scrubJoin(col("text"), col("rem")).as("kernel"),
+          expr("array_join(filter(split(trim(text), '\\\\s+'), " +
+            "(tok, i) -> NOT array_contains(rem, i)), ' ')").as("hof"))
+      df.filter(col("kernel") =!= col("hof")).count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+    // null-element removal entries are skipped, not matched
+    val one = Seq((1L, "a b c", Seq[Option[Int]](None, Some(1))))
+      .toDF("id", "text", "rem")
+      .select(sketch.scrubJoin(col("text"), col("rem")).as("out"))
+      .as[String].collect().head
+    assert(one == "a c")
+  }
+
   test("fused tokenShingles equals sort_array(shingleSet(tokens)); merge intersect equals array_intersect") {
     import graft.functions.{sketch, text}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
