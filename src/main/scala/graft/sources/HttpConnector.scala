@@ -68,7 +68,34 @@ class HttpScrollConnector(
 
   require(pageSize > 0 && slices > 0 && flushSize > 0, "positive pageSize/slices/flushSize")
 
-  override def scan(spark: SparkSession, table: String): DataFrame = {
+  override def scan(spark: SparkSession, table: String): DataFrame =
+    spark.read.json(rawScan(spark, table))
+
+  /** Schema-bearing scan: `from_json` with the caller's schema instead
+    * of `spark.read.json` inference, which runs a SECOND full pass over
+    * every scroll stream just to discover the columns (and re-scrolls
+    * the server). One scroll, one job — the 100 TB steady-state shape;
+    * the inferring overload stays for exploratory reads. Fields absent
+    * from a document land null; `from_json`'s default PERMISSIVE mode
+    * nulls out documents that fail to parse instead of failing the
+    * task.
+    */
+  def scan(
+      spark: SparkSession,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    rawScan(spark, table)
+      .select(from_json(col("value"), schema).as("doc"))
+      .select("doc.*")
+  }
+
+  /** The shared scroll stage: existence probe + one `Dataset[String]` of
+    * raw `_source` JSON, `slices` partitions, pages pulled lazily inside
+    * each partition.
+    */
+  private def rawScan(spark: SparkSession, table: String) = {
     // fail-fast existence probe on the DRIVER: a missing table must
     // throw at scan time, not as a task failure mid-job (contract:
     // "absent table fails loudly, never returns empty")
@@ -77,12 +104,11 @@ class HttpScrollConnector(
       throw new NoSuchElementException(s"no such table: $table")
     require(probe.status == 200, s"_count for '$table' returned ${probe.status}")
     val (base, ps, m) = (baseUrl, pageSize, slices)
-    val sources = spark.createDataset(
+    spark.createDataset(
       spark.sparkContext
         .parallelize(0 until m, m)
         .flatMap(sliceId => new ScrollPageIterator(base, table, sliceId, m, ps))
     )(Encoders.STRING)
-    spark.read.json(sources)
   }
 
   override def bulk(df: DataFrame, table: String): Long = {
@@ -250,10 +276,25 @@ object HttpScrollConnector {
     private var scrollId: String = _
     private var page: Vector[String] = Vector.empty
     private var pos = 0
+    private var served = 0 // docs handed to the consumer, across pages
+    private var restarts = 0
     private var exhausted = false
     private var started = false
 
+    private def searchResp(): Resp = fetchWithRetry(s"search $table", () =>
+      request("POST",
+        s"$base/_search?table=${enc(table)}&slice=$slice&slices=$slices&size=$pageSize",
+        Some("{}")))
+
+    private def scrollResp(): Resp = fetchWithRetry(s"scroll $scrollId", () =>
+      request("POST", s"$base/_scroll?id=${enc(scrollId)}", Some("{}")))
+
     private def absorb(resp: Resp): Unit = {
+      // a non-200 absorbed as a page would parse to zero hits and END the
+      // stream — silent truncation; fail the task loudly instead (scroll
+      // 404s never reach here: they take the resume path)
+      require(resp.status == 200,
+        s"scan '$table' slice $slice returned ${resp.status}: ${resp.body.take(200)}")
       val root = resp.json
       scrollId = root.path("_scroll_id").asText()
       val hits = root.path("hits").path("hits")
@@ -262,16 +303,39 @@ object HttpScrollConnector {
       if (page.isEmpty) exhausted = true
     }
 
+    /** Scroll context lost (server restart, context expiry): re-open the
+      * slice's scroll from the start and fast-forward past the `served`
+      * docs already emitted. Exactly-once across the restart relies on a
+      * STABLE per-slice order (insertion or sort order — what a store
+      * with deterministic slicing provides); without it this degrades to
+      * at-least/at-most-once like any offset resume. Bounded at
+      * [[ScrollRetries]] restarts per slice, then the task fails (and
+      * Spark's task retry is the outer recovery).
+      */
+    private def resume(): Unit = {
+      restarts += 1
+      if (restarts > ScrollRetries)
+        throw new java.io.IOException(
+          s"scroll for '$table' slice $slice invalidated $restarts times")
+      var toSkip = served
+      exhausted = false
+      absorb(searchResp())
+      var handedOff = false
+      while (!handedOff && !exhausted && toSkip >= page.size) {
+        toSkip -= page.size
+        val r = scrollResp()
+        if (r.status == 404) { resume(); handedOff = true } else absorb(r)
+      }
+      if (!handedOff) pos = toSkip
+    }
+
     private def advance(): Unit = {
       if (!started) {
         started = true
-        absorb(fetchWithRetry(s"search $table", () =>
-          request("POST",
-            s"$base/_search?table=${enc(table)}&slice=$slice&slices=$slices&size=$pageSize",
-            Some("{}"))))
+        absorb(searchResp())
       } else {
-        absorb(fetchWithRetry(s"scroll $scrollId", () =>
-          request("POST", s"$base/_scroll?id=${enc(scrollId)}", Some("{}"))))
+        val r = scrollResp()
+        if (r.status == 404) resume() else absorb(r)
       }
     }
 
@@ -282,7 +346,7 @@ object HttpScrollConnector {
 
     override def next(): String = {
       if (!hasNext) throw new NoSuchElementException("scroll exhausted")
-      val v = page(pos); pos += 1; v
+      val v = page(pos); pos += 1; served += 1; v
     }
   }
 }

@@ -151,4 +151,78 @@ class ConnectorContractSpec extends SparkSpec with BeforeAndAfterAll {
     // the first two return injected 500s and must be retried, not lost
     assert(c.scan(spark, "docs").count() == 10L)
   }
+
+  private val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+
+  /** Job ids seen for `group` once the status store has caught up (the
+    * listener bus is async; poll until at least `atLeast` jobs appear).
+    */
+  private def jobsInGroup(group: String, atLeast: Int): Array[Int] = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var ids = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    while (ids.length < atLeast && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      ids = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    }
+    Thread.sleep(200) // settle: catch any straggler job events
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+  }
+
+  test("HttpScrollConnector: schema-bearing scan is one job; inference pays a second scroll") {
+    val server = freshServer()
+    val c = freshHttp(server)
+    c.bulk(seed(10), "docs")
+    spark.sparkContext.setJobGroup("graft-scan-schema", "schema scan")
+    val got = c.scan(spark, "docs", seedSchema).as[(Long, String)].collect()
+    spark.sparkContext.setJobGroup("graft-scan-infer", "inferring scan")
+    val inferred = c.scan(spark, "docs").as[(Long, String)].collect()
+    spark.sparkContext.clearJobGroup()
+    assert(got.sorted.toSeq == seed(10).as[(Long, String)].collect().sorted.toSeq)
+    assert(inferred.sorted.toSeq == got.sorted.toSeq)
+    val infer = jobsInGroup("graft-scan-infer", 2)
+    val schema = jobsInGroup("graft-scan-schema", 1)
+    assert(schema.length == 1, s"schema scan ran ${schema.length} jobs, want 1")
+    assert(infer.length >= 2, s"inference scan ran ${infer.length} jobs (expected its extra pass)")
+  }
+
+  test("HttpScrollConnector: more slices than documents — empty slices scan clean") {
+    val server = freshServer()
+    val c = new HttpScrollConnector(server.url, pageSize = 2, slices = 8, flushSize = 4,
+      sleepMs = _ => (), backoffSeed = Some(42L))
+    c.bulk(seed(5), "docs")
+    val back = c.scan(spark, "docs", seedSchema)
+    assert(back.rdd.getNumPartitions == 8, "one partition per slice, empty slices included")
+    assert(back.as[(Long, String)].collect().sorted.toSeq ==
+      seed(5).as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("HttpScrollConnector: mid-scroll context invalidation resumes by offset — no loss, no dup") {
+    // 12 docs / 2 slices / pageSize 2 = 3 data pages per slice; the stub
+    // drops ALL scroll contexts after the 4th served page, so both
+    // slices lose their scroll mid-stream and must re-search + fast-
+    // forward (the pre-resume connector treated the 404 continuation as
+    // end-of-stream: silent truncation)
+    val server = new StubDocServer(invalidateScrollAfterPages = 4)
+    servers.synchronized { servers += server }
+    val c = new HttpScrollConnector(server.url, pageSize = 2, slices = 2, flushSize = 100,
+      sleepMs = _ => (), backoffSeed = Some(42L))
+    c.bulk(seed(12), "docs")
+    val got = c.scan(spark, "docs", seedSchema).as[(Long, String)].collect()
+    assert(got.length == 12, s"resume lost or duplicated rows: got ${got.length}")
+    assert(got.sorted.toSeq == seed(12).as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("HttpScrollConnector: fully-rejected batches re-post the whole queue until overload clears") {
+    val server = new StubDocServer(rejectAllFirstBulkPosts = 2)
+    servers.synchronized { servers += server }
+    val c = new HttpScrollConnector(server.url, pageSize = 10, slices = 1, flushSize = 100,
+      sleepMs = _ => (), backoffSeed = Some(7L))
+    assert(c.bulk(seed(6), "docs") == 6L)
+    // 2 starved posts + at least one clean re-post of the full queue
+    assert(server.bulkPosts.get() >= 3, s"expected >=3 posts, got ${server.bulkPosts.get()}")
+    assert(c.scan(spark, "docs").as[(Long, String)].collect().sorted.toSeq ==
+      seed(6).as[(Long, String)].collect().sorted.toSeq)
+  }
 }

@@ -24,11 +24,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    (the transport-retry path, `transfer.js:79-87`).
   *  - `rejectAllBulkItems`: every item of every post rejects — the
   *    retry-budget-exhaustion path (`transfer.js:336-337`).
+  *  - `rejectAllFirstBulkPosts`: the first N posts reject EVERY item
+  *    (transient full-queue starvation) — the whole batch must re-post
+  *    and converge once the overload clears.
+  *  - `invalidateScrollAfterPages`: after serving N pages (search +
+  *    scroll combined) all live scroll contexts are dropped ONCE — the
+  *    mid-scroll server-restart / context-expiry path; continuations
+  *    then see 404 and must resume, not truncate.
   */
 final class StubDocServer(
     rejectFirstBulkPosts: Int = 0,
     failFirstScrolls: Int = 0,
-    rejectAllBulkItems: Boolean = false
+    rejectAllBulkItems: Boolean = false,
+    rejectAllFirstBulkPosts: Int = 0,
+    invalidateScrollAfterPages: Int = 0
 ) {
   private val mapper = new ObjectMapper()
   // table -> insertion-ordered (id -> source json); Vector of pairs with
@@ -37,7 +46,9 @@ final class StubDocServer(
   // scrollId -> (table, slice, slices, pageSize, position)
   private val scrolls = TrieMap[String, (String, Int, Int, Int, Int)]()
   private val bulkRejectsLeft = new AtomicInteger(rejectFirstBulkPosts)
+  private val bulkAllRejectsLeft = new AtomicInteger(rejectAllFirstBulkPosts)
   private val scrollFailsLeft = new AtomicInteger(failFirstScrolls)
+  private val pagesServed = new AtomicInteger(0)
   val bulkPosts = new AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -82,6 +93,10 @@ final class StubDocServer(
       .zipWithIndex.collect { case (doc, i) if sliceOf(i, slices) == slice => doc }
     val page = all.slice(pos, pos + pageSize)
     scrolls.put(scrollId, (table, slice, slices, pageSize, pos + page.size))
+    // the restart-injection knob: one mass scroll-context drop at page N
+    if (invalidateScrollAfterPages > 0 &&
+        pagesServed.incrementAndGet() == invalidateScrollAfterPages)
+      scrolls.clear()
     pageJson(scrollId, all.size, page)
   }
 
@@ -131,8 +146,10 @@ final class StubDocServer(
           (id, g(1))
         }.toVector
         val rejectOdd = bulkRejectsLeft.getAndUpdate(n => math.max(0, n - 1)) > 0
+        val rejectAll = rejectAllBulkItems ||
+          bulkAllRejectsLeft.getAndUpdate(n => math.max(0, n - 1)) > 0
         val items = pairs.zipWithIndex.map { case ((id, src), i) =>
-          if (rejectAllBulkItems || (rejectOdd && i % 2 == 1))
+          if (rejectAll || (rejectOdd && i % 2 == 1))
             s"""{"index":{"_id":${mapper.writeValueAsString(id)},"status":429,"error":{"type":"es_rejected_execution_exception","reason":"injected"}}}"""
           else {
             tables.updateWith(table) {
@@ -144,7 +161,7 @@ final class StubDocServer(
             s"""{"index":{"_id":${mapper.writeValueAsString(id)},"status":201}}"""
           }
         }
-        val anyErr = rejectAllBulkItems || (rejectOdd && pairs.size > 1)
+        val anyErr = rejectAll || (rejectOdd && pairs.size > 1)
         respond(ex, 200, s"""{"errors":$anyErr,"items":[${items.mkString(",")}]}""")
 
       case _ => respond(ex, 404, """{"error":"no such route"}""")
