@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_clusters"    -> (Clustering.dedupClustersQuery _),
     "embed_neardup"     -> (Dedup.embeddingNearDupQuery _),
     "semdedup"          -> (Similarity.semDedupQuery _),
+    "semdedup_kmeans"   -> (Similarity.semDedupKmeansQuery _),
     "ann_topk"          -> (Similarity.annTopKQuery _),
     "ann_lsh"           -> (Similarity.annLshQuery _),
     "ann_ivf"           -> (Similarity.annIvfQuery _),
@@ -214,6 +215,8 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(COALESCE(e, CAST(0.0 AS FLOAT)) AS DOUBLE)) AS ve FROM embeddings WHERE embedding IS NOT NULL), m AS (SELECT vec_id, ve, COALESCE(list_max(list_transform(ve, x -> abs(x))), 0.0) AS max_abs FROM v), s AS (SELECT vec_id, ve, max_abs, CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS sc FROM m), q AS (SELECT vec_id, ve, sc, list_transform(ve, e -> CAST(floor(e * sc + 0.5) AS INT)) AS qv FROM s), e AS (SELECT vec_id, sc, qv, CASE WHEN sc > 0 THEN list_sum(list_transform(list_zip(ve, qv), p -> (p[1] - p[2] / sc) * (p[1] - p[2] / sc))) ELSE 0.0 END AS err FROM q) SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS scale_q, CAST(list_sum(qv) AS BIGINT) AS sum_q, CAST(list_max(qv) AS BIGINT) AS max_q, CAST(floor(err * 1000000000 + 0.5) AS BIGINT) AS err_q FROM e ORDER BY vec_id""",
     "semdedup" ->
       """WITH eq AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe FROM embeddings WHERE embedding IS NOT NULL), cs AS (SELECT label AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs), sc AS (SELECT eq.vec_id, cq.c_label, CAST(sum((eq.qe - cq.qc) * (eq.qe - cq.qc)) AS BIGINT) AS dist FROM eq JOIN cq USING (dim) GROUP BY 1, 2), r AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc), a AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1), p AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id JOIN embeddings ea ON ea.vec_id = x.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.35) SELECT a.vec_id, a.cluster, CASE WHEN p.vec_id IS NULL THEN 'kept' ELSE 'dup' END AS verdict FROM a LEFT JOIN p USING (vec_id) ORDER BY a.vec_id""",
+    "semdedup_kmeans" ->
+      """WITH eq AS (SELECT vec_id, unnest(range(len(embedding))) AS dim, COALESCE(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT), 0) AS qe, CAST(vec_id % 8 AS INT) AS c0 FROM embeddings WHERE embedding IS NOT NULL), cs0 AS (SELECT c0 AS c_label, dim, CAST(sum(qe) AS BIGINT) AS s, count(*) AS n FROM eq GROUP BY 1, 2), cq0 AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs0), sc0 AS (SELECT eq.vec_id, cq0.c_label, CAST(sum((eq.qe - cq0.qc) * (eq.qe - cq0.qc)) AS BIGINT) AS dist FROM eq JOIN cq0 USING (dim) GROUP BY 1, 2), r0 AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc0), a1 AS (SELECT vec_id, c_label AS c1 FROM r0 WHERE rn = 1), cs1 AS (SELECT a1.c1 AS c_label, eq.dim, CAST(sum(eq.qe) AS BIGINT) AS s, count(*) AS n FROM eq JOIN a1 USING (vec_id) GROUP BY 1, 2), cq1 AS (SELECT c_label, dim, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS qc FROM cs1), sc1 AS (SELECT eq.vec_id, cq1.c_label, CAST(sum((eq.qe - cq1.qc) * (eq.qe - cq1.qc)) AS BIGINT) AS dist FROM eq JOIN cq1 USING (dim) GROUP BY 1, 2), r1 AS (SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM sc1), a AS (SELECT vec_id, c_label AS cluster FROM r1 WHERE rn = 1), p AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id JOIN embeddings ea ON ea.vec_id = x.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.35) SELECT a.vec_id, a.cluster, CASE WHEN p.vec_id IS NULL THEN 'kept' ELSE 'dup' END AS verdict FROM a LEFT JOIN p USING (vec_id) ORDER BY a.vec_id""",
     "q_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, CAST(ts AS DATE) AS d FROM events), s AS (SELECT user_id, d, min(tus) AS s_start, max(tus) AS s_end FROM ev GROUP BY 1, 2), inc AS (SELECT event_id AS incident_id, tus AS i_start, tus + 3600000000 AS i_end FROM ev WHERE event_type = 'error' AND event_id % 50 = 0) SELECT incident_id, count(*) AS n_sessions FROM inc JOIN s ON s_start <= i_end AND i_start <= s_end GROUP BY 1 ORDER BY 1""",
     "dedup_lines" ->

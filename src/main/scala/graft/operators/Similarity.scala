@@ -308,11 +308,19 @@ object Similarity {
     * re-quantized onto the vector grid via floor(qsum/n + 0.5) — one
     * deterministic double division.
     */
-  private def centroidModel(emb: DataFrame, scale: Int): Array[(Int, Seq[Long])] = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    emb
-      .groupBy(col("label").as("c_label"))
-      .agg(graft.functions.vecagg.vecSumLong(quantized(scale)).as("qsum"), count(lit(1)).as("n"))
+  private def centroidModel(emb: DataFrame, scale: Int): Array[(Int, Seq[Long])] =
+    gridCentroids(emb.select(quantized(scale).as("qe"), col("label")), "label")
+
+  /** Re-quantized centroids of a prepared (`qe`, cluster-key) frame: one
+    * map-side-combined [[graft.functions.vecagg.vecSumLong]] pass, each
+    * centroid back onto the grid via floor(qsum/n + 0.5), collected to
+    * the driver (clusters are tiny by contract — the annIvf precedent).
+    */
+  private def gridCentroids(df: DataFrame, by: String): Array[(Int, Seq[Long])] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    df
+      .groupBy(col(by).cast(IntegerType).as("c_label"))
+      .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n"))
       .select(
         col("c_label"),
         transform(col("qsum"), s => floor(s.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
@@ -461,11 +469,26 @@ object Similarity {
   def semDedup(embeddings: DataFrame, threshold: Double, scale: Int = 1000): DataFrame = {
     val emb = embeddings.filter(col("embedding").isNotNull)
     val scored = scoredStructs(centroidModel(emb, scale))
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"), quantized(scale).as("qe"))
-      .select(
-        col("vec_id"), col("embedding"),
-        array_min(array(scored: _*)).getField("c_label").as("cluster"))
+    dupVerdicts(
+      emb
+        .select(col("vec_id"), col("embedding"), quantized(scale).as("qe"))
+        .select(
+          col("vec_id"), col("embedding"),
+          array_min(array(scored: _*)).getField("c_label").as("cluster")),
+      threshold)
+  }
+
+  /** The pairwise stage of SemDeDup over EXPLICIT (vec_id, embedding,
+    * cluster) assignments — shared by the label-seeded [[semDedup]] and
+    * the k-parameterized [[semDedupKmeans]]. Null vector ELEMENTS are
+    * coalesced to 0 before the cosine (matching [[quantized]]'s
+    * convention), so a corpus with per-element nulls cannot silently
+    * diverge from an oracle that nulls the whole similarity out.
+    */
+  private def dupVerdicts(assignedIn: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignedIn
+      .withColumn("embedding",
+        expr("transform(embedding, e -> coalesce(e, CAST(0.0 AS FLOAT)))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = assigned
       .select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
@@ -484,6 +507,51 @@ object Similarity {
         when(col("__dup"), lit("dup")).otherwise(lit("kept")).as("verdict"))
     graft.engine.Caching.handoff(out, assigned)
   }
+
+  /** SemDeDup with k as a real parameter — the published k∝n contract
+    * ([[semDedup]]'s clusters are the corpus labels, so its k is pinned
+    * to the label cardinality). Clusters come from the k-means
+    * machinery: deterministic random-partition seeding (vec_id mod k, a
+    * standard init made engine-reproducible), one Lloyd step over the
+    * quantized grid ([[kmeansStep]]'s arithmetic — integer sums,
+    * floor(qsum/n + 0.5) re-quantization, exact int64 argmin), then the
+    * final assignment those step centroids induce feeds the pairwise
+    * stage. Every stage stays on the exact grid, so the whole pipeline
+    * remains hash-checkable; dataflow is three narrow corpus scans (two
+    * assignments + one aggregate) with only `k × d`-long exchanges —
+    * the same no-corpus-shuffle shape as [[nearestCentroid]].
+    */
+  def semDedupKmeans(
+      embeddings: DataFrame,
+      k: Int,
+      threshold: Double,
+      scale: Int = 1000
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val base = emb
+      .select(
+        col("vec_id"), col("embedding"), quantized(scale).as("qe"),
+        pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedScored = scoredStructs(gridCentroids(base, "c0"))
+    val step = base.withColumn(
+      "c1", array_min(array(seedScored: _*)).getField("c_label"))
+    val stepScored = scoredStructs(gridCentroids(step, "c1"))
+    val out = dupVerdicts(
+      base.select(
+        col("vec_id"), col("embedding"),
+        array_min(array(stepScored: _*)).getField("c_label").as("cluster")),
+      threshold)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver query: k-parameterized SemDeDup at k=8 (vs the 10 corpus
+    * labels), same 0.35 threshold as [[semDedupQuery]].
+    */
+  def semDedupKmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedupKmeans(Tables.embeddings(spark, dir), k = 8, threshold = 0.35).orderBy("vec_id")
 
   /** Driver query: per-vector kept/dup verdicts. The synthetic corpus
     * has no planted near-dups (within-cluster cosines top out ~0.47),

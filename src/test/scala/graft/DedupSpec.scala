@@ -644,6 +644,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> "kept", 11L -> "dup", 12L -> "kept", 20L -> "kept", 21L -> "kept"))
   }
 
+  test("semDedupKmeans: near-identical vectors co-cluster and dedup; k caps the cluster ids") {
+    val e = (v: Seq[Double]) => v.map(_.toFloat).toArray
+    val df = Seq(
+      (10L, e(Seq(1.0, 0.0, 0.0, 0.0))),
+      (11L, e(Seq(0.999, 0.001, 0.0, 0.0))), // ~identical to 10: must drop
+      (12L, e(Seq(0.7, 0.7, 0.05, 0.0))),
+      (20L, e(Seq(0.0, 0.0, 1.0, 0.0))),
+      (21L, e(Seq(0.0, 0.0, 0.0, 1.0)))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKmeans(df, k = 2, threshold = 0.95)
+      .select("vec_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got(11L) == "dup", s"near-identical pair survived: $got")
+    assert(got.removed(11L).values.forall(_ == "kept"), s"over-eager dedup: $got")
+  }
+
+  test("semDedupKmeans: k bounds the cluster space over the corpus (pairwise size bound)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semDedupKmeans(emb, k = 8, threshold = 0.35)
+    val sizes = out.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    val total = emb.filter(col("embedding").isNotNull).count()
+    assert(sizes.map(_._2).sum == total, "every vector gets exactly one verdict row")
+    assert(sizes.forall { case (c, _) => c >= 0 && c < 8 }, s"cluster id outside [0, k): $sizes")
+    // the method's cost contract: k genuinely partitions the corpus, so
+    // no cluster's quadratic pairwise stage degenerates to all-pairs
+    assert(sizes.length > 1 && sizes.map(_._2).max < total,
+      s"k=8 failed to split the corpus: $sizes")
+  }
+
   test("oovScore: OOV fraction against the corpus top-K vocabulary") {
     val docs = Seq(
       (1L, "the the the cat"),
