@@ -159,10 +159,20 @@ object Multimodal {
         val ch = fmt.getChannels
         val frameSize = fmt.getFrameSize // 2 * ch
         val maxFrames = 65536
-        val buf = new Array[Byte](maxFrames * frameSize)
+        // bound the buffer by the INPUT size too: channels is an
+        // attacker-controlled uint16, and maxFrames * frameSize alone
+        // would let a corrupt header force a ~2 GB allocation —
+        // OutOfMemoryError is an Error, so it would skip the fallback
+        // catch and kill the task. The content can never yield more PCM
+        // bytes than it contains. The bound stays FRAME-ALIGNED:
+        // AudioInputStream.read returns 0 (not -1) for a request shorter
+        // than one frame, so a byte-granular buffer would spin forever.
+        val boundFrames = math.min(maxFrames.toLong, content.length.toLong / frameSize)
+        if (boundFrames == 0) return fallback.decode(modality, content)
+        val buf = new Array[Byte]((boundFrames * frameSize).toInt)
         var off = 0
-        var r = 0
-        while (off < buf.length && r >= 0) {
+        var r = 1
+        while (off < buf.length && r > 0) {
           r = in.read(buf, off, buf.length - off)
           if (r > 0) off += r
         }
@@ -280,24 +290,98 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling stub for video assets: deterministic every-nth-byte
-    * "frames" standing in for keyframe extraction; the partitioning and
-    * output shape (one row per sampled frame) are the real contract.
+  /** Frame sampling for video assets — REAL keyframe iteration for
+    * animated GIFs (`ImageIO`'s multi-image reader API, the one
+    * multi-frame container the JDK ships a codec for — zero new
+    * dependencies), the deterministic byte stub for every other
+    * container (no other video codec in the JDK). One row per sampled
+    * frame: GIF rows carry the frame's true intrinsic width/height and
+    * a 16x16 pixel-grid signature; stub rows carry 0x0 and the byte
+    * signature. Per-row decode inside the partition, no shuffle — the
+    * partitioning/output contract is identical either way, which is
+    * exactly what lets a real codec slot in per-container.
     */
-  def sampleFrames(assets: DataFrame, everyN: Int = 2): DataFrame =
+  def sampleFrames(assets: DataFrame, everyN: Int = 2, maxFrames: Int = 32): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(everyN >= 1 && maxFrames >= 1, "positive everyN/maxFrames")
     assets
       .filter(col("modality") === "video")
-      .select(
-        col("media_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), least(lit(4), (length(col("content")) / everyN).cast("int"))),
-            i => substring(base64(col("content")), i * 8 + lit(1), lit(8))
-          )
-        )
-      )
-      .withColumnRenamed("pos", "frame_no")
-      .withColumnRenamed("col", "frame_sig")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        val real = if (isGif(content)) gifFrames(content, everyN, maxFrames) else Seq.empty
+        if (real.nonEmpty)
+          real.map { case (no, w, h, sig) => (id, no, sig, w, h) }
+        else {
+          // the byte stub: every-nth-byte "frames" from the base64 text,
+          // deterministic per input (and GIFs that fail to decode land
+          // here too — the poison-blob contract)
+          val b64 = java.util.Base64.getEncoder.encodeToString(content)
+          val k = math.min(4, content.length / everyN)
+          (0 to k).map { i =>
+            val from = math.min(i * 8, b64.length)
+            (id, i, b64.substring(from, math.min(from + 8, b64.length)), 0, 0)
+          }
+        }
+      }
+      .toDF("media_id", "frame_no", "frame_sig", "width", "height")
+  }
+
+  private[graft] def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Every `everyN`-th frame of an animated GIF, at most `maxFrames`:
+    * (frame index, width, height, grid signature). Frames that fail to
+    * decode are skipped per-frame; a container that yields no frames at
+    * all sends the caller to the stub path.
+    */
+  private[graft] def gifFrames(
+      content: Array[Byte], everyN: Int, maxFrames: Int
+  ): Seq[(Int, Int, Int, String)] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (iis == null) { reader.dispose(); return Seq.empty }
+    try {
+      reader.setInput(iis, false, true)
+      val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
+      (0 until n by everyN).take(maxFrames).flatMap { i =>
+        try {
+          val img = reader.read(i)
+          Some((i, img.getWidth, img.getHeight, frameSig(img)))
+        } catch { case _: Exception => None }
+      }
+    } finally {
+      try reader.dispose()
+      finally iis.close()
+    }
+  }
+
+  /** Deterministic 16x16 pixel-grid signature of a decoded frame — the
+    * [[ImageIoDecoder]] sampling bound, hashed instead of averaged.
+    */
+  private def frameSig(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gx = math.min(16, w)
+    val gy = math.min(16, h)
+    var acc = 1125899906842597L
+    var y = 0
+    while (y < gy) {
+      var x = 0
+      while (x < gx) {
+        acc = acc * 31 + img.getRGB(x * w / gx, y * h / gy)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.toHexString(acc)
+  }
 
   /** Driver-contract query: per-modality feature statistics. Oracle-
     * checked: the DuckDB twin replicates the stub's rolling byte hash
