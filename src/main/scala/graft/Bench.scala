@@ -44,7 +44,13 @@ object Bench {
     spark
   }
 
-  final case class QStat(min: Double, med: Double, max: Double, gc: Double)
+  /** Per-query stats plus the wall-clock window the query was measured
+    * in (epoch millis) — with the run's own start/end in the sidecar,
+    * an interference window on the host can be lined up against exactly
+    * the queries measured inside it.
+    */
+  final case class QStat(min: Double, med: Double, max: Double, gc: Double,
+                         t0: Long, t1: Long)
 
   /** max/min ratio above which a query's samples are treated as evidence of
     * external interference (another process stealing the cores mid-run) and
@@ -61,6 +67,7 @@ object Bench {
     * warmup, then adaptive timed sampling (see rules inline). */
   private def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                       sfDir: String, cpus: String, iters: Int): QStat = {
+    val tStart = System.currentTimeMillis()
     val spark = freshSession(cpus)
     def runOnce(): Unit =
       // noop sink materializes every output column (count() would let
@@ -99,7 +106,8 @@ object Bench {
       spent += dt
     }
     val times = samples.toIndexedSeq.sorted
-    val stat = QStat(times.head, times(times.length / 2), times.last, gcSeconds() - gc0)
+    val stat = QStat(times.head, times(times.length / 2), times.last, gcSeconds() - gc0,
+      tStart, System.currentTimeMillis())
     // full teardown between queries: stop the SparkContext and give the JVM
     // a chance to return the heap before the next query's session starts.
     spark.stop()
@@ -108,6 +116,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // floor of 2 iterations even if the caller asks for 1: a single sample
@@ -167,7 +176,8 @@ object Bench {
       .mkString("{", ",", "}")
     val stats = results.map { case (k, s) =>
       "\"" + k + "\":{\"min\":" + s.min + ",\"med\":" + s.med +
-        ",\"max\":" + s.max + ",\"gc\":" + s.gc + "}"
+        ",\"max\":" + s.max + ",\"gc\":" + s.gc +
+        ",\"t0\":" + s.t0 + ",\"t1\":" + s.t1 + "}"
     }.mkString("{", ",", "}")
     // sum the ROUNDED per-query values so value == sum(queries) holds
     // exactly in the emitted artifact (a consumer sanity-checking the
@@ -178,7 +188,12 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(statsPath, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","iters":$iters,"suspect_rerun":$suspectJson,"stats":$stats}""")
+      // bench_start/bench_end (epoch ms) + per-query t0/t1: interference
+      // on the host is attributable to the exact queries inside its window
+      try w.println(
+        s"""{"sf":"$sfDir","iters":$iters,"bench_start":$benchStart,""" +
+          s""""bench_end":${System.currentTimeMillis()},""" +
+          s""""suspect_rerun":$suspectJson,"stats":$stats}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
     // "suspect" is only present when true — absent key keeps the line short

@@ -720,6 +720,10 @@ object Relational {
     */
   def asofLastBefore(
       events: DataFrame, matchType: String, probeType: String): DataFrame = {
+    // working-column guard, the Dedup.exact '__h' rule: withColumn would
+    // silently REPLACE caller columns of these names
+    require(!events.columns.contains("rnk") && !events.columns.contains("__m"),
+      "input must not carry reserved working columns 'rnk' / '__m'")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("rnk"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
