@@ -101,6 +101,8 @@ object SparkEntry {
     "split_assign"      -> (TextAnalysis.splitAssignQuery _),
     "pack_sequences"    -> (TextAnalysis.packSequencesQuery _),
     "mix_sources"       -> (TextAnalysis.mixSourcesQuery _),
+    "mix_temperature"   -> (TextAnalysis.mixTemperatureQuery _),
+    "text_gopher"       -> (TextAnalysis.gopherQuery _),
     "token_budget"      -> (TextAnalysis.tokenBudgetQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfQuery _),
@@ -265,6 +267,10 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM documents), c AS (SELECT doc_id, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) SELECT doc_id, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, n_tokens FROM c ORDER BY doc_id""",
     "mix_sources" ->
       """WITH ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM documents), tgt AS (SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)) SELECT doc_id, source FROM ranked, tgt WHERE rnk <= t ORDER BY doc_id""",
+    "mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source, text FROM (SELECT doc_id, source, text, list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM documents) WHERE h < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 49152 ELSE 16384 END), c AS (SELECT source, count(*) AS n FROM d GROUP BY 1), w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS wq FROM c), t AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w), q AS (SELECT source, least(n, 100 * wq // tw) AS quota FROM w, t), r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM d) SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rnk <= quota ORDER BY doc_id""",
+    "text_gopher" ->
+      """WITH aug AS (SELECT doc_id, coalesce(text, '') || chr(10) || CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'plain line' END || chr(10) || CASE WHEN doc_id % 4 = 0 THEN 'trailing thought...' ELSE 'closing line' END AS t FROM documents), m AS (SELECT doc_id, CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(string_split_regex(trim(t), '\s+')) END AS n_tokens, len(string_split(t, chr(10))) AS n_lines, len(list_filter(string_split(t, chr(10)), l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullet_lines, len(list_filter(string_split(t, chr(10)), l -> l LIKE '%...')) AS n_ellipsis_lines, len(list_filter(string_split_regex(trim(t), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_tokens, len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS n_symbols, (CASE WHEN len(regexp_extract_all(lower(t), '\bthe\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bbe\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bto\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bof\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\band\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bthat\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bhave\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bwith\b')) > 0 THEN 1 ELSE 0 END) AS n_stop_hits, length(regexp_replace(t, '\s', '', 'g')) AS n_nonws FROM aug) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines, CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines, CAST(n_alpha_tokens AS BIGINT) AS n_alpha_tokens, CAST(n_symbols AS BIGINT) AS n_symbols, CAST(n_stop_hits AS BIGINT) AS n_stop_hits, CASE WHEN n_tokens > 0 THEN CAST(n_nonws AS DOUBLE) / n_tokens END AS mean_word_len, CASE WHEN n_tokens > 0 THEN CAST(n_symbols AS DOUBLE) / n_tokens END AS symbol_ratio, CASE WHEN n_tokens > 0 THEN CAST(n_alpha_tokens AS DOUBLE) / n_tokens END AS alpha_frac, CAST(n_bullet_lines AS DOUBLE) / n_lines AS bullet_frac, CAST(n_ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac, ((n_tokens BETWEEN 20 AND 120) AND (CAST(n_nonws AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0) AND (CAST(n_symbols AS DOUBLE) / n_tokens < 0.1) AND (CAST(n_alpha_tokens AS DOUBLE) / n_tokens > 0.7) AND (n_stop_hits >= 1) AND (CAST(n_bullet_lines AS DOUBLE) / n_lines < 0.9) AND (CAST(n_ellipsis_lines AS DOUBLE) / n_lines < 0.3)) AS passes FROM m ORDER BY doc_id""",
     "pipeline_mix" ->
       """WITH d0 AS (SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS n_tokens, md5(coalesce(text, '')) AS h FROM documents), gate AS (SELECT * FROM d0 WHERE n_tokens BETWEEN 12 AND 100000), ded AS (SELECT doc_id, source, n_tokens, h FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM gate) WHERE rn = 1), bud AS (SELECT doc_id, source, n_tokens FROM (SELECT doc_id, source, n_tokens, CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1000 ELSE 2000 END AS budget, COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM ded) WHERE cum_before < budget), g AS (SELECT doc_id, source, n_tokens, CAST(list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 8 AS INT) AS grp FROM bud), c AS (SELECT doc_id, source, grp, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM g) SELECT doc_id, source, grp, CAST(cum_before // 256 AS BIGINT) AS seq_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM c ORDER BY doc_id""",
     "token_budget" ->

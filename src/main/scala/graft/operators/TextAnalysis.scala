@@ -476,16 +476,40 @@ object TextAnalysis {
     * row per source and one boundary row per source.
     */
   def mixSources(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
-    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    if (counts.isEmpty) return d.select("doc_id", "source").limit(0)
+    val counts = sourceCounts(docs)
+    if (counts.isEmpty) return docs.select("doc_id", "source").limit(0)
     val target = counts.map(_._2).min
+    takeBySourceQuota(docs, counts, _ => target)
+  }
+
+  /** One tiny row per source. */
+  private def sourceCounts(docs: DataFrame): Seq[(String, Long)] =
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The per-source quota SELECTION kernel shared by [[mixSources]] and
+    * [[mixTemperature]]: keep each source's first `quotaOf(source)` docs
+    * in (content-hash, doc_id) order, located as a GlobalRank boundary
+    * per source (sort only the partitions holding a boundary) followed
+    * by one shuffle-free broadcast-filter pass. Quotas are clamped to
+    * the source size; quota-0 sources drop entirely.
+    */
+  private def takeBySourceQuota(
+      docs: DataFrame,
+      counts: Seq[(String, Long)],
+      quotaOf: String => Long
+  ): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
     // boundary rank of source s = rows of all sources BEFORE s in the
-    // executors' range-partitioning order + target; that order for
+    // executors' range-partitioning order + quota(s); that order for
     // strings is unsigned UTF-8 bytes, hence utf8Lt (not compareTo)
-    val ranks = counts.sortWith((a, b) => GlobalRank.utf8Lt(a._1, b._1))
-      .scanLeft(0L)(_ + _._2).init.map(_ + target).toSeq
+    val sorted = counts.sortWith((a, b) => GlobalRank.utf8Lt(a._1, b._1))
+    val offsets = sorted.scanLeft(0L)(_ + _._2).init
+    val ranks = sorted.zip(offsets).flatMap { case ((s, n), off) =>
+      val q = math.min(quotaOf(s), n)
+      if (q >= 1L) Some(off + q) else None
+    }
+    if (ranks.isEmpty) return d.select("doc_id", "source").limit(0)
     val (bounds, _) = GlobalRank.rowsAtRanks(
       d, Seq(col("source"), col("__h"), col("doc_id")), _ => ranks)
     val bsel = bounds.select(
@@ -495,6 +519,57 @@ object TextAnalysis {
         (col("__h") === col("__bh") && col("doc_id") <= col("__bid")))
       .select("doc_id", "source")
   }
+
+  /** TEMPERATURE-weighted source mix: per-source quotas proportional to
+    * n^alpha (the multinomial temperature resampling multilingual LM
+    * training uses to upweight small sources — alpha in (0, 1] flattens
+    * the source distribution, alpha = 1 is proportional). Quota math is
+    * ENGINE-EXACT: each weight is the per-source-count sqrt/pow
+    * quantized to integer milli-units (one IEEE-deterministic op per
+    * source, no float accumulation), the normalizer is an integer sum,
+    * and quota = totalTarget * w / W in int64 division — so an oracle
+    * computing the identical expressions lands on identical quotas (a
+    * float normalizer would make near-tie quotas a summation-order
+    * lottery). Selection is the [[takeBySourceQuota]] boundary cut.
+    * Driver state: one row per source.
+    */
+  def mixTemperature(docs: DataFrame, alpha: Double, totalTarget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(totalTarget >= 0, s"totalTarget >= 0, got $totalTarget")
+    val counts = sourceCounts(docs)
+    if (counts.isEmpty) return docs.select("doc_id", "source").limit(0)
+    // alpha = 0.5 pins to sqrt (IEEE-exact, bit-reproducible in any
+    // engine); Math.pow's last-ulp freedom is fine for in-engine use
+    // but an oracle twin should stick to 0.5 or 1.0
+    def w(n: Long): Long = {
+      val x = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else if (alpha == 1.0) n.toDouble
+              else math.pow(n.toDouble, alpha)
+      math.floor(x * 1000 + 0.5).toLong
+    }
+    val weights = counts.map { case (s, n) => s -> w(n) }.toMap
+    val totalW = weights.values.sum
+    val quota = counts.map { case (s, _) =>
+      s -> (if (totalW == 0) 0L else totalTarget * weights(s) / totalW)
+    }.toMap
+    takeBySourceQuota(docs, counts, quota)
+  }
+
+  /** Driver query: sqrt-temperature mix (alpha 0.5, 100-doc target)
+    * over the SKEWED stratified sample (src0-2 at 75%, the rest at 25%)
+    * — the corpus's raw source counts are uniform, which would make the
+    * temperature reweighting a no-op; over the skewed subset the sqrt
+    * flattening visibly narrows the big-source/small-source quota gap
+    * versus proportional.
+    */
+  def mixTemperatureQuery(spark: SparkSession, dir: String): DataFrame =
+    mixTemperature(
+      stratifiedSample(
+        Tables.documents(spark, dir),
+        Map("src0" -> 49152, "src1" -> 49152, "src2" -> 49152),
+        defaultThreshold = 16384),
+      alpha = 0.5, totalTarget = 100)
+      .orderBy("doc_id")
 
   def mixSourcesQuery(spark: SparkSession, dir: String): DataFrame =
     mixSources(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -591,6 +666,86 @@ object TextAnalysis {
 
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** GOPHER-rule quality signals (Rae et al. 2021, published
+    * repetition/format heuristics) — the rule set web-scale curation
+    * thresholds on before any model-based scoring: token-count bounds,
+    * mean word length, symbol-to-word ratio (# and ellipsis), fraction
+    * of lines that are bullets / end in ellipsis, fraction of tokens
+    * with an alphabetic character, and presence of common English stop
+    * words. One narrow projection — every count is a single regex or
+    * HOF pass, ratios are fixed double expression trees over exact ints
+    * (the q_anomaly determinism argument), no shuffle.
+    *
+    * Like text_pii, the driver query AUGMENTS the corpus with
+    * deterministic doc_id-derived lines (the test corpus is
+    * single-line), so the line-level rules classify real bullets and
+    * ellipses rather than vacuous zeros.
+    */
+  def gopherQuality(docs: DataFrame, minStopHits: Int = 2): DataFrame = {
+    val t = col("t")
+    val nTok = col("n_tokens")
+    val lines = expr("split(t, '\n')")
+    docs
+      .withColumn("t", coalesce(col("text"), lit("")))
+      .withColumn("n_tokens", sketch.tokenCount(t).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(expr("filter(split(t, '\n'), l -> l LIKE '- %' OR l LIKE '* %')")).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(expr("filter(split(t, '\n'), l -> l LIKE '%...')")).cast("long"))
+      .withColumn("n_alpha_tokens",
+        size(expr("filter(split(trim(t), '\\\\s+'), x -> x RLIKE '[A-Za-z]')")).cast("long"))
+      .withColumn("n_symbols",
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long"))
+      .withColumn("n_stop_hits",
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(wd => when(regexp_count(lower(t), lit(s"\\b$wd\\b")) > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("mean_word_len",
+        // non-whitespace chars / tokens — one regex strip, no token
+        // array materialization
+        when(nTok > 0,
+          length(regexp_replace(t, "\\s", "")).cast("double") / nTok.cast("double")))
+      .withColumn("symbol_ratio",
+        when(nTok > 0, col("n_symbols").cast("double") / nTok.cast("double")))
+      .withColumn("alpha_frac",
+        when(nTok > 0, col("n_alpha_tokens").cast("double") / nTok.cast("double")))
+      .withColumn("bullet_frac", col("n_bullet_lines").cast("double") / col("n_lines"))
+      .withColumn("ellipsis_frac", col("n_ellipsis_lines").cast("double") / col("n_lines"))
+      .withColumn("passes",
+        nTok.between(20, 120) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_frac") > 0.7 &&
+          col("n_stop_hits") >= minStopHits &&
+          col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3)
+      .select("doc_id", "n_tokens", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_alpha_tokens", "n_symbols", "n_stop_hits", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "bullet_frac", "ellipsis_frac", "passes")
+  }
+
+  /** Driver query: Gopher rules over the corpus, each doc extended with
+    * two deterministic doc_id-derived lines (a bullet every 3rd doc, an
+    * ellipsis ending every 4th) so the line rules see both outcomes.
+    * minStopHits = 1 because the synthetic keyword-soup corpus carries
+    * only "the"/"a" from the published stop list (max observed hits =
+    * 1) — at the published 2 every doc fails and `passes` is vacuous,
+    * the silent-pass-through trap the verify recipe warns about.
+    */
+  def gopherQuery(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(
+      Tables.documents(spark, dir).withColumn(
+        "text",
+        concat(
+          coalesce(col("text"), lit("")), lit("\n"),
+          when(col("doc_id") % 3 === 0, lit("- bullet item")).otherwise(lit("plain line")),
+          lit("\n"),
+          when(col("doc_id") % 4 === 0, lit("trailing thought..."))
+            .otherwise(lit("closing line")))),
+      minStopHits = 1
+    ).orderBy("doc_id")
 
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.

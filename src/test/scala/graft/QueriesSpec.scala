@@ -237,6 +237,50 @@ class QueriesSpec extends SparkSpec {
       7L -> ((None, None))))
   }
 
+  test("mix_temperature: integer-exact n^alpha quotas, clamped and deterministic") {
+    import graft.operators.TextAnalysis
+    val docs = ((1 to 16).map(i => (i.toLong, "a", s"text a $i")) ++
+      (17 to 20).map(i => (i.toLong, "b", s"text b $i")))
+      .toDF("doc_id", "source", "text")
+    // alpha 0.5: w = (4000, 2000), W = 6000; target 6 -> quotas (4, 2)
+    val half = TextAnalysis.mixTemperature(docs, alpha = 0.5, totalTarget = 6)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(half == Map("a" -> 4L, "b" -> 2L), s"alpha=0.5 quotas: $half")
+    // alpha 1: w = (16000, 4000), W = 20000; target 6 -> floor(4.8)=4, floor(1.2)=1
+    val prop = TextAnalysis.mixTemperature(docs, alpha = 1.0, totalTarget = 6)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(prop == Map("a" -> 4L, "b" -> 1L), s"alpha=1 quotas: $prop")
+    // quotas clamp at the source size; quota-0 sources drop
+    val all = TextAnalysis.mixTemperature(docs, alpha = 0.5, totalTarget = 1000)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(all == Map("a" -> 16L, "b" -> 4L), s"clamped quotas: $all")
+    val r1 = TextAnalysis.mixTemperature(docs, 0.5, 6).as[(Long, String)].collect().sortBy(_._1)
+    val r2 = TextAnalysis.mixTemperature(docs, 0.5, 6).as[(Long, String)].collect().sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq, "content-hash selection must be a pure function")
+  }
+
+  test("text_gopher: exact rule signals on a constructed document") {
+    import graft.operators.TextAnalysis
+    val good = "the cat and the hat went to town with a bag of tricks that have been seen" +
+      "\n- bullet\nplain line\nend..."
+    val bad = "#### x! ###"
+    val got = TextAnalysis.gopherQuality(
+      Seq((1L, good), (2L, bad)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = got(1L)
+    assert(g.getLong(1) == 22L, s"n_tokens: ${g.getLong(1)}")           // tokens
+    assert(g.getLong(2) == 4L && g.getLong(3) == 1L && g.getLong(4) == 1L) // lines/bullet/ellipsis
+    assert(g.getLong(5) == 21L, s"alpha tokens: ${g.getLong(5)}")       // all but "-"
+    assert(g.getLong(6) == 1L, s"symbols: ${g.getLong(6)}")             // one "..."
+    assert(g.getLong(7) == 7L, s"stop hits: ${g.getLong(7)}")           // all but "be"
+    val nonWs = good.replaceAll("\\s", "").length
+    assert(g.getDouble(8) == nonWs.toDouble / 22, "mean_word_len")
+    assert(g.getBoolean(13), "constructed good doc must pass")
+    val b = got(2L)
+    assert(!b.getBoolean(13), "symbol-ridden 3-token doc must fail")
+    assert(b.getLong(7) == 0L && b.getLong(6) >= 7L)
+  }
+
   test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
