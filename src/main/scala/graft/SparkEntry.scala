@@ -103,6 +103,8 @@ object SparkEntry {
     "mix_sources"       -> (TextAnalysis.mixSourcesQuery _),
     "mix_temperature"   -> (TextAnalysis.mixTemperatureQuery _),
     "text_gopher"       -> (TextAnalysis.gopherQuery _),
+    "chunk_documents"   -> (TextAnalysis.chunkDocumentsQuery _),
+    "text_perplexity"   -> (TextAnalysis.perplexityQuery _),
     "token_budget"      -> (TextAnalysis.tokenBudgetQuery _),
     "top_ngrams"        -> (TextAnalysis.topNgramsQuery _),
     "tfidf_top_terms"   -> (TextAnalysis.tfidfQuery _),
@@ -269,6 +271,10 @@ object SparkEntry {
       """WITH ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM documents), tgt AS (SELECT min(cnt) AS t FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)) SELECT doc_id, source FROM ranked, tgt WHERE rnk <= t ORDER BY doc_id""",
     "mix_temperature" ->
       """WITH d AS (SELECT doc_id, source, text FROM (SELECT doc_id, source, text, list_reduce(list_transform(range(1, 5), i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h FROM documents) WHERE h < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 49152 ELSE 16384 END), c AS (SELECT source, count(*) AS n FROM d GROUP BY 1), w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS wq FROM c), t AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w), q AS (SELECT source, least(n, 100 * wq // tw) AS quota FROM w, t), r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rnk FROM d) SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rnk <= quota ORDER BY doc_id""",
+    "chunk_documents" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), idx AS (SELECT doc_id, t, len(t) AS n, unnest(range(0, (len(t) - 1) // 24 + 1)) AS i FROM toks) SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, CAST(i * 24 AS BIGINT) AS start_tok, CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tokens, list_aggregate(t[i * 24 + 1 : i * 24 + 32], 'string_agg', ' ') AS chunk_text FROM idx WHERE i = 0 OR (i - 1) * 24 + 32 < n ORDER BY doc_id, chunk_id""",
+    "text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks WHERE len(t) >= 2), m AS (SELECT doc_id, bg, count(*) AS m FROM bgs GROUP BY 1, 2), cb AS (SELECT bg, sum(m) AS cbg FROM m GROUP BY 1), cu AS (SELECT split_part(bg, ' ', 1) AS u, sum(cbg) AS cu FROM cb GROUP BY 1), v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)), mdl AS (SELECT bg, CAST(floor(ln(CAST(cbg + 1 AS DOUBLE) / CAST(cu.cu + v.v AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS lnp_q FROM cb JOIN cu ON split_part(cb.bg, ' ', 1) = cu.u CROSS JOIN v) SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, CAST(-sum(m * lnp_q) AS BIGINT) AS nll_q, CAST(CAST(-sum(m * lnp_q) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS mean_nll_q FROM m JOIN mdl USING (bg) GROUP BY 1 ORDER BY doc_id""",
     "text_gopher" ->
       """WITH aug AS (SELECT doc_id, coalesce(text, '') || chr(10) || CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'plain line' END || chr(10) || CASE WHEN doc_id % 4 = 0 THEN 'trailing thought...' ELSE 'closing line' END AS t FROM documents), m AS (SELECT doc_id, CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(string_split_regex(trim(t), '\s+')) END AS n_tokens, len(string_split(t, chr(10))) AS n_lines, len(list_filter(string_split(t, chr(10)), l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullet_lines, len(list_filter(string_split(t, chr(10)), l -> l LIKE '%...')) AS n_ellipsis_lines, len(list_filter(string_split_regex(trim(t), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_tokens, len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS n_symbols, (CASE WHEN len(regexp_extract_all(lower(t), '\bthe\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bbe\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bto\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bof\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\band\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bthat\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bhave\b')) > 0 THEN 1 ELSE 0 END + CASE WHEN len(regexp_extract_all(lower(t), '\bwith\b')) > 0 THEN 1 ELSE 0 END) AS n_stop_hits, length(regexp_replace(t, '\s', '', 'g')) AS n_nonws FROM aug) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines, CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines, CAST(n_alpha_tokens AS BIGINT) AS n_alpha_tokens, CAST(n_symbols AS BIGINT) AS n_symbols, CAST(n_stop_hits AS BIGINT) AS n_stop_hits, CASE WHEN n_tokens > 0 THEN CAST(n_nonws AS DOUBLE) / n_tokens END AS mean_word_len, CASE WHEN n_tokens > 0 THEN CAST(n_symbols AS DOUBLE) / n_tokens END AS symbol_ratio, CASE WHEN n_tokens > 0 THEN CAST(n_alpha_tokens AS DOUBLE) / n_tokens END AS alpha_frac, CAST(n_bullet_lines AS DOUBLE) / n_lines AS bullet_frac, CAST(n_ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac, ((n_tokens BETWEEN 20 AND 120) AND (CAST(n_nonws AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0) AND (CAST(n_symbols AS DOUBLE) / n_tokens < 0.1) AND (CAST(n_alpha_tokens AS DOUBLE) / n_tokens > 0.7) AND (n_stop_hits >= 1) AND (CAST(n_bullet_lines AS DOUBLE) / n_lines < 0.9) AND (CAST(n_ellipsis_lines AS DOUBLE) / n_lines < 0.3)) AS passes FROM m ORDER BY doc_id""",
     "pipeline_mix" ->

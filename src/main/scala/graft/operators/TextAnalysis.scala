@@ -747,6 +747,116 @@ object TextAnalysis {
       minStopHits = 1
     ).orderBy("doc_id")
 
+  /** Overlapping token-window chunking — the training-prep primitive
+    * that turns variable-length documents into ~`chunkTokens`-token
+    * model inputs with `chunkTokens - stride` tokens of overlap (the
+    * sliding-window convention long-context pretraining and RAG
+    * indexing both use). Chunk starts are `0, stride, 2*stride, …`;
+    * a chunk is kept iff it contributes at least one token beyond the
+    * previous chunk's end (`(i-1)*stride + chunkTokens < n_tokens`),
+    * which drops tail windows wholly contained in their predecessor —
+    * the kept set is therefore a gap-free prefix `0..k` and `chunk_id`
+    * needs no re-ranking. Entirely narrow: tokenize + `sequence` +
+    * `explode` + `slice` per row, no shuffle, no window — at 100 TB
+    * this is scan-speed and the output partitioning inherits the
+    * input's. Token arithmetic is exact integers, so the DuckDB twin
+    * (list_slice over the same tokenizer) is hash-identical.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride in [1, chunkTokens], got $stride")
+    val reserved = Seq("__t", "__n", "__i")
+    reserved.foreach(c => require(!docs.columns.contains(c), s"reserved column $c"))
+    docs
+      .select(col("doc_id"), text.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(sequence(lit(0L), floor((col("__n") - 1) / stride))).as("__i"))
+      .filter(col("__i") === 0 ||
+        (col("__i") - 1) * stride + chunkTokens < col("__n"))
+      .select(
+        col("doc_id"),
+        col("__i").cast("long").as("chunk_id"),
+        (col("__i") * stride).cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("__n") - col("__i") * stride)
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("__i") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  def chunkDocumentsQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), chunkTokens = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Corpus-trained bigram-LM scoring — the CCNet-shape quality signal
+    * (score each document under a language model and threshold on the
+    * per-token negative log-likelihood; low = looks like the corpus,
+    * high = boilerplate/keyword-soup outlier). The model here is the
+    * corpus's OWN add-one-smoothed bigram LM, so the operator is fully
+    * self-contained: P(v|u) = (c(uv)+1) / (c(u·)+V) with c(u·) the
+    * bigram-context count and V the corpus unigram vocabulary size.
+    *
+    * ENGINE-EXACT determinism: a float sum over a document's bigrams
+    * would be a summation-order lottery across engines, so each term
+    * ln(P) is quantized ONCE to an integer in 1e-4-nat units
+    * (`floor(ln(p)*1e4 + 0.5)`) and the per-doc reduction is an exact
+    * BIGINT sum — associative, order-free. The only cross-engine float
+    * ops are one exactly-rounded division and one `ln` per DISTINCT
+    * bigram (last-ulp `ln` divergence would need ln(p)*1e4 within
+    * ~1e-11 of an integer to flip a quantum — the same accepted-risk
+    * class as the ~2^-64 hash-collision contract). `mean_nll_q` is one
+    * exact-int / exact-int double division, bit-identical everywhere.
+    *
+    * 100 TB shape: per-doc bigram multiplicities (one map-side-combined
+    * shuffle keyed (doc_id, bigram)), the model built FROM those rows
+    * (bigram totals + context totals: two more aggregations over
+    * model-sized, not corpus-sized, data; V is a 1-row scalar broadcast
+    * via crossJoin), scoring as a shuffle join keyed on the bigram
+    * (both sides high-cardinality — broadcast is impossible at scale
+    * and unnecessary: the key spreads evenly), then one exact-int sum
+    * keyed doc_id. No window, no collect, no all-pairs anything.
+    * Docs with fewer than 2 tokens have no bigrams and are absent from
+    * the output by construction.
+    */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val SCALE = 10000.0
+    // per-doc bigram multiplicities: the one corpus-sized shuffle
+    val docBg = docs
+      .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+    // model tables (model-sized from here on)
+    val bgTotals = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cbg"))
+    val ctxTotals = bgTotals
+      .groupBy(substring_index(col("bg"), " ", 1).as("u"))
+      .agg(sum(col("cbg")).as("cu"))
+    val vocab = docs
+      .select(explode(text.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = bgTotals
+      .withColumn("u", substring_index(col("bg"), " ", 1))
+      .join(ctxTotals, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp_q",
+        floor(log((col("cbg") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")) * SCALE + 0.5).cast("long"))
+      .select("bg", "lnp_q")
+    docBg
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        (-sum(col("m") * col("lnp_q"))).as("nll_q"))
+      .withColumn("mean_nll_q",
+        col("nll_q").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
+    perplexity(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

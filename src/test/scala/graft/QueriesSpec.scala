@@ -281,6 +281,52 @@ class QueriesSpec extends SparkSpec {
     assert(b.getLong(7) == 0L && b.getLong(6) >= 7L)
   }
 
+  test("chunk_documents: exact boundaries, overlap, and contained-tail drop") {
+    import graft.operators.TextAnalysis
+    val toks = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, "a b c"), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (50 tokens): chunk 0 = tokens 1..32, chunk 1 = 25..50 (26 tokens);
+    // start i=2 would begin at 49 but (2-1)*24+32=56 >= 50 -> contained, dropped
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 0L, 32L), (1L, 24L, 26L)))
+    assert(d1(0)._5 == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(d1(1)._5 == (25 to 50).map(i => s"w$i").mkString(" "))
+    // overlap region: chunk 1 re-carries chunk 0's last 8 tokens
+    assert(d1(1)._5.split(" ").take(8).toSeq == (25 to 32).map(i => s"w$i").toSeq)
+    // short doc: one chunk, whole text; blank/null docs: no chunks
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq == Seq((0L, 3L, "a b c")))
+    assert(!got.exists(c => c._1 == 3L || c._1 == 4L))
+    // mid-doc containment: stride 8, chunk 32 over 20 tokens -> only chunk 0 survives
+    val short = TextAnalysis.chunkDocuments(
+      Seq((9L, (1 to 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      chunkTokens = 32, stride = 8).collect()
+    assert(short.length == 1 && short.head.getLong(3) == 20L)
+  }
+
+  test("text_perplexity: exact quantized bigram NLL on a hand-computed corpus") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" and "a c" -> bigrams: a b (x2), b a (x1), a c (x1)
+    // contexts: a -> 3, b -> 1; vocab V = {a, b, c} = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexity(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def q(num: Long, den: Long): Long =
+      math.floor(StrictMath.log(num.toDouble / den.toDouble) * 10000 + 0.5).toLong
+    // P(b|a) = (2+1)/(3+4), P(a|b) = (1+1)/(1+4), P(c|a) = (1+1)/(3+4)
+    // vocab includes "solo" -> V = 4
+    val d1 = -(2 * q(3, 7) + q(2, 5))
+    val d2 = -q(2, 7)
+    assert(got(1L) == ((3L, d1, d1.toDouble / 3)), s"doc 1: ${got(1L)} vs $d1")
+    assert(got(2L) == ((1L, d2, d2.toDouble)), s"doc 2: ${got(2L)} vs $d2")
+    assert(!got.contains(3L), "single-token doc has no bigrams")
+    // the common bigram scores more likely than the rare one
+    assert(got(1L)._3 < got(2L)._3)
+  }
+
   test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
