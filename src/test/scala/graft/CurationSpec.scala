@@ -156,6 +156,32 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._4 == 5L))
   }
 
+  test("docAnnotate: every signal lands per doc, verdict composes them, nothing drops") {
+    // doc 1: 24 diverse English tokens -> passes gopher, known lang, low rep
+    val good = ("the quick brown fox jumps over a lazy dog while birds sing " +
+      "songs about distant hills and rivers flowing gently toward open seas").trim
+    // doc 2: symbol-soup -> fails gopher
+    val bad = "#### ## # ###### ## #"
+    // doc 3: one token -> no bigrams -> null mean_nll_q -> keep false
+    val solo = "alone"
+    val docs = Seq((1L, good), (2L, bad), (3L, solo)).toDF("doc_id", "text")
+    val cfg = Curation.AnnotateConfig(
+      gopherMinStopHits = 1, maxRep3Ratio = 1.0, maxMeanNllQ = 1e12)
+    val got = Curation.docAnnotate(docs, cfg)
+    assert(got.columns.toSeq == Seq("doc_id", "n_tokens", "pred_lang", "ttr",
+      "max_tok_freq", "rep3_ratio", "gopher_pass", "mean_nll_q", "keep"))
+    val byId = got.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.size == 3, "annotate never drops rows")
+    val g = byId(1L)
+    assert(g.getAs[Boolean]("gopher_pass") && g.getAs[String]("pred_lang") == "en")
+    assert(g.getAs[Boolean]("keep"), "good doc passes the permissive verdict")
+    assert(g.getAs[Double]("mean_nll_q") > 0, "NLL is positive")
+    assert(!byId(2L).getAs[Boolean]("gopher_pass") && !byId(2L).getAs[Boolean]("keep"))
+    val s = byId(3L)
+    assert(s.isNullAt(s.fieldIndex("mean_nll_q")), "no bigrams -> null score")
+    assert(!s.getAs[Boolean]("keep"), "unscorable docs are not silently kept")
+  }
+
   test("curation is deterministic across runs") {
     val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
       .as[Long].collect().sorted.toSeq
