@@ -31,17 +31,29 @@ object text {
 
   /** Word k-gram shingles (space-joined); fewer than k tokens -> empty.
     * `sequence` would count DOWN for start>stop, hence the guard.
+    *
+    * The token array is BOUND once as a lambda variable (the
+    * `transform(array(x), t -> …)` let-binding idiom): HOF lambdas do
+    * not CSE outer expressions, so slicing `tokens(c)` directly inside
+    * the per-shingle lambda would re-run trim+split for EVERY shingle —
+    * O(tokens²) string work per document (measured 7x on the bigram
+    * explode at sf0.1 before the binding).
     */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < k, array().cast(ArrayType(StringType)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " ")
-        )
-      )
-  }
+  def shingles(c: Column, k: Int): Column =
+    element_at(
+      transform(
+        array(tokens(c)),
+        t =>
+          when(size(t) < k, array().cast(ArrayType(StringType)))
+            .otherwise(
+              transform(
+                sequence(lit(0), size(t) - k),
+                i => array_join(slice(t, i + lit(1), lit(k)), " ")
+              )
+            )
+      ),
+      1
+    )
 
   /** BPE-ish sub-word token count: letter runs, single digits, and
     * punctuation as separate tokens (a lookahead-free approximation of
