@@ -182,6 +182,17 @@ class CurationSpec extends SparkSpec {
     assert(!s.getAs[Boolean]("keep"), "unscorable docs are not silently kept")
   }
 
+  test("docAnnotate plan: document text never crosses a join (skinny attribute tables)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = Tables.documents(spark, sf)
+    val plan = Curation.docAnnotate(docs).queryExecution.optimizedPlan
+    val offenders = plan.collect {
+      case j: Join if j.children.exists(_.output.exists(_.name == "text")) => j
+    }
+    assert(offenders.isEmpty,
+      s"a join consumes the full text column — tagger outputs must stay skinny:\n${offenders.headOption.getOrElse("")}")
+  }
+
   test("curation is deterministic across runs") {
     val a = Curation.curate(Tables.documents(spark, sf)).select("doc_id")
       .as[Long].collect().sorted.toSeq

@@ -307,6 +307,13 @@ class QueriesSpec extends SparkSpec {
     assert(short.length == 1 && short.head.getLong(3) == 20L)
   }
 
+  test("chunk_documents plan: narrow fan-out, no shuffle") {
+    import graft.operators.TextAnalysis
+    val p = TextAnalysis.chunkDocuments(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
   test("text_perplexity: exact quantized bigram NLL on a hand-computed corpus") {
     import graft.operators.TextAnalysis
     // corpus: "a b a b" and "a c" -> bigrams: a b (x2), b a (x1), a c (x1)
