@@ -215,10 +215,11 @@ object Curation {
     * tagger/attribute split) keeps signals as per-doc attribute tables
     * so thresholds can be re-tuned without re-running the taggers.
     *
-    * Dataflow: one narrow base projection (tokens + langid, fused into
-    * the scan), then three attribute tables joined on `doc_id` —
-    * repetition (per-doc aggregate), Gopher rules (narrow), bigram-LM
-    * perplexity (the one corpus-model join). Every joined side is
+    * Dataflow: one narrow base projection (Gopher rules + langid + TTR,
+    * fused into a single scan via gopherQuality's keep seam), then two
+    * attribute tables joined on `doc_id` — repetition (per-doc
+    * aggregate) and bigram-LM perplexity (the one corpus-model join).
+    * Every joined side is
     * SKINNY (doc_id + a few numeric columns; text never leaves the
     * taggers), so the id-keyed joins shuffle attribute rows, not the
     * corpus — and in a 100 TB deployment the attribute tables land
@@ -228,25 +229,23 @@ object Curation {
     * an unscorable doc as not-keepable rather than silently passing it.
     */
   def docAnnotate(docs: DataFrame, cfg: AnnotateConfig = AnnotateConfig()): DataFrame = {
-    val base = docs
-      .select(
-        col("doc_id"),
-        text.tokens(col("text")).as("__t"),
-        text.langId(col("text")).as("pred_lang"))
-      .filter(size(col("__t")) > 0)
-      .select(
-        col("doc_id"), col("pred_lang"),
-        size(col("__t")).cast("long").as("n_tokens"),
-        (size(array_distinct(col("__t"))).cast("double") /
-          size(col("__t")).cast("double")).as("ttr"))
+    // every per-row tagger (Gopher rules, langid, TTR) fuses into ONE
+    // base projection via gopherQuality's keep seam — one corpus scan,
+    // not one per tagger; only the genuinely aggregate taggers
+    // (repetition, perplexity) produce separate attribute tables
+    val toks = text.tokens(col("text"))
+    val base = TextAnalysis.gopherQuality(docs, cfg.gopherMinStopHits, keep = Seq(
+        "pred_lang" -> text.langId(col("text")),
+        "ttr" -> (size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"))))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("ttr"),
+        col("passes").as("gopher_pass"))
     val rep = TextAnalysis.repetition(docs)
       .select("doc_id", "max_tok_freq", "rep3_ratio")
-    val gop = TextAnalysis.gopherQuality(docs, cfg.gopherMinStopHits)
-      .select(col("doc_id"), col("passes").as("gopher_pass"))
     val ppl = TextAnalysis.perplexity(docs).select("doc_id", "mean_nll_q")
     base
       .join(rep, Seq("doc_id"))
-      .join(gop, Seq("doc_id"))
       .join(ppl, Seq("doc_id"), "left")
       .withColumn("keep",
         col("gopher_pass") &&

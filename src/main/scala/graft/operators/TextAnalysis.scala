@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -682,11 +682,20 @@ object TextAnalysis {
     * single-line), so the line-level rules classify real bullets and
     * ellipses rather than vacuous zeros.
     */
-  def gopherQuality(docs: DataFrame, minStopHits: Int = 2): DataFrame = {
+  def gopherQuality(
+      docs: DataFrame,
+      minStopHits: Int = 2,
+      keep: Seq[(String, Column)] = Nil
+  ): DataFrame = {
     val t = col("t")
     val nTok = col("n_tokens")
     val lines = expr("split(t, '\n')")
-    docs
+    // `keep` columns (computed against the INPUT row, e.g. more per-row
+    // taggers) ride the same single projection — callers composing
+    // several narrow taggers fuse them into one scan instead of
+    // re-reading the corpus per tagger
+    val kept = keep.foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
+    kept
       .withColumn("t", coalesce(col("text"), lit("")))
       .withColumn("n_tokens", sketch.tokenCount(t).cast("long"))
       .withColumn("n_lines", size(lines).cast("long"))
@@ -721,9 +730,10 @@ object TextAnalysis {
           col("n_stop_hits") >= minStopHits &&
           col("bullet_frac") < 0.9 &&
           col("ellipsis_frac") < 0.3)
-      .select("doc_id", "n_tokens", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+      .select((Seq("doc_id", "n_tokens", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
         "n_alpha_tokens", "n_symbols", "n_stop_hits", "mean_word_len", "symbol_ratio",
-        "alpha_frac", "bullet_frac", "ellipsis_frac", "passes")
+        "alpha_frac", "bullet_frac", "ellipsis_frac", "passes") ++ keep.map(_._1))
+        .map(col): _*)
   }
 
   /** Driver query: Gopher rules over the corpus, each doc extended with
