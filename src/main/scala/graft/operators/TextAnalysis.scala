@@ -867,6 +867,31 @@ object TextAnalysis {
   def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
     perplexity(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Per-source corpus statistics — the dataset-card rollup every
+    * published corpus ships (docs, token totals/extremes, language
+    * spread per source). One map-side-combined aggregation keyed by
+    * source: the token counting rides the narrow scan projection, so
+    * the shuffle carries |sources| partial rows per task, not data.
+    * `mean_tokens` is exact-int / exact-int in one double division —
+    * bit-identical across engines.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+
+  def corpusStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir)).orderBy("source")
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

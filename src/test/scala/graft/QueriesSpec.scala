@@ -314,6 +314,49 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("corpus_stats: exact per-source rollup including blank and null text") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "one two three", "en", "a"), (2L, "x", "fr", "a"),
+      (3L, "  ", "en", "a"), (4L, null.asInstanceOf[String], "de", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("a") == ((3L, 4L, 0L, 3L, 2L, 4.0 / 3)), s"a: ${got("a")}")
+    assert(got("b") == ((1L, 0L, 0L, 0L, 1L, 0.0)), s"b: ${got("b")}")
+  }
+
+  test("chunk_documents: exhaustive model equivalence — full coverage, no dead chunks") {
+    import graft.operators.TextAnalysis
+    // pure-Scala reference for the chunk contract
+    def model(n: Int, c: Int, s: Int): Seq[(Long, Long, Long)] =
+      (0 to (n - 1) / s)
+        .filter(i => i == 0 || (i - 1) * s + c < n)
+        .map(i => (i.toLong, (i.toLong * s), math.min(c, n - i * s).toLong))
+    val docs = (1 to 60).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((c, s) <- Seq((32, 24), (32, 8), (5, 5), (1, 1), (7, 3))) {
+      // model sanity: chunks tile [0, n) — start at 0, no gap, end at n
+      for (n <- 1 to 60) {
+        val m = model(n, c, s)
+        assert(m.head._2 == 0L && m.last._2 + m.last._3 == n.toLong)
+        m.sliding(2).foreach {
+          case Seq((_, s0, l0), (_, s1, _)) =>
+            assert(s1 <= s0 + l0, s"gap at n=$n c=$c s=$s")
+            assert(s1 + math.min(c, n - s1) > s0 + l0, s"dead chunk at n=$n c=$c s=$s")
+          case _ =>
+        }
+      }
+      val got = TextAnalysis.chunkDocuments(docs, c, s)
+        .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+      for (n <- 1 to 60)
+        assert(got(n.toLong) == model(n, c, s), s"engine != model at n=$n c=$c s=$s")
+    }
+  }
+
   test("text_perplexity: exact quantized bigram NLL on a hand-computed corpus") {
     import graft.operators.TextAnalysis
     // corpus: "a b a b" and "a c" -> bigrams: a b (x2), b a (x1), a c (x1)
