@@ -550,7 +550,11 @@ object TextAnalysis {
     val weights = counts.map { case (s, n) => s -> w(n) }.toMap
     val totalW = weights.values.sum
     val quota = counts.map { case (s, _) =>
-      s -> (if (totalW == 0) 0L else totalTarget * weights(s) / totalW)
+      // BigInt product: totalTarget (up to ~1e12 docs/tokens) times a
+      // milli-quantized weight (~1e9 for petascale sources) overflows
+      // Long; the quotient is always <= totalTarget, so it fits
+      s -> (if (totalW == 0) 0L
+            else (BigInt(totalTarget) * weights(s) / totalW).toLong)
     }.toMap
     takeBySourceQuota(docs, counts, quota)
   }
@@ -694,6 +698,13 @@ object TextAnalysis {
     // taggers) ride the same single projection — callers composing
     // several narrow taggers fuse them into one scan instead of
     // re-reading the corpus per tagger
+    val gopherCols = Set("t", "doc_id", "n_tokens", "n_lines", "n_bullet_lines",
+      "n_ellipsis_lines", "n_alpha_tokens", "n_symbols", "n_stop_hits",
+      "mean_word_len", "symbol_ratio", "alpha_frac", "bullet_frac",
+      "ellipsis_frac", "passes")
+    keep.foreach { case (name, _) =>
+      require(!gopherCols.contains(name), s"keep column '$name' shadows a gopher column")
+    }
     val kept = keep.foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
     kept
       .withColumn("t", coalesce(col("text"), lit("")))
@@ -866,6 +877,48 @@ object TextAnalysis {
 
   def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
     perplexity(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Character-distribution Shannon entropy per document — the
+    * gibberish/encoded-blob detector (base64 walls and binary spill
+    * score near the uniform-distribution ceiling; single-char runs and
+    * whitespace padding score near zero; natural text sits in a narrow
+    * band between). Same exactness contract as [[perplexity]]: each
+    * char's ln(p) is quantized once to a 1e-4-nat integer and the
+    * per-doc reduction is an exact integer sum, so the score is
+    * independent of evaluation order and engine.
+    *
+    * 100 TB shape: entirely narrow — chars never explode into rows, so
+    * nothing shuffles (a (doc_id, char)-row formulation would shuffle
+    * one row PER CHARACTER of the corpus: 100 TB of shuffle). Per-row
+    * work is O(distinct-chars x doc-length), alphabet-bounded for real
+    * text. The char array is bound to a column first (the [[text.shingles]]
+    * CSE lesson); the count inside the per-distinct-char lambda reads
+    * that bound attribute, not a recomputed split.
+    */
+  def textEntropy(docs: DataFrame): DataFrame = {
+    require(!docs.columns.contains("__c"), "reserved column __c")
+    val SCALE = 10000.0
+    docs
+      .filter(length(col("text")) > 0)
+      .withColumn("__c", split(col("text"), ""))
+      .select(
+        col("doc_id"),
+        size(col("__c")).cast("long").as("n_chars"),
+        (-aggregate(
+          transform(array_distinct(col("__c")), d => {
+            val cnt = size(filter(col("__c"), x => x === d)).cast("long")
+            cnt * floor(
+              log(cnt.cast("double") / size(col("__c")).cast("double")) * SCALE +
+                lit(0.5)).cast("long")
+          }),
+          lit(0L),
+          (acc, x) => acc + x)).as("ent_q"))
+      .withColumn("mean_ent_q",
+        col("ent_q").cast("double") / col("n_chars").cast("double"))
+  }
+
+  def textEntropyQuery(spark: SparkSession, dir: String): DataFrame =
+    textEntropy(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Per-source corpus statistics — the dataset-card rollup every
     * published corpus ships (docs, token totals/extremes, language

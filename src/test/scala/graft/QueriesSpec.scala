@@ -314,6 +314,24 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("text_entropy: exact quantized char entropy, ordering of extremes") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aab"), (2L, "aaaa"), (3L, "abcd"), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textEntropy(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def q(num: Long, den: Long): Long =
+      math.floor(StrictMath.log(num.toDouble / den.toDouble) * 10000 + 0.5).toLong
+    val e1 = -(2 * q(2, 3) + q(1, 3))
+    assert(got(1L) == ((3L, e1, e1.toDouble / 3)), s"aab: ${got(1L)}")
+    assert(got(2L) == ((4L, 0L, 0.0)), "single-char run has zero entropy")
+    val e3 = -(4 * q(1, 4))
+    assert(got(3L) == ((4L, e3, e3.toDouble / 4)), "uniform 4-char doc")
+    assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(2L)._3, "entropy ordering")
+    assert(!got.contains(4L) && !got.contains(5L), "empty/null text drops")
+  }
+
   test("corpus_stats: exact per-source rollup including blank and null text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
