@@ -187,6 +187,28 @@ case class TokenShingleSet(child: Expression, k: Int) extends UnaryExpression
   * split-based formulation allocates every token string plus the array
   * per row just to take its length ([[SketchKernels.tokenCount]]).
   */
+/** Quantized char-distribution NLL (see [[SketchKernels.charEntropyQ]]) —
+  * the fused single-pass kernel behind `text_entropy`; the HOF
+  * composition it replaces (distinct-chars transform + per-char filter
+  * count) allocates one filtered array per distinct char per row and
+  * runs interpreted, measured 8.7 s vs sub-second at sf0.1.
+  */
+case class CharEntropyQ(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.charEntropyQ(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.charEntropyQ($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TokenCountExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -328,6 +350,8 @@ object sketch {
     GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
   def tokenCount(text: Column): Column =
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
+  def charEntropyQ(text: Column): Column =
+    GraftExpressionBridge.column(CharEntropyQ(GraftExpressionBridge.expression(text)))
   def tokenWindowHashes(text: Column, k: Int): Column =
     GraftExpressionBridge.column(TokenWindowHashes(GraftExpressionBridge.expression(text), k))
   def sortedIntersectCount(a: Column, b: Column): Column =

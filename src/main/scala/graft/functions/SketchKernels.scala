@@ -499,4 +499,47 @@ object SketchKernels {
     }
     new GenericArrayData(picked.toArray)
   }
+
+  /** See [[CharEntropyQ]]: quantized character-distribution NLL,
+    * `-sum over distinct chars of m * floor(ln(m/n)*1e4 + 0.5)`, in ONE
+    * pass with an ASCII histogram (map fallback for other BMP chars).
+    * Counts JAVA CHARS (UTF-16 code units) — identical to the
+    * `split(text, '')` composition it replaces for ASCII/BMP text (the
+    * corpus contract; astral chars would split into surrogate halves in
+    * both formulations alike). StrictMath.log matches Catalyst's `ln`.
+    */
+  def charEntropyQ(input: UTF8String): Long = {
+    val s = input.toString
+    val n = s.length
+    if (n == 0) return 0L
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Character, Array[Int]] = null
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 128) ascii(c) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Character, Array[Int]]
+        val cell = other.get(Character.valueOf(c))
+        if (cell == null) other.put(Character.valueOf(c), Array(1)) else cell(0) += 1
+      }
+      i += 1
+    }
+    val nd = n.toDouble
+    var sum = 0L
+    var j = 0
+    while (j < 128) {
+      val m = ascii(j)
+      if (m > 0) sum += m.toLong * math.floor(StrictMath.log(m / nd) * 10000.0 + 0.5).toLong
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val m = it.next()(0)
+        sum += m.toLong * math.floor(StrictMath.log(m / nd) * 10000.0 + 0.5).toLong
+      }
+    }
+    -sum
+  }
 }

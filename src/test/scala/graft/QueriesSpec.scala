@@ -332,6 +332,29 @@ class QueriesSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L), "empty/null text drops")
   }
 
+  test("text_entropy: fused kernel equals the composed HOF twin (randomized, BMP)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.TextAnalysis
+    val ch = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '#', '.', '!'),
+      1 -> Gen.oneOf('é', 'ß', '中', '文'))
+    val txt = Gen.listOf(ch).map(_.mkString)
+    def prop(p: Prop): Unit = {
+      val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+      assert(r.passed, r.status.toString)
+    }
+    prop(Prop.forAll(Gen.listOfN(8, txt)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(kernel: Boolean) =
+        TextAnalysis.textEntropy(docs, kernel)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      run(kernel = true) == run(kernel = false)
+    })
+  }
+
   test("corpus_stats: exact per-source rollup including blank and null text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
