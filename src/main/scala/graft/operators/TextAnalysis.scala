@@ -878,6 +878,74 @@ object TextAnalysis {
   def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
     perplexity(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Per-occurrence bigram rows — entirely narrow, so a STREAMING
+    * DataFrame flows through unchanged (the only aggregation in the
+    * scoring path is [[perplexityWith]]'s final per-doc sum).
+    */
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
+
+  /** The frozen (bigram -> quantized ln P) model table from a REFERENCE
+    * corpus — the real CCNet deployment shape: the LM is trained on a
+    * trusted corpus once, then dirty corpora are scored against it
+    * (self-scoring, [[perplexity]], is the special case ref = docs).
+    * Model-sized work throughout; persist/bucket the result to reuse
+    * across scoring runs.
+    */
+  def perplexityModel(ref: DataFrame): DataFrame = {
+    val cb = bigramOccurrences(ref).groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val cu = cb
+      .groupBy(substring_index(col("bg"), " ", 1).as("u"))
+      .agg(sum(col("cbg")).as("cu"))
+    val vocab = ref
+      .select(explode(text.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    cb.withColumn("u", substring_index(col("bg"), " ", 1))
+      .join(cu, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp_q",
+        floor(log((col("cbg") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")) * 10000.0 + 0.5).cast("long"))
+      .select("bg", "lnp_q")
+  }
+
+  /** Score documents against a FROZEN [[perplexityModel]] table. Unseen
+    * bigrams are not guessed at: they are COUNTED (`n_oov`) and the NLL
+    * covers known bigrams only, so callers threshold on the OOV
+    * fraction and the known-bigram mean separately — no arbitrary OOV
+    * penalty constant to diverge on. All-OOV docs score null, never a
+    * fake 0. The join is left-keyed on the bigram (shuffle at corpus
+    * scale, broadcast when the model is small enough — AQE's call);
+    * because everything upstream of the final per-doc sum is narrow,
+    * `docs` may be a STREAMING DataFrame joined stream-static against
+    * the model (asserted in StreamingSpec).
+    */
+  def perplexityWith(docs: DataFrame, model: DataFrame): DataFrame =
+    bigramOccurrences(docs)
+      .join(model, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (count(lit(1)) - count(col("lnp_q"))).as("n_oov"),
+        (-sum(col("lnp_q"))).as("nll_q"))
+      .withColumn("mean_nll_q",
+        when(col("n_bigrams") > col("n_oov"),
+          col("nll_q").cast("double") /
+            (col("n_bigrams") - col("n_oov")).cast("double")))
+
+  /** Driver query: cross-corpus scoring — model from docs 0..24, scores
+    * for the rest (the contamination split convention, which keeps the
+    * model side non-empty at every test SF). OOV bigrams genuinely
+    * occur: the split shares vocabulary but not all bigrams.
+    */
+  def perplexityRefQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    perplexityWith(
+      docs.filter(col("doc_id") >= 25),
+      perplexityModel(docs.filter(col("doc_id") < 25)))
+      .orderBy("doc_id")
+  }
+
   /** Character-distribution Shannon entropy per document — the
     * gibberish/encoded-blob detector (base64 walls and binary spill
     * score near the uniform-distribution ceiling; single-char runs and

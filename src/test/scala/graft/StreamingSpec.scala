@@ -371,4 +371,36 @@ class StreamingSpec extends SparkSpec {
       assert(got(u) == ((e, p)), s"user $u: got ${got(u)}, want ($e,$p)")
     }
   }
+
+  test("streaming perplexity: stream-static model join equals the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // frozen model from a trusted reference corpus (the CCNet shape)
+    val model = TextAnalysis.perplexityModel(
+      Seq((100L, "a b a b c"), (101L, "b c d")).toDF("doc_id", "text"))
+    val rows = Seq((1L, "a b c zz"), (2L, "zz yy"), (3L, "a b a b"))
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_ppl_ckpt").toString
+    val q = TextAnalysis.perplexityWith(input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("ppl_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("doc_id", "n_bigrams", "n_oov", "nll_q", "mean_nll_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1).toSeq
+    val got = canon(spark.table("ppl_stream"))
+    val want = canon(TextAnalysis.perplexityWith(rows.toDF("doc_id", "text"), model))
+    assert(got == want, s"stream $got != batch $want")
+    // the all-OOV doc scores null, never a fake zero
+    val oov = got.find(_._1 == 2L).get
+    assert(oov._3 == 1L && oov._4.isEmpty && oov._5.isEmpty)
+  }
 }
