@@ -406,6 +406,50 @@ object TextAnalysis {
     docs.filter(bucket < thr)
   }
 
+  /** EPOCH-weighted upsampling by REPETITION — the other half of mix
+    * compilation (quota selection downsamples big sources; multi-epoch
+    * repetition upsamples small ones: "src1 x 2.5 epochs" emits every
+    * src1 doc twice plus a deterministic half of them a third time).
+    * Epoch factors are quantized to MILLI-epochs on the driver's
+    * integer grid; the fractional copy goes to docs whose 16-bit
+    * content-hash bucket (same md5 bucket as [[stratifiedSample]])
+    * falls under `(milli % 1000) * 65536 / 1000` — exact integer
+    * arithmetic end to end, so any engine replays the same copy set.
+    * Entirely narrow (per-row when-chain + bounded `sequence` fan-out,
+    * no shuffle); `copy_id` lets downstream packing treat repeats as
+    * distinct rows while provenance survives.
+    */
+  def mixEpochs(
+      docs: DataFrame,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0
+  ): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      "epoch factors must be in [0, 100]")
+    def milli(e: Double): Long = math.floor(e * 1000 + 0.5).toLong
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val base = epochs.foldLeft(lit((milli(defaultEpochs) / 1000).toInt)) {
+      case (acc, (s, e)) => when(col("source") === s, lit((milli(e) / 1000).toInt)).otherwise(acc)
+    }
+    val thr = epochs.foldLeft(lit(milli(defaultEpochs) % 1000 * 65536 / 1000)) {
+      case (acc, (s, e)) => when(col("source") === s, lit(milli(e) % 1000 * 65536 / 1000)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        (base + when(bucket < thr, 1).otherwise(0)).as("__copies"))
+      .filter(col("__copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("__copies"))).as("__i"))
+      .select(col("doc_id"), col("source"), col("__i").cast("long").as("copy_id"))
+  }
+
+  def mixEpochsQuery(spark: SparkSession, dir: String): DataFrame =
+    mixEpochs(
+      Tables.documents(spark, dir),
+      Map("src0" -> 0.5, "src1" -> 2.5),
+      defaultEpochs = 1.0
+    ).orderBy("doc_id", "copy_id")
+
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(
       Tables.documents(spark, dir),

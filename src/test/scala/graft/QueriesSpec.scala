@@ -418,6 +418,26 @@ class QueriesSpec extends SparkSpec {
     assert(got(1L)._3 < got(2L)._3)
   }
 
+  test("mix_epochs: integer-exact fractional repetition, zero-epoch drop, identity at 1.0") {
+    import graft.operators.TextAnalysis
+    val docs = (1 to 40).map(i => (i.toLong, if (i <= 20) "a" else "b", s"text num $i"))
+      .toDF("doc_id", "source", "text")
+    val counts = TextAnalysis.mixEpochs(docs, Map("a" -> 2.5, "b" -> 0.0))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet.forall(_ <= 20), "zero-epoch source must vanish")
+    assert(counts.values.forall(c => c == 2L || c == 3L), s"2.5 epochs -> 2 or 3 copies: $counts")
+    assert(counts.values.exists(_ == 2L) && counts.values.exists(_ == 3L),
+      "the fractional half-copy must split the source both ways")
+    // identity epochs: every doc exactly once, copy_id = 1
+    val one = TextAnalysis.mixEpochs(docs, Map.empty, defaultEpochs = 1.0)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(one.length == 40 && one.forall(_._3 == 1L))
+    // determinism: same copy set across runs
+    val again = TextAnalysis.mixEpochs(docs, Map("a" -> 2.5, "b" -> 0.0))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
