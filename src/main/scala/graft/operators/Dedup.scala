@@ -119,6 +119,80 @@ object Dedup {
     incremental(docs, split)
   }
 
+  private def bloomAgg(c: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c),
+        Literal(estItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  private def mightContain(bloom: Column, c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftExpressionBridge.expression(bloom),
+        org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+
+  /** TWO-TIER incremental dedup: a broadcast Bloom filter pre-screens
+    * the incoming side so only probable hits pay the exact digest join
+    * — same OUTPUT contract as [[incremental]] (bit-identical verdicts:
+    * the Bloom has no false negatives, and its false positives are
+    * re-checked by the exact join), different 100 TB economics. The
+    * plain anti-join shuffles the ENTIRE incoming batch against the
+    * digest table; here the non-candidate bulk (the common case — most
+    * ingest is new) is cleared by a narrow scan against a driver-built
+    * Bloom literal (Catalyst `BloomFilterAggregate`, distributively
+    * merged; ~numBits/8 bytes of driver state, the centroid-literal
+    * pattern) and never reaches the join. Size `numBits` ~10x the seen
+    * count for a ~1% candidate rate; a digest table too big for one
+    * Bloom shards by digest prefix (the [[graft.streaming.IngestDedup]]
+    * partitioning) with one Bloom per shard.
+    */
+  def incrementalBloom(
+      docs: DataFrame,
+      splitId: Long,
+      estimatedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23
+  ): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = h.filter(col("doc_id") < splitId).select(col("h")).distinct()
+    val nw = h.filter(col("doc_id") >= splitId)
+    val firstNew = nw.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val bloomRow = old
+      .agg(bloomAgg(xxhash64(col("h")), estimatedItems, numBits).as("bf")).head()
+    val tagged =
+      if (bloomRow.isNullAt(0)) nw.withColumn("is_old", lit(false)) // no seen set
+      else {
+        val bf = lit(bloomRow.getAs[Array[Byte]](0))
+        val maybe = nw.filter(mightContain(bf, xxhash64(col("h"))))
+          .join(old.withColumn("is_old", lit(true)), Seq("h"), "left")
+        val clean = nw.filter(!mightContain(bf, xxhash64(col("h"))))
+          .withColumn("is_old", lit(false))
+        maybe.select("doc_id", "h", "is_old")
+          .unionByName(clean.select("doc_id", "h", "is_old"))
+      }
+    val out = tagged
+      .join(firstNew, "h")
+      .select(
+        col("doc_id"),
+        when(col("is_old"), "dup_of_old")
+          .when(col("doc_id") =!= col("first_id"), "dup_of_new")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, h)
+  }
+
+  /** Driver query: same cut as [[incrementalQuery]] — and the SAME
+    * oracle SQL, because the Bloom tier is an optimization, not a
+    * semantics change.
+    */
+  def incrementalBloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    incrementalBloom(docs, split)
+  }
+
   // --------------------------------------------------------------------
   // Line-level exact dedup (CCNet-style): dedup at sub-document
   // granularity — boilerplate headers/footers repeat across millions of

@@ -11,6 +11,28 @@ import graft.functions.{sketch, text, vec}
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incrementalBloom: bit-identical verdicts to the exact incremental path") {
+    // old half 1..9, new half 10..19 with: a dup of old (14), an
+    // intra-new dup pair (15, 16), and fresh docs
+    val docs = ((1 to 9).map(i => (i.toLong, s"old doc $i")) ++
+      Seq((10L, "fresh ten"), (14L, "old doc 4"), (15L, "twin"), (16L, "twin"),
+        (17L, null.asInstanceOf[String]), (19L, "fresh nineteen")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val exact = canon(Dedup.incremental(docs, 10L))
+    val bloom = canon(Dedup.incrementalBloom(docs, 10L))
+    assert(bloom == exact, s"bloom path diverged:\n$bloom\nvs\n$exact")
+    assert(exact.toMap.apply(14L) == "dup_of_old" &&
+      exact.toMap.apply(16L) == "dup_of_new" && exact.toMap.apply(10L) == "kept")
+    // empty seen set: the bloom aggregate returns null; nothing is old
+    val cold = canon(Dedup.incrementalBloom(docs, 0L))
+    assert(cold.map(_._2).forall(v => v == "kept" || v == "dup_of_new"))
+    // tiny bloom (high FP rate): verdicts still exact — FPs are re-checked
+    val tiny = canon(Dedup.incrementalBloom(docs, 10L, estimatedItems = 4, numBits = 64))
+    assert(tiny == exact, "false positives must be resolved by the exact join")
+  }
+
   test("exact dedup keeps one row per duplicated content, min id wins") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text")
