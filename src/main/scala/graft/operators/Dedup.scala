@@ -185,12 +185,16 @@ object Dedup {
 
   /** Driver query: same cut as [[incrementalQuery]] — and the SAME
     * oracle SQL, because the Bloom tier is an optimization, not a
-    * semantics change.
+    * semantics change. The Bloom is sized to the seen half (~10 bits
+    * per item), the way a real caller sizes it from the digest-table
+    * count — an oversized default would embed a megabyte literal in
+    * the plan for a kilobyte problem.
     */
   def incrementalBloomQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
-    incrementalBloom(docs, split)
+    incrementalBloom(docs, split,
+      estimatedItems = math.max(split, 16L), numBits = math.max(split, 16L) * 10)
   }
 
   // --------------------------------------------------------------------
