@@ -438,6 +438,47 @@ class QueriesSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("mix boundary cut equals the naive window twin (randomized, multibyte sources)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    // source names chosen to make utf8Lt diverge from String.compareTo
+    // risks: multibyte UTF-8, supplementary plane, case boundaries
+    val srcGen = Gen.oneOf("a", "B", "zz", "é", "中", "😀src", "0")
+    def prop(p: Prop): Unit = {
+      val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+      assert(r.passed, r.status.toString)
+    }
+    prop(Prop.forAll(
+      Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, srcGen)),
+      Gen.choose(1L, 2000L)
+    ) { (sources, target) =>
+      val docs = sources.zipWithIndex
+        .map { case (s, i) => (i.toLong, s, s"doc body $i of $s") }
+        .toDF("doc_id", "source", "text")
+      // naive twin: per-source row_number window over (md5(text), doc_id)
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+      val wantMix = docs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= counts.values.min)
+        .select("doc_id", "source")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val gotMix = TextAnalysis.mixSources(docs)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val quota = TextAnalysis.mixTemperature(docs, alpha = 0.5, totalTarget = target)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val wantQuota = {
+        def milli(n: Long) = math.floor(math.sqrt(n.toDouble) * 1000 + 0.5).toLong
+        val tw = counts.values.map(milli).sum
+        counts.map { case (s, n) =>
+          s -> math.min(n, (BigInt(target) * milli(n) / tw).toLong)
+        }.filter(_._2 > 0)
+      }
+      gotMix == wantMix && quota == wantQuota
+    })
+  }
+
   test("mix_sources: every source contributes exactly the min-source quota, deterministically") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
