@@ -990,6 +990,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Markup stripping — the format-normalization pass that runs before
+    * any quality scoring on web/wiki-shaped corpora: HTML tags drop,
+    * markdown links keep their anchor text, emphasis markers and ATX
+    * headers unwrap, code fences drop. A fixed regexp_replace chain in
+    * one narrow projection (no shuffle, scan-speed at any size). The
+    * pattern subset is deliberately RE2-safe — character classes and
+    * counted quantifiers only, no alternation or lookaround — so Java
+    * regex (engine) and RE2 (DuckDB oracle) produce identical rewrites;
+    * replacement backreferences are `$1` here and `\1` there, same
+    * semantics. `n_stripped` (chars removed) doubles as the
+    * "how markup-heavy was this doc" signal curation thresholds on.
+    */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val t0 = coalesce(col("text"), lit(""))
+    val noTags = regexp_replace(t0, "<[^>]+>", "")
+    val noLinks = regexp_replace(noTags, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noFence = regexp_replace(noLinks, "```", "")
+    val noEmph = regexp_replace(noFence, "\\*{1,2}([^*]+)\\*{1,2}", "$1")
+    val clean = regexp_replace(noEmph, "(?m)^#{1,6} +", "")
+    docs.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      (length(t0) - length(clean)).cast("long").as("n_stripped"))
+  }
+
+  /** Driver query: the corpus carries no markup, so docs are wrapped
+    * with deterministic doc_id-derived markup (the text_pii/text_gopher
+    * augmentation convention) — a third each get HTML+bold, markdown
+    * link+header, or none, so both the strip and the no-op paths are
+    * exercised and `n_stripped` genuinely splits the corpus.
+    */
+  def stripMarkupQuery(spark: SparkSession, dir: String): DataFrame =
+    stripMarkup(
+      Tables.documents(spark, dir).withColumn(
+        "text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<div class=\"doc\"># header-after-tag-strip "), coalesce(col("text"), lit("")),
+            lit(" **closing** words</div>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("# Title\n[see this](http://example.com/x) "),
+              coalesce(col("text"), lit("")), lit(" ```code``` tail")))
+          .otherwise(col("text"))))
+      .orderBy("doc_id")
+
   /** Character-distribution Shannon entropy per document — the
     * gibberish/encoded-blob detector (base64 walls and binary spill
     * score near the uniform-distribution ceiling; single-char runs and

@@ -314,6 +314,27 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("text_strip_markup: exact rewrites per rule, chain order, no-op path") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "see [the docs](http://x.y/z) please"),
+      (3L, "# Head\nbody **bold** and *ital* text"),
+      (4L, "plain text stays untouched"),
+      (5L, "<div># now-a-header after strip</div>"),
+      (6L, "```\ncode\n``` done"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("hello world", 14L)))
+    assert(got(2L) == (("see the docs please", 16L)))
+    assert(got(3L) == (("Head\nbody bold and ital text", 8L)))
+    assert(got(4L) == (("plain text stays untouched", 0L)))
+    // chain order: the '#' only becomes line-leading AFTER the tag drops
+    assert(got(5L) == (("now-a-header after strip", 13L)))
+    assert(got(6L) == (("\ncode\n done", 6L)))
+  }
+
   test("text_entropy: exact quantized char entropy, ordering of extremes") {
     import graft.operators.TextAnalysis
     val docs = Seq(
