@@ -502,28 +502,31 @@ object SketchKernels {
 
   /** See [[CharEntropyQ]]: quantized character-distribution NLL,
     * `-sum over distinct chars of m * floor(ln(m/n)*1e4 + 0.5)`, in ONE
-    * pass with an ASCII histogram (map fallback for other BMP chars).
-    * Counts JAVA CHARS (UTF-16 code units) — identical to the
-    * `split(text, '')` composition it replaces for ASCII/BMP text (the
-    * corpus contract; astral chars would split into surrogate halves in
-    * both formulations alike). StrictMath.log matches Catalyst's `ln`.
+    * pass with an ASCII histogram (map fallback for the rest). Counts
+    * CODE POINTS — Spark's `split(text, '')` is code-point aware (an
+    * emoji is ONE element, not two surrogate halves), so a code-unit
+    * histogram would inflate the entropy of astral-plane text and
+    * diverge from the composed twin; `length()` (numChars) is the
+    * matching code-point denominator. StrictMath.log matches
+    * Catalyst's `ln`.
     */
   def charEntropyQ(input: UTF8String): Long = {
     val s = input.toString
-    val n = s.length
-    if (n == 0) return 0L
+    if (s.isEmpty) return 0L
     val ascii = new Array[Int](128)
-    var other: java.util.HashMap[Character, Array[Int]] = null
+    var other: java.util.HashMap[Integer, Array[Int]] = null
+    var n = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c < 128) ascii(c) += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
       else {
-        if (other == null) other = new java.util.HashMap[Character, Array[Int]]
-        val cell = other.get(Character.valueOf(c))
-        if (cell == null) other.put(Character.valueOf(c), Array(1)) else cell(0) += 1
+        if (other == null) other = new java.util.HashMap[Integer, Array[Int]]
+        val cell = other.get(Integer.valueOf(cp))
+        if (cell == null) other.put(Integer.valueOf(cp), Array(1)) else cell(0) += 1
       }
-      i += 1
+      n += 1
+      i += Character.charCount(cp)
     }
     val nd = n.toDouble
     var sum = 0L

@@ -234,24 +234,30 @@ object Curation {
     // not one per tagger; only the genuinely aggregate taggers
     // (repetition, perplexity) produce separate attribute tables
     val toks = text.tokens(col("text"))
+    // NOTHING filters here: empty/null-text docs still get a row (zero
+    // tokens, null ratio signals, keep = false) — an attribute table
+    // that silently loses rows defeats its own verdicts-join purpose
     val base = TextAnalysis.gopherQuality(docs, cfg.gopherMinStopHits, keep = Seq(
         "pred_lang" -> text.langId(col("text")),
-        "ttr" -> (size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double"))))
-      .filter(col("n_tokens") > 0)
+        "ttr" -> when(size(toks) > 0,
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))))
       .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("ttr"),
         col("passes").as("gopher_pass"))
     val rep = TextAnalysis.repetition(docs)
       .select("doc_id", "max_tok_freq", "rep3_ratio")
     val ppl = TextAnalysis.perplexity(docs).select("doc_id", "mean_nll_q")
     base
-      .join(rep, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .withColumn("keep",
-        col("gopher_pass") &&
-          col("pred_lang") =!= "unknown" &&
-          col("rep3_ratio") <= cfg.maxRep3Ratio &&
-          coalesce(col("mean_nll_q") <= cfg.maxMeanNllQ, lit(false)))
+        // Kleene AND: gopher_pass is always false for zero-token docs,
+        // so null aggregate signals can never flip an empty doc to kept
+        coalesce(
+          col("gopher_pass") &&
+            col("pred_lang") =!= "unknown" &&
+            col("rep3_ratio") <= cfg.maxRep3Ratio &&
+            col("mean_nll_q") <= cfg.maxMeanNllQ,
+          lit(false)))
       .select("doc_id", "n_tokens", "pred_lang", "ttr", "max_tok_freq",
         "rep3_ratio", "gopher_pass", "mean_nll_q", "keep")
   }

@@ -164,11 +164,14 @@ object Dedup {
     val tagged =
       if (bloomRow.isNullAt(0)) nw.withColumn("is_old", lit(false)) // no seen set
       else {
+        // the probe is defined ONCE and branched on; both branches scan
+        // the persisted digest projection (h), not the raw corpus, so
+        // the second pass re-reads 24-byte cached rows, not text
         val bf = lit(bloomRow.getAs[Array[Byte]](0))
-        val maybe = nw.filter(mightContain(bf, xxhash64(col("h"))))
+        val probed = nw.withColumn("__cand", mightContain(bf, xxhash64(col("h"))))
+        val maybe = probed.filter(col("__cand"))
           .join(old.withColumn("is_old", lit(true)), Seq("h"), "left")
-        val clean = nw.filter(!mightContain(bf, xxhash64(col("h"))))
-          .withColumn("is_old", lit(false))
+        val clean = probed.filter(!col("__cand")).withColumn("is_old", lit(false))
         maybe.select("doc_id", "h", "is_old")
           .unionByName(clean.select("doc_id", "h", "is_old"))
       }

@@ -394,16 +394,24 @@ object TextAnalysis {
     * retries (no RNG state), and consistent under resharding since the
     * decision depends only on row content.
     */
+  /** The shared 16-bit content-hash bucket (first 4 hex digits of
+    * md5(text), 0..65535) — [[stratifiedSample]] and [[mixEpochs]] MUST
+    * agree on this expression: several oracles replicate it digit by
+    * digit, and the mixEpochs docstring promises "the same bucket as
+    * stratifiedSample".
+    */
+  private def md5Bucket16: Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+
   def stratifiedSample(
       docs: DataFrame,
       thresholds: Map[String, Int],
       defaultThreshold: Int
   ): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
     }
-    docs.filter(bucket < thr)
+    docs.filter(md5Bucket16 < thr)
   }
 
   /** EPOCH-weighted upsampling by REPETITION — the other half of mix
@@ -427,7 +435,7 @@ object TextAnalysis {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
       "epoch factors must be in [0, 100]")
     def milli(e: Double): Long = math.floor(e * 1000 + 0.5).toLong
-    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val bucket = md5Bucket16
     val base = epochs.foldLeft(lit((milli(defaultEpochs) / 1000).toInt)) {
       case (acc, (s, e)) => when(col("source") === s, lit((milli(e) / 1000).toInt)).otherwise(acc)
     }
@@ -886,30 +894,17 @@ object TextAnalysis {
     * the output by construction.
     */
   def perplexity(docs: DataFrame): DataFrame = {
-    val SCALE = 10000.0
-    // per-doc bigram multiplicities: the one corpus-sized shuffle
+    // per-doc bigram multiplicities: the one corpus-sized shuffle,
+    // reused by the model build AND the scoring join; released via
+    // Caching.handoff once the (small) per-doc result materializes
     val docBg = docs
       .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("m"))
       .persist()
-    // model tables (model-sized from here on)
     val bgTotals = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cbg"))
-    val ctxTotals = bgTotals
-      .groupBy(substring_index(col("bg"), " ", 1).as("u"))
-      .agg(sum(col("cbg")).as("cu"))
-    val vocab = docs
-      .select(explode(text.tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
-    val model = bgTotals
-      .withColumn("u", substring_index(col("bg"), " ", 1))
-      .join(ctxTotals, Seq("u"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("lnp_q",
-        floor(log((col("cbg") + 1).cast("double") /
-          (col("cu") + col("v")).cast("double")) * SCALE + 0.5).cast("long"))
-      .select("bg", "lnp_q")
-    docBg
+    val model = modelFromCounts(bgTotals, vocabOf(docs))
+    val out = docBg
       .join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
@@ -917,6 +912,31 @@ object TextAnalysis {
         (-sum(col("m") * col("lnp_q"))).as("nll_q"))
       .withColumn("mean_nll_q",
         col("nll_q").cast("double") / col("n_bigrams").cast("double"))
+    graft.engine.Caching.handoff(out, docBg)
+  }
+
+  /** Corpus vocabulary size as a 1-row frame (broadcast scalar). */
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(text.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+
+  /** Add-one-smoothed quantized model from bigram totals — the ONE copy
+    * of the lnP formula shared by self-scoring and frozen-model
+    * scoring (and mirrored by both DuckDB oracles).
+    */
+  private def modelFromCounts(bgTotals: DataFrame, vocab: DataFrame): DataFrame = {
+    val ctxTotals = bgTotals
+      .groupBy(substring_index(col("bg"), " ", 1).as("u"))
+      .agg(sum(col("cbg")).as("cu"))
+    bgTotals
+      .withColumn("u", substring_index(col("bg"), " ", 1))
+      .join(ctxTotals, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp_q",
+        floor(log((col("cbg") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")) * 10000.0 + 0.5).cast("long"))
+      .select("bg", "lnp_q")
   }
 
   def perplexityQuery(spark: SparkSession, dir: String): DataFrame =
@@ -936,22 +956,10 @@ object TextAnalysis {
     * Model-sized work throughout; persist/bucket the result to reuse
     * across scoring runs.
     */
-  def perplexityModel(ref: DataFrame): DataFrame = {
-    val cb = bigramOccurrences(ref).groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-    val cu = cb
-      .groupBy(substring_index(col("bg"), " ", 1).as("u"))
-      .agg(sum(col("cbg")).as("cu"))
-    val vocab = ref
-      .select(explode(text.tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
-    cb.withColumn("u", substring_index(col("bg"), " ", 1))
-      .join(cu, Seq("u"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("lnp_q",
-        floor(log((col("cbg") + 1).cast("double") /
-          (col("cu") + col("v")).cast("double")) * 10000.0 + 0.5).cast("long"))
-      .select("bg", "lnp_q")
-  }
+  def perplexityModel(ref: DataFrame): DataFrame =
+    modelFromCounts(
+      bigramOccurrences(ref).groupBy(col("bg")).agg(count(lit(1)).as("cbg")),
+      vocabOf(ref))
 
   /** Score documents against a FROZEN [[perplexityModel]] table. Unseen
     * bigrams are not guessed at: they are COUNTED (`n_oov`) and the NLL

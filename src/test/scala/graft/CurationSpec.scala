@@ -164,14 +164,21 @@ class CurationSpec extends SparkSpec {
     val bad = "#### ## # ###### ## #"
     // doc 3: one token -> no bigrams -> null mean_nll_q -> keep false
     val solo = "alone"
-    val docs = Seq((1L, good), (2L, bad), (3L, solo)).toDF("doc_id", "text")
+    // docs 4/5: blank and null text — still get an attribute row
+    val docs = Seq((1L, good), (2L, bad), (3L, solo), (4L, "  "),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val cfg = Curation.AnnotateConfig(
       gopherMinStopHits = 1, maxRep3Ratio = 1.0, maxMeanNllQ = 1e12)
     val got = Curation.docAnnotate(docs, cfg)
     assert(got.columns.toSeq == Seq("doc_id", "n_tokens", "pred_lang", "ttr",
       "max_tok_freq", "rep3_ratio", "gopher_pass", "mean_nll_q", "keep"))
     val byId = got.collect().map(r => r.getLong(0) -> r).toMap
-    assert(byId.size == 3, "annotate never drops rows")
+    assert(byId.size == 5, "annotate never drops rows, even empty/null text")
+    Seq(4L, 5L).foreach { id =>
+      val r = byId(id)
+      assert(r.getLong(1) == 0L && !r.getAs[Boolean]("keep"), s"doc $id")
+      assert(r.isNullAt(r.fieldIndex("ttr")) && r.isNullAt(r.fieldIndex("mean_nll_q")))
+    }
     val g = byId(1L)
     assert(g.getAs[Boolean]("gopher_pass") && g.getAs[String]("pred_lang") == "en")
     assert(g.getAs[Boolean]("keep"), "good doc passes the permissive verdict")

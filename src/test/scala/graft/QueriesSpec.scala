@@ -353,13 +353,14 @@ class QueriesSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L), "empty/null text drops")
   }
 
-  test("text_entropy: fused kernel equals the composed HOF twin (randomized, BMP)") {
+  test("text_entropy: fused kernel equals the composed HOF twin (randomized, incl. astral)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.operators.TextAnalysis
     val ch = Gen.frequency(
-      6 -> Gen.alphaNumChar,
-      2 -> Gen.oneOf(' ', '\t', '#', '.', '!'),
-      1 -> Gen.oneOf('é', 'ß', '中', '文'))
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "#", ".", "!"),
+      1 -> Gen.oneOf("é", "ß", "中", "文"),
+      1 -> Gen.oneOf("😀", "🤖")) // astral: 😀 🤖
     val txt = Gen.listOf(ch).map(_.mkString)
     def prop(p: Prop): Unit = {
       val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
