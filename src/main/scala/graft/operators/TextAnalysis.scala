@@ -894,9 +894,20 @@ object TextAnalysis {
     * the output by construction.
     */
   def perplexity(docs: DataFrame): DataFrame = {
+    val (out, docBg) = perplexityStaged(docs)
+    graft.engine.Caching.handoff(out, docBg)
+  }
+
+  /** [[perplexity]] before its cache handoff: (lazy result, persisted
+    * bigram stage). A composing operator ([[Curation.docAnnotate]])
+    * folds the result into ITS plan and hands the stage off at its own
+    * boundary — one action for the whole composition instead of an
+    * eager materialization per component.
+    */
+  private[operators] def perplexityStaged(docs: DataFrame): (DataFrame, DataFrame) = {
     // per-doc bigram multiplicities: the one corpus-sized shuffle,
-    // reused by the model build AND the scoring join; released via
-    // Caching.handoff once the (small) per-doc result materializes
+    // reused by the model build AND the scoring join; the CALLER must
+    // release it (Caching.handoff) once its small result materializes
     val docBg = docs
       .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
@@ -912,7 +923,7 @@ object TextAnalysis {
         (-sum(col("m") * col("lnp_q"))).as("nll_q"))
       .withColumn("mean_nll_q",
         col("nll_q").cast("double") / col("n_bigrams").cast("double"))
-    graft.engine.Caching.handoff(out, docBg)
+    (out, docBg)
   }
 
   /** Corpus vocabulary size as a 1-row frame (broadcast scalar). */
