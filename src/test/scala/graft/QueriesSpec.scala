@@ -27,6 +27,14 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has an oracle (no silent rows-only fallbacks)") {
+    // the driver downgrades oracle-less queries to a weaker rows>0
+    // check; this repo's whole declared surface is SQL-expressible, so
+    // a missing oracle is a forgotten entry, not a design choice
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("split_assign: total coverage, content-hash determinism (dups share a split)") {
     import graft.operators.TextAnalysis
     import spark.implicits._
