@@ -626,4 +626,174 @@ object Similarity {
       .select("query_id", "rank", "vec_id")
       .orderBy("query_id", "rank")
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the ANN memory-scale path
+  // --------------------------------------------------------------------
+
+  /** Trained PQ state: the corpus with per-subspace quantized
+    * subvector columns `__sv0..__sv{m-1}` (persisted — callers release
+    * via [[graft.engine.Caching.handoff]] or unpersist), the subvector
+    * width, and per-subspace codebooks `model(s) = [(code, centroid)]`.
+    *
+    * PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011) splits each d-dim vector into `m` subvectors
+    * and learns an independent k-way codebook per subspace; a vector
+    * becomes m small codes (64 floats → 8 bytes at m=8, k≤256) — the
+    * compression that lets a 100 TB corpus's ANN index sit in executor
+    * memory. Training mirrors [[semDedupKmeans]]'s deterministic
+    * recipe, independently per subspace: random-partition seeding
+    * (vec_id mod k), one Lloyd step on the quantized integer grid,
+    * argmin ties to the smallest code — every stage exact int64, so
+    * codes hash-match any engine.
+    *
+    * Dataflow at 100 TB: seeding centroids are ONE full-vector
+    * [[graft.functions.vecagg.vecSumLong]] pass (centroid averaging is
+    * per-dim, so subspace slicing commutes with it — m aggregations
+    * collapse into one); the refit pass aggregates the m skinny
+    * (s, code, subvector) streams exploded off the same scan. The
+    * embedding column never shuffles; the exchanges carry `k × d` longs
+    * (seed) and `m × k × d/m = k × d` longs (refit), and the collected
+    * model is the same k × d — the centroid-literal pattern, so
+    * encoding and ADC scoring are narrow per-row expressions.
+    */
+  private def pqPrepared(embeddings: DataFrame, m: Int, k: Int, scale: Int)
+      : (DataFrame, Int, IndexedSeq[IndexedSeq[(Int, Seq[Long])]]) = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    require(k >= 1, s"codebook size must be >= 1, got $k")
+    val dsub = dim / m
+    val base0 = emb.select(
+      col("vec_id"), quantized(scale).as("qe"),
+      pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
+    val base = (0 until m)
+      .foldLeft(base0)((d, s) => d.withColumn(s"__sv$s", slice(col("qe"), s * dsub + 1, dsub)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = gridCentroids(base.select(col("qe"), col("c0")), "c0")
+    val seedSub = (0 until m).map(s =>
+      seed.toIndexedSeq.map { case (c, qc) => (c, qc.slice(s * dsub, (s + 1) * dsub)) })
+    val refit = base
+      .select(explode(array((0 until m).map(s =>
+        struct(
+          lit(s).as("s"),
+          pqArgmin(s, seedSub(s)).getField("c_label").as("c"),
+          col(s"__sv$s").as("sv"))): _*)).as("e"))
+      .groupBy(col("e.s").as("s"), col("e.c").as("c"))
+      .agg(graft.functions.vecagg.vecSumLong(col("e.sv")).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("s"), col("c"),
+        transform(col("qsum"), x => floor(x.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
+          .as("qc"))
+      .collect()
+    val model = (0 until m).map(s =>
+      refit.filter(_.getInt(0) == s)
+        .map(r => (r.getInt(1), r.getSeq[Long](2)))
+        .sortBy(_._1).toIndexedSeq)
+    (base, dsub, model)
+  }
+
+  /** Nearest-code struct argmin over one subspace's codebook: exact
+    * int64 distances via the codegen'd [[vec.sqDistLong]] kernel,
+    * lexicographic struct `array_min` = smallest-code tiebreak.
+    */
+  private def pqArgmin(s: Int, codebook: IndexedSeq[(Int, Seq[Long])]): Column =
+    array_min(array(codebook.map { case (c, qc) =>
+      struct(vec.sqDistLong(col(s"__sv$s"), typedLit(qc)).as("dist"), lit(c).as("c_label"))
+    }: _*))
+
+  /** PQ-encode the corpus: one (vec_id, s, code, err) row per vector
+    * per subspace, `err` = exact int64 quantization error of that
+    * subvector (sum over the corpus = the training objective, the
+    * metric a codebook refresh is judged by).
+    */
+  def pqEncode(embeddings: DataFrame, m: Int, k: Int, scale: Int = 1000): DataFrame = {
+    val (base, _, model) = pqPrepared(embeddings, m, k, scale)
+    val out = base
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"), pqArgmin(s, model(s)).as("best"))): _*)).as("e"))
+      .select(
+        col("vec_id"), col("e.s").as("s"),
+        col("e.best.c_label").cast("long").as("code"), col("e.best.dist").as("err"))
+    graft.engine.Caching.handoff(out, base)
+  }
+
+  /** ANN via asymmetric distance computation (ADC) over PQ codes: the
+    * query stays un-coded; its distance to a corpus vector is the sum
+    * over subspaces of a k-entry lookup table dist(query-subvector,
+    * codebook centroid), indexed by the corpus vector's code. The LUTs
+    * (queries × m × k longs) are driver-built plan literals, so scoring
+    * every corpus vector against every query is ONE narrow codegen'd
+    * scan of the m-byte-ish code columns — no embedding is re-read, no
+    * shuffle before the `queries × kTop` top-k reduction
+    * ([[graft.functions.TopKOrdTie]], map-side partial). Exact ADC
+    * ranks (all-integer) with smallest-vec_id tiebreak.
+    */
+  def annPq(
+      queries: DataFrame, // (query_id, q_vec)
+      corpus: DataFrame,  // (vec_id, embedding)
+      kTop: Int,
+      m: Int,
+      k: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val (base, dsub, model) = pqPrepared(corpus, m, k, scale)
+    val codesWide = base.select(
+      col("vec_id") +: (0 until m).map(s =>
+        pqArgmin(s, model(s)).getField("c_label").as(s"__cf$s")): _*)
+    val qRows = queries
+      .select(
+        col("query_id"),
+        transform(col("q_vec"), e =>
+          coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
+      .collect()
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val perQuery = qRows.toIndexedSeq.map { r =>
+      val qid = r.getLong(0)
+      val qq = r.getSeq[Long](1)
+      val adc = (0 until m).map { s =>
+        // k-entry LUT for this (query, subspace); codes are always in
+        // [0, k) and only codes with members are ever read, so the
+        // fill value for member-less codes is never selected
+        val lut = Array.fill(k)(0L)
+        model(s).foreach { case (c, qc) => lut(c) = sq(qq.slice(s * dsub, (s + 1) * dsub), qc) }
+        element_at(typedLit(lut.toSeq), col(s"__cf$s") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc"))
+    }
+    val scored = codesWide
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("e"))
+      .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val out = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.agg.topKOrdTie(-col("adc"), col("vec_id"), kTop).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        (-col("col.ord")).cast("long").as("adc"))
+    graft.engine.Caching.handoff(out, base)
+  }
+
+  /** Driver query: PQ codes + per-subspace quantization error at
+    * m=16 × k=16 over the 64-dim corpus (16 codes per vector).
+    */
+  def pqEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    pqEncode(Tables.embeddings(spark, dir), m = 16, k = 16)
+      .orderBy("vec_id", "s")
+
+  /** Driver query: ADC top-5 for the sibling query set (vec_id < 16). */
+  def annPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annPq(queries, emb, kTop = 5, m = 16, k = 16)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product quantization: code/encoding invariants, determinism, and the
+  * ADC approximation contract measured against the EXACT quantized-L2
+  * ranking (the metric ADC estimates — cosine top-k is a different
+  * metric on these unnormalized vectors and not the fair baseline).
+  */
+class PqSpec extends SparkSpec {
+
+  private val M = 16
+  private val K = 16
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("pqEncode: every vector gets exactly m codes, all within [0, k)") {
+    val codes = Similarity.pqEncode(emb, m = M, k = K)
+    val perVec = codes.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("s")).as("ns"))
+      .filter(col("n") =!= M || col("ns") =!= M)
+    assert(perVec.count() == 0, "each vector must carry one code per subspace")
+    val oob = codes.filter(col("code") < 0 || col("code") >= K || col("err") < 0)
+    assert(oob.count() == 0, "codes bounded by the codebook, errors non-negative")
+    val nVec = emb.filter(col("embedding").isNotNull).count()
+    assert(codes.select("vec_id").distinct().count() == nVec, "full corpus coverage")
+    codes.unpersist()
+  }
+
+  test("pqEncode is deterministic: two independent trainings agree bit-for-bit") {
+    val a = Similarity.pqEncode(emb, m = M, k = K).orderBy("vec_id", "s").collect()
+    val b = Similarity.pqEncode(emb, m = M, k = K).orderBy("vec_id", "s").collect()
+    assert(a.sameElements(b))
+    spark.catalog.clearCache()
+  }
+
+  test("annPq: ADC top-k recalls most of the exact quantized-L2 top-k") {
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val adc = Similarity.annPq(queries, emb, kTop = 5, m = M, k = K)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // exact L2 on the same integer grid ADC approximates
+    val q = transform(col("embedding"),
+      e => coalesce(floor(e.cast("double") * 1000 + lit(0.5)).cast("long"), lit(0L)))
+    val g = emb.filter(col("embedding").isNotNull).select(col("vec_id"), q.as("qe"))
+    val exact = g.select(col("vec_id").as("query_id"), col("qe").as("qq"))
+      .filter(col("query_id") < 16)
+      .crossJoin(g)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", graft.functions.vec.sqDistLong(col("qq"), col("qe")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = exact.map { case (qid, truth) =>
+      truth.intersect(adc.getOrElse(qid, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 codes over 4-dim subvectors on near-uniform random vectors
+    // (the documented LSH worst case too); real corpora cluster and do
+    // far better — measured 0.375 at m=16, k=16 on this corpus
+    assert(mean >= 0.25, s"mean ADC recall@5 vs exact-L2 was $mean")
+    spark.catalog.clearCache()
+  }
+
+  test("annPq ranks by exact integer ADC with vec_id tiebreak (rank contract)") {
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val out = Similarity.annPq(queries, emb, kTop = 5, m = M, k = K)
+      .orderBy("query_id", "rank").collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val pairs = sorted.map(r => (r.getLong(3), r.getLong(2))) // (adc, vec_id)
+      assert(pairs.toSeq == pairs.toSeq.sorted, "ascending (adc, vec_id)")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("pqPrepared rejects a dim not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, m = 9, k = K).count()
+    }
+  }
+}
