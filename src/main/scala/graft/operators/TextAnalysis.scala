@@ -315,6 +315,47 @@ object TextAnalysis {
   def splitAssignQuery(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Deterministic export-shard planning — the manifest a training-data
+    * export (WebDataset tars, JSONL shards) is driven by: every document
+    * maps to a shard by CONTENT hash (first 15 md5 hex digits as int64,
+    * mod nShards — the [[splitAssign]] convention, so exact duplicates
+    * always co-shard and membership is reproducible across runs and
+    * engines with no RNG state), and each shard's row carries the stats
+    * a writer and its auditor need: doc/token/char totals for size
+    * balancing, and an ORDER-INDEPENDENT `bit_xor` content fingerprint
+    * that any later re-export can recompute to prove shard integrity
+    * without re-reading order (xor is commutative — the fingerprint is
+    * partition-order-invariant, hence hash-checkable on any engine).
+    *
+    * Dataflow at 100 TB: one narrow scan (md5 + fused token-count
+    * kernel), one `nShards`-key aggregation with map-side partials —
+    * the exchange carries nShards rows. The hash is uniform, so shards
+    * stay balanced no matter how skewed sources are; the writer that
+    * consumes this manifest repartitions by the same expression and
+    * writes each shard independently.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    docs
+      .select(
+        col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(__h)").as("fingerprint"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+  }
+
+  def shardManifestQuery(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(spark, dir), nShards = 8)
+
   /** Corpus vocabulary statistics: top-k word bigrams by DOCUMENT
     * frequency (distinct per doc, so a doc repeating a bigram counts
     * once). One explode + one count shuffle keyed by gram — the

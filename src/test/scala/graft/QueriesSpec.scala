@@ -51,6 +51,23 @@ class QueriesSpec extends SparkSpec {
     assert(splits.distinct.length == 1)
   }
 
+  test("shard_manifest: partition-order-invariant fingerprints, total coverage, dup co-sharding") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val m1 = TextAnalysis.shardManifest(docs, nShards = 8).collect()
+    assert(m1.map(_.getLong(1)).sum == docs.count(), "every doc lands in a shard")
+    assert(m1.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    // same corpus, different physical layout => identical manifest
+    val m2 = TextAnalysis.shardManifest(docs.repartition(13), nShards = 8)
+      .collect()
+    assert(m1.sameElements(m2), "manifest must not depend on partitioning")
+    // identical text co-shards (content hash, not doc_id)
+    val dup = Seq((1L, "same content here", 17L), (999L, "same content here", 17L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(TextAnalysis.shardManifest(dup, nShards = 8).count() == 1)
+  }
+
   test("top_ngrams: document frequency counts distinct docs, not occurrences") {
     import graft.operators.TextAnalysis
     import spark.implicits._
