@@ -659,15 +659,25 @@ object Similarity {
     */
   private def pqPrepared(embeddings: DataFrame, m: Int, k: Int, scale: Int)
       : (DataFrame, Int, IndexedSeq[IndexedSeq[(Int, Seq[Long])]]) = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
     val emb = embeddings.filter(col("embedding").isNotNull)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    require(k >= 1, s"codebook size must be >= 1, got $k")
-    val dsub = dim / m
     val base0 = emb.select(
       col("vec_id"), quantized(scale).as("qe"),
       pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
+    pqTrain(base0, dim, m, k)
+  }
+
+  /** Train per-subspace codebooks over an already-quantized base
+    * (`vec_id`, `qe`: array<long>, `c0`: seed label; extra columns ride
+    * along untouched) — the shared trainer behind [[pqEncode]]/[[annPq]]
+    * (whole vectors) and [[annIvfPq]] (coarse-cell residuals).
+    */
+  private def pqTrain(base0: DataFrame, dim: Int, m: Int, k: Int)
+      : (DataFrame, Int, IndexedSeq[IndexedSeq[(Int, Seq[Long])]]) = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    require(k >= 1, s"codebook size must be >= 1, got $k")
+    val dsub = dim / m
     val base = (0 until m)
       .foldLeft(base0)((d, s) => d.withColumn(s"__sv$s", slice(col("qe"), s * dsub + 1, dsub)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -794,6 +804,150 @@ object Similarity {
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     annPq(queries, emb, kTop = 5, m = 16, k = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN (IVFADC — Jégou et al., TPAMI 2011, §V): the
+    * billion-scale index layout. A coarse inverted file narrows each
+    * query's scan to ~`nprobe/nlist` of the corpus, and the in-cell
+    * distances come from product-quantized RESIDUALS (vector − coarse
+    * centroid), so the full embedding is read exactly once, at index
+    * time.
+    *
+    * Index: `nlist` coarse centroids — the [[annIvf]] deterministic
+    * stride sample seeded on the quantized integer grid, refined by one
+    * Lloyd step to cell means (see the inline note: raw sample seeds
+    * would WIDEN the residual distribution and sink recall below plain
+    * PQ); every corpus vector is assigned to its nearest centroid by
+    * exact int64 sq-distance (smallest-cid tiebreak), and its residual is coded by
+    * ONE codebook set shared across cells ([[pqTrain]] on residuals —
+    * the standard IVFADC arrangement; per-cell codebooks would multiply
+    * model state by nlist for marginal gain).
+    *
+    * Query: probe the `nprobe` nearest cells; the ADC tables are built
+    * from the QUERY's per-cell residual, so scoring is one narrow scan
+    * of the probed cells' code columns. The `cid IN (probed)` predicate
+    * is the inverted-list lookup — at scale, with the code table written
+    * partitioned by `cid`, it becomes partition pruning and the other
+    * `(nlist − nprobe)/nlist` of the corpus is never read. Every stage
+    * is integer arithmetic → results hash-match any engine.
+    */
+  def annIvfPq(
+      queries: DataFrame, // (query_id, q_vec)
+      corpus: DataFrame,  // (vec_id, embedding)
+      kTop: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 16,
+      k: Int = 16,
+      scale: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    val emb = corpus.filter(col("embedding").isNotNull)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val n = emb.count()
+    val stride = math.max(1L, n / nlist)
+    def coarseArgmin(cs: IndexedSeq[Seq[Long]], qe: Column): Column =
+      array_min(array(cs.zipWithIndex.map { case (cv, cid) =>
+        struct(vec.sqDistLong(qe, typedLit(cv)).as("dist"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    // coarse codebook: seed with every stride-th vector on the quantized
+    // grid (cid = sample rank), then ONE Lloyd step so each centroid is
+    // its cell's MEAN — raw sample vectors would leave the residuals
+    // with ~2x the per-dim variance of the originals (vector minus an
+    // unrelated vector), and the PQ codebooks downstream would quantize
+    // a WIDER distribution than plain PQ, inverting IVFADC's whole
+    // accuracy trade (measured at sf0.001, nlist=8: full-probe recall@5
+    // 0.125 raw-seed vs 0.275 after the Lloyd step — near-uniform
+    // random vectors are PQ's documented worst case; clustered real
+    // corpora recover much more). Tiny driver-side model either way,
+    // embedded as plan literals.
+    val seedCents: IndexedSeq[Seq[Long]] = emb
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id")
+      .limit(nlist)
+      .select(quantized(scale).as("qe"))
+      .collect()
+      .map(_.getSeq[Long](0))
+      .toIndexedSeq
+    val seeded = emb
+      .select(col("vec_id"), quantized(scale).as("__qv"),
+        pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
+      .withColumn("cid0", coarseArgmin(seedCents, col("__qv")))
+    val centPairs = gridCentroids(seeded.select(col("__qv").as("qe"), col("cid0")), "cid0")
+    // each seed vector sits at distance 0 in its own cell, so with
+    // distinct seeds every cell is non-empty and labels stay dense
+    require(centPairs.map(_._1).toSeq == seedCents.indices,
+      s"coarse cells went empty after the Lloyd step: ${centPairs.map(_._1).mkString(",")}")
+    val cents: IndexedSeq[Seq[Long]] = centPairs.map(_._2).toIndexedSeq
+    val centLit = typedLit(cents.map(_.toSeq))
+    val base0 = seeded
+      .withColumn("cid", coarseArgmin(cents, col("__qv")))
+      .withColumn("qe",
+        zip_with(col("__qv"), element_at(centLit, col("cid") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("qe"), col("c0"), col("cid"))
+    val (base, dsub, model) = pqTrain(base0, dim, m, k)
+    val codesWide = base.select(
+      col("vec_id") +: col("cid") +: (0 until m).map(s =>
+        pqArgmin(s, model(s)).getField("c_label").as(s"__cf$s")): _*)
+    // query side is tiny by contract: quantize + coarse-probe on the driver
+    val qRows = queries
+      .select(
+        col("query_id"),
+        transform(col("q_vec"), e =>
+          coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
+      .collect()
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    // one (query, probed-cell) ADC table per pair: LUT over the QUERY
+    // residual in that cell vs the shared residual codebooks
+    val perQueryCell: IndexedSeq[(Int, Column)] = qRows.toIndexedSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qq = r.getSeq[Long](1)
+      val probed = cents.zipWithIndex
+        .map { case (cv, cid) => (sq(qq, cv), cid) }.sorted.take(nprobe)
+      probed.map { case (_, cid) =>
+        val qr: Seq[Long] = qq.lazyZip(cents(cid)).map(_ - _)
+        val adc = (0 until m).map { s =>
+          val lut = Array.fill(k)(0L)
+          model(s).foreach { case (c, qc) => lut(c) = sq(qr.slice(s * dsub, (s + 1) * dsub), qc) }
+          element_at(typedLit(lut.toSeq), col(s"__cf$s") + 1)
+        }.reduce(_ + _)
+        (cid, struct(lit(qid).as("query_id"), lit(cid).as("pcid"), adc.as("adc")))
+      }
+    }
+    val probedCells = perQueryCell.map(_._1).distinct.sorted
+    val scored = codesWide
+      // the inverted-list lookup: un-probed cells are never scanned
+      .filter(col("cid").isin(probedCells: _*))
+      .select(col("vec_id"), col("cid"),
+        explode(array(perQueryCell.map(_._2): _*)).as("e"))
+      .filter(col("e.pcid") === col("cid"))
+      .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val out = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.agg.topKOrdTie(-col("adc"), col("vec_id"), kTop).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        (-col("col.ord")).cast("long").as("adc"))
+    graft.engine.Caching.handoff(out, base)
+  }
+
+  /** Driver query: IVFADC top-5 for the sibling query set (vec_id < 16)
+    * at nlist=16, nprobe=4 — each query scans ~1/4 of the cells.
+    */
+  def annIvfPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annIvfPq(queries, emb, kTop = 5, nlist = 16, nprobe = 4, m = 16, k = 16)
       .orderBy("query_id", "rank")
   }
 }

@@ -89,4 +89,76 @@ class PqSpec extends SparkSpec {
       Similarity.pqEncode(emb, m = 9, k = K).count()
     }
   }
+
+  test("annIvfPq: rank contract holds and narrowing nprobe only removes candidates") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val full = Similarity.annIvfPq(queries, emb, kTop = 5, nlist = 8, nprobe = 8, m = M, k = K)
+      .collect()
+    // full probe scans every cell: each query gets its full top-5
+    full.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 5L))
+      val pairs = sorted.map(r => (r.getLong(3), r.getLong(2)))
+      assert(pairs.toSeq == pairs.toSeq.sorted, "ascending (adc, vec_id)")
+    }
+    spark.catalog.clearCache()
+    val narrow = Similarity.annIvfPq(queries, emb, kTop = 5, nlist = 8, nprobe = 2, m = M, k = K)
+      .collect()
+    // a narrow probe sees a subset of cells, so each (query, vec) it
+    // returns scored identically to the full probe — candidates within
+    // the probed cells keep their exact ADC value
+    val fullAdc = full.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    narrow.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      fullAdc.get(key).foreach(adc => assert(adc == r.getLong(3), s"ADC mismatch at $key"))
+    }
+    assert(narrow.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    spark.catalog.clearCache()
+  }
+
+  test("annIvfPq is layout-invariant: repartitioned corpus gives identical results") {
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val a = Similarity.annIvfPq(queries, emb, kTop = 5, nlist = 8, nprobe = 4, m = M, k = K)
+      .orderBy("query_id", "rank").collect()
+    spark.catalog.clearCache()
+    val b = Similarity.annIvfPq(queries, emb.repartition(7), kTop = 5, nlist = 8, nprobe = 4, m = M, k = K)
+      .orderBy("query_id", "rank").collect()
+    assert(a.sameElements(b), "results must not depend on physical layout")
+    spark.catalog.clearCache()
+  }
+
+  test("annIvfPq full-probe recall vs exact quantized-L2 is at least PQ-grade") {
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val adc = Similarity.annIvfPq(queries, emb, kTop = 5, nlist = 8, nprobe = 8, m = M, k = K)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val q = transform(col("embedding"),
+      e => coalesce(floor(e.cast("double") * 1000 + lit(0.5)).cast("long"), lit(0L)))
+    val g = emb.filter(col("embedding").isNotNull).select(col("vec_id"), q.as("qe"))
+    val exact = g.select(col("vec_id").as("query_id"), col("qe").as("qq"))
+      .filter(col("query_id") < 16)
+      .crossJoin(g)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", graft.functions.vec.sqDistLong(col("qq"), col("qe")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      truth.intersect(adc.getOrElse(qid, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // with Lloyd-refined coarse centroids the residuals are centered
+    // (raw sample seeds measured 0.125 here); near-uniform random
+    // vectors barely cluster, so residual variance stays ~original and
+    // recall sits at PQ-grade (measured 0.275), not above it
+    assert(mean >= 0.25, s"mean IVFADC recall@5 vs exact-L2 was $mean")
+    spark.catalog.clearCache()
+  }
 }
