@@ -846,8 +846,12 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     val emb = corpus.filter(col("embedding").isNotNull)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val n = emb.count()
+    // one job for both scalars (each head()/count() is its own job, and
+    // at bench SF the fixed per-job cost dominates this operator)
+    val (dim, n) = {
+      val r = emb.agg(first(size(col("embedding"))), count(lit(1))).head()
+      (r.getInt(0), r.getLong(1))
+    }
     val stride = math.max(1L, n / nlist)
     def coarseArgmin(cs: IndexedSeq[Seq[Long]], qe: Column): Column =
       array_min(array(cs.zipWithIndex.map { case (cv, cid) =>
@@ -876,6 +880,7 @@ object Similarity {
       .select(col("vec_id"), quantized(scale).as("__qv"),
         pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
       .withColumn("cid0", coarseArgmin(seedCents, col("__qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centPairs = gridCentroids(seeded.select(col("__qv").as("qe"), col("cid0")), "cid0")
     // each seed vector sits at distance 0 in its own cell, so with
     // distinct seeds every cell is non-empty and labels stay dense
@@ -915,16 +920,23 @@ object Similarity {
           model(s).foreach { case (c, qc) => lut(c) = sq(qr.slice(s * dsub, (s + 1) * dsub), qc) }
           element_at(typedLit(lut.toSeq), col(s"__cf$s") + 1)
         }.reduce(_ + _)
-        (cid, struct(lit(qid).as("query_id"), lit(cid).as("pcid"), adc.as("adc")))
+        (cid, struct(lit(qid).as("query_id"), adc.as("adc")))
       }
     }
     val probedCells = perQueryCell.map(_._1).distinct.sorted
+    // dispatch on the row's cell with a lazily-evaluated CASE chain: a
+    // row only computes the ADC sums of the queries probing ITS cell
+    // (~queries*nprobe/nlist of them), not the whole query set — an
+    // eager explode-then-filter would evaluate every (query, cell) pair
+    // on every row (measured 4x slower at nprobe/nlist = 1/4)
+    val byCell = perQueryCell.groupBy(_._1)
+    val dispatch = probedCells.tail.foldLeft(
+      when(col("cid") === probedCells.head, array(byCell(probedCells.head).map(_._2): _*))
+    )((acc, c) => acc.when(col("cid") === c, array(byCell(c).map(_._2): _*)))
     val scored = codesWide
       // the inverted-list lookup: un-probed cells are never scanned
       .filter(col("cid").isin(probedCells: _*))
-      .select(col("vec_id"), col("cid"),
-        explode(array(perQueryCell.map(_._2): _*)).as("e"))
-      .filter(col("e.pcid") === col("cid"))
+      .select(col("vec_id"), explode(dispatch).as("e"))
       .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
       .filter(col("query_id") =!= col("vec_id"))
     val out = scored
@@ -936,7 +948,7 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.tie").as("vec_id"),
         (-col("col.ord")).cast("long").as("adc"))
-    graft.engine.Caching.handoff(out, base)
+    graft.engine.Caching.handoff(out, base, seeded)
   }
 
   /** Driver query: IVFADC top-5 for the sibling query set (vec_id < 16)
