@@ -70,6 +70,41 @@ object TextAnalysis {
       .orderBy(desc("n_docs"), asc("source"))
       .limit(5)
 
+  /** Count-Min sketched token frequencies, verified in-query against
+    * exact counts: the sketch ([[graft.functions.CmsSketchAgg]], d×w
+    * counters, map-side mergeable, the token stream never shuffles) is
+    * built in one aggregation pass over the token ARRAYS; the exact
+    * top-k (the verification harness — at 100 TB you would sketch
+    * FIRST and verify a sample) comes from the usual explode+groupBy.
+    * Output carries both counts per top token; the CMS contract
+    * `n_est >= n_exact` (one-sided error) is spec-asserted and the
+    * oracle recomputes the identical buckets from `substr(md5(tok))`.
+    *
+    * Driver state: one 8·d·w-byte sketch row (32 KiB at 4×1024),
+    * embedded as plan literals for the estimate pass — the
+    * centroid-model pattern.
+    */
+  def cmsFreq(docs: DataFrame, d: Int = 4, w: Int = 1024, topK: Int = 20): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(text.tokens(col("text")).as("toks"))
+    val sketchRow: IndexedSeq[Long] =
+      toks.agg(graft.functions.cms.sketch(col("toks"), d, w).as("s"))
+        .head().getSeq[Long](0).toIndexedSeq
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("tok"))
+      .limit(topK)
+      .withColumn("n_est", graft.functions.cms.estimate(sketchRow, col("tok"), d, w))
+      .orderBy(desc("n_exact"), asc("tok"))
+  }
+
+  def cmsFreqQuery(spark: SparkSession, dir: String): DataFrame =
+    cmsFreq(Tables.documents(spark, dir))
+
   /** Winnow-fingerprint overlap pairs — plagiarism-style near-dup
     * detection scored by CONTAINMENT (shared fingerprints over the
     * smaller doc's fingerprint count), which catches a small doc pasted
