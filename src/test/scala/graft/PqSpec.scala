@@ -130,6 +130,101 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqIndex asset: second consumer triggers no retraining and shares the code table") {
+    val a = Similarity.pqIndex(spark, sf, m = M, k = K)
+    val trained = Similarity.pqTrainings.get()
+    val b = Similarity.pqIndex(spark, sf, m = M, k = K)
+    assert(Similarity.pqTrainings.get() == trained, "second consumer must not retrain")
+    assert(a.codesPath == b.codesPath, "both consumers must read the same materialized table")
+    // two different consumers of the one asset agree with the one-shot APIs
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val viaAsset = Similarity.annPqIndexed(queries, a, kTop = 5)
+      .orderBy("query_id", "rank").collect()
+    val oneShot = Similarity.annPq(queries, emb, kTop = 5, m = M, k = K)
+      .orderBy("query_id", "rank").collect()
+    assert(viaAsset.sameElements(oneShot), "asset path and one-shot path must agree")
+    spark.catalog.clearCache()
+  }
+
+  test("ivfPqIndex asset: codes table is cid-partitioned and reused without retraining") {
+    val a = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+    val trained = Similarity.pqTrainings.get()
+    val b = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+    assert(Similarity.pqTrainings.get() == trained)
+    assert(a.codesPath == b.codesPath)
+    // partitioned layout on disk: one directory per coarse cell
+    val dirs = new java.io.File(a.codesPath).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cid=")).sorted
+    assert(dirs.length == a.coarse.size, s"expected ${a.coarse.size} cid partitions, got ${dirs.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("annPqJoined: 1k+ query batch agrees with the literal path on the shared prefix") {
+    val idx = Similarity.pqIndex(spark, sf, m = M, k = K)
+    // replicate the corpus vectors under fresh query ids to build a
+    // >1000-query batch (the regime the joined path exists for)
+    val big = (0 until 3).map(r =>
+      emb.select((col("vec_id") + lit(r * 10000L)).as("query_id"), col("embedding").as("q_vec")))
+      .reduce(_.unionAll(_))
+    assert(big.count() >= 1000)
+    val joined = Similarity.annPqJoined(big, idx, kTop = 5)
+      .filter(col("query_id") < 16)
+      .orderBy("query_id", "rank").collect()
+    val literal = Similarity.annPqIndexed(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      idx, kTop = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(joined.sameElements(literal), "joined ADC must equal literal ADC on the shared queries")
+    spark.catalog.clearCache()
+  }
+
+  test("empty query set degenerates to an empty result, not an error") {
+    val idx = Similarity.pqIndex(spark, sf, m = M, k = K)
+    val none = emb.filter(lit(false))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    assert(Similarity.annPqIndexed(none, idx, kTop = 5).count() == 0)
+    assert(Similarity.annPqJoined(none, idx, kTop = 5).count() == 0)
+    val ivf = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+    assert(Similarity.annIvfPqIndexed(none, ivf, nprobe = 2, kTop = 5).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("a NULL q_vec query row is dropped, not an NPE (oracle WHERE-IS-NOT-NULL parity)") {
+    val idx = Similarity.pqIndex(spark, sf, m = M, k = K)
+    val withNull = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .unionAll(spark.range(1).select(lit(999L).as("query_id"),
+        lit(null).cast("array<float>").as("q_vec")))
+    val out = Similarity.annPqIndexed(withNull, idx, kTop = 5)
+    assert(out.filter(col("query_id") === 999L).count() == 0, "null query contributes no rows")
+    assert(out.select("query_id").distinct().count() == 4)
+    val ivf = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+    assert(Similarity.annIvfPqIndexed(withNull, ivf, nprobe = 2, kTop = 5)
+      .filter(col("query_id") === 999L).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("duplicate coarse seed vectors: empty cells are dropped and relabeled, not a crash") {
+    // corpus of 32 vectors where the stride-8 seeds at vec_id 0 and 8
+    // are byte-identical -> cell 1 goes empty after the Lloyd step
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dup = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"),
+        when(col("vec_id") === 8, typedLit(v0)).otherwise(col("embedding")).as("embedding"))
+    val queries = dup.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val out = Similarity.annIvfPq(queries, dup, kTop = 3, nlist = 4, nprobe = 4, m = M, k = K)
+      .collect()
+    assert(out.nonEmpty, "degraded-cell corpus must still answer queries")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("annIvfPq full-probe recall vs exact quantized-L2 is at least PQ-grade") {
     val queries = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
