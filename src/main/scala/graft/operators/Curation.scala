@@ -151,17 +151,29 @@ object Curation {
     * Every stage is an already-oracle-checked operator, and the
     * composition is oracle-checked END TO END, so a budget change or a
     * dedup fix can't silently shift downstream sequence assignment
-    * without the hash catching it. Dataflow: one narrow gate scan, one
-    * digest shuffle ([[Dedup.exact]]), the per-source budget window,
-    * then packing over (doc_id, n_tokens) rows only — document text is
-    * gone from the plan after the budget stage.
+    * without the hash catching it.
+    *
+    * Sequences are packed PER SOURCE in admission (content-hash) order —
+    * the training-mixture shape where each source contributes its own
+    * ~capacity-token sequence stream. That choice makes the whole
+    * composition pay exactly ONE ranged exchange:
+    * [[TextAnalysis.budgetOver]] admits precisely the PREFIX of each
+    * source's (__h, doc_id)-ordered stream (`cum_before < budget`), so
+    * the budget's running token sum IS the packing prefix sum of the
+    * admitted stream, and `seq_id = cum_before div capacity` is a
+    * narrow projection on rows the budget stage already ordered — no
+    * second repartitionByRange, no re-sort, at any scale. Dataflow:
+    * one narrow gate scan, one digest shuffle ([[Dedup.exact]]), one
+    * ranged exchange shared by budget + packing; document text is gone
+    * from the plan after the gate scan.
     */
   def mixPipeline(
       docs: DataFrame,
       budgets: Map[String, Long],
       defaultBudget: Long,
       minTokens: Int = 10,
-      maxTokens: Int = 100000
+      maxTokens: Int = 100000,
+      capacity: Long = 256
   ): DataFrame = {
     // ONE narrow gate scan computes every downstream column; doc TEXT
     // leaves the plan here — dedup keys on the digest (same equivalence
@@ -180,8 +192,11 @@ object Curation {
     val ded = Dedup.exact(gate, Seq(col("__ch")), col("doc_id"))
     val bud = TextAnalysis.budgetOver(
       ded.withColumnRenamed("__ch", "__h"), budgets, defaultBudget)
-    TextAnalysis.packCounts(bud.select(col("doc_id"), col("source"), col("n_tokens")))
-      .select("doc_id", "source", "grp", "seq_id", "n_tokens")
+    // `div`, not `/`: integer division keeps the id exact int64 on any
+    // engine (Spark `/` on longs is double division)
+    bud.select(
+      col("doc_id"), col("source"),
+      expr(s"cum_before div ${capacity}L").as("seq_id"), col("n_tokens"))
   }
 
   /** Driver query: the standard budgets over the test corpus.

@@ -156,6 +156,37 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._4 == 5L))
   }
 
+  test("mixPipeline plans exactly ONE ranged exchange (budget and packing share it)") {
+    // budgetOver admits a PREFIX of each source's (__h, doc_id) order,
+    // so packing reuses its cum_before: a second repartitionByRange in
+    // this plan means the shared-exchange contract regressed
+    val out = Curation.mixPipeline(
+      Tables.documents(spark, sf),
+      Map("src0" -> 4000L, "src1" -> 1000L), defaultBudget = 2000L, minTokens = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    // the persisted ranged stage prints once per consumer branch with
+    // the SAME plan_id (one physical exchange) — count distinct nodes
+    val ids = raw"Exchange rangepartitioning.*?plan_id=(\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size == 1, s"expected exactly one ranged exchange, got $ids")
+  }
+
+  test("mixPipeline seq_id packs each source's admitted stream at ~capacity tokens") {
+    val docs = (1L to 20L).map(i => (i, "srcA", s"t$i " * 10)).toDF("doc_id", "source", "text")
+    // 10-token docs, budget 100 -> 10 admitted with cum_before
+    // 0,10,..,90; capacity 25 -> seq_id = cum div 25 buckets the
+    // stream at fixed 25-token boundaries: sums 30,20,30,20 (a
+    // sequence overflows by at most its last document)
+    val out = Curation.mixPipeline(docs, Map.empty, defaultBudget = 100L,
+      minTokens = 5, maxTokens = 100, capacity = 25L)
+      .select("doc_id", "seq_id", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 10)
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySeq.keySet == Set(0L, 1L, 2L, 3L), s"got $bySeq")
+    assert(bySeq(0L) == 30L && bySeq(1L) == 20L && bySeq(2L) == 30L && bySeq(3L) == 20L)
+  }
+
   test("docAnnotate: every signal lands per doc, verdict composes them, nothing drops") {
     // doc 1: 24 diverse English tokens -> passes gopher, known lang, low rep
     val good = ("the quick brown fox jumps over a lazy dog while birds sing " +
