@@ -22,17 +22,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4 has
-    * no native type for. Read nanos as long (exact), keep `ts_ns` for
-    * ns-precise ordering (doubles would lose precision above 2^53), and
-    * expose `ts` as a micros timestamp for formatting/windowing.
+  /** The events table's `ts` has shipped as both TIMESTAMP(NANOS)
+    * (read as long via `nanosAsLong` — Spark 4 has no native ns type)
+    * and plain micros TIMESTAMP_NTZ. Adapt on the actual parquet
+    * schema and normalize to the engine's two-column contract:
+    * `ts_ns` — exact integer nanos for ordering/session gaps (doubles
+    * would lose precision above 2^53), and `ts` — a micros TIMESTAMP
+    * (UTC session) for formatting/windowing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+      case _ => // micros TIMESTAMP / TIMESTAMP_NTZ (UTC session => same instant)
+        raw
+          .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema, with ts as raw nanos (see Tables.events). */
+  /** events.parquet schema (see Tables.events for the ts contract). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("ts", TimestampNTZType), // micros, no zone; UTC session
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -26,18 +26,19 @@ object EventStream {
   ))
 
   /** File-source stream over the events table; `maxFilesPerTrigger`
-    * plays the reference's flushSize (batch cap).
+    * plays the reference's flushSize (batch cap). Normalizes to the
+    * same (`ts` micros TIMESTAMP, `ts_ns` exact long nanos) contract
+    * as [[graft.Tables.events]].
     */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file source requires a directory; glob-filter to the events table
     spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_ns", col("ts")) // exact ns for ordering/session gaps
-      .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000L")) // exact for session gaps
   }
 
   /** Session gap: 30 minutes, in exact nanoseconds. */
