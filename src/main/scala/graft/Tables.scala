@@ -33,6 +33,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch's CAST(ts AS TIMESTAMP) preserves the instant only
+    // under a UTC session — pin it here (not just in the entry points)
+    // so a caller with a local-time session can't silently shift ts/ts_ns
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long

@@ -200,6 +200,98 @@ object Dedup {
       estimatedItems = math.max(split, 16L), numBits = math.max(split, 16L) * 10)
   }
 
+  /** SHARDED Bloom tier: [[incrementalBloom]] with the seen-digest Bloom
+    * split by digest prefix (`hp` = first `shardHexChars` hex chars of
+    * the md5 — the [[graft.streaming.IngestDedup]] partitioning), one
+    * filter per shard. Verdicts are bit-identical to [[incremental]] and
+    * [[incrementalBloom]] (no false negatives per shard; false positives
+    * re-checked by the exact join) — what changes is the MEMORY SHAPE:
+    *
+    *   - One filter over a 100 TB seen set does not fit a single
+    *     aggregation buffer (10^11 digests × 10 bits ≈ 125 GB in ONE
+    *     merge path); md5 prefixes are uniform, so `S = 16^shardHexChars`
+    *     shards hold `n/S` items each and every Bloom build is an
+    *     independently-mergeable `(n/S × bitsPerItem)/8`-byte buffer —
+    *     at 2 hex chars (256 shards), ~490 MB per shard for 10^11 seen
+    *     digests, executor-sized. Build cost stays ONE grouped
+    *     aggregation (each row feeds exactly its shard's filter).
+    *   - The probe stays one narrow scan: a lazy CASE dispatch on `hp`
+    *     (the [[graft.operators.Similarity.annIvfPqIndexed]] pattern)
+    *     evaluates only the matching shard's `might_contain` per row.
+    *   - At full deployment the per-shard filters live next to the
+    *     digest table's `hp=` partitions and each executor loads only
+    *     the shards it scans; here they ride the plan as literals, which
+    *     bounds THIS entry point to driver-literal scale (the same
+    *     documented bound as the single-filter tier).
+    *
+    * Filters are sized from the LARGEST shard's exact count (one tiny
+    * pre-aggregation), so skewed shards keep their false-positive rate
+    * and balanced shards are merely a little roomier.
+    */
+  def incrementalBloomSharded(
+      docs: DataFrame,
+      splitId: Long,
+      shardHexChars: Int = 2,
+      bitsPerItem: Long = 10
+  ): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1,4], got $shardHexChars")
+    val h = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+      .withColumn("hp", substring(col("h"), 1, shardHexChars))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = h.filter(col("doc_id") < splitId).select(col("h"), col("hp")).distinct()
+    val nw = h.filter(col("doc_id") >= splitId)
+    val firstNew = nw.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    // size to the largest shard's exact distinct count — counts are a
+    // tiny (<= 16^shardHexChars rows) aggregate over the persisted
+    // digest projection
+    val maxShard = old.groupBy("hp").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val tagged =
+      if (maxShard.isNullAt(0)) nw.withColumn("is_old", lit(false)) // no seen set
+      else {
+        val est = math.max(maxShard.getLong(0), 16L)
+        val blooms = old.groupBy("hp")
+          .agg(bloomAgg(xxhash64(col("h")), est, est * bitsPerItem).as("bf"))
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .sortBy(_._1)
+        // lazy CASE dispatch: every branch's filter is a foldable
+        // literal (BloomFilterMightContain's contract) and a row pays
+        // exactly one might_contain — its shard's
+        val cand = blooms.foldLeft(when(lit(false), lit(false))) {
+          case (acc, (hp, bf)) =>
+            acc.when(col("hp") === hp, mightContain(lit(bf), xxhash64(col("h"))))
+        }.otherwise(lit(false))
+        val probed = nw.withColumn("__cand", cand)
+        val maybe = probed.filter(col("__cand"))
+          .join(old.select(col("h")).withColumn("is_old", lit(true)), Seq("h"), "left")
+        val clean = probed.filter(!col("__cand")).withColumn("is_old", lit(false))
+        maybe.select("doc_id", "h", "is_old")
+          .unionByName(clean.select("doc_id", "h", "is_old"))
+      }
+    val out = tagged
+      .join(firstNew, "h")
+      .select(
+        col("doc_id"),
+        when(col("is_old"), "dup_of_old")
+          .when(col("doc_id") =!= col("first_id"), "dup_of_new")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, h)
+  }
+
+  /** Driver query: same cut and SAME oracle as [[incrementalQuery]] /
+    * [[incrementalBloomQuery]] — sharding is a memory-shape change, not
+    * a semantics change. 1 hex char = 16 shards keeps the bench plan's
+    * CASE dispatch short at test SF; deployment uses 2+.
+    */
+  def incrementalBloomShardedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    incrementalBloomSharded(docs, split, shardHexChars = 1)
+  }
+
   // --------------------------------------------------------------------
   // Line-level exact dedup (CCNet-style): dedup at sub-document
   // granularity — boilerplate headers/footers repeat across millions of

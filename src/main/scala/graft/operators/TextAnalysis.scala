@@ -970,8 +970,37 @@ object TextAnalysis {
     * the output by construction.
     */
   def perplexity(docs: DataFrame): DataFrame = {
-    val (out, docBg) = perplexityStaged(docs)
-    graft.engine.Caching.handoff(out, docBg)
+    // ONE-ACTION standalone path, windows instead of self-joins: the
+    // r10→r11 staging item was that the handoff's eager count() paid
+    // the whole DAG once and the caller's action then paid the cache
+    // scan again. Deriving the model by WINDOW totals over the single
+    // (doc_id, bg, m) aggregate — cbg = sum over bg, cu = sum over the
+    // context prefix (every bigram with context u contributes its
+    // multiplicity, so the per-u window total IS cu) — keeps the plan a
+    // straight line: the corpus text is scanned exactly twice (bigrams
+    // once, vocab once — the semantic minimum, since V counts unigrams
+    // of bigram-less docs too), with no persist, no eager action, and
+    // no reliance on exchange reuse (measured: the join form's three
+    // docBg copies canonicalize differently once join-key predicates
+    // push down, so AQE cannot dedupe them). All window frames are
+    // whole-partition integer sums over skinny rows — same exact math,
+    // same oracle.
+    import org.apache.spark.sql.expressions.Window
+    val u = substring_index(col("bg"), " ", 1)
+    docs
+      .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cbg", sum(col("m")).over(Window.partitionBy(col("bg"))))
+      .withColumn("cu", sum(col("m")).over(Window.partitionBy(u)))
+      .crossJoin(broadcast(vocabOf(docs)))
+      .withColumn("lnp_q", lnpQ(col("cbg"), col("cu"), col("v")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        (-sum(col("m") * col("lnp_q"))).as("nll_q"))
+      .withColumn("mean_nll_q",
+        col("nll_q").cast("double") / col("n_bigrams").cast("double"))
   }
 
   /** [[perplexity]] before its cache handoff: (lazy result, persisted
@@ -989,9 +1018,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("m"))
       .persist()
+    (scoredFromDocBg(docBg, docs), docBg)
+  }
+
+  /** Model-build + scoring tree over an already-aggregated per-doc
+    * bigram frame — the shared tail of [[perplexity]] (exchange-reuse
+    * path) and [[perplexityStaged]] (persisted handoff path).
+    */
+  private def scoredFromDocBg(docBg: DataFrame, docs: DataFrame): DataFrame = {
     val bgTotals = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cbg"))
     val model = modelFromCounts(bgTotals, vocabOf(docs))
-    val out = docBg
+    docBg
       .join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
@@ -999,7 +1036,6 @@ object TextAnalysis {
         (-sum(col("m") * col("lnp_q"))).as("nll_q"))
       .withColumn("mean_nll_q",
         col("nll_q").cast("double") / col("n_bigrams").cast("double"))
-    (out, docBg)
   }
 
   /** Corpus vocabulary size as a 1-row frame (broadcast scalar). */
@@ -1008,10 +1044,16 @@ object TextAnalysis {
       .select(explode(text.tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
 
-  /** Add-one-smoothed quantized model from bigram totals — the ONE copy
-    * of the lnP formula shared by self-scoring and frozen-model
-    * scoring (and mirrored by both DuckDB oracles).
+  /** The ONE copy of the add-one-smoothed quantized lnP formula, shared
+    * by self-scoring ([[perplexity]] / [[perplexityStaged]]) and
+    * frozen-model scoring ([[perplexityModel]]) — and mirrored by the
+    * DuckDB oracles.
     */
+  private def lnpQ(cbg: Column, cu: Column, v: Column): Column =
+    floor(log((cbg + 1).cast("double") / (cu + v).cast("double")) * 10000.0 + 0.5)
+      .cast("long")
+
+  /** Quantized model table from bigram totals (see [[lnpQ]]). */
   private def modelFromCounts(bgTotals: DataFrame, vocab: DataFrame): DataFrame = {
     val ctxTotals = bgTotals
       .groupBy(substring_index(col("bg"), " ", 1).as("u"))
@@ -1020,9 +1062,7 @@ object TextAnalysis {
       .withColumn("u", substring_index(col("bg"), " ", 1))
       .join(ctxTotals, Seq("u"))
       .crossJoin(broadcast(vocab))
-      .withColumn("lnp_q",
-        floor(log((col("cbg") + 1).cast("double") /
-          (col("cu") + col("v")).cast("double")) * 10000.0 + 0.5).cast("long"))
+      .withColumn("lnp_q", lnpQ(col("cbg"), col("cu"), col("v")))
       .select("bg", "lnp_q")
   }
 

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema (see Tables.events for the ts contract). */
+  /** events.parquet schema with `ts` as micros NTZ — the common shipped
+    * variant (see Tables.events for the full ts contract; [[readEvents]]
+    * sniffs the actual on-disk variant and adapts).
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType), // micros, no zone; UTC session
@@ -28,17 +31,36 @@ object EventStream {
   /** File-source stream over the events table; `maxFilesPerTrigger`
     * plays the reference's flushSize (batch cap). Normalizes to the
     * same (`ts` micros TIMESTAMP, `ts_ns` exact long nanos) contract
-    * as [[graft.Tables.events]].
+    * as [[graft.Tables.events]] — including the SAME schema
+    * adaptivity: the table has shipped with `ts` as both
+    * TIMESTAMP(NANOS) (a long under `nanosAsLong`) and micros NTZ, so
+    * the stream sniffs the on-disk footer once (schema-only batch
+    * read, no data scan) and picks the matching user schema +
+    * normalization; a hard-pinned NTZ schema would misread the nanos
+    * variant that the batch path accepts.
     */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast is instant-preserving only in UTC
+    val onDiskTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
     // file source requires a directory; glob-filter to the events table
-    spark.readStream
-      .schema(eventSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
-      .withColumn("ts_ns", expr("unix_micros(ts) * 1000L")) // exact for session gaps
+    onDiskTs match {
+      case LongType => // TIMESTAMP(NANOS) as long
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(CAST(ts_ns AS BIGINT) div 1000)"))
+      case _ => // micros TIMESTAMP / TIMESTAMP_NTZ
+        raw
+          .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L")) // exact for session gaps
+    }
   }
 
   /** Session gap: 30 minutes, in exact nanoseconds. */

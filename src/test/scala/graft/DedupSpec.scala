@@ -33,6 +33,38 @@ class DedupSpec extends SparkSpec {
     assert(tiny == exact, "false positives must be resolved by the exact join")
   }
 
+  test("incrementalBloomSharded: verdict parity with the single-filter and exact paths (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small text pool -> guaranteed duplicates within and across the
+    // split; null/empty text exercise the coalesce'd digest
+    val textGen = Gen.oneOf(Seq(
+      "alpha", "beta", "gamma", "delta", "twin twin", "", null.asInstanceOf[String]))
+    val corpusGen = for {
+      n <- Gen.choose(0, 24)
+      texts <- Gen.listOfN(n, textGen)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(corpusGen, Gen.choose(0L, 24L), Gen.choose(1, 2)) {
+      (rows, split, hexChars) =>
+        val docs = rows.toDF("doc_id", "text")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, String)].collect().sortBy(_._1).toSeq
+        val exact = canon(Dedup.incremental(docs, split))
+        val sharded = canon(Dedup.incrementalBloomSharded(docs, split, shardHexChars = hexChars))
+        spark.catalog.clearCache() // both paths handoff-persist
+        sharded == exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+    // and once on the planted corpus for a direct single-filter cross-check
+    val docs = ((1 to 9).map(i => (i.toLong, s"old doc $i")) ++
+      Seq((10L, "fresh ten"), (14L, "old doc 4"), (15L, "twin"), (16L, "twin")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(canon(Dedup.incrementalBloomSharded(docs, 10L)) ==
+      canon(Dedup.incrementalBloom(docs, 10L)))
+  }
+
   test("exact dedup keeps one row per duplicated content, min id wins") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text")

@@ -160,6 +160,60 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("durable asset: a fresh JVM (cleared handle map) serves ann_pq from disk without retraining") {
+    // isolated warehouse so this spec exercises the publish+load cycle
+    // from scratch regardless of what earlier suites left on disk
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    try {
+      Similarity.dropInMemoryIndexes()
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+
+      // first resolution: trains and PUBLISHES (codes + model + manifest)
+      val built = Similarity.pqIndex(spark, sf, m = M, k = K)
+      val builtIvf = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+      val viaBuilt = Similarity.annPqIndexed(queries, built, kTop = 5)
+        .orderBy("query_id", "rank").collect()
+      val viaBuiltIvf = Similarity.annIvfPqIndexed(queries, builtIvf, nprobe = 4, kTop = 5)
+        .orderBy("query_id", "rank").collect()
+      val assets = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(assets.exists(_.startsWith("flat_")) && assets.exists(_.startsWith("ivf_")),
+        s"published asset dirs expected under $root, got ${assets.toSeq}")
+      assets.filter(d => d.startsWith("flat_") || d.startsWith("ivf_")).foreach { d =>
+        assert(new java.io.File(s"$root/$d/manifest.json").isFile, s"$d missing manifest")
+        assert(new java.io.File(s"$root/$d/model").isDirectory, s"$d missing model table")
+        assert(new java.io.File(s"$root/$d/codes").isDirectory, s"$d missing code table")
+      }
+
+      // "new JVM": drop every in-memory handle; resolution must LOAD
+      Similarity.dropInMemoryIndexes()
+      val trained = Similarity.pqTrainings.get()
+      val loaded = Similarity.pqIndex(spark, sf, m = M, k = K)
+      val loadedIvf = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+      assert(Similarity.pqTrainings.get() == trained,
+        "fresh-JVM resolution must load the published asset, not retrain")
+      assert(loaded.codebooks == built.codebooks && loaded.dsub == built.dsub,
+        "rehydrated codebooks must be bit-identical")
+      assert(loadedIvf.coarse == builtIvf.coarse,
+        "rehydrated coarse centroids must be bit-identical")
+      // cid partition layout survives publish (directory pruning intact)
+      val cidDirs = new java.io.File(loadedIvf.codesPath).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+      assert(cidDirs.length == loadedIvf.coarse.size)
+      val viaLoaded = Similarity.annPqIndexed(queries, loaded, kTop = 5)
+        .orderBy("query_id", "rank").collect()
+      val viaLoadedIvf = Similarity.annIvfPqIndexed(queries, loadedIvf, nprobe = 4, kTop = 5)
+        .orderBy("query_id", "rank").collect()
+      assert(viaLoaded.sameElements(viaBuilt), "ann_pq from the loaded asset must match")
+      assert(viaLoadedIvf.sameElements(viaBuiltIvf), "ann_ivfpq from the loaded asset must match")
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      Similarity.dropInMemoryIndexes() // don't leak handles into the spec-dir warehouse
+      spark.catalog.clearCache()
+    }
+  }
+
   test("annPqJoined: 1k+ query batch agrees with the literal path on the shared prefix") {
     val idx = Similarity.pqIndex(spark, sf, m = M, k = K)
     // replicate the corpus vectors under fresh query ids to build a
