@@ -1,0 +1,114 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Durable, content-addressed corpus-asset store — the shared publish/
+  * load machinery behind every "build once per corpus, consume many"
+  * artifact (PQ/IVF-PQ code tables, the PPJoin n-gram prefix index,
+  * the shingle document-frequency table).
+  *
+  * An asset is a DIRECTORY under the index warehouse whose name
+  * content-addresses (builder params, corpus fingerprint, layout
+  * version). Publication is crash/race-safe: the builder writes into a
+  * hidden staging directory, a commit marker lands last, and one atomic
+  * rename makes the asset visible — a reader can never observe a
+  * half-written asset, and a torn build leaves only an unreferenced
+  * `.build_*` directory that never matches a content address.
+  * Concurrent builders race benignly: publish is the rename guarded by
+  * a target-existence check; the loser deletes its staging directory
+  * and serves the winner's asset.
+  *
+  * The 100 TB shape: assets live NEXT TO the corpus they derive from
+  * (warehouse-relative), survive every JVM, and are retired naturally —
+  * a corpus rebuild changes the fingerprint, so old assets simply stop
+  * being addressed (GC is `rm` on unreferenced directories).
+  */
+object AssetStore {
+
+  /** Bump when any published asset layout changes: old assets are then
+    * never addressed by newer code (no migration, no stale reads).
+    * v1 = per-asset manifest as commit marker; v2 = store-level
+    * `_GRAFT_COMMITTED` marker (uniform across asset kinds).
+    */
+  val FormatVersion = 2
+
+  /** Spark ignores `_`/`.`-prefixed files in a table directory, so the
+    * marker can sit inside an asset that IS a parquet table.
+    */
+  private val Marker = "_GRAFT_COMMITTED"
+
+  /** Root directory for durable assets. Resolution order: session conf
+    * `spark.graft.index.dir` (the test/ops override), env
+    * `GRAFT_INDEX_DIR`, else `<spark.sql.warehouse.dir>/graft_index`.
+    */
+  def warehouse(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.index.dir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+      .getOrElse {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val base =
+          if (wh.startsWith("file:")) new java.net.URI(wh).getPath
+          else wh
+        base.stripSuffix("/") + "/graft_index"
+      }
+
+  /** Content address of one corpus table: digest of its file listing
+    * (name, length, mtime) — footer-level metadata, no data scan. A
+    * corpus rebuild changes the listing, so a stale asset can never be
+    * served for refreshed data; identical data re-listed gives the
+    * identical address, so nothing rebuilds.
+    */
+  def corpusFingerprint(spark: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        entries += s"${f.getPath.getName}|${f.getLen}|${f.getModificationTime}"
+      }
+    } else entries += s"absent|$p"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Is a published, fully-committed asset present at `path`? */
+  def committed(spark: SparkSession, path: String): Boolean = {
+    val fs = fsFor(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(path, Marker))
+  }
+
+  /** Resolve `assetId` under the warehouse: serve the published asset
+    * if present, else run `build` against a staging directory and
+    * publish it. Returns the asset's directory; `onBuilt` tells the
+    * caller whether THIS call produced it (false = loaded/lost race).
+    */
+  def resolve(spark: SparkSession, assetId: String,
+      build: String => Unit, onBuilt: Boolean => Unit = _ => ()): String = {
+    val root = warehouse(spark)
+    val assetDir = s"$root/$assetId"
+    if (committed(spark, assetDir)) { onBuilt(false); return assetDir }
+    val fs = fsFor(spark, root)
+    val staging = s"$root/.build_${java.util.UUID.randomUUID().toString.take(12)}"
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    val aPath = new org.apache.hadoop.fs.Path(assetDir)
+    fs.mkdirs(sPath)
+    try {
+      build(staging)
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, Marker), true)
+      try out.write(Array.emptyByteArray) finally out.close()
+      if (!fs.exists(aPath) && fs.rename(sPath, aPath)) { onBuilt(true); assetDir }
+      else if (committed(spark, assetDir)) { // lost the race: serve the winner
+        fs.delete(sPath, true); onBuilt(false); assetDir
+      } else sys.error(s"could not publish asset at $assetDir")
+    } catch {
+      case t: Throwable => fs.delete(sPath, true); throw t
+    }
+  }
+}

@@ -784,50 +784,11 @@ object Similarity {
     */
   private[graft] val pqTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** On-disk asset layout version: part of the content address, so an
-    * asset written by an older layout is simply never found by newer
-    * code (no migration logic, no stale-format reads).
+  /** On-disk asset layout version (shared store): part of the content
+    * address, so an asset written by an older layout is simply never
+    * found by newer code (no migration logic, no stale-format reads).
     */
-  private val IndexFormatVersion = 1
-
-  /** Root directory for durable index assets. Resolution order:
-    * session conf `spark.graft.index.dir` (the test/ops override), env
-    * `GRAFT_INDEX_DIR`, else `<spark.sql.warehouse.dir>/graft_index` —
-    * warehouse-relative, so the asset lives NEXT TO the tables it
-    * indexes and every session over the same warehouse shares it.
-    */
-  private def indexWarehouse(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.index.dir")
-      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
-      .getOrElse {
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val base =
-          if (wh.startsWith("file:")) new java.net.URI(wh).getPath
-          else wh
-        base.stripSuffix("/") + "/graft_index"
-      }
-
-  /** Content address of a corpus: digest of the embeddings table's file
-    * listing (name, length, mtime) — footer-level metadata, no data
-    * scan. A corpus rebuild changes the listing, so a stale index can
-    * never be served for refreshed data; identical data re-listed gives
-    * the identical address, so nothing retrains.
-    */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (fs.exists(p)) {
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        entries += s"${f.getPath.getName}|${f.getLen}|${f.getModificationTime}"
-      }
-    } else entries += s"absent|$p"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString.take(16)
-  }
+  private val IndexFormatVersion = graft.engine.AssetStore.FormatVersion
 
   private def writeCodes(wide: DataFrame, dest: String, partCol: Option[String]): String = {
     val w = wide.write.mode("overwrite")
@@ -963,31 +924,22 @@ object Similarity {
   private def loadOrBuild(spark: SparkSession, kind: String, dir: String,
       m: Int, k: Int, scale: Int, nlist: Int,
       build: String => PqIndexModel): PqIndexModel = {
-    val fp = corpusFingerprint(spark, dir)
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
     val ivfTag = if (kind == "ivf") s"_n$nlist" else ""
-    val root = indexWarehouse(spark)
-    val assetDir = s"$root/${kind}_m${m}_k${k}_s$scale${ivfTag}_v${IndexFormatVersion}_$fp"
-    val hPath = new org.apache.hadoop.fs.Path(assetDir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def manifest = new org.apache.hadoop.fs.Path(assetDir, "manifest.json")
-    if (fs.exists(manifest)) loadIndex(spark, assetDir, m, k, scale)
-    else {
-      val staging = s"$root/.build_${java.util.UUID.randomUUID().toString.take(12)}"
-      val sPath = new org.apache.hadoop.fs.Path(staging)
-      fs.mkdirs(sPath)
-      try {
-        val idx = build(s"$staging/codes")
-        writeModel(spark, idx, staging)
-        writeManifest(fs, staging, kind, idx, fp)
-        if (!fs.exists(hPath) && fs.rename(sPath, hPath))
-          idx.copy(codesPath = s"$assetDir/codes")
-        else if (fs.exists(manifest)) { // lost the race: serve the winner
-          fs.delete(sPath, true)
-          loadIndex(spark, assetDir, m, k, scale)
-        } else sys.error(s"could not publish PQ index asset at $assetDir")
-      } catch {
-        case t: Throwable => fs.delete(sPath, true); throw t
-      }
+    val assetId = s"${kind}_m${m}_k${k}_s$scale${ivfTag}_v${IndexFormatVersion}_$fp"
+    var built: Option[PqIndexModel] = None
+    val assetDir = graft.engine.AssetStore.resolve(spark, assetId, staging => {
+      val idx = build(s"$staging/codes")
+      writeModel(spark, idx, staging)
+      writeManifest(
+        new org.apache.hadoop.fs.Path(staging)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        staging, kind, idx, fp)
+      built = Some(idx)
+    })
+    built match {
+      case Some(idx) => idx.copy(codesPath = s"$assetDir/codes")
+      case None      => loadIndex(spark, assetDir, m, k, scale)
     }
   }
 

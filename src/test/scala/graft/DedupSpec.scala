@@ -65,6 +65,30 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.incrementalBloom(docs, 10L)))
   }
 
+  test("n-gram corpus assets are durable: a fresh JVM loads instead of rebuilding") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ngram_asset_spec").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    try {
+      Dedup.dropInMemoryNgramTables()
+      val idx1 = Dedup.corpusNgramIndex(spark, sf).orderBy("doc_id")
+        .select("doc_id", "n").as[(Long, Int)].collect().toSeq
+      val df1 = Dedup.corpusGramDf(spark, sf).count()
+      val builds = Dedup.ngramAssetBuilds.get()
+      assert(builds >= 2, "both assets must have been built into the fresh warehouse")
+      // "new JVM": drop the in-memory paths; resolution must LOAD
+      Dedup.dropInMemoryNgramTables()
+      val idx2 = Dedup.corpusNgramIndex(spark, sf).orderBy("doc_id")
+        .select("doc_id", "n").as[(Long, Int)].collect().toSeq
+      val df2 = Dedup.corpusGramDf(spark, sf).count()
+      assert(Dedup.ngramAssetBuilds.get() == builds,
+        "fresh-JVM resolution must load the published asset, not rebuild")
+      assert(idx2 == idx1 && df2 == df1, "loaded assets must be identical")
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      Dedup.dropInMemoryNgramTables()
+    }
+  }
+
   test("exact dedup keeps one row per duplicated content, min id wins") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text")
