@@ -260,11 +260,10 @@ object Curation {
         col("passes").as("gopher_pass"))
     val rep = TextAnalysis.repetition(docs)
       .select("doc_id", "max_tok_freq", "rep3_ratio")
-    // staged: the perplexity result joins lazily into THIS plan and the
-    // bigram stage is handed off at the annotate boundary — one action
-    // for the whole composition
-    val (ppl0, pplStage) = TextAnalysis.perplexityStaged(docs)
-    val ppl = ppl0.select("doc_id", "mean_nll_q")
+    // the window-derived perplexity tree is fully lazy (no persisted
+    // stage, no handoff), so the whole composition is ONE action with
+    // nothing to release at the boundary
+    val ppl = TextAnalysis.perplexity(docs).select("doc_id", "mean_nll_q")
     val out = base
       .join(rep, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
@@ -279,7 +278,7 @@ object Curation {
           lit(false)))
       .select("doc_id", "n_tokens", "pred_lang", "ttr", "max_tok_freq",
         "rep3_ratio", "gopher_pass", "mean_nll_q", "keep")
-    graft.engine.Caching.handoff(out, pplStage)
+    out
   }
 
   /** Driver query: annotate the raw corpus. gopherMinStopHits = 1 for

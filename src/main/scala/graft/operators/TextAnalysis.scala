@@ -959,15 +959,15 @@ object TextAnalysis {
     * exact-int / exact-int double division, bit-identical everywhere.
     *
     * 100 TB shape: per-doc bigram multiplicities (one map-side-combined
-    * shuffle keyed (doc_id, bigram)), the model built FROM those rows
-    * (bigram totals + context totals: two more aggregations over
-    * model-sized, not corpus-sized, data; V is a 1-row scalar broadcast
-    * via crossJoin), scoring as a shuffle join keyed on the bigram
-    * (both sides high-cardinality — broadcast is impossible at scale
-    * and unnecessary: the key spreads evenly), then one exact-int sum
-    * keyed doc_id. No window, no collect, no all-pairs anything.
-    * Docs with fewer than 2 tokens have no bigrams and are absent from
-    * the output by construction.
+    * shuffle keyed (doc_id, bigram)), the model derived IN-LINE from
+    * those same rows by two whole-partition window totals (cbg over the
+    * bigram, cu over its context prefix; V is a 1-row scalar broadcast
+    * via crossJoin), then one exact-int sum keyed doc_id. The corpus
+    * text is scanned exactly twice — bigrams once, vocabulary once, the
+    * semantic minimum — and nothing is persisted; every exchange after
+    * the first carries skinny (doc_id, bg, m) rows. No collect, no
+    * all-pairs anything. Docs with fewer than 2 tokens have no bigrams
+    * and are absent from the output by construction.
     */
   def perplexity(docs: DataFrame): DataFrame = {
     // ONE-ACTION standalone path, windows instead of self-joins: the
@@ -1003,41 +1003,6 @@ object TextAnalysis {
         col("nll_q").cast("double") / col("n_bigrams").cast("double"))
   }
 
-  /** [[perplexity]] before its cache handoff: (lazy result, persisted
-    * bigram stage). A composing operator ([[Curation.docAnnotate]])
-    * folds the result into ITS plan and hands the stage off at its own
-    * boundary — one action for the whole composition instead of an
-    * eager materialization per component.
-    */
-  private[operators] def perplexityStaged(docs: DataFrame): (DataFrame, DataFrame) = {
-    // per-doc bigram multiplicities: the one corpus-sized shuffle,
-    // reused by the model build AND the scoring join; the CALLER must
-    // release it (Caching.handoff) once its small result materializes
-    val docBg = docs
-      .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("m"))
-      .persist()
-    (scoredFromDocBg(docBg, docs), docBg)
-  }
-
-  /** Model-build + scoring tree over an already-aggregated per-doc
-    * bigram frame — the shared tail of [[perplexity]] (exchange-reuse
-    * path) and [[perplexityStaged]] (persisted handoff path).
-    */
-  private def scoredFromDocBg(docBg: DataFrame, docs: DataFrame): DataFrame = {
-    val bgTotals = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cbg"))
-    val model = modelFromCounts(bgTotals, vocabOf(docs))
-    docBg
-      .join(model, Seq("bg"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("m")).as("n_bigrams"),
-        (-sum(col("m") * col("lnp_q"))).as("nll_q"))
-      .withColumn("mean_nll_q",
-        col("nll_q").cast("double") / col("n_bigrams").cast("double"))
-  }
-
   /** Corpus vocabulary size as a 1-row frame (broadcast scalar). */
   private def vocabOf(docs: DataFrame): DataFrame =
     docs
@@ -1045,9 +1010,8 @@ object TextAnalysis {
       .agg(countDistinct(col("tok")).as("v"))
 
   /** The ONE copy of the add-one-smoothed quantized lnP formula, shared
-    * by self-scoring ([[perplexity]] / [[perplexityStaged]]) and
-    * frozen-model scoring ([[perplexityModel]]) — and mirrored by the
-    * DuckDB oracles.
+    * by self-scoring ([[perplexity]]) and frozen-model scoring
+    * ([[perplexityModel]]) — and mirrored by the DuckDB oracles.
     */
   private def lnpQ(cbg: Column, cu: Column, v: Column): Column =
     floor(log((cbg + 1).cast("double") / (cu + v).cast("double")) * 10000.0 + 0.5)

@@ -13,6 +13,39 @@ import graft.streaming.EventStream
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("events ts-variant adaptivity: a nanos-long events table streams identically to batch") {
+    // synthesize the TIMESTAMP(NANOS) variant as it reaches the engine:
+    // ts on disk is an int64 of epoch nanos (what nanosAsLong decodes
+    // the real nanos files to) — the stream must sniff this and agree
+    // with Tables.events instead of failing on a hard-pinned NTZ schema
+    val dir = Files.createTempDirectory("graft_nanos_events").toString
+    val base = 1700000000L * 1000000000L
+    val rows = Seq(
+      (1L, base + 1500L, 10L, "click", 1.0, """{"k":1}"""),
+      (2L, base + 2L * 3600L * 1000000000L + 999L, 11L, "purchase", 2.0, """{"k":2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the corpus ships events.parquet as a single FILE (the stream's
+    // pathGlobFilter matches file names) — write then move the part file
+    val scratch = Files.createTempDirectory("graft_nanos_scratch").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = Tables.events(spark, dir)
+      .select("event_id", "ts", "ts_ns")
+      .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._1).toSeq
+    // sub-microsecond nanos survive in ts_ns exactly
+    assert(batch.map(_._3) ==
+      Seq(base + 1500L, base + 2L * 3600L * 1000000000L + 999L))
+    val ckpt = Files.createTempDirectory("graft_nanos_ckpt").toString
+    EventStream.runAvailableNow(
+      EventStream.readEvents(spark, dir).select("event_id", "ts", "ts_ns"),
+      "nanos_events_test", ckpt, OutputMode.Append)
+    val streamed = spark.table("nanos_events_test")
+      .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream/batch ts divergence: $streamed vs $batch")
+  }
+
   test("windowed counts stream converges to the batch twin") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val stream = EventStream.readEvents(spark, sf)
