@@ -1133,30 +1133,44 @@ object Similarity {
     * queries) runs thousands of queries, which only this shape serves.
     * Handles zero queries natively (empty join side -> empty result).
     */
-  def annPqJoined(queries: DataFrame, idx: PqIndexModel, kTop: Int): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    val spark = queries.sparkSession
-    val (m, k, dsub) = (idx.m, idx.k, idx.dsub)
-    // dense code -> centroid table per subspace (absent codes keep a
-    // zero centroid; they never appear in the code columns, so that LUT
-    // slot is never read — same convention as the literal path)
-    val denseCb: IndexedSeq[Seq[Seq[Long]]] = (0 until m).map { s =>
-      val dense = Array.fill(k)(Seq.fill(dsub)(0L))
+  /** Dense code -> centroid table per subspace (absent codes keep a
+    * zero centroid; they never appear in the code columns, so that LUT
+    * slot is never read — same convention as the literal path).
+    */
+  private def denseCodebooks(idx: PqIndexModel): IndexedSeq[Seq[Seq[Long]]] =
+    (0 until idx.m).map { s =>
+      val dense = Array.fill(idx.k)(Seq.fill(idx.dsub)(0L))
       idx.codebooks(s).foreach { case (c, qc) => dense(c) = qc }
       dense.toSeq
     }
-    val luts = queries
+
+  /** Data-plane query quantization (the [[collectQueries]] twin). */
+  private def quantizedQueries(queries: DataFrame, scale: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    queries
       .filter(col("q_vec").isNotNull)
       .select(
         col("query_id"),
         transform(col("q_vec"), e =>
-          coalesce(floor(e.cast(DoubleType) * idx.scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
-      .select(
-        col("query_id"),
-        array((0 until m).map { s =>
-          transform(typedLit(denseCb(s)),
-            c => vec.sqDistLong(slice(col("qq"), s * dsub + 1, dsub), c))
-        }: _*).as("luts"))
+          coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
+  }
+
+  /** Per-subspace LUT array column over `vecCol` vs the dense
+    * codebooks: `luts(s)(c) = sqDist(vecCol[s*dsub..], codebook(s)(c))`.
+    */
+  private def lutArrays(idx: PqIndexModel, vecCol: Column): Column = {
+    val denseCb = denseCodebooks(idx)
+    array((0 until idx.m).map { s =>
+      transform(typedLit(denseCb(s)),
+        c => vec.sqDistLong(slice(vecCol, s * idx.dsub + 1, idx.dsub), c))
+    }: _*)
+  }
+
+  def annPqJoined(queries: DataFrame, idx: PqIndexModel, kTop: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = idx.m
+    val luts = quantizedQueries(queries, idx.scale)
+      .select(col("query_id"), lutArrays(idx, col("qq")).as("luts"))
     val adc = (0 until m)
       .map(s => element_at(element_at(col("luts"), s + 1), col(s"__cf$s") + 1))
       .reduce(_ + _)
@@ -1216,6 +1230,55 @@ object Similarity {
       .select(col("vec_id"), explode(dispatch).as("e"))
       .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
       .filter(col("query_id") =!= col("vec_id"))
+    topKAdc(scored, kTop)
+  }
+
+  /** Large-batch IVFADC: [[annIvfPqIndexed]]'s integer math with every
+    * per-query stage moved INTO THE DATA PLANE — the query-count-
+    * independent half of the IVF family, completing the literal/joined
+    * matrix ([[annPqIndexed]]/[[annPqJoined]] for flat PQ, this pair
+    * for IVFADC).
+    *
+    * Per query row: quantize, rank the coarse centroids (one
+    * `array_sort` over an nlist-entry struct array — lexicographic
+    * (dist, cid), the SAME smallest-cid tiebreak as the driver loop),
+    * keep the first `nprobe`, explode to (query, probed cid) rows,
+    * derive the cell residual and its m × k LUT arrays. The plan
+    * carries one coarse-centroid copy and one codebook copy per
+    * subspace — independent of the batch size.
+    *
+    * Scoring is a broadcast EQUI-join on `cid` (queries × nprobe rows
+    * broadcast), so a code row meets exactly the queries probing its
+    * cell — the join key IS the inverted-list lookup. Against the
+    * cid-partitioned code table, runtime dynamic partition pruning
+    * drops un-probed cells at the scan when the probed set is sparse;
+    * the literal path keeps the static `IN` guarantee for O(100)
+    * batches.
+    */
+  def annIvfPqJoined(
+      queries: DataFrame, idx: PqIndexModel, nprobe: Int, kTop: Int): DataFrame = {
+    val spark = queries.sparkSession
+    require(idx.isIvf, "annIvfPqJoined needs an IVF index (build with ivfPqIndex)")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val m = idx.m
+    val centsLit = typedLit(idx.coarse.map(_.toSeq))
+    val probed = quantizedQueries(queries, idx.scale)
+      .withColumn("probed",
+        slice(array_sort(zip_with(centsLit, sequence(lit(0), lit(idx.coarse.size - 1)),
+          (c, i) => struct(vec.sqDistLong(col("qq"), c).as("dist"), i.as("cid")))),
+          1, math.min(nprobe, idx.coarse.size)))
+      .select(col("query_id"), col("qq"), explode(col("probed.cid")).as("cid"))
+    val luts = probed
+      .withColumn("qr",
+        zip_with(col("qq"), element_at(centsLit, col("cid") + 1), (a, b) => a - b))
+      .select(col("query_id"), col("cid"), lutArrays(idx, col("qr")).as("luts"))
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), col(s"__cf$s") + 1))
+      .reduce(_ + _)
+    val scored = idx.codes(spark)
+      .join(broadcast(luts), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
     topKAdc(scored, kTop)
   }
 
@@ -1330,6 +1393,20 @@ object Similarity {
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     annIvfPqIndexed(queries, ivfPqIndex(spark, dir, nlist = 16, m = 16, k = 16),
+      nprobe = 4, kTop = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver query: the SAME query set through the large-batch joined
+    * IVFADC path — by construction it must hash-match ann_ivfpq's
+    * oracle (identical integer math, different physical plan).
+    */
+  def annIvfPqJoinedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annIvfPqJoined(queries, ivfPqIndex(spark, dir, nlist = 16, m = 16, k = 16),
       nprobe = 4, kTop = 5)
       .orderBy("query_id", "rank")
   }

@@ -234,6 +234,36 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("annIvfPqJoined: large batch agrees with the literal IVFADC path on the shared prefix") {
+    val idx = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
+    // replicate corpus vectors under fresh query ids -> >1000 queries
+    val big = (0 until 3).map(r =>
+      emb.select((col("vec_id") + lit(r * 10000L)).as("query_id"), col("embedding").as("q_vec")))
+      .reduce(_.unionAll(_))
+    assert(big.count() >= 1000)
+    val joined = Similarity.annIvfPqJoined(big, idx, nprobe = 4, kTop = 5)
+      .filter(col("query_id") < 16)
+      .orderBy("query_id", "rank").collect()
+    val literal = Similarity.annIvfPqIndexed(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      idx, nprobe = 4, kTop = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(joined.sameElements(literal),
+      "joined IVFADC must equal literal IVFADC on the shared queries")
+    // full probe agrees too (coarse ranking covers every cell)
+    val jFull = Similarity.annIvfPqJoined(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      idx, nprobe = 8, kTop = 5).orderBy("query_id", "rank").collect()
+    val lFull = Similarity.annIvfPqIndexed(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      idx, nprobe = 8, kTop = 5).orderBy("query_id", "rank").collect()
+    assert(jFull.sameElements(lFull))
+    spark.catalog.clearCache()
+  }
+
   test("empty query set degenerates to an empty result, not an error") {
     val idx = Similarity.pqIndex(spark, sf, m = M, k = K)
     val none = emb.filter(lit(false))
@@ -242,6 +272,7 @@ class PqSpec extends SparkSpec {
     assert(Similarity.annPqJoined(none, idx, kTop = 5).count() == 0)
     val ivf = Similarity.ivfPqIndex(spark, sf, nlist = 8, m = M, k = K)
     assert(Similarity.annIvfPqIndexed(none, ivf, nprobe = 2, kTop = 5).count() == 0)
+    assert(Similarity.annIvfPqJoined(none, ivf, nprobe = 2, kTop = 5).count() == 0)
     spark.catalog.clearCache()
   }
 
