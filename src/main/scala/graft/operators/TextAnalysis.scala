@@ -236,27 +236,34 @@ object TextAnalysis {
     * The per-doc ranking window is scale-safe HERE because its group is
     * one doc's vocabulary (bounded by doc length) — never a corpus-wide
     * partition; the corpus-size work is the tf aggregation (one shuffle
-    * on (doc, term), map-side combined) and the df join (one shuffle on
-    * term).
+    * on (doc, term), map-side combined) and the per-term df window (one
+    * more exchange of the same skinny rows).
+    *
+    * One-action shape (the [[perplexity]] pattern): df is a
+    * whole-partition window total over the tf rows — (doc, term) is
+    * unique after the aggregate, so `count(*) over (partition by term)`
+    * IS the document frequency — and N comes from one extra narrow scan
+    * of the corpus, so nothing persists, nothing is eagerly counted,
+    * and the tokenize+aggregate runs exactly once.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // feeds three consumers (df counts, N, the scored join): persist or
-      // recompute the tokenize+aggregate three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    // docs with >= 1 token, exactly countDistinct(doc_id) over tf
+    val n = docs
+      .filter(size(text.tokens(col("text"))) > 0)
+      .agg(countDistinct(col("doc_id")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    val out = tf.join(dft, "term")
+    tf
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "score")
-    graft.engine.Caching.handoff(out, tf)
   }
 
   def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
