@@ -1,0 +1,98 @@
+package graft
+
+import graft.engine.AssetStore
+
+/** Publish/load lifecycle of the durable corpus-asset store: commit
+  * marker semantics, build-failure cleanup, and the pre-published
+  * short-circuit (the crash/race contracts the PQ and n-gram assets
+  * rely on).
+  */
+class AssetStoreSpec extends SparkSpec {
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    try f(root) finally spark.conf.unset("spark.graft.index.dir")
+  }
+
+  test("resolve publishes atomically: content lands with the commit marker") {
+    withRoot { root =>
+      var built = 0
+      val dir = AssetStore.resolve(spark, "spec_a", staging => {
+        built += 1
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "data.txt"), "payload")
+      })
+      assert(built == 1 && dir == s"$root/spec_a")
+      assert(AssetStore.committed(spark, dir))
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "data.txt")) == "payload")
+      // no staging residue
+      assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith(".build_")))
+    }
+  }
+
+  test("a published asset short-circuits: the builder is never invoked again") {
+    withRoot { _ =>
+      AssetStore.resolve(spark, "spec_b", staging =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "x"))
+      var calls = 0
+      val dir2 = AssetStore.resolve(spark, "spec_b", _ => calls += 1)
+      assert(calls == 0, "existing committed asset must be served, not rebuilt")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dir2, "d")) == "x")
+    }
+  }
+
+  test("a failing build cleans its staging directory and publishes nothing") {
+    withRoot { root =>
+      intercept[RuntimeException] {
+        AssetStore.resolve(spark, "spec_c", staging => {
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "half"), "torn")
+          sys.error("builder died mid-write")
+        })
+      }
+      assert(!AssetStore.committed(spark, s"$root/spec_c"))
+      assert(!new java.io.File(s"$root/spec_c").exists(), "nothing may be published")
+      assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith(".build_")),
+        "staging residue must be deleted on failure")
+      // and the NEXT resolve builds cleanly
+      var built = 0
+      AssetStore.resolve(spark, "spec_c", staging => {
+        built += 1
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "ok")
+      })
+      assert(built == 1)
+    }
+  }
+
+  test("an UNCOMMITTED directory at the asset path is not served (marker is the contract)") {
+    withRoot { root =>
+      // simulate a torn publish from a crashed process: dir exists, no marker
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "spec_d"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(root, "spec_d", "half"), "torn")
+      assert(!AssetStore.committed(spark, s"$root/spec_d"))
+      // resolve must refuse to serve it; with the path occupied and
+      // uncommitted it errors loudly rather than reading torn data
+      intercept[RuntimeException] {
+        AssetStore.resolve(spark, "spec_d", staging =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "new"))
+      }
+    }
+  }
+
+  test("corpusFingerprint changes with content and is stable under re-listing") {
+    withRoot { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "t.parquet"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t.parquet", "f1"), "aaa")
+      val fp1 = AssetStore.corpusFingerprint(spark, dir, "t.parquet")
+      val fp1b = AssetStore.corpusFingerprint(spark, dir, "t.parquet")
+      assert(fp1 == fp1b, "same listing -> same address")
+      assert(fp1.length == 16)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t.parquet", "f2"), "bb")
+      val fp2 = AssetStore.corpusFingerprint(spark, dir, "t.parquet")
+      assert(fp1 != fp2, "a corpus rebuild must change the address")
+      // absent table still fingerprints (distinctly), never throws
+      val fpAbsent = AssetStore.corpusFingerprint(spark, dir, "missing.parquet")
+      assert(fpAbsent != fp2)
+    }
+  }
+}
