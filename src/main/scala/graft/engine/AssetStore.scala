@@ -37,12 +37,20 @@ object AssetStore {
     */
   private val Marker = "_GRAFT_COMMITTED"
 
+  // one fallback root per JVM for environments whose warehouse path is
+  // not creatable (read-only cwd): durability degrades to JVM-lifetime
+  // with a logged warning instead of failing every asset consumer
+  private lazy val tmpFallbackRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_index_fallback").toString
+
   /** Root directory for durable assets. Resolution order: session conf
     * `spark.graft.index.dir` (the test/ops override), env
-    * `GRAFT_INDEX_DIR`, else `<spark.sql.warehouse.dir>/graft_index`.
+    * `GRAFT_INDEX_DIR`, else `<spark.sql.warehouse.dir>/graft_index`;
+    * an un-creatable root falls back to a per-JVM temp directory
+    * (loudly — assets are then caches, not durable).
     */
-  def warehouse(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.index.dir")
+  def warehouse(spark: SparkSession): String = {
+    val configured = spark.conf.getOption("spark.graft.index.dir")
       .orElse(sys.env.get("GRAFT_INDEX_DIR"))
       .getOrElse {
         val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -51,6 +59,18 @@ object AssetStore {
           else wh
         base.stripSuffix("/") + "/graft_index"
       }
+    try {
+      if (fsFor(spark, configured).mkdirs(new org.apache.hadoop.fs.Path(configured)))
+        configured
+      else sys.error("mkdirs returned false")
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"asset warehouse $configured is not creatable (${e.getMessage}); " +
+            s"falling back to JVM-lifetime $tmpFallbackRoot — assets will not survive this JVM")
+        tmpFallbackRoot
+    }
+  }
 
   /** Content address of one corpus table: digest of its file listing
     * (name, length, mtime) — footer-level metadata, no data scan. A

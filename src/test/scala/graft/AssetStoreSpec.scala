@@ -78,6 +78,18 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("an un-creatable warehouse falls back to a JVM temp root instead of failing") {
+    // parent is a FILE, so the configured root can never be created
+    val blocker = java.nio.file.Files.createTempFile("graft_block", "").toString
+    spark.conf.set("spark.graft.index.dir", blocker + "/sub")
+    try {
+      val dir = AssetStore.resolve(spark, "spec_fb", staging =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "x"))
+      assert(AssetStore.committed(spark, dir), "fallback root must still publish")
+      assert(!dir.startsWith(blocker), "must not claim the un-creatable root")
+    } finally spark.conf.unset("spark.graft.index.dir")
+  }
+
   test("corpusFingerprint changes with content and is stable under re-listing") {
     withRoot { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
