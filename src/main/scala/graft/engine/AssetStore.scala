@@ -104,6 +104,38 @@ object AssetStore {
     fs.exists(new org.apache.hadoop.fs.Path(path, Marker))
   }
 
+  /** Garbage-collect the warehouse: delete (a) committed assets whose
+    * trailing content fingerprint matches none of the given corpora's
+    * CURRENT fingerprints (their corpus was rebuilt — the address can
+    * never be served again), (b) assets of an older `FormatVersion`
+    * (never addressed by this code), and (c) torn `.build_*` staging
+    * directories left by crashed builders. Never touches an address
+    * that is still reachable. Returns the deleted directory names.
+    *
+    * This is the maintenance half of the content-addressed contract:
+    * publication never overwrites, so reclamation is an explicit,
+    * always-safe sweep a deployment runs after corpus rebuilds.
+    */
+  def gcStale(spark: SparkSession, corpora: Seq[(String, String)]): Seq[String] = {
+    val root = warehouse(spark)
+    val fs = fsFor(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val live = corpora.map { case (dir, table) => corpusFingerprint(spark, dir, table) }.toSet
+    val addressed = raw"_v(\d+)_([0-9a-f]{16})$$".r.unanchored
+    fs.listStatus(rootPath).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val stale =
+        if (!st.isDirectory) false
+        else if (name.startsWith(".build_")) true // torn staging
+        else name match {
+          case addressed(v, fp) => v.toInt != FormatVersion || !live.contains(fp)
+          case _                => false // not ours; never touch
+        }
+      if (stale && fs.delete(st.getPath, true)) Some(name) else None
+    }
+  }
+
   /** Resolve `assetId` under the warehouse: serve the published asset
     * if present, else run `build` against a staging directory and
     * publish it. Returns the asset's directory; `onBuilt` tells the

@@ -90,6 +90,33 @@ class AssetStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.dir")
   }
 
+  test("gcStale sweeps rebuilt-corpus assets, old formats and torn staging; keeps live addresses") {
+    withRoot { root =>
+      // a fake corpus whose fingerprint anchors the LIVE asset
+      val corpus = java.nio.file.Files.createTempDirectory("graft_gc_corpus").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpus, "t.parquet"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(corpus, "t.parquet", "f"), "v1")
+      val fp = AssetStore.corpusFingerprint(spark, corpus, "t.parquet")
+      def publish(id: String): Unit = AssetStore.resolve(spark, id, staging =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "x"))
+      val v = AssetStore.FormatVersion
+      publish(s"live_k3_v${v}_$fp")
+      publish(s"stale_k3_v${v}_${"0" * 16}")   // fingerprint of a rebuilt corpus
+      publish(s"oldfmt_k3_v${v - 1}_$fp")      // older layout version
+      publish("unaddressed_misc")              // no address suffix: never touched
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, ".build_torn"))
+      val deleted = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet")).sorted
+      assert(deleted == Seq(".build_torn", s"oldfmt_k3_v${v - 1}_$fp", s"stale_k3_v${v}_${"0" * 16}"),
+        s"unexpected sweep set: $deleted")
+      assert(AssetStore.committed(spark, s"$root/live_k3_v${v}_$fp"), "live asset must survive")
+      assert(new java.io.File(s"$root/unaddressed_misc").exists, "non-addressed dirs are not ours to delete")
+      // corpus rebuild: the previously-live asset becomes sweepable
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(corpus, "t.parquet", "f2"), "v2")
+      val deleted2 = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet"))
+      assert(deleted2 == Seq(s"live_k3_v${v}_$fp"))
+    }
+  }
+
   test("corpusFingerprint changes with content and is stable under re-listing") {
     withRoot { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
