@@ -107,10 +107,16 @@ object AssetStore {
   /** Garbage-collect the warehouse: delete (a) committed assets whose
     * trailing content fingerprint matches none of the given corpora's
     * CURRENT fingerprints (their corpus was rebuilt — the address can
-    * never be served again), (b) assets of an older `FormatVersion`
-    * (never addressed by this code), and (c) torn `.build_*` staging
-    * directories left by crashed builders. Never touches an address
-    * that is still reachable. Returns the deleted directory names.
+    * never be served again), (b) assets of an OLDER `FormatVersion`
+    * (never addressed by this code; NEWER versions are kept — a
+    * rolling upgrade may be serving them), (c) addressed directories
+    * without a commit marker (a torn publish on a non-atomic-rename
+    * filesystem: un-servable, and left in place it would wedge its
+    * address — `resolve` refuses both to read and to overwrite it),
+    * and (d) torn `.build_*` staging directories left by crashed
+    * builders. Never touches a committed live address or a directory
+    * that doesn't carry the store's address suffix. Returns the
+    * deleted directory names.
     *
     * This is the maintenance half of the content-addressed contract:
     * publication never overwrites, so reclamation is an explicit,
@@ -129,8 +135,11 @@ object AssetStore {
         if (!st.isDirectory) false
         else if (name.startsWith(".build_")) true // torn staging
         else name match {
-          case addressed(v, fp) => v.toInt != FormatVersion || !live.contains(fp)
-          case _                => false // not ours; never touch
+          case addressed(v, fp) =>
+            v.toInt < FormatVersion ||
+              (v.toInt == FormatVersion &&
+                (!live.contains(fp) || !committed(spark, st.getPath.toString)))
+          case _ => false // not ours; never touch
         }
       if (stale && fs.delete(st.getPath, true)) Some(name) else None
     }

@@ -260,9 +260,9 @@ object Curation {
         col("passes").as("gopher_pass"))
     val rep = TextAnalysis.repetition(docs)
       .select("doc_id", "max_tok_freq", "rep3_ratio")
-    // the window-derived perplexity tree is fully lazy (no persisted
-    // stage, no handoff), so the whole composition is ONE action with
-    // nothing to release at the boundary
+    // the perplexity tree is fully lazy (no persisted stage, no
+    // handoff), so the whole composition is ONE action with nothing to
+    // release at the boundary
     val ppl = TextAnalysis.perplexity(docs).select("doc_id", "mean_nll_q")
     val out = base
       .join(rep, Seq("doc_id"), "left")

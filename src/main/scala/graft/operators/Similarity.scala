@@ -928,6 +928,7 @@ object Similarity {
     val ivfTag = if (kind == "ivf") s"_n$nlist" else ""
     val assetId = s"${kind}_m${m}_k${k}_s$scale${ivfTag}_v${IndexFormatVersion}_$fp"
     var built: Option[PqIndexModel] = None
+    var published = false
     val assetDir = graft.engine.AssetStore.resolve(spark, assetId, staging => {
       val idx = build(s"$staging/codes")
       writeModel(spark, idx, staging)
@@ -936,10 +937,15 @@ object Similarity {
           .getFileSystem(spark.sparkContext.hadoopConfiguration),
         staging, kind, idx, fp)
       built = Some(idx)
-    })
+    }, onBuilt = published = _)
     built match {
-      case Some(idx) => idx.copy(codesPath = s"$assetDir/codes")
-      case None      => loadIndex(spark, assetDir, m, k, scale)
+      // only pair the in-memory model with the codes directory OUR
+      // build published; a builder that LOST the publish race must load
+      // the winner's model — pairing our codebooks with the winner's
+      // code table is only safe while training is deterministic, and
+      // that coupling should not be load-bearing
+      case Some(idx) if published => idx.copy(codesPath = s"$assetDir/codes")
+      case _                      => loadIndex(spark, assetDir, m, k, scale)
     }
   }
 

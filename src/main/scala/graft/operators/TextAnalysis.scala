@@ -236,29 +236,30 @@ object TextAnalysis {
     * The per-doc ranking window is scale-safe HERE because its group is
     * one doc's vocabulary (bounded by doc length) — never a corpus-wide
     * partition; the corpus-size work is the tf aggregation (one shuffle
-    * on (doc, term), map-side combined) and the per-term df window (one
-    * more exchange of the same skinny rows).
+    * on (doc, term), map-side combined) and the df join (term-keyed —
+    * a genuinely hot term is AQE-skew-splittable, which is why df is
+    * NOT a per-term window total: a window partition cannot be split,
+    * so a stopword would serialize into one straggler task).
     *
-    * One-action shape (the [[perplexity]] pattern): df is a
-    * whole-partition window total over the tf rows — (doc, term) is
-    * unique after the aggregate, so `count(*) over (partition by term)`
-    * IS the document frequency — and N comes from one extra narrow scan
-    * of the corpus, so nothing persists, nothing is eagerly counted,
-    * and the tokenize+aggregate runs exactly once.
+    * One-action shape (the [[perplexity]] pattern): nothing persists
+    * and nothing is eagerly counted — the tf subtree is recomputed by
+    * its two consumers (df and the scored join) and N comes from one
+    * extra narrow scan; three tokenize passes total, the price of
+    * keeping corpus-sized state out of executor caches.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // (doc, term) is unique after the aggregate, so count per term IS df
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // docs with >= 1 token, exactly countDistinct(doc_id) over tf
     val n = docs
       .filter(size(text.tokens(col("text"))) > 0)
       .agg(countDistinct(col("doc_id")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf
-      .withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    tf.join(dft, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -965,43 +966,33 @@ object TextAnalysis {
     * class as the ~2^-64 hash-collision contract). `mean_nll_q` is one
     * exact-int / exact-int double division, bit-identical everywhere.
     *
-    * 100 TB shape: per-doc bigram multiplicities (one map-side-combined
-    * shuffle keyed (doc_id, bigram)), the model derived IN-LINE from
-    * those same rows by two whole-partition window totals (cbg over the
-    * bigram, cu over its context prefix; V is a 1-row scalar broadcast
-    * via crossJoin), then one exact-int sum keyed doc_id. The corpus
-    * text is scanned exactly twice — bigrams once, vocabulary once, the
-    * semantic minimum — and nothing is persisted; every exchange after
-    * the first carries skinny (doc_id, bg, m) rows. No collect, no
-    * all-pairs anything. Docs with fewer than 2 tokens have no bigrams
-    * and are absent from the output by construction.
+    * 100 TB shape: per-doc bigram multiplicities (a map-side-combined
+    * shuffle keyed (doc_id, bigram) — evenly spread, hot bigrams
+    * collapse per-partition before the exchange), the model built FROM
+    * those rows (bigram totals + context totals: aggregations over
+    * model-sized, not corpus-sized, output; V is a 1-row scalar
+    * broadcast via crossJoin), scoring as a shuffle join keyed on the
+    * bigram (both sides high-cardinality; a genuinely hot bigram key is
+    * AQE-skew-splittable, which is why the model is NOT derived by
+    * per-key window totals — a window partition cannot be split, so a
+    * stopword bigram would serialize into one straggler task), then one
+    * exact-int sum keyed doc_id. No window over corpus-scale keys, no
+    * collect, no all-pairs anything. NOTHING persists and no eager
+    * action runs: the bigram subtree is recomputed by its consumers —
+    * up to three narrow scan+explode+partial-agg passes, the price of
+    * keeping corpus-sized state out of executor caches (measured
+    * cheaper than the r11 persist+eager-handoff at bench SF, and the
+    * scan is the cheap stage at any SF). Docs with fewer than 2 tokens
+    * have no bigrams and are absent from the output by construction.
     */
   def perplexity(docs: DataFrame): DataFrame = {
-    // ONE-ACTION standalone path, windows instead of self-joins: the
-    // r10→r11 staging item was that the handoff's eager count() paid
-    // the whole DAG once and the caller's action then paid the cache
-    // scan again. Deriving the model by WINDOW totals over the single
-    // (doc_id, bg, m) aggregate — cbg = sum over bg, cu = sum over the
-    // context prefix (every bigram with context u contributes its
-    // multiplicity, so the per-u window total IS cu) — keeps the plan a
-    // straight line: the corpus text is scanned exactly twice (bigrams
-    // once, vocab once — the semantic minimum, since V counts unigrams
-    // of bigram-less docs too), with no persist, no eager action, and
-    // no reliance on exchange reuse (measured: the join form's three
-    // docBg copies canonicalize differently once join-key predicates
-    // push down, so AQE cannot dedupe them). All window frames are
-    // whole-partition integer sums over skinny rows — same exact math,
-    // same oracle.
-    import org.apache.spark.sql.expressions.Window
-    val u = substring_index(col("bg"), " ", 1)
-    docs
+    val docBg = docs
       .select(col("doc_id"), explode(text.shingles(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("m"))
-      .withColumn("cbg", sum(col("m")).over(Window.partitionBy(col("bg"))))
-      .withColumn("cu", sum(col("m")).over(Window.partitionBy(u)))
-      .crossJoin(broadcast(vocabOf(docs)))
-      .withColumn("lnp_q", lnpQ(col("cbg"), col("cu"), col("v")))
+    val bgTotals = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cbg"))
+    docBg
+      .join(modelFromCounts(bgTotals, vocabOf(docs)), Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("m")).as("n_bigrams"),

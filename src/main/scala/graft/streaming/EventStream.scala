@@ -42,7 +42,13 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast is instant-preserving only in UTC
-    val onDiskTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // footer sniff is best-effort: declaring the stream BEFORE the
+    // first file lands (the normal file-stream pattern) falls back to
+    // the documented micros-NTZ default instead of failing at
+    // stream-definition time
+    val onDiskTs =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
     // file source requires a directory; glob-filter to the events table

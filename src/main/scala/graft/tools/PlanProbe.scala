@@ -16,7 +16,7 @@ object PlanProbe {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.exchangeReuseEnabled", sys.env.getOrElse("PROBE_REUSE", "true"))
+      .config("spark.sql.exchange.reuse", sys.env.getOrElse("PROBE_REUSE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -103,12 +103,20 @@ class AssetStoreSpec extends SparkSpec {
       publish(s"live_k3_v${v}_$fp")
       publish(s"stale_k3_v${v}_${"0" * 16}")   // fingerprint of a rebuilt corpus
       publish(s"oldfmt_k3_v${v - 1}_$fp")      // older layout version
+      publish(s"newer_k3_v${v + 1}_$fp")       // rolling upgrade: NOT ours to sweep
       publish("unaddressed_misc")              // no address suffix: never touched
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, ".build_torn"))
+      // torn publish at a LIVE address (non-atomic rename crash): dir
+      // present, no marker — must be swept or the address wedges
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, s"tornlive_k3_v${v}_$fp"))
       val deleted = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet")).sorted
-      assert(deleted == Seq(".build_torn", s"oldfmt_k3_v${v - 1}_$fp", s"stale_k3_v${v}_${"0" * 16}"),
+      assert(deleted == Seq(".build_torn", s"oldfmt_k3_v${v - 1}_$fp",
+        s"stale_k3_v${v}_${"0" * 16}", s"tornlive_k3_v${v}_$fp"),
         s"unexpected sweep set: $deleted")
       assert(AssetStore.committed(spark, s"$root/live_k3_v${v}_$fp"), "live asset must survive")
+      assert(new java.io.File(s"$root/newer_k3_v${v + 1}_$fp").exists,
+        "newer-format assets may be in use by upgraded nodes")
       assert(new java.io.File(s"$root/unaddressed_misc").exists, "non-addressed dirs are not ours to delete")
       // corpus rebuild: the previously-live asset becomes sweepable
       java.nio.file.Files.writeString(java.nio.file.Paths.get(corpus, "t.parquet", "f2"), "v2")

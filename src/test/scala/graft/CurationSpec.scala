@@ -159,7 +159,12 @@ class CurationSpec extends SparkSpec {
   test("mixPipeline plans exactly ONE ranged exchange (budget and packing share it)") {
     // budgetOver admits a PREFIX of each source's (__h, doc_id) order,
     // so packing reuses its cum_before: a second repartitionByRange in
-    // this plan means the shared-exchange contract regressed
+    // this plan means the shared-exchange contract regressed.
+    // clearCache first: a ranged stage persisted by ANOTHER suite over
+    // the same corpus would be substituted into one branch by the
+    // CacheManager and print as a second, distinct exchange id —
+    // cross-suite cache state must not decide this plan-shape assert
+    spark.catalog.clearCache()
     val out = Curation.mixPipeline(
       Tables.documents(spark, sf),
       Map("src0" -> 4000L, "src1" -> 1000L), defaultBudget = 2000L, minTokens = 12)
