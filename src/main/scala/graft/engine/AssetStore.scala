@@ -104,42 +104,49 @@ object AssetStore {
     fs.exists(new org.apache.hadoop.fs.Path(path, Marker))
   }
 
-  /** Garbage-collect the warehouse: delete (a) committed assets whose
-    * trailing content fingerprint matches none of the given corpora's
-    * CURRENT fingerprints (their corpus was rebuilt — the address can
-    * never be served again), (b) assets of an OLDER `FormatVersion`
-    * (never addressed by this code; NEWER versions are kept — a
-    * rolling upgrade may be serving them), (c) addressed directories
-    * without a commit marker (a torn publish on a non-atomic-rename
-    * filesystem: un-servable, and left in place it would wedge its
-    * address — `resolve` refuses both to read and to overwrite it),
-    * and (d) torn `.build_*` staging directories left by crashed
-    * builders. Never touches a committed live address or a directory
-    * that doesn't carry the store's address suffix. Returns the
-    * deleted directory names.
+  /** Garbage-collect the warehouse: delete (a) committed assets of the
+    * CURRENT `FormatVersion` whose trailing content fingerprint matches
+    * none of the given corpora's current fingerprints (their corpus was
+    * rebuilt — the address can never be served again), (b) addressed
+    * current-version directories without a commit marker and `.build_*`
+    * staging directories, but ONLY when older than `graceMs` — younger
+    * ones may be a LIVE publish in flight (on a copy-rename filesystem
+    * an in-progress publish is indistinguishable from a torn one, and
+    * sweeping an active builder's staging dir would let its later
+    * marker write silently recreate the path and publish an empty
+    * committed asset), and (c) assets of OLDER format versions only
+    * when `sweepOlderFormats` is set — during a rolling upgrade BOTH
+    * older and newer versions may be actively served by other nodes,
+    * so cross-version cleanup is a deliberate operator action after
+    * the fleet converges, never a side effect. Never touches a
+    * committed live address, any newer-version asset, or a directory
+    * without the store's address suffix. Returns deleted names.
     *
     * This is the maintenance half of the content-addressed contract:
-    * publication never overwrites, so reclamation is an explicit,
-    * always-safe sweep a deployment runs after corpus rebuilds.
+    * publication never overwrites, so reclamation is an explicit sweep
+    * a deployment runs after corpus rebuilds.
     */
-  def gcStale(spark: SparkSession, corpora: Seq[(String, String)]): Seq[String] = {
+  def gcStale(spark: SparkSession, corpora: Seq[(String, String)],
+      graceMs: Long = 60L * 60 * 1000, sweepOlderFormats: Boolean = false): Seq[String] = {
     val root = warehouse(spark)
     val fs = fsFor(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) return Seq.empty
     val live = corpora.map { case (dir, table) => corpusFingerprint(spark, dir, table) }.toSet
     val addressed = raw"_v(\d+)_([0-9a-f]{16})$$".r.unanchored
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootPath).toSeq.flatMap { st =>
       val name = st.getPath.getName
+      def agedOut = st.getModificationTime < cutoff
       val stale =
         if (!st.isDirectory) false
-        else if (name.startsWith(".build_")) true // torn staging
+        else if (name.startsWith(".build_")) agedOut // crashed builder, not a live one
         else name match {
-          case addressed(v, fp) =>
-            v.toInt < FormatVersion ||
-              (v.toInt == FormatVersion &&
-                (!live.contains(fp) || !committed(spark, st.getPath.toString)))
-          case _ => false // not ours; never touch
+          case addressed(v, fp) if v.toInt == FormatVersion =>
+            if (!committed(spark, st.getPath.toString)) agedOut // torn vs in-flight publish
+            else !live.contains(fp)
+          case addressed(v, _) => v.toInt < FormatVersion && sweepOlderFormats
+          case _               => false // not ours; never touch
         }
       if (stale && fs.delete(st.getPath, true)) Some(name) else None
     }

@@ -38,17 +38,22 @@ object EventStream {
     * read, no data scan) and picks the matching user schema +
     * normalization; a hard-pinned NTZ schema would misread the nanos
     * variant that the batch path accepts.
+    *
+    * Declaring the stream BEFORE the first file lands (the normal
+    * file-stream pattern) has nothing to sniff: the stream then
+    * assumes the micros-NTZ variant — pass `tsType = Some(LongType)`
+    * to pin the nanos variant for an ingest directory known to
+    * receive it (a streaming source schema cannot change mid-query,
+    * so late adaptation is impossible by construction).
     */
-  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1,
+      tsType: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast is instant-preserving only in UTC
-    // footer sniff is best-effort: declaring the stream BEFORE the
-    // first file lands (the normal file-stream pattern) falls back to
-    // the documented micros-NTZ default instead of failing at
-    // stream-definition time
-    val onDiskTs =
+    val onDiskTs = tsType.getOrElse {
       try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+    }
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
     // file source requires a directory; glob-filter to the events table

@@ -107,13 +107,22 @@ class AssetStoreSpec extends SparkSpec {
       publish("unaddressed_misc")              // no address suffix: never touched
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, ".build_torn"))
       // torn publish at a LIVE address (non-atomic rename crash): dir
-      // present, no marker — must be swept or the address wedges
+      // present, no marker — must be swept once aged, or the address wedges
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(root, s"tornlive_k3_v${v}_$fp"))
-      val deleted = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet")).sorted
-      assert(deleted == Seq(".build_torn", s"oldfmt_k3_v${v - 1}_$fp",
-        s"stale_k3_v${v}_${"0" * 16}", s"tornlive_k3_v${v}_$fp"),
-        s"unexpected sweep set: $deleted")
+      // default grace: fresh uncommitted dirs may be a publish IN
+      // FLIGHT — only the dead-fingerprint committed asset is swept
+      val cautious = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet")).sorted
+      assert(cautious == Seq(s"stale_k3_v${v}_${"0" * 16}"),
+        s"default grace must spare fresh staging/torn dirs and other versions: $cautious")
+      // grace elapsed (graceMs=0): torn dirs sweep; older formats still
+      // need the explicit opt-in
+      val aged = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet"), graceMs = 0L).sorted
+      assert(aged == Seq(".build_torn", s"tornlive_k3_v${v}_$fp"),
+        s"unexpected aged sweep set: $aged")
+      val crossVersion = AssetStore.gcStale(spark, Seq(corpus -> "t.parquet"),
+        graceMs = 0L, sweepOlderFormats = true)
+      assert(crossVersion == Seq(s"oldfmt_k3_v${v - 1}_$fp"))
       assert(AssetStore.committed(spark, s"$root/live_k3_v${v}_$fp"), "live asset must survive")
       assert(new java.io.File(s"$root/newer_k3_v${v + 1}_$fp").exists,
         "newer-format assets may be in use by upgraded nodes")
