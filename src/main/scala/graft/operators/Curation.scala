@@ -215,6 +215,50 @@ object Curation {
       minTokens = 12
     ).orderBy("doc_id")
 
+  /** CURRICULUM ordering — the training-schedule compile step: emit a
+    * deterministic easy-to-hard global order over the corpus. Hardness
+    * is mean token length (chars per token — the cheap, fully
+    * engine-replicable difficulty proxy; swap in perplexity via
+    * [[docAnnotate]] when a model-based schedule is wanted), cut into
+    * fixed driver-chosen buckets (data-INdependent thresholds — a
+    * quantile-based cut would make yesterday's rank depend on today's
+    * corpus), and the global order is (bucket, content-hash, doc_id):
+    * easy docs first, uniformly shuffled WITHIN each bucket by the
+    * same md5 convention every sampler in this engine uses.
+    *
+    * Dataflow at 100 TB: one narrow scan (length + token-count kernel
+    * + md5 — text leaves the plan immediately), then
+    * [[GlobalRank.withRowNumber]]'s ranged exchange: parallel
+    * per-partition sorts plus broadcast prefix offsets, no
+    * single-partition sort at any scale. A window `row_number()` over
+    * the whole corpus — the naive formulation — would be exactly that
+    * forbidden single-task sort.
+    */
+  def mixCurriculum(docs: DataFrame, cuts: Seq[Double] = Seq(4.5, 5.5)): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, s"cuts must be ascending, got $cuts")
+    val scored = docs.select(
+      col("doc_id"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+      graft.functions.sketch.tokenCount(coalesce(col("text"), lit("")))
+        .cast("long").as("n_tokens"),
+      conv(substring(md5(coalesce(col("text"), lit(""))), 1, 15), 16, 10)
+        .cast("long").as("__h"))
+    // exact-int inputs -> one IEEE division: bit-identical on any engine
+    val diff = when(col("n_tokens") > 0,
+      col("n_chars").cast("double") / col("n_tokens")).otherwise(lit(0.0))
+    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.size).cast("long")) {
+      case ((cut, i), acc) => when(col("difficulty") < cut, i.toLong).otherwise(acc)
+    }
+    val (ranked, _) = graft.engine.GlobalRank.withRowNumber(
+      scored.withColumn("difficulty", diff).withColumn("bucket", bucket),
+      Seq(col("bucket"), col("__h"), col("doc_id")),
+      "curriculum_rank")
+    ranked.select(col("doc_id"), col("bucket"), col("difficulty"), col("curriculum_rank"))
+  }
+
+  def curriculumQuery(spark: SparkSession, dir: String): DataFrame =
+    mixCurriculum(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Thresholds for [[docAnnotate]]'s `keep` verdict. `maxMeanNllQ` is
     * in [[TextAnalysis.perplexity]]'s 1e-4-nat units.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -416,6 +417,44 @@ object TextAnalysis {
   def topNgramsQuery(spark: SparkSession, dir: String): DataFrame =
     topNgrams(Tables.documents(spark, dir), k = 2, topK = 20)
 
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing question: "how
+    * much of the corpus do the top-N terms cover?" Every term's corpus
+    * frequency, ranked by (freq DESC, term ASC), with each rank's
+    * cumulative token share against the WHOLE corpus (tail included).
+    * The rank where `cum_share` crosses 0.9/0.95/0.99 is the vocab-size
+    * elbow a BPE/unigram tokenizer build reads off this table.
+    *
+    * Dataflow at 100 TB: one (term) aggregation with map-side partials
+    * — the exchange carries the vocabulary, not the corpus; the total
+    * token count is a second aggregate OVER THE VOCAB TABLE (millions
+    * of rows, not trillions), broadcast back as a 1-row scalar. Only
+    * the top `topK` rows (bounded, driver-chosen) pay the cumulative
+    * window — `TakeOrdered` + a window over topK rows, never a full
+    * vocabulary sort.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val freqs = docs
+      .select(explode(text.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).cast("double").as("__total"))
+    val top = freqs.orderBy(desc("freq"), asc("term")).limit(topK)
+    // the window below runs over `topK` rows (post-limit) — bounded by
+    // construction, so the single-partition sort is a non-issue
+    val w = Window.orderBy(desc("freq"), asc("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("long").as("rank"),
+        col("term"),
+        col("freq"),
+        (sum(col("freq")).over(w) / col("__total")).as("cum_share"))
+  }
+
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), topK = 100).orderBy("rank")
+
   /** Benchmark-contamination check: which corpus docs share an 8-token
     * gram with the (small) eval set. The eval side's exploded grams are
     * BROADCAST — the 100 TB corpus side streams through one narrow
@@ -549,6 +588,44 @@ object TextAnalysis {
       Map("src0" -> 49152, "src1" -> 49152, "src2" -> 49152),
       defaultThreshold = 16384
     ).select("doc_id", "source").orderBy("doc_id")
+
+  /** EXACT-k per-group uniform sample — the other sampling contract
+    * next to [[stratifiedSample]]'s Bernoulli thresholds: "give me
+    * exactly k eval docs per source", deterministic across runs and
+    * engines. Classic reservoir sampling is sequential state; the
+    * order-statistics formulation is the same distribution with no
+    * state at all: rank every row by a uniform content hash and keep
+    * each group's k smallest. The hash is the first 12 md5 hex digits
+    * (48 bits — EXACT in an IEEE double, which the top-k aggregate
+    * orders by; 15 digits would collapse distinct hashes to the same
+    * double), tiebreak doc_id ascending.
+    *
+    * Dataflow at 100 TB: the naive window (`row_number` over each
+    * source) sorts every group's full row set and puts any mega-source
+    * on one task; [[graft.functions.TopKOrdTie]] instead carries at
+    * most k rows of state per group through map-side partials, so the
+    * exchange moves `sources x k` rows regardless of corpus size or
+    * source skew — sampling a 100 TB source costs one narrow scan.
+    */
+  def reservoirSample(docs: DataFrame, k: Int, groupCol: String = "source"): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    val h48 = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    docs
+      .select(col(groupCol), col("doc_id"), h48.as("__h"))
+      // TopKOrdTie ranks ord DESC; negate (exact for 48-bit magnitudes)
+      // so the k SMALLEST hashes win, ties broken by doc_id ascending
+      .groupBy(groupCol)
+      .agg(graft.functions.agg.topKOrdTie(-col("__h"), col("doc_id"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.tie").as("doc_id"))
+  }
+
+  def reservoirSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    reservoirSample(Tables.documents(spark, dir), k = 25)
+      .orderBy("source", "sample_rank")
 
   /** Sequence PACKING (token-budget sharding): assign each document to
     * a training sequence of ~`capacity` tokens. Deterministic and

@@ -540,4 +540,71 @@ class QueriesSpec extends SparkSpec {
     val again = TextAnalysis.mixSources(docs).as[(Long, String)].collect()
     assert(mixed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("sample_reservoir: exactly min(k, group size) rows per group, equal to the window twin") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val k = 7
+    val got = TextAnalysis.reservoirSample(docs, k)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // the aggregate must match the naive (skew-unsafe) window formulation
+    val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+    val want = docs.select(col("source"), col("doc_id"), h.as("__h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("source", "sample_rank", "doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want, "TopK aggregate disagrees with the window twin")
+    val sizes = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val groupN = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes == groupN.view.mapValues(n => math.min(n, k.toLong)).toMap)
+    // ranks are contiguous 1..size within each group
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong),
+        s"non-contiguous sample ranks in group $s")
+    }
+  }
+
+  test("vocab_coverage: monotone cumulative share, correct head, bounded by 1") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.vocabCoverage(docs, topK = 50)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1L to rows.length.toLong), "ranks must be 1..topK")
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse, "freq must be non-increasing")
+    val shares = rows.map(_._4)
+    assert(shares == shares.sorted, "cum_share must be non-decreasing")
+    assert(shares.last <= 1.0 + 1e-12 && shares.head > 0.0)
+    // head term = corpus argmax by (freq desc, term asc), share = freq/total
+    val freqs = docs.select(explode(graft.functions.text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+    val total = freqs.map(_._2).sum.toDouble
+    val (topTerm, topFreq) = freqs.minBy { case (t, f) => (-f, t) }
+    assert(rows.head._2 == topTerm && rows.head._3 == topFreq)
+    assert(math.abs(rows.head._4 - topFreq / total) < 1e-12)
+  }
+
+  test("mix_curriculum: rank is a bucket-monotone permutation matching the window twin") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.mixCurriculum(docs)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
+    assert(got.map(_._4) == (1L to got.length.toLong), "curriculum_rank must be a permutation")
+    assert(got.map(_._1).distinct.length == got.length, "one rank per doc")
+    assert(got.map(_._2) == got.map(_._2).sorted, "buckets must be non-decreasing along the rank")
+    // GlobalRank's ranged exchange must equal the naive global window
+    val h = conv(substring(md5(coalesce(col("text"), lit(""))), 1, 15), 16, 10).cast("long")
+    val nTok = graft.functions.sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long")
+    val nCh = length(coalesce(col("text"), lit(""))).cast("long")
+    val diff = when(nTok > 0, nCh.cast("double") / nTok).otherwise(0.0)
+    val bucket = when(diff < 4.5, 0L).when(diff < 5.5, 1L).otherwise(2L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"), col("__h"), col("doc_id"))
+    val want = docs.select(col("doc_id"), bucket.as("bucket"), diff.as("difficulty"), h.as("__h"))
+      .withColumn("curriculum_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "bucket", "difficulty", "curriculum_rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
+    assert(got == want, "GlobalRank order disagrees with the window twin")
+  }
 }
