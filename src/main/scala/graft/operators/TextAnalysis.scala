@@ -433,10 +433,17 @@ object TextAnalysis {
     * vocabulary sort.
     */
   def vocabCoverage(docs: DataFrame, topK: Int = 100): DataFrame = {
+    // persisted: the total and the top-N both consume the term table —
+    // without the persist each branch replays the full corpus scan +
+    // (term) aggregation (the plan showed the aggregate subtree twice).
+    // Vocab-sized (not corpus-sized), released by the caller's
+    // clearCache per the Caching contract; at 100 TB this is the
+    // materialized vocabulary table every tokenizer build keeps anyway.
     val freqs = docs
       .select(explode(text.tokens(col("text"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = freqs.agg(sum(col("freq")).cast("double").as("__total"))
     val top = freqs.orderBy(desc("freq"), asc("term")).limit(topK)
     // the window below runs over `topK` rows (post-limit) — bounded by
