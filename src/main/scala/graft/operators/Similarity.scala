@@ -1334,6 +1334,69 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage retrieval (retrieve-then-REFINE — the deployed shape of
+    * every PQ system; Jégou et al. TPAMI 2011 §III-E call it re-ranking
+    * with source coding): the PQ index shortlists `rCand` candidates
+    * per query by approximate ADC distance, then ONLY those candidates
+    * are re-ranked by exact distance against their true embeddings and
+    * the top `kTop` survive. ADC distances are biased by quantization
+    * error; a shortlist a few times larger than k plus an exact re-rank
+    * recovers most of the lost recall while still never scanning true
+    * embeddings corpus-wide.
+    *
+    * Dataflow at 100 TB: stage 1 is [[annPqIndexed]] (narrow scan of
+    * the skinny code table, bounded top-R aggregate). Stage 2 joins the
+    * `queries x rCand` candidate list — BROADCAST, it is tiny by
+    * construction — against the embedding table keyed on vec_id, so
+    * the full-width embedding column is read once, only for candidate
+    * rows (with the corpus bucketed on vec_id this is a local lookup),
+    * and never shuffled. Exact distances are [[vec.sqDistLong]] on the
+    * index's integer grid — codegen'd, engine-replicable — and the
+    * final cut is the bounded per-query top-k aggregate again.
+    */
+  def annRefine(
+      queries: DataFrame, // (query_id, q_vec)
+      idx: PqIndexModel,
+      corpus: DataFrame,  // (vec_id, embedding)
+      rCand: Int,
+      kTop: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(kTop >= 1 && kTop <= rCand,
+      s"need 1 <= kTop <= rCand, got kTop=$kTop rCand=$rCand")
+    def gridQ(c: Column): Column = transform(c, e =>
+      coalesce(floor(e.cast(DoubleType) * idx.scale + lit(0.5)).cast(LongType), lit(0L)))
+    val cand = annPqIndexed(queries, idx, rCand).select("query_id", "vec_id")
+    val corpusQ = corpus.select(col("vec_id"), gridQ(col("embedding")).as("__cq"))
+    val queriesQ = queries.select(col("query_id"), gridQ(col("q_vec")).as("__qq"))
+    val exact = corpusQ
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queriesQ), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vec.sqDistLong(col("__cq"), col("__qq")).as("dist"))
+    exact
+      .groupBy(col("query_id"))
+      .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("vec_id"), kTop).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        (-col("col.ord")).cast("long").as("dist"))
+  }
+
+  /** Driver query: ADC top-20 shortlist refined to an exact top-5 for
+    * the sibling query set, over the shared [[pqIndex]] asset.
+    */
+  def annRefineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annRefine(queries, pqIndex(spark, dir, m = 16, k = 16), emb, rCand = 20, kTop = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Driver query: the SAME query set through the large-batch joined
     * ADC path — by construction it must hash-match ann_pq's oracle
     * (identical integer math, different physical plan).

@@ -70,6 +70,66 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("annRefine: corpus-wide shortlist reproduces the exact quantized-L2 ranking") {
+    val nVec = emb.filter(col("embedding").isNotNull).count().toInt
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    // rCand = whole corpus -> stage 1 excludes nothing, so the refine
+    // output IS the exact ranking (same grid, same tiebreak)
+    val got = Similarity.annRefine(queries, Similarity.pqIndex(spark, sf, M, K), emb,
+        rCand = nVec, kTop = 5)
+      .select("query_id", "rank", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    val q = transform(col("embedding"),
+      e => coalesce(floor(e.cast("double") * 1000 + lit(0.5)).cast("long"), lit(0L)))
+    val g = emb.filter(col("embedding").isNotNull).select(col("vec_id"), q.as("qe"))
+    val want = g.select(col("vec_id").as("query_id"), col("qe").as("qq"))
+      .filter(col("query_id") < 8)
+      .crossJoin(g)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist", graft.functions.vec.sqDistLong(col("qq"), col("qe")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, "full-shortlist refine must equal the exact ranking")
+    spark.catalog.clearCache()
+  }
+
+  test("annRefine: a 4x shortlist strictly improves on raw ADC recall@5") {
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val idx = Similarity.pqIndex(spark, sf, M, K)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val adc = sets(Similarity.annPqIndexed(queries, idx, kTop = 5))
+    val ref = sets(Similarity.annRefine(queries, idx, emb, rCand = 20, kTop = 5))
+    val q = transform(col("embedding"),
+      e => coalesce(floor(e.cast("double") * 1000 + lit(0.5)).cast("long"), lit(0L)))
+    val g = emb.filter(col("embedding").isNotNull).select(col("vec_id"), q.as("qe"))
+    val exact = sets(g.select(col("vec_id").as("query_id"), col("qe").as("qq"))
+      .filter(col("query_id") < 16)
+      .crossJoin(g)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d", graft.functions.vec.sqDistLong(col("qq"), col("qe")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5))
+    def recall(got: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (qid, truth) =>
+        truth.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val (ra, rr) = (recall(adc), recall(ref))
+    assert(rr > ra, s"refine recall $rr must beat raw ADC recall $ra")
+    assert(rr >= 0.5, s"refine recall@5 with a 4x shortlist was only $rr")
+    spark.catalog.clearCache()
+  }
+
   test("annPq ranks by exact integer ADC with vec_id tiebreak (rank contract)") {
     val queries = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
