@@ -1397,6 +1397,72 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Retrieval-quality grading: recall@k of the PQ index's raw ADC
+    * shortlist AND of the refined (retrieve-then-re-rank) path against
+    * the EXACT top-k under the metric the index approximates (integer
+    * squared L2 on the index's quantization grid). This is the
+    * recall/cost curve every deployed ANN system publishes before
+    * serving traffic — grading the index against its own metric
+    * isolates quantization loss from embedding-metric choice.
+    *
+    * Dataflow at 100 TB: ground truth is one corpus scan (quantize +
+    * [[vec.sqDistLong]] against the BROADCAST query set) into the
+    * bounded per-query top-k aggregate — the brute-force baseline is
+    * paid once per evaluation, exactly like the index-build. The two
+    * approximate paths reuse the shared index asset. All three result
+    * sets are queries x k rows — tiny — so the hit-counting joins
+    * broadcast; recall is an exact integer count over k.
+    */
+  def annRecall(
+      queries: DataFrame, // (query_id, q_vec)
+      idx: PqIndexModel,
+      corpus: DataFrame,  // (vec_id, embedding)
+      rCand: Int,
+      kTop: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def gridQ(c: Column): Column = transform(c, e =>
+      coalesce(floor(e.cast(DoubleType) * idx.scale + lit(0.5)).cast(LongType), lit(0L)))
+    val corpusQ = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), gridQ(col("embedding")).as("__cq"))
+    val queriesQ = queries.filter(col("q_vec").isNotNull)
+      .select(col("query_id"), gridQ(col("q_vec")).as("__qq"))
+    val exact = corpusQ
+      .join(broadcast(queriesQ), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        vec.sqDistLong(col("__cq"), col("__qq")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("vec_id"), kTop).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.tie").as("vec_id"))
+    val adc = annPqIndexed(queries, idx, kTop)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__a"))
+    val ref = annRefine(queries, idx, corpus, rCand, kTop)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__r"))
+    exact
+      .join(broadcast(adc), Seq("query_id", "vec_id"), "left")
+      .join(broadcast(ref), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("__a"), lit(0L))).as("hits_adc"),
+        sum(coalesce(col("__r"), lit(0L))).as("hits_refine"))
+      .withColumn("recall_adc", col("hits_adc").cast("double") / kTop)
+      .withColumn("recall_refine", col("hits_refine").cast("double") / kTop)
+  }
+
+  /** Driver query: recall@5 of the raw ADC top-5 and of the 20->5
+    * refined path for the standard query set, against exact grid-L2
+    * ground truth, over the shared [[pqIndex]] asset.
+    */
+  def annRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annRecall(queries, pqIndex(spark, dir, m = 16, k = 16), emb, rCand = 20, kTop = 5)
+      .orderBy("query_id")
+  }
+
   /** Driver query: the SAME query set through the large-batch joined
     * ADC path — by construction it must hash-match ann_pq's oracle
     * (identical integer math, different physical plan).

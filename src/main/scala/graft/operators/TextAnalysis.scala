@@ -1312,4 +1312,151 @@ object TextAnalysis {
         col("fps").getItem(0).as("first_fp")
       )
       .orderBy("doc_id")
+
+  /** C4-style rule cleaning (Raffel et al. 2020, the published C4
+    * heuristics) — the LINE-level counterpart to [[gopherQuality]]'s
+    * document-level rules: a line survives iff it ends in terminal
+    * punctuation and carries at least `minLineTokens` tokens; documents
+    * containing "lorem ipsum" or a curly brace (the code/boilerplate
+    * tells) are rejected outright; `passes` additionally requires at
+    * least `minKeptLines` surviving lines and one sentence terminator.
+    * `clean_fp` fingerprints the post-filter text (kept lines joined by
+    * newline) so downstream consumers can verify the scrub without
+    * shipping the text.
+    *
+    * One narrow projection per document — line split, two HOF filters,
+    * three contains/regex probes, one md5 — no shuffle, scan speed at
+    * any scale; the kept-lines array is bound once via the `transform
+    * (array(...))` let-binding idiom (HOF lambdas don't CSE the outer
+    * split, the trap [[graft.functions.text.shingles]] documents).
+    */
+  def c4Rules(
+      docs: DataFrame,
+      minLineTokens: Int = 5,
+      minKeptLines: Int = 1
+  ): DataFrame = {
+    val t = col("t")
+    // kept line := trimmed line ends in . ! ? or " AND has >= minLineTokens
+    // whitespace tokens (C4 keeps only "terminal punctuation" lines and
+    // drops short fragments)
+    val keptLines = expr(
+      s"""element_at(transform(array(split(t, '\n')), ls ->
+         |  filter(ls, l -> trim(l) RLIKE '[.!?"]$$'
+         |    AND size(split(trim(l), '\\\\s+')) >= $minLineTokens)), 1)""".stripMargin)
+    docs
+      .withColumn("t", coalesce(col("text"), lit("")))
+      .withColumn("__kept", keptLines)
+      .select(
+        col("doc_id"),
+        size(expr("split(t, '\n')")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        regexp_count(t, lit("[.!?]")).cast("long").as("n_terminals"),
+        lower(t).contains("lorem ipsum").as("has_lorem"),
+        t.contains("{").as("has_brace"),
+        md5(array_join(col("__kept"), "\n")).as("clean_fp"))
+      .withColumn(
+        "passes",
+        col("n_kept_lines") >= minKeptLines && col("n_terminals") >= 1 &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** Driver query: C4 rules over the corpus, each doc extended with
+    * deterministic doc_id-derived lines (the single-line word-salad
+    * corpus has no terminal punctuation) so every rule classifies both
+    * outcomes: a kept sentence every 2nd doc, a short fragment line
+    * always, a brace line every 5th, a lorem-ipsum line every 7th.
+    */
+  def c4RulesQuery(spark: SparkSession, dir: String): DataFrame =
+    c4Rules(
+      Tables.documents(spark, dir).withColumn(
+        "text",
+        concat(
+          coalesce(col("text"), lit("")), lit("\n"),
+          when(col("doc_id") % 2 === 0,
+            lit("This added sentence ends with terminal punctuation."))
+            .otherwise(lit("fragment without end")), lit("\n"),
+          lit("Too short."),
+          when(col("doc_id") % 5 === 0, lit("\nvar f = function() { return 1; }"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nLorem ipsum dolor sit amet."))
+            .otherwise(lit(""))))
+    ).orderBy("doc_id")
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every candidate document by how much more likely its hashed-unigram
+    * features are under a TARGET domain's distribution than under the
+    * candidate pool's own, then keep the top-k. Features are md5-hashed
+    * token buckets (`nBuckets`); both distributions get add-1 smoothing;
+    * a document's log importance weight is the sum over token
+    * OCCURRENCES of `ln p_target(b) - ln p_raw(b)`, quantized to int64
+    * at 1e4 per bucket (the perplexity convention) so per-doc sums are
+    * exact integer arithmetic and hash-match any engine.
+    *
+    * Dataflow at 100 TB: two narrow scans — a distribution pass whose
+    * single `nBuckets`-key aggregation with map-side partials builds
+    * BOTH distributions at once (conditional sums — target membership
+    * is a column, not a separate scan), and a scoring pass over the
+    * candidate stream. The bucket weight table (`nBuckets` rows —
+    * bounded, driver-chosen) broadcasts onto the scoring pass; the
+    * per-doc sum shuffles skinny (doc_id, weight) pairs; the final
+    * top-k is a bounded TakeOrdered, never a full sort. Text never
+    * shuffles, and re-scanning beats persisting the corpus-sized token
+    * stream (the tfidf persist lesson).
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      isTarget: Column,
+      nBuckets: Int = 256,
+      topK: Int = 100
+  ): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536, s"nBuckets in [2, 65536], got $nBuckets")
+    require(topK >= 1, s"topK >= 1, got $topK")
+    val toks = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), isTarget.as("__t"),
+        explode(text.tokens(col("text"))).as("term"))
+      // 16 bits of md5 then mod — uniform for any nBuckets <= 65536
+      .select(col("doc_id"), col("__t"),
+        pmod(conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("b"))
+    val dist = toks
+      .groupBy("b")
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("rc"))
+    // totals are an aggregate OVER THE BUCKET TABLE (nBuckets rows), not
+    // a second corpus pass; broadcast back as a 1-row scalar
+    val tot = dist.agg(
+      sum(col("tc")).as("__tt"), sum(col("rc")).as("__rt"))
+    val weights = dist
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(
+          (log((col("tc") + 1).cast("double") / (col("__tt") + nBuckets).cast("double"))
+            - log((col("rc") + 1).cast("double") / (col("__rt") + nBuckets).cast("double")))
+            * 10000 + 0.5).cast("long").as("lw_q"))
+    val scored = toks
+      .filter(!col("__t"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw_q")).as("logw_q"))
+    // rank window runs over topK rows (post-limit) — bounded by
+    // construction, the vocabCoverage argument
+    scored
+      .orderBy(desc("logw_q"), asc("doc_id"))
+      .limit(topK)
+      .select(
+        row_number().over(
+          Window.orderBy(desc("logw_q"), asc("doc_id"))).cast("long").as("rank"),
+        col("doc_id"), col("n_tokens"), col("logw_q"))
+  }
+
+  /** Driver query: resample the non-src0 pool toward src0 as the target
+    * domain, top-25.
+    */
+  def dsirSelectQuery(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(spark, dir), isTarget = col("source") === "src0",
+      nBuckets = 256, topK = 25)
+      .orderBy("rank")
 }

@@ -607,4 +607,92 @@ class QueriesSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
     assert(got == want, "GlobalRank order disagrees with the window twin")
   }
+
+  test("text_c4: exact line-keep rules, reject tells, and clean fingerprint") {
+    import graft.operators.TextAnalysis
+    val kept1 = "This line has five good words."
+    val kept2 = "Another proper sentence ends with a question mark?"
+    val docs = Seq(
+      (1L, s"$kept1\nno terminal punct here\nShort one.\n$kept2"), // 2 kept
+      (2L, "word salad only no punctuation at all"),               // 0 kept
+      (3L, s"$kept1\nLorem Ipsum dolor sit amet."),                // lorem reject
+      (4L, s"$kept1\nif (x) { return; }"),                         // brace reject
+      (5L, "")                                                     // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Rules(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 4L && d1.getLong(2) == 2L, "doc1 lines/kept")
+    assert(!d1.getBoolean(4) && !d1.getBoolean(5) && d1.getBoolean(7), "doc1 passes")
+    assert(d1.getString(6) == md5hex(s"$kept1\n$kept2"), "doc1 clean_fp = kept lines joined")
+    val d2 = got(2L)
+    assert(d2.getLong(2) == 0L && !d2.getBoolean(7), "doc2 keeps nothing, fails")
+    assert(d2.getString(6) == md5hex(""), "empty kept set fingerprints ''")
+    assert(got(3L).getBoolean(4) && !got(3L).getBoolean(7), "lorem ipsum rejects (case-insensitive)")
+    assert(got(4L).getBoolean(5) && !got(4L).getBoolean(7), "curly brace rejects")
+    assert(got(4L).getLong(2) == 1L, "brace doc still counts its kept line")
+    assert(got(5L).getLong(2) == 0L && !got(5L).getBoolean(7), "empty doc fails")
+  }
+
+  test("mix_dsir: quantized log-weights equal the driver-side model, target-like docs win") {
+    import graft.operators.TextAnalysis
+    // target domain speaks vocabulary A; candidates: doc 10 speaks A
+    // (should be pulled in), doc 11 speaks B (pushed out), doc 12 mixed
+    val a = "alpha beta gamma delta"
+    val b = "omega sigma tau upsilon"
+    val docs = Seq(
+      (1L, "t", a), (2L, "t", a + " " + a), (3L, "t", "alpha beta"),
+      (10L, "c", a), (11L, "c", b), (12L, "c", "alpha omega")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirSelect(docs, isTarget = col("source") === "t",
+      nBuckets = 256, topK = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sorted == Seq(10L, 11L, 12L), "every candidate scored")
+    assert(got.map(_._1) == (1L to 3L), "rank is a permutation")
+    // driver-side twin: same md5 bucket, same add-1 smoothed quantized weights
+    def bucket(term: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).take(2)
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toLong % 256
+    }
+    val toks = Seq((true, a), (true, a + " " + a), (true, "alpha beta"),
+      (false, a), (false, b), (false, "alpha omega"))
+      .flatMap { case (t, s) => s.split("\\s+").map(w => (t, bucket(w))) }
+    val tt = toks.count(_._1).toDouble + 256
+    val rt = toks.count(!_._1).toDouble + 256
+    def lw(bk: Long): Long = {
+      val tc = toks.count(x => x._1 && x._2 == bk) + 1
+      val rc = toks.count(x => !x._1 && x._2 == bk) + 1
+      math.floor((math.log(tc / tt) - math.log(rc / rt)) * 10000 + 0.5).toLong
+    }
+    val want = Seq(10L -> a, 11L -> b, 12L -> "alpha omega").map { case (id, s) =>
+      id -> s.split("\\s+").map(w => lw(bucket(w))).sum
+    }.toMap
+    got.foreach { case (_, id, nTok, logw) =>
+      assert(logw == want(id), s"doc $id weight: got $logw want ${want(id)}")
+      assert(nTok == (if (id == 10L) 4L else if (id == 11L) 4L else 2L))
+    }
+    assert(want(10L) > want(11L), "pure-target candidate must outrank pure-background")
+    val byId = got.map(g => g._2 -> g._1).toMap
+    assert(byId(10L) < byId(11L), "doc 10 (target-like) ranks above doc 11")
+  }
+
+  test("ann_recall: refine recall dominates raw ADC per query (shortlist containment)") {
+    import graft.operators.Similarity
+    val got = Similarity.annRecallQuery(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (0L until 16L), "one row per query, ordered")
+    got.foreach { case (qid, ha, hr, ra, rr) =>
+      assert(ha >= 0 && ha <= 5 && hr >= 0 && hr <= 5, s"q$qid hit bounds")
+      assert(ra == ha / 5.0 && rr == hr / 5.0, s"q$qid recall = hits/k")
+      // adc_top5 is a subset of the rank<=20 shortlist, and the refine
+      // re-rank uses the same total order as the ground truth, so every
+      // exact hit the ADC path finds survives refinement
+      assert(hr >= ha, s"q$qid: refine recall $hr < adc recall $ha")
+    }
+  }
 }
