@@ -806,6 +806,98 @@ object Dedup {
     ngramJaccardPairsIndexed(corpusNgramIndex(spark, dir, 3), threshold = 0.2)
       .orderBy(asc("id_a"), asc("id_b"))
 
+  /** Cross-side prefix candidates: PPJoin's prefix lemma is
+    * side-agnostic (any pair with Jaccard >= t shares a prefix shingle
+    * under ONE global order), so an old-corpus posting stream joined
+    * against only the NEW side's prefixes yields exactly the
+    * qualifying cross pairs — old-old and new-new pairs are never
+    * generated, not generated-then-filtered. BOTH indexes must be
+    * built under the same df order ([[ngramIndex]]'s `dfTable` hook;
+    * the left-join df=1 fallback keeps shingles the table has never
+    * seen consistently "rarest" on both sides).
+    */
+  private[graft] def prefixCandidatesCross(
+      idxOld: DataFrame, idxNew: DataFrame, threshold: Double): DataFrame = {
+    def prefix(idx: DataFrame, side: String) = idx
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"slice(pg, 1, int(n - ceil($threshold * n - 1e-9) + 1))")).as(Seq("p", "g")))
+      .select(col("g"),
+        struct(col("doc_id"), col("n"), (col("p") + 1).as("i")).as(side))
+    val minOverlapScale = threshold / (1.0 + threshold)
+    prefix(idxOld, "a").hint("shuffle_hash").join(prefix(idxNew, "b"), Seq("g"))
+      .filter(expr(
+        s"a.doc_id != b.doc_id AND " +
+          s"least(a.i, b.i) + least(a.n - a.i, b.n - b.i)" +
+          s" >= ceil($minOverlapScale * (a.n + b.n) - 1e-9)"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental NEAR-dedup: the exact n-gram Jaccard join of an
+    * incoming batch against the existing corpus — the ingest-time
+    * counterpart of [[ngramJaccardPairs]] the same way
+    * [[incrementalDedup]] is exact dedup's. Emits each qualifying
+    * (old doc, new doc) pair with its exact Jaccard; a gate keeps a
+    * new doc iff it has no pair (policy stays with the caller, like
+    * dedup_ngram).
+    *
+    * Dataflow at 100 TB: the old side's index and df table are the
+    * MATERIALIZED corpus assets ([[corpusNgramIndex]] /
+    * [[corpusGramDf]]) — only the new batch is shingled at ingest
+    * time, under the corpus df order (exactness needs the shared total
+    * order, not fresh frequencies — stale-df candidates stay a
+    * superset). The posting join's new side carries only the batch's
+    * prefixes, so candidate volume scales with the BATCH, not the
+    * corpus; verification joins each side's own skinny index. No
+    * corpus re-scan anywhere.
+    */
+  /** Verified exact-Jaccard cross pairs off two side indexes, renamed
+    * to the (id_old, id_new) contract.
+    */
+  private def verifiedCrossPairs(
+      oldIdx: DataFrame, newIdx: DataFrame, threshold: Double): DataFrame =
+    prefixCandidatesCross(oldIdx, newIdx, threshold)
+      .join(oldIdx.select(col("doc_id").as("id_a"), col("hs").as("s_a")), Seq("id_a"))
+      .join(newIdx.select(col("doc_id").as("id_b"), col("hs").as("s_b")), Seq("id_b"))
+      .withColumn("__i", sketch.sortedIntersectCountLong(col("s_a"), col("s_b")))
+      .withColumn(
+        "jaccard",
+        col("__i").cast("double") / (size(col("s_a")) + size(col("s_b")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_old"), col("id_b").as("id_new"), col("jaccard"))
+
+  def ngramIncrementalPairs(
+      oldIdx: DataFrame, newDocs: DataFrame, dfTable: DataFrame,
+      k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "prefix filtering needs threshold in (0, 1]")
+    val newIdx = ngramIndex(newDocs, k, Some(dfTable))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.Caching.handoff(
+      verifiedCrossPairs(oldIdx, newIdx, threshold), newIdx)
+  }
+
+  /** Driver query: the dedup_incremental snapshot cut (old = doc_id
+    * below half-max) as the standing corpus, the rest as the incoming
+    * batch. BOTH sides are doc_id slices of the ONE materialized
+    * corpus index ([[corpusNgramIndex]]) — a snapshot cut shares the
+    * corpus df order by construction, so no per-query shingling, df
+    * aggregation, or index sort at all; the pushed-down doc_id filter
+    * does the slicing on the skinny parquet asset. By the exactness
+    * argument the result equals dedup_ngram's pair set restricted to
+    * old x new — the oracle states exactly that. (A true ingest batch,
+    * absent from the corpus asset, takes [[ngramIncrementalPairs]]
+    * instead — DedupSpec pins both paths to the same answer.)
+    */
+  def ngramIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = corpusNgramIndex(spark, dir, 3)
+    verifiedCrossPairs(
+      idx.filter(col("doc_id") < cut), idx.filter(col("doc_id") >= cut),
+      threshold = 0.2)
+      .orderBy(asc("id_old"), asc("id_new"))
+  }
+
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup (see Similarity for the LSH machinery)
   // --------------------------------------------------------------------

@@ -1459,4 +1459,95 @@ object TextAnalysis {
     dsirSelect(Tables.documents(spark, dir), isTarget = col("source") === "src0",
       nBuckets = 256, topK = 25)
       .orderBy("rank")
+
+  /** Tokenizer APPLICATION — encode every document against a top-K
+    * frequency vocabulary (ids 1..K rarest-last, OOV -> 0), the step
+    * between [[vocabCoverage]]'s sizing table and [[packSequences]]'s
+    * sequence assembly. Per doc: token/OOV counts and a fingerprint of
+    * the position-ordered id sequence, so an exported encode can be
+    * verified without shipping the ids.
+    *
+    * Dataflow at 100 TB: the vocabulary is one map-side-combined
+    * (term) aggregation cut to K rows by `TakeOrdered` (bounded,
+    * driver-chosen) — the id-assignment window runs over those K rows
+    * only. Encoding is a BROADCAST join of the (doc, pos, term) stream
+    * against the K-row vocab; the re-assembly shuffle carries skinny
+    * (doc_id, pos, id) triples with bounded-by-doc-length groups. Term
+    * strings leave the plan at the broadcast join.
+    */
+  def vocabEncode(docs: DataFrame, vocabK: Int = 64): DataFrame = {
+    require(vocabK >= 1, s"vocabK >= 1, got $vocabK")
+    val toks = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos", "term")))
+    val vocab = toks
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("term"))
+      .limit(vocabK)
+      .select(col("term"),
+        row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("long").as("id"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id").cast("string")), " ")).as("ids_fp"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  def vocabEncodeQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabEncode(Tables.documents(spark, dir), vocabK = 64).orderBy("doc_id")
+
+  /** Snapshot DELTA audit — what changed between two corpus versions,
+    * by CONTENT: per source, how many of the new snapshot's docs carry
+    * text absent from the old one (added), how many carry text the old
+    * snapshot already had (carried), and how many old docs' text
+    * vanished (removed), with token totals for the added/removed sides.
+    * The bookkeeping every incremental pipeline (ingest-dedup,
+    * re-train triggers, asset invalidation) reads before touching the
+    * heavy stages.
+    *
+    * Dataflow at 100 TB: both snapshots reduce to skinny (digest,
+    * side, source, n_tokens) rows in one narrow scan each; membership
+    * flags come from ONE digest-keyed aggregation with map-side
+    * partials, joined back onto the same digest-partitioned stream
+    * (AQE plans both exchanges on the same key — the dedup_lines
+    * shape); the per-source rollup exchange carries sources-many rows.
+    * Text never shuffles.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def sided(d: DataFrame, isNew: Boolean) = d.select(
+      col("source"), lit(isNew).as("__new"),
+      md5(coalesce(col("text"), lit(""))).as("__h"),
+      text.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("__nt"))
+    val rows = sided(oldDocs, isNew = false).unionByName(sided(newDocs, isNew = true))
+    val membership = rows
+      .groupBy("__h")
+      .agg(
+        max(when(!col("__new"), 1L).otherwise(0L)).as("__in_old"),
+        max(when(col("__new"), 1L).otherwise(0L)).as("__in_new"))
+    rows
+      .join(membership, Seq("__h"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("__new") && col("__in_old") === 0, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__new") && col("__in_old") === 1, 1L).otherwise(0L)).as("n_carried"),
+        sum(when(!col("__new") && col("__in_new") === 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__new") && col("__in_old") === 0, col("__nt")).otherwise(0L)).as("tokens_added"),
+        sum(when(!col("__new") && col("__in_new") === 0, col("__nt")).otherwise(0L)).as("tokens_removed"))
+  }
+
+  /** Driver query: the dedup_incremental snapshot cut (old = below
+    * half-max doc_id) against the rest as the new snapshot.
+    */
+  def corpusDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    corpusDiff(docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+      .orderBy("source")
+  }
 }

@@ -765,4 +765,30 @@ class DedupSpec extends SparkSpec {
       .map { case (id, nt, no) => id -> ((nt, no)) }.toMap
     assert(got == Map(1L -> (4L, 0L), 2L -> (2L, 1L), 3L -> (2L, 2L)))
   }
+
+  test("ngram incremental: both paths equal the full exact join restricted to old x new") {
+    import org.apache.spark.sql.functions._
+    // the exactness argument: prefix candidates under ANY single shared
+    // df order (corpus order for the asset-sliced query; old-corpus
+    // order with the df=1 fallback for the ingest-batch path) are a
+    // superset of qualifying cross pairs, and verification is exact
+    // Jaccard — so both must equal dedup_ngram's corpus-wide pair set
+    // cut to (old, new) sides
+    val docs = Tables.documents(spark, sf)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val want = Dedup.ngramJaccardQuery(spark, sf)
+      .filter(col("id_a") < cut && col("id_b") >= cut)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty, "sf0.001 must yield at least one cross-side near-dup pair")
+    val gotQuery = Dedup.ngramIncrementalQuery(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(gotQuery == want, s"asset-sliced path disagrees: got ${gotQuery.size}, want ${want.size}")
+    val oldDocs = docs.filter(col("doc_id") < cut)
+    val dfT = Dedup.gramDf(oldDocs, 3)
+    val gotBatch = Dedup.ngramIncrementalPairs(
+      Dedup.ngramIndex(oldDocs, 3, Some(dfT)),
+      docs.filter(col("doc_id") >= cut), dfT, k = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(gotBatch == want, s"ingest-batch path disagrees: got ${gotBatch.size}, want ${want.size}")
+  }
 }

@@ -681,6 +681,36 @@ class QueriesSpec extends SparkSpec {
     assert(byId(10L) < byId(11L), "doc 10 (target-like) ranks above doc 11")
   }
 
+  test("vocab_encode: exact ids, OOV mapping, and position-ordered fingerprint") {
+    import graft.operators.TextAnalysis
+    // freqs: a=2, b=2, c=1 -> vocab K=2 is {a->1, b->2}; c is OOV (0)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabEncode(docs, vocabK = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.keySet == Set(1L, 2L), "blank doc contributes no row")
+    assert(got(1L).getLong(1) == 3L && got(1L).getLong(2) == 0L, "doc1 counts")
+    assert(got(1L).getString(3) == md5hex("1 2 1"), "doc1 id sequence")
+    assert(got(2L).getLong(1) == 2L && got(2L).getLong(2) == 1L, "doc2 counts")
+    assert(got(2L).getString(3) == md5hex("2 0"), "doc2 id sequence with OOV")
+    assert(got(2L).getDouble(4) == 0.5, "doc2 oov_frac")
+  }
+
+  test("corpus_diff: added/carried/removed classify by content digest, per source") {
+    import graft.operators.TextAnalysis
+    val oldDocs = Seq((1L, "s1", "x x"), (2L, "s1", "y")).toDF("doc_id", "source", "text")
+    val newDocs = Seq((3L, "s1", "y"), (4L, "s2", "z z z")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.corpusDiff(oldDocs, newDocs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map { case (s, a, c, r, ta, tr) => s -> ((a, c, r, ta, tr)) }.toMap
+    assert(got("s1") == ((0L, 1L, 1L, 0L, 2L)),
+      "s1: doc3 carried (y survives), doc1 removed (2 tokens), nothing added")
+    assert(got("s2") == ((1L, 0L, 0L, 3L, 0L)),
+      "s2: doc4 added with 3 tokens")
+  }
+
   test("ann_recall: refine recall dominates raw ADC per query (shortlist containment)") {
     import graft.operators.Similarity
     val got = Similarity.annRecallQuery(spark, sf)
