@@ -681,6 +681,38 @@ class QueriesSpec extends SparkSpec {
     assert(byId(10L) < byId(11L), "doc 10 (target-like) ranks above doc 11")
   }
 
+  test("plan shapes: new round-12 operators broadcast their small sides, shuffle skinny keys") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    // text_c4 is a pure narrow projection: zero exchanges of any kind
+    val c4Plan = TextAnalysis.c4Rules(docs).queryExecution.sparkPlan.toString
+    assert(!c4Plan.contains("Exchange"), s"text_c4 must be shuffle-free:\n$c4Plan")
+    // mix_dsir: the bucket weight table must reach the scoring pass by
+    // broadcast (a shuffled join there would key the corpus on a
+    // 256-value column); no cartesian anywhere
+    val dsirPlan = TextAnalysis.dsirSelect(docs, col("source") === "src0")
+      .queryExecution.sparkPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"), s"mix_dsir weight join must broadcast:\n$dsirPlan")
+    assert(!dsirPlan.contains("CartesianProduct"), dsirPlan)
+    // vocab_encode: the K-row vocab broadcasts onto the token stream —
+    // a sort-merge join there would shuffle the corpus by TERM
+    val vePlan = TextAnalysis.vocabEncode(docs).queryExecution.sparkPlan.toString
+    assert(vePlan.contains("BroadcastHashJoin"), s"vocab_encode vocab join must broadcast:\n$vePlan")
+    assert(!vePlan.contains("SortMergeJoin"), s"vocab_encode must not merge-join the corpus:\n$vePlan")
+    // corpus_diff: digest-keyed equi-joins only, and every exchange is
+    // on the digest or the final source rollup — three hash exchanges
+    // ceiling (rows-on-h, membership-on-h, source rollup)
+    val cdPlan = TextAnalysis.corpusDiff(docs.filter(col("doc_id") < 25),
+      docs.filter(col("doc_id") >= 25)).queryExecution.sparkPlan.toString
+    assert(!cdPlan.contains("CartesianProduct") && !cdPlan.contains("NestedLoop"), cdPlan)
+    val cdExchanges = "Exchange hashpartitioning".r.findAllMatchIn(cdPlan).size
+    assert(cdExchanges <= 3, s"corpus_diff grew a 4th hash exchange:\n$cdPlan")
+    // incremental ngram: equi-joins only (the pair-free prefix design)
+    val incPlan = Dedup.ngramIncrementalQuery(spark, sf).queryExecution.sparkPlan.toString
+    assert(!incPlan.contains("CartesianProduct") && !incPlan.contains("NestedLoop"),
+      s"incremental ngram must stay equi-join only:\n$incPlan")
+  }
+
   test("vocab_encode: exact ids, OOV mapping, and position-ordered fingerprint") {
     import graft.operators.TextAnalysis
     // freqs: a=2, b=2, c=1 -> vocab K=2 is {a->1, b->2}; c is OOV (0)
