@@ -854,7 +854,7 @@ object Dedup {
   /** Verified exact-Jaccard cross pairs off two side indexes, renamed
     * to the (id_old, id_new) contract.
     */
-  private def verifiedCrossPairs(
+  private[graft] def verifiedCrossPairs(
       oldIdx: DataFrame, newIdx: DataFrame, threshold: Double): DataFrame =
     prefixCandidatesCross(oldIdx, newIdx, threshold)
       .join(oldIdx.select(col("doc_id").as("id_a"), col("hs").as("s_a")), Seq("id_a"))

@@ -173,6 +173,57 @@ class StreamingSpec extends SparkSpec {
       s"exactly one copy of the duplicated content must survive: $got")
   }
 
+  test("near-dup ingest: corpus + prior-batch matches drop, in-batch id_b drops, replay converges") {
+    import graft.streaming.NearDupIngest
+    import graft.operators.Dedup
+    val dest = Files.createTempDirectory("graft_nd").toString + "/docs"
+    val idxDir = Files.createTempDirectory("graft_nd_i").toString + "/idx"
+    val corpus = Seq((1L, "a1 a2 a3 a4 a5 a6"), (2L, "b1 b2 b3 b4 b5 b6"))
+      .toDF("doc_id", "text")
+    val cDf = Dedup.gramDf(corpus, 3)
+    val cIdx = Dedup.ngramIndex(corpus, 3, Some(cDf))
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Long =
+      NearDupIngest.processBatch(b, id, dest, idxDir, cIdx, cDf, k = 3, threshold = 0.5)
+    // batch 0: 101 near-dups corpus doc 1 (J=0.6); 102 novel; 103
+    // near-dups 102 WITHIN the batch (larger id drops)
+    val b0 = Seq(
+      (101L, "a1 a2 a3 a4 a5 x"), (102L, "c1 c2 c3 c4 c5 c6"), (103L, "c1 c2 c3 c4 c5 y")
+    ).toDF("doc_id", "text")
+    assert(run(b0, 0L) == 1L, "only the novel doc survives batch 0")
+    // batch 1: 104 near-dups 102 from the PRIOR batch's accreted index;
+    // 105 novel
+    val b1 = Seq((104L, "c1 c2 c3 c4 c5 z"), (105L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+    assert(run(b1, 1L) == 1L, "prior-batch index must catch 104")
+    assert(spark.read.parquet(dest).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(102L, 105L))
+    // crash replay of batch 1: self-excluded index + overwrite layout
+    assert(run(b1, 1L) == 1L)
+    assert(spark.read.parquet(dest).count() == 2L, "replay must not duplicate")
+  }
+
+  test("near-dup ingest end-to-end: file stream drains against the corpus asset") {
+    import graft.streaming.NearDupIngest
+    val src = Files.createTempDirectory("graft_nd_src").toString
+    val dest = Files.createTempDirectory("graft_nd_e2e").toString + "/docs"
+    val idxDir = Files.createTempDirectory("graft_nd_e2e_i").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_nd_e2e_ck").toString
+    // two files -> two micro-batches; the near-dup pair SPANS them, so
+    // the catch must come from the accreted batch index, while the
+    // standing side is the real sf0.001 corpus asset
+    Seq((201L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f1")
+    Seq((202L, "e1 e2 e3 e4 e5 q"), (203L, "f1 f2 f3 f4")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    NearDupIngest.runNearDedupIngest(stream, sf, dest, idxDir, ckpt, k = 3, threshold = 0.5)
+    val got = spark.read.parquet(dest).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(201L, 203L),
+      s"cross-batch near-dup 202 must drop, novel docs land: $got")
+  }
+
   test("foreachBatch parquet upsert sink: last write wins, resumable") {
     val dest = Files.createTempDirectory("graft_upsert_dest").toString + "/out"
     val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
