@@ -1413,21 +1413,21 @@ object Similarity {
     * sets are queries x k rows — tiny — so the hit-counting joins
     * broadcast; recall is an exact integer count over k.
     */
-  def annRecall(
-      queries: DataFrame, // (query_id, q_vec)
-      idx: PqIndexModel,
-      corpus: DataFrame,  // (vec_id, embedding)
-      rCand: Int,
-      kTop: Int
-  ): DataFrame = {
+  /** Exact top-k (query_id, vec_id) ground truth under integer squared
+    * L2 on the `scale` quantization grid — the metric every PQ-family
+    * index approximates. One corpus scan against the broadcast query
+    * set into the bounded per-query top-k aggregate.
+    */
+  private def exactGridTopK(
+      queries: DataFrame, corpus: DataFrame, scale: Int, kTop: Int): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     def gridQ(c: Column): Column = transform(c, e =>
-      coalesce(floor(e.cast(DoubleType) * idx.scale + lit(0.5)).cast(LongType), lit(0L)))
+      coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L)))
     val corpusQ = corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id"), gridQ(col("embedding")).as("__cq"))
     val queriesQ = queries.filter(col("q_vec").isNotNull)
       .select(col("query_id"), gridQ(col("q_vec")).as("__qq"))
-    val exact = corpusQ
+    corpusQ
       .join(broadcast(queriesQ), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         vec.sqDistLong(col("__cq"), col("__qq")).as("dist"))
@@ -1435,6 +1435,16 @@ object Similarity {
       .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("vec_id"), kTop).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.tie").as("vec_id"))
+  }
+
+  def annRecall(
+      queries: DataFrame, // (query_id, q_vec)
+      idx: PqIndexModel,
+      corpus: DataFrame,  // (vec_id, embedding)
+      rCand: Int,
+      kTop: Int
+  ): DataFrame = {
+    val exact = exactGridTopK(queries, corpus, idx.scale, kTop)
     val adc = annPqIndexed(queries, idx, kTop)
       .select(col("query_id"), col("vec_id"), lit(1L).as("__a"))
     val ref = annRefine(queries, idx, corpus, rCand, kTop)
@@ -1460,6 +1470,46 @@ object Similarity {
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     annRecall(queries, pqIndex(spark, dir, m = 16, k = 16), emb, rCand = 20, kTop = 5)
+      .orderBy("query_id")
+  }
+
+  /** IVFADC recall@k vs the same exact grid-L2 ground truth — the
+    * scorecard's second row. Unlike the flat-PQ paths, IVFADC carries
+    * TWO loss sources: residual quantization AND the probe cut
+    * (candidates outside the `nprobe` nearest cells are never scored),
+    * so this is the number that tunes nprobe against cost. Same
+    * dataflow as [[annRecall]]: one brute-force corpus scan for the
+    * truth, index-asset reuse for the approximate side, broadcast hit
+    * joins over queries x k rows.
+    */
+  def annIvfPqRecall(
+      queries: DataFrame, // (query_id, q_vec)
+      idx: PqIndexModel,
+      corpus: DataFrame,  // (vec_id, embedding)
+      nprobe: Int,
+      kTop: Int
+  ): DataFrame = {
+    val exact = exactGridTopK(queries, corpus, idx.scale, kTop)
+    val adc = annIvfPqIndexed(queries, idx, nprobe, kTop)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__a"))
+    exact
+      .join(broadcast(adc), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__a"), lit(0L))).as("hits_ivfpq"))
+      .withColumn("recall_ivfpq", col("hits_ivfpq").cast("double") / kTop)
+  }
+
+  /** Driver query: recall@5 of the IVFADC path (nlist=16, nprobe=4)
+    * against exact grid-L2 ground truth, over the shared
+    * [[ivfPqIndex]] asset.
+    */
+  def annIvfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    annIvfPqRecall(queries, ivfPqIndex(spark, dir, nlist = 16, m = 16, k = 16),
+      emb, nprobe = 4, kTop = 5)
       .orderBy("query_id")
   }
 

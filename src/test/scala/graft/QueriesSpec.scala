@@ -757,4 +757,20 @@ class QueriesSpec extends SparkSpec {
       assert(hr >= ha, s"q$qid: refine recall $hr < adc recall $ha")
     }
   }
+
+  test("ann_recall_ivfpq: per-query recall bounded, same ground truth as the flat scorecard") {
+    import graft.operators.Similarity
+    val got = Similarity.annIvfPqRecallQuery(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == (0L until 16L), "one row per query, ordered")
+    got.foreach { case (qid, h, r) =>
+      assert(h >= 0 && h <= 5, s"q$qid hit bounds")
+      assert(r == h / 5.0, s"q$qid recall = hits/k")
+    }
+    // the probe cut can only LOSE candidates vs scanning every cell, so
+    // the suite-level mean must sit in [0, 1] and at least one query
+    // should land a hit on the near-uniform test vectors (nprobe=4/16
+    // scans a quarter of the corpus)
+    assert(got.map(_._2).sum > 0, "IVFADC should find at least one true neighbor corpus-wide")
+  }
 }
