@@ -215,6 +215,75 @@ object Curation {
       minTokens = 12
     ).orderBy("doc_id")
 
+  /** The PRE-TOKENIZE capstone — from raw corpus to packed, encoded
+    * training sequences in one declarative plan:
+    *
+    *   token gate -> exact dedup -> top-K vocabulary -> id encoding ->
+    *   per-source sequence packing
+    *
+    * ([[curateQuery]] cleans, [[mixQuery]] mixes; this is the step that
+    * turns the result into model inputs.) Per surviving doc: its
+    * sequence assignment plus the encoded-id fingerprint and OOV
+    * stats — everything an export writer and its auditor need.
+    *
+    * Design choice, stated: the vocabulary counts the GATED corpus
+    * (pre-dedup). Restricting counts to dedup survivors would force the
+    * corpus-sized token stream through the survivor join before the
+    * term aggregation; counting the gated stream keeps vocab build one
+    * narrow scan + one vocab-sized exchange, and exact duplicates can
+    * only inflate counts of terms that survive anyway (the oracle
+    * mirrors the choice, so parity pins it).
+    *
+    * Dataflow at 100 TB: control stream = one narrow gate scan to
+    * skinny (doc_id, source, n_tokens, digest) rows -> one digest
+    * shuffle for dedup. Data stream = one token-explode scan ->
+    * broadcast vocab join -> one (doc_id)-keyed encode aggregation.
+    * The two streams meet AFTER both are per-doc-sized (skinny
+    * equi-join on doc_id), and packing rides [[GlobalRank]]'s ranged
+    * exchange. Text and terms never shuffle anywhere.
+    */
+  def pretokenizePipeline(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      vocabK: Int = 64,
+      capacity: Long = 256
+  ): DataFrame = {
+    val gated = docs.filter(
+      graft.functions.sketch.tokenCount(coalesce(col("text"), lit(""))) >= minTokens)
+    val gate = gated
+      .select(
+        col("doc_id"), col("source"),
+        graft.functions.sketch.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__ch"))
+    val keep = gate.groupBy("__ch").agg(min(col("doc_id")).as("__keep"))
+    val survivors = gate.join(keep, "__ch")
+      .filter(col("doc_id") === col("__keep"))
+      .select("doc_id", "source", "n_tokens", "__ch")
+    val enc = TextAnalysis.vocabEncode(gated, vocabK)
+      .select(col("doc_id"), col("n_oov"), col("ids_fp"))
+    val kept = survivors.join(enc, Seq("doc_id"))
+    graft.engine.GlobalRank.withGroupedCumSumBefore(
+        kept.withColumnRenamed("__ch", "__h"),
+        groupCols = Seq("source"),
+        sortCols = Seq(col("__h"), col("doc_id")),
+        valueCol = col("n_tokens"),
+        outCol = "cum_before")
+      .select(
+        col("doc_id"), col("source"),
+        expr(s"cum_before div ${capacity}L").as("seq_id"),
+        col("n_tokens"), col("n_oov"), col("ids_fp"))
+  }
+
+  /** Driver query: minTokens = 12 (inside the corpus 10..99 token
+    * range, so the gate genuinely drops docs and shifts vocab counts,
+    * encoding, and packing — the mixQuery argument).
+    */
+  def pretokenizeQuery(spark: SparkSession, dir: String): DataFrame =
+    pretokenizePipeline(Tables.documents(spark, dir),
+      minTokens = 12, vocabK = 64, capacity = 256)
+      .orderBy("doc_id")
+
   /** CURRICULUM ordering — the training-schedule compile step: emit a
     * deterministic easy-to-hard global order over the corpus. Hardness
     * is mean token length (chars per token — the cheap, fully

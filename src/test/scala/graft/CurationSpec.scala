@@ -243,4 +243,28 @@ class CurationSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("pretokenize: gate and dedup drops, gated-corpus vocab, exact id fingerprints") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val aText = "a a a a a a a a a a"
+    val docs = Seq(
+      (1L, "src1", aText),                        // kept
+      (2L, "src1", aText),                        // exact dup of 1 -> dropped
+      (3L, "src1", "b c"),                        // gated (2 < 10 tokens)
+      (4L, "src2", "a b a b a b a b a b c c")     // kept; c is OOV at K=2
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.pretokenizePipeline(docs, minTokens = 10, vocabK = 2, capacity = 8)
+      .as[(Long, String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 4L), "dup and gated docs must not reach packing")
+    // vocab counts the GATED corpus incl. the dup: a=25, b=5 -> a->1, b->2
+    val d1 = got(1L)
+    assert(d1._2 == "src1" && d1._3 == 0L && d1._4 == 10L && d1._5 == 0L)
+    assert(d1._6 == md5hex(Seq.fill(10)("1").mkString(" ")), "doc1 all-'a' encodes to all-1")
+    val d4 = got(4L)
+    assert(d4._2 == "src2" && d4._3 == 0L && d4._4 == 12L && d4._5 == 2L, s"doc4: $d4")
+    assert(d4._6 == md5hex("1 2 1 2 1 2 1 2 1 2 0 0"), "doc4 ids with OOV zeros")
+  }
 }
