@@ -712,14 +712,16 @@ object Similarity {
     }
   }
 
-  /** Nearest-code struct argmin over one subspace's codebook: exact
-    * int64 distances via the codegen'd [[vec.sqDistLong]] kernel,
-    * lexicographic struct `array_min` = smallest-code tiebreak.
+  /** Nearest-code struct argmin over one subspace's codebook, via the
+    * codegen-compact [[graft.functions.VecNearestCode]] kernel (exact
+    * int64 distances, smallest-code tiebreak — identical semantics to
+    * the struct-`array_min` spelling, but O(1) generated bytecode in
+    * `k`: the unrolled spelling at m=16 × k=16 blew janino's 64 KB
+    * method limit inside the training explode and silently dropped the
+    * whole corpus-sized stage to interpreted evaluation).
     */
   private def pqArgmin(s: Int, codebook: IndexedSeq[(Int, Seq[Long])]): Column =
-    array_min(array(codebook.map { case (c, qc) =>
-      struct(vec.sqDistLong(col(s"__sv$s"), typedLit(qc)).as("dist"), lit(c).as("c_label"))
-    }: _*))
+    vec.nearestCode(col(s"__sv$s"), codebook)
 
   // --------------------------------------------------------------------
   // The PQ index as a materialized corpus asset
@@ -1101,25 +1103,39 @@ object Similarity {
     val spark = queries.sparkSession
     val qRows = collectQueries(queries, idx.scale)
     if (qRows.isEmpty) return emptyAnn(spark)
+    // one codes-vector column feeding every query's compact LUT-sum
+    // kernel ([[graft.functions.VecLutSum]]): the Generate stage then
+    // carries ONE array input and queries × O(1) bytecode — the
+    // unrolled element_at spelling put queries × m lookup trees into
+    // the generated consume method, blew janino's 64 KB limit at
+    // O(100) queries, and dropped the whole ADC scan to interpreted
+    // evaluation
     val perQuery = qRows.map { case (qid, qq) =>
-      val adc = (0 until idx.m).map { s =>
-        // k-entry LUT for this (query, subspace); codes are always in
-        // [0, k) and only codes with members are ever read, so the
-        // fill value for member-less codes is never selected
-        val lut = Array.fill(idx.k)(0L)
-        idx.codebooks(s).foreach { case (c, qc) =>
-          lut(c) = sqL(qq.slice(s * idx.dsub, (s + 1) * idx.dsub), qc)
-        }
-        element_at(typedLit(lut.toSeq), col(s"__cf$s") + 1)
-      }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), adc.as("adc"))
+      struct(lit(qid).as("query_id"),
+        vec.lutSum(col("__codes"), queryLuts(idx, qq)).as("adc"))
     }
     val scored = idx.codes(spark)
+      .withColumn("__codes", array((0 until idx.m).map(s => col(s"__cf$s")): _*))
       .select(col("vec_id"), explode(array(perQuery: _*)).as("e"))
       .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
       .filter(col("query_id") =!= col("vec_id"))
     topKAdc(scored, kTop)
   }
+
+  /** The m × k ADC lookup-table matrix of one query against an index's
+    * codebooks: `luts(s)(c)` = exact int64 sq-dist of the query's s-th
+    * subvector to codebook entry c. Codes are always in [0, k) and only
+    * codes with members are ever read, so the zero fill for member-less
+    * codes is never selected.
+    */
+  private def queryLuts(idx: PqIndexModel, qq: Seq[Long]): IndexedSeq[IndexedSeq[Long]] =
+    (0 until idx.m).map { s =>
+      val lut = Array.fill(idx.k)(0L)
+      idx.codebooks(s).foreach { case (c, qc) =>
+        lut(c) = sqL(qq.slice(s * idx.dsub, (s + 1) * idx.dsub), qc)
+      }
+      lut.toIndexedSeq
+    }
 
   /** Large-batch ADC: the same integer ADC math as [[annPqIndexed]],
     * with per-query LUTs computed IN THE DATA PLANE and shipped by
@@ -1213,15 +1229,14 @@ object Similarity {
       val probed = cents.zipWithIndex
         .map { case (cv, cid) => (sqL(qq, cv), cid) }.sorted.take(nprobe)
       probed.map { case (_, cid) =>
+        // residual-query LUTs for this cell, summed by the compact
+        // [[graft.functions.VecLutSum]] kernel over the one __codes
+        // array — O(1) bytecode per (query, cell) in the CASE dispatch
+        // (the unrolled element_at spelling blew codegen's 64 KB method
+        // limit once queries × nprobe × m grew past a few hundred terms)
         val qr: Seq[Long] = qq.lazyZip(cents(cid)).map(_ - _)
-        val adc = (0 until m).map { s =>
-          val lut = Array.fill(k)(0L)
-          idx.codebooks(s).foreach { case (c, qc) =>
-            lut(c) = sqL(qr.slice(s * dsub, (s + 1) * dsub), qc)
-          }
-          element_at(typedLit(lut.toSeq), col(s"__cf$s") + 1)
-        }.reduce(_ + _)
-        (cid, struct(lit(qid).as("query_id"), adc.as("adc")))
+        (cid, struct(lit(qid).as("query_id"),
+          vec.lutSum(col("__codes"), queryLuts(idx, qr)).as("adc")))
       }
     }
     val probedCells = perQueryCell.map(_._1).distinct.sorted
@@ -1233,6 +1248,7 @@ object Similarity {
       // the inverted-list lookup: un-probed cells are never scanned —
       // with the cid-partitioned table this prunes whole directories
       .filter(col("cid").isin(probedCells: _*))
+      .withColumn("__codes", array((0 until m).map(s => col(s"__cf$s")): _*))
       .select(col("vec_id"), explode(dispatch).as("e"))
       .select(col("e.query_id").as("query_id"), col("vec_id"), col("e.adc").as("adc"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -237,4 +237,101 @@ class VecSumSpec extends SparkSpec {
     // outliers are a small minority per type
     a.foreach { case (_, n, out) => assert(out >= 0 && out < n / 10) }
   }
+
+  test("property: vec.nearestCode == the struct-array_min spelling (incl. ties, ragged, null elements)") {
+    // the codebook includes DUPLICATE centroids under different labels so
+    // the smallest-label tiebreak is actually exercised, plus a short
+    // centroid (common-prefix distance) — the semantics VecNearestCode
+    // must reproduce bit-for-bit from the old unrolled spelling
+    val genCent = Gen.listOfN(4, Gen.chooseNum(-50L, 50L))
+    val genBook = Gen.listOfN(6, genCent).map { cs =>
+      val withDup = cs ++ List(cs.head, cs(1).take(2))
+      withDup.zipWithIndex.map { case (qc, i) => (i, qc: Seq[Long]) }.toIndexedSeq
+    }
+    val genVecs = Gen.listOfN(40,
+      Gen.listOfN(4, Gen.option(Gen.chooseNum(-50L, 50L))))
+    val p = Prop.forAll(genBook, genVecs) { (book, vecs) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "__sv0")
+      val kernel = df.select(col("id"),
+          graft.functions.vec.nearestCode(col("__sv0"), book).as("best"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getInt(1))).toMap
+      val unrolled = df.select(col("id"), array_min(array(book.map { case (c, qc) =>
+          struct(
+            graft.functions.vec.sqDistLong(col("__sv0"), typedLit(qc)).as("dist"),
+            lit(c).as("c_label"))
+        }: _*)).as("best"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getInt(1))).toMap
+      // and a driver-side reference: null elements as 0, common prefix,
+      // smallest (dist, label)
+      val ref = vecs.zipWithIndex.map { case (v, i) =>
+        val x = v.map(_.getOrElse(0L))
+        i -> book.map { case (c, qc) =>
+          val n = math.min(x.length, qc.length)
+          ((0 until n).map(j => { val d = x(j) - qc(j); d * d }).sum, c)
+        }.min
+      }.toMap
+      kernel == unrolled && kernel == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: vec.lutSum == the element_at spelling on the production contract (non-null codes)") {
+    // production plans always feed exactly m NON-NULL codes in [0, k) —
+    // the equality property pins that contract. (On null codes the old
+    // element_at spelling hits a Catalyst nullability quirk — a
+    // non-nullable literal LUT array makes ElementAt non-nullable, so
+    // codegen substitutes 0 for the null index's null — while the
+    // kernel is strict-null; asserted separately below.)
+    val m = 5; val k = 7
+    val genLuts = Gen.listOfN(m, Gen.listOfN(k, Gen.chooseNum(-1000L, 1000L)))
+      .map(_.map(_.toIndexedSeq).toIndexedSeq)
+    val genCodes = Gen.listOfN(30, Gen.listOfN(m, Gen.chooseNum(0, k - 1)))
+    val p = Prop.forAllNoShrink(genLuts, genCodes) { (luts, rows) =>
+      val df = rows.zipWithIndex.map { case (cs, i) => (i, cs) }.toDF("id", "codes")
+      val kernel = df.select(col("id"),
+          graft.functions.vec.lutSum(col("codes"), luts).as("adc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val unrolled = df.select(col("id"), (0 until m).map(s =>
+          element_at(typedLit(luts(s)), element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _).as("adc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ref = rows.zipWithIndex.map { case (cs, i) =>
+        i -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum
+      }.toMap
+      kernel == unrolled && kernel == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("vec.lutSum nulls out on a null code element or null array (strict-null contract)") {
+    val luts = IndexedSeq(IndexedSeq(10L, 20L), IndexedSeq(30L, 40L))
+    val rows = Seq(
+      (1, Some(Seq(Some(1), Some(0)))),
+      (2, Some(Seq(Some(1), None))),
+      (3, Option.empty[Seq[Option[Int]]]))
+      .toDF("id", "codes")
+      .select(col("id"), graft.functions.vec.lutSum(col("codes"), luts).as("adc"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1 -> Some(50L), 2 -> None, 3 -> None))
+  }
+
+  test("vec.nearestCode is null-in-null-out and rejects fractional arrays at analysis") {
+    val book = IndexedSeq((0, Seq(0L, 0L)), (1, Seq(5L, 5L)))
+    val rows = Seq((1, Some(Seq(4L, 4L))), (2, Option.empty[Seq[Long]]))
+      .toDF("id", "v")
+      .select(col("id"), graft.functions.vec.nearestCode(col("v"), book).as("best"))
+      .collect().map(r => r.getInt(0) -> Option(r.getStruct(1))).toMap
+    assert(rows(1).map(s => (s.getLong(0), s.getInt(1))).contains((2L, 1)))
+    assert(rows(2).isEmpty)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1.5d))).toDF("v")
+        .select(graft.functions.vec.nearestCode(col("v"), book)).collect()
+    }
+    assert(e.getMessage.contains("array<integral>"))
+  }
 }
