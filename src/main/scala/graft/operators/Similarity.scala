@@ -338,12 +338,16 @@ object Similarity {
     * the nearest centroid with a smallest-label tiebreak (lexicographic
     * struct ordering).
     */
-  private def scoredStructs(cents: Array[(Int, Seq[Long])]): Seq[Column] =
-    cents.toIndexedSeq.map { case (lbl, qc) =>
-      struct(
-        vec.sqDistLong(col("qe"), typedLit(qc)).as("dist"),
-        lit(lbl).as("c_label"))
-    }
+  /** Nearest-centroid struct `(dist, c_label)` of the `qe` column over
+    * driver-collected centroid literals — the codegen-compact argmin
+    * ([[graft.functions.VecNearestCode]]: the codebook rides as a
+    * reference object and the generated code is one loop, so the
+    * expression stays O(1) bytecode however many centroids the model
+    * has; the old per-centroid `array_min(array(struct(...)))`
+    * unrolling was a janino 64 KB blowout waiting for a larger k).
+    */
+  private def nearestOf(cents: Array[(Int, Seq[Long])]): Column =
+    vec.nearestCode(col("qe"), cents.toIndexedSeq)
 
   /** Per-label embedding centroids via [[graft.functions.vecagg.vecSumLong]]
     * — the class-prototype aggregate an embedding pipeline runs for
@@ -404,9 +408,9 @@ object Similarity {
     // the centroid model is driver-collected literals, so the argmin is
     // a NARROW per-row expression: the corpus is scanned once and never
     // shuffled; only the labels² confusion aggregate exchanges
-    val scored = scoredStructs(centroidModel(emb, scale))
+    val best = nearestOf(centroidModel(emb, scale))
     emb.select(col("label"), quantized(scale).as("qe"))
-      .select(col("label"), array_min(array(scored: _*)).as("best"))
+      .select(col("label"), best.as("best"))
       .groupBy(col("label"), col("best.c_label").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
@@ -429,9 +433,9 @@ object Similarity {
     */
   def kmeansStep(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
     val emb = embeddings.filter(col("embedding").isNotNull)
-    val scored = scoredStructs(centroidModel(emb, scale))
+    val best = nearestOf(centroidModel(emb, scale))
     emb.select(quantized(scale).as("qe"))
-      .select(col("qe"), array_min(array(scored: _*)).getField("c_label").as("cluster"))
+      .select(col("qe"), best.getField("c_label").as("cluster"))
       .groupBy(col("cluster"))
       .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n_vecs"))
       .select(col("cluster"), col("n_vecs"), posexplode(col("qsum")).as(Seq("dim", "qs")))
@@ -468,13 +472,13 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, threshold: Double, scale: Int = 1000): DataFrame = {
     val emb = embeddings.filter(col("embedding").isNotNull)
-    val scored = scoredStructs(centroidModel(emb, scale))
+    val best = nearestOf(centroidModel(emb, scale))
     dupVerdicts(
       emb
         .select(col("vec_id"), col("embedding"), quantized(scale).as("qe"))
         .select(
           col("vec_id"), col("embedding"),
-          array_min(array(scored: _*)).getField("c_label").as("cluster")),
+          best.getField("c_label").as("cluster")),
       threshold)
   }
 
@@ -534,14 +538,12 @@ object Similarity {
         col("vec_id"), col("embedding"), quantized(scale).as("qe"),
         pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seedScored = scoredStructs(gridCentroids(base, "c0"))
     val step = base.withColumn(
-      "c1", array_min(array(seedScored: _*)).getField("c_label"))
-    val stepScored = scoredStructs(gridCentroids(step, "c1"))
+      "c1", nearestOf(gridCentroids(base, "c0")).getField("c_label"))
     val out = dupVerdicts(
       base.select(
         col("vec_id"), col("embedding"),
-        array_min(array(stepScored: _*)).getField("c_label").as("cluster")),
+        nearestOf(gridCentroids(step, "c1")).getField("c_label").as("cluster")),
       threshold)
     base.unpersist(blocking = false)
     out
@@ -827,11 +829,14 @@ object Similarity {
     } finally base.unpersist(blocking = false)
   }
 
-  /** Nearest coarse cell by exact int64 sq-distance, smallest-cid tie. */
+  /** Nearest coarse cell by exact int64 sq-distance, smallest-cid tie
+    * (the codegen-compact [[graft.functions.VecNearestCode]] argmin —
+    * O(1) bytecode in nlist, so a 4096-cell billion-scale coarse
+    * quantizer compiles the same as a 16-cell test one).
+    */
   private def coarseArgmin(cs: IndexedSeq[Seq[Long]], qe: Column): Column =
-    array_min(array(cs.zipWithIndex.map { case (cv, cid) =>
-      struct(vec.sqDistLong(qe, typedLit(cv)).as("dist"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    vec.nearestCode(qe, cs.zipWithIndex.map { case (cv, cid) => (cid, cv) })
+      .getField("c_label")
 
   /** Train + materialize an IVF-PQ (IVFADC) index: Lloyd-refined coarse
     * cells, shared residual codebooks, code table PARTITIONED BY `cid`
