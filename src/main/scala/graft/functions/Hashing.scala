@@ -209,6 +209,38 @@ case class CharEntropyQ(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashed bag-of-words linear score: trim/split like [[TokenCountExpr]]
+  * (empty tokens skipped), polynomial-31 token hash (unsigned 64-bit
+  * wrap — SQL-replicable, unlike xxh64), bucket = hash mod
+  * `weights.length` (unsigned), score = exact-int64 sum of bucket
+  * weights. The weight table — the trained classifier — rides as a
+  * codegen reference object, so the expression is O(1) bytecode in the
+  * model size and the corpus is scored in one narrow codegen'd scan:
+  * feature hashing (Weinberger et al., ICML 2009) + a linear text
+  * classifier (the fastText shape, Joulin et al. 2017).
+  */
+case class HashedBowScore(child: Expression, weights: IndexedSeq[Long]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(weights.nonEmpty, "weight table must be non-empty")
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SketchKernels.hashedBowScore(input.asInstanceOf[UTF8String], wArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bowWeights", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.hashedBowScore($c, $w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TokenCountExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -350,6 +382,8 @@ object sketch {
     GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
   def tokenCount(text: Column): Column =
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
+  def bowScore(text: Column, weights: IndexedSeq[Long]): Column =
+    GraftExpressionBridge.column(HashedBowScore(GraftExpressionBridge.expression(text), weights))
   def charEntropyQ(text: Column): Column =
     GraftExpressionBridge.column(CharEntropyQ(GraftExpressionBridge.expression(text)))
   def tokenWindowHashes(text: Column, k: Int): Column =

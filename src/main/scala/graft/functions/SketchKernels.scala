@@ -190,6 +190,43 @@ object SketchKernels {
     n
   }
 
+  /** See [[graft.functions.HashedBowScore]]: hashed bag-of-words linear
+    * score — ONE text pass: trim, split on `\s` runs, skip empty
+    * tokens, polynomial-31 hash each token's chars (unsigned 64-bit
+    * wrap, init 0 — the engine's text-hash convention, replicated by
+    * the DuckDB oracles in HUGEINT mod-2^64 arithmetic over the ASCII
+    * corpus), bucket by UNSIGNED remainder mod `weights.length`, and
+    * sum the bucket weights in exact int64. The weight table is the
+    * trained model: feature hashing (Weinberger et al., ICML 2009)
+    * composed with a linear text classifier (the fastText shape,
+    * Joulin et al. 2017) — the standard quality-filter scorer an LLM
+    * data pipeline runs over every document.
+    */
+  def hashedBowScore(input: UTF8String, weights: Array[Long]): Long = {
+    val s = input.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    @inline def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val d = weights.length
+    var score = 0L
+    var i = lo
+    while (i < hi) {
+      if (isSep(s.charAt(i))) i += 1
+      else {
+        var h = 0L
+        while (i < hi && !isSep(s.charAt(i))) {
+          h = h * 31L + s.charAt(i).toLong
+          i += 1
+        }
+        score += weights(java.lang.Long.remainderUnsigned(h, d.toLong).toInt)
+      }
+    }
+    score
+  }
+
   /** See [[SortedIntersectCount]]: |a ∩ b| of two SORTED distinct string
     * arrays by linear merge — no per-row hash-set builds, no union array
     * materialization (|a ∪ b| = |a| + |b| - |a ∩ b|).

@@ -337,6 +337,43 @@ object TextAnalysis {
       .select(col("doc_id"), text.fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic per-bucket weight table standing in for a trained
+    * quality classifier (a real deployment loads the fastText-style
+    * model's weights here): w(b) = ((b·1103515245 + 12345) mod 4001)
+    * − 2000, symmetric around 0 so a 0 threshold exercises both
+    * verdicts. Exact int64 end-to-end, so scores hash-match the SQL
+    * twin bit-for-bit.
+    */
+  def classifierWeights(nBuckets: Int = 256): IndexedSeq[Long] =
+    (0 until nBuckets).map(b => ((b.toLong * 1103515245L + 12345L) % 4001L) - 2000L)
+
+  /** Model-based quality filter — the classifier-scoring stage an LLM
+    * data pipeline runs after the heuristic gates (Gopher/C4 rules):
+    * a hashed bag-of-words LINEAR model applied to every document.
+    *
+    * Dataflow at 100 TB: the model is a plan constant (a reference
+    * object inside the fused [[graft.functions.HashedBowScore]]
+    * kernel — tokenize, poly-31 hash, bucket, weight-sum in ONE text
+    * pass), so scoring is a narrow codegen'd projection: no token
+    * explode, no shuffle, no join — the corpus is read once at scan
+    * speed and only (doc_id, score, verdict) leaves the stage. That is
+    * the same model-as-literal shape the centroid/PQ families use for
+    * their argmins ([[Similarity]]), applied to text scoring.
+    */
+  def qualityClassify(docs: DataFrame, weights: IndexedSeq[Long],
+      threshold: Long = 0L): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        coalesce(graft.functions.sketch.bowScore(col("text"), weights), lit(0L))
+          .as("bow_score"))
+      .withColumn("kept", col("bow_score") >= lit(threshold))
+      .orderBy("doc_id")
+
+  /** Driver query: 256-bucket hashed linear classifier at threshold 0. */
+  def classifierQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityClassify(Tables.documents(spark, dir), classifierWeights())
+
   /** Deterministic train/val/test split by CONTENT hash: the first hex
     * nibble of md5(text) buckets 16 ways — 12 train / 2 val / 2 test
     * (75/12.5/12.5). Hashing content rather than doc_id means exact

@@ -773,4 +773,33 @@ class QueriesSpec extends SparkSpec {
     // scans a quarter of the corpus)
     assert(got.map(_._2).sum > 0, "IVFADC should find at least one true neighbor corpus-wide")
   }
+
+  test("text_classifier: kernel scores equal a driver-side model application; narrow plan") {
+    import graft.operators.TextAnalysis
+    val weights = TextAnalysis.classifierWeights()
+    val out = TextAnalysis.classifierQuery(spark, sf)
+    // the scoring stage is a narrow projection — the model rides inside
+    // the expression, so the ONLY exchange is the final presentation sort
+    val plan = out.queryExecution.sparkPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      s"classifier scoring must not shuffle the corpus:\n$plan")
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // independent driver-side application of the same model: trim spaces,
+    // split on \s runs, skip empties, poly-31 char hash, unsigned-mod
+    // bucket, int64 weight sum
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(docs.length == got.size)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val s = r.getString(1).dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val score = s.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty).map { tok =>
+        val h = tok.foldLeft(0L)((a, c) => a * 31L + c.toLong)
+        weights(java.lang.Long.remainderUnsigned(h, weights.length.toLong).toInt)
+      }.sum
+      assert(got(id) == (score, score >= 0L), s"doc $id: got ${got(id)}, want $score")
+    }
+    // threshold 0 must exercise BOTH verdicts on the synthetic corpus
+    val verdicts = got.values.map(_._2).toSet
+    assert(verdicts == Set(true, false), s"degenerate verdict split: $verdicts")
+  }
 }
