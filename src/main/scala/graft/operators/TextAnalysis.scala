@@ -454,6 +454,51 @@ object TextAnalysis {
   def topNgramsQuery(spark: SparkSession, dir: String): DataFrame =
     topNgrams(Tables.documents(spark, dir), k = 2, topK = 20)
 
+  /** One BPE training round's merge-candidate statistics (Sennrich et
+    * al., ACL 2016): the frequency of every adjacent within-word symbol
+    * pair, weighted by word frequency — the table whose argmax is the
+    * round's merge. One round per call, the [[graft.operators.Similarity.kmeansStep]]
+    * pattern: a training loop applies the winning merge to its symbol
+    * sequences and calls again.
+    *
+    * Dataflow at 100 TB — the reason BPE training scales at all: the
+    * corpus collapses to the WORD-FREQUENCY dictionary first (one
+    * map-side-combined (word) aggregation, the only corpus-sized
+    * exchange), and everything after runs on the VOCABULARY: pair
+    * explosion is vocab × word-length skinny (symbol, symbol, freq)
+    * rows, the pair aggregate is vocab-sized, and the result is a
+    * bounded `TakeOrderedAndProject`. Re-counting from text each round
+    * costs one corpus scan per merge; real trainers iterate on the
+    * materialized dictionary — this operator accepts EITHER (docs via
+    * [[bpePairStatsQuery]], or a (w, freq) table directly).
+    */
+  def bpePairStats(wordFreq: DataFrame, topK: Int = 20): DataFrame =
+    wordFreq
+      // single-symbol words carry no pairs; the filter also keeps
+      // sequence() ascending (sequence(1, 0) would count DOWN)
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(
+        col("w").substr(col("i"), lit(1)).as("left_sym"),
+        col("w").substr(col("i") + 1, lit(1)).as("right_sym"),
+        col("freq"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum(col("freq")).as("pair_freq"))
+      .orderBy(desc("pair_freq"), asc("left_sym"), asc("right_sym"))
+      .limit(topK)
+
+  /** The corpus→dictionary half: token explode + (word) count. */
+  def wordFrequency(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Driver query: top-20 first-round merge candidates. */
+  def bpePairStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    bpePairStats(wordFrequency(Tables.documents(spark, dir)), topK = 20)
+
   /** Vocabulary COVERAGE curve — the tokenizer-sizing question: "how
     * much of the corpus do the top-N terms cover?" Every term's corpus
     * frequency, ranked by (freq DESC, term ASC), with each rank's

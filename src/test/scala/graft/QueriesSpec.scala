@@ -774,6 +774,24 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum > 0, "IVFADC should find at least one true neighbor corpus-wide")
   }
 
+  test("bpe_pair_stats: pair frequencies weight by word frequency; single-symbol words drop") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab ab x"),   // abab: pairs ab,ba,ab ; ab: ab ; x: none
+      (2L, "ab abab")      // ab ; ab,ba,ab
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(TextAnalysis.wordFrequency(docs))
+      .as[(String, String, Long)].collect().toList
+    // ab occurs 2 per "abab" (freq 2) + 1 per "ab" (freq 2) = 6; ba = 2
+    assert(got == List(("a", "b", 6L), ("b", "a", 2L)))
+    // ranking is total: freq DESC then pair ASC — ties cannot reorder
+    val tied = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpePairStats(TextAnalysis.wordFrequency(tied))
+      .as[(String, String, Long)].collect().toList
+    assert(t == List(("a", "b", 1L), ("c", "d", 1L)))
+  }
+
   test("text_classifier: kernel scores equal a driver-side model application; narrow plan") {
     import graft.operators.TextAnalysis
     val weights = TextAnalysis.classifierWeights()
