@@ -209,6 +209,30 @@ case class CharEntropyQ(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunks of a text column: array<string> of slices
+  * whose boundaries are the LBFS rolling-hash rule (see
+  * [[SketchKernels.cdcChunks]]) — `h(gram ending at i) ≡ 0 mod divisor`
+  * closes a chunk. Fused single pass; the chunk array is intended to be
+  * immediately exploded and digested so raw text leaves the plan at the
+  * projection ([[graft.operators.Dedup.cdcDedup]]).
+  */
+case class CdcChunks(child: Expression, k: Int, divisor: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(k >= 1 && divisor >= 1, s"need k >= 1 and divisor >= 1, got k=$k divisor=$divisor")
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.cdcChunks(input.asInstanceOf[UTF8String], k, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.cdcChunks($c, $k, $divisor);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hashed bag-of-words linear score: trim/split like [[TokenCountExpr]]
   * (empty tokens skipped), polynomial-31 token hash (unsigned 64-bit
   * wrap — SQL-replicable, unlike xxh64), bucket = hash mod
@@ -384,6 +408,8 @@ object sketch {
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
   def bowScore(text: Column, weights: IndexedSeq[Long]): Column =
     GraftExpressionBridge.column(HashedBowScore(GraftExpressionBridge.expression(text), weights))
+  def cdcChunks(text: Column, k: Int = 8, divisor: Int = 64): Column =
+    GraftExpressionBridge.column(CdcChunks(GraftExpressionBridge.expression(text), k, divisor))
   def charEntropyQ(text: Column): Column =
     GraftExpressionBridge.column(CharEntropyQ(GraftExpressionBridge.expression(text)))
   def tokenWindowHashes(text: Column, k: Int): Column =

@@ -537,6 +537,54 @@ object SketchKernels {
     new GenericArrayData(picked.toArray)
   }
 
+  /** See [[graft.functions.CdcChunks]]: content-defined chunking — the
+    * LBFS/rsync boundary rule (Muthitacharoen et al., SOSP 2001) on the
+    * engine's Rabin-Karp char-gram hash (same rolling recurrence as
+    * [[winnow]], SQL-replicable in HUGEINT mod-2^64). Position `i`
+    * (1-based, `i >= k`) CLOSES a chunk when the hash of the k-gram
+    * ending at `i` satisfies `unsigned(h) % divisor == 0`; the
+    * remainder (or a doc shorter than k) is the final chunk. Boundaries
+    * depend only on LOCAL content, so an insertion re-chunks only its
+    * neighborhood — the property that makes chunk-level dedup stable
+    * under edits where fixed-width blocks would shift every boundary.
+    * No min/max chunk clamps (a production store adds them; they would
+    * complicate the SQL twin without changing the plan shape).
+    */
+  def cdcChunks(input: UTF8String, k: Int, divisor: Int): ArrayData = {
+    val text = input.toString
+    val n = text.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(text)))
+    val out = new java.util.ArrayList[UTF8String]()
+    var h = 0L
+    var pow = 1L // 31^(k-1), wrapped
+    var i = 0
+    while (i < k) {
+      h = 31 * h + text.charAt(i)
+      if (i < k - 1) pow *= 31
+      i += 1
+    }
+    var start = 0 // 0-based chunk start
+    // gram ending at 0-based index e (e >= k-1) has hash h_e
+    var e = k - 1
+    if (java.lang.Long.remainderUnsigned(h, divisor.toLong) == 0L) {
+      out.add(UTF8String.fromString(text.substring(start, e + 1)))
+      start = e + 1
+    }
+    e = k
+    while (e < n) {
+      h = (h - text.charAt(e - k) * pow) * 31 + text.charAt(e)
+      if (java.lang.Long.remainderUnsigned(h, divisor.toLong) == 0L) {
+        out.add(UTF8String.fromString(text.substring(start, e + 1)))
+        start = e + 1
+      }
+      e += 1
+    }
+    if (start < n) out.add(UTF8String.fromString(text.substring(start, n)))
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** See [[CharEntropyQ]]: quantized character-distribution NLL,
     * `-sum over distinct chars of m * floor(ln(m/n)*1e4 + 0.5)`, in ONE
     * pass with an ASCII histogram (map fallback for the rest). Counts

@@ -1094,4 +1094,50 @@ object Dedup {
 
   def leakageQuery(spark: SparkSession, dir: String): DataFrame =
     leakageMatrix(Tables.documents(spark, dir), k = 8)
+
+  /** Content-defined-chunking dedup (the LBFS/rsync storage-dedup
+    * pattern applied to corpus text): split every document into
+    * variable-size chunks whose boundaries are a LOCAL rolling-hash
+    * rule ([[graft.functions.CdcChunks]]) — stable under insertions,
+    * unlike fixed-width blocks — then measure, per document, how much
+    * of it is chunk-identical to OTHER documents. The chunk-level
+    * complement to [[substringSpans]]' fixed-k windows: chunks align
+    * with content edges, so a shared span is found as a handful of
+    * shared chunks instead of every overlapping k-window.
+    *
+    * Dataflow at 100 TB: raw text leaves the plan at the first
+    * projection (chunks are digested to md5 immediately); the only
+    * corpus-sized exchange carries skinny (digest, len) rows — chunk
+    * df is a map-side-combined digest aggregation, joined back on the
+    * same digest partitioning. Output is per-doc
+    * (n_chunks, dup_chunks, dup_chars): chunks (distinct within the
+    * doc) whose digest appears in >= 2 documents, and the chars they
+    * cover.
+    */
+  def cdcDedup(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(graft.functions.sketch.cdcChunks(col("text"), k, divisor)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("digest"),
+        length(col("chunk")).cast("long").as("len"))
+      // a chunk repeated WITHIN a doc counts once (df semantics and
+      // per-doc dup accounting both work on the distinct set)
+      .groupBy(col("doc_id"), col("digest"))
+      .agg(max(col("len")).as("len"))
+    val persisted = chunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = persisted.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("chunk_df"))
+    val out = persisted
+      .join(df, Seq("digest"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("chunk_df") >= 2, col("len")).otherwise(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, persisted)
+  }
+
+  def cdcQuery(spark: SparkSession, dir: String): DataFrame =
+    cdcDedup(Tables.documents(spark, dir), k = 8, divisor = 64)
 }

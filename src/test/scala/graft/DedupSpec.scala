@@ -791,4 +791,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(gotBatch == want, s"ingest-batch path disagrees: got ${gotBatch.size}, want ${want.size}")
   }
+
+  test("cdc chunks: lossless cover, boundary rule exact, and edit-locality vs fixed blocks") {
+    import graft.functions.sketch
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // an insertion near the FRONT shifts every fixed-width block, but
+    // CDC boundaries after the edit neighborhood re-align — the whole
+    // point of content-defined chunking
+    val edited = base.substring(0, 10) + "XYZ" + base.substring(10)
+    val df = Seq((1L, base), (2L, edited), (3L, "short")).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"), sketch.cdcChunks(col("text"), 8, 64).as("cs"))
+      .as[(Long, Seq[String])].collect().toMap
+    // lossless: chunks concatenate back to the text, in order
+    assert(chunks(1L).mkString == base)
+    assert(chunks(2L).mkString == edited)
+    assert(chunks(3L) == Seq("short")) // shorter than k: one whole-text chunk
+    // boundary rule matches a driver-side reference on the gram hashes
+    val grams = (0 to base.length - 8).map { s =>
+      base.substring(s, s + 8).foldLeft(0L)((a, c) => a * 31L + c.toLong)
+    }
+    val ends = grams.zipWithIndex.collect {
+      case (h, s) if java.lang.Long.remainderUnsigned(h, 64L) == 0L => s + 7
+    }
+    val wantLens = (ends :+ (base.length - 1)).distinct
+      .foldLeft((List.empty[Int], -1)) { case ((acc, prev), e) => ((e - prev) :: acc, e) }
+      ._1.reverse
+    assert(chunks(1L).map(_.length) == wantLens)
+    // edit-locality: the edited doc shares most chunk digests with base
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    assert(shared.nonEmpty, "CDC must preserve chunks past the edit")
+    assert(shared.map(_.length).sum > base.length / 2,
+      s"most content should re-align after a front edit; shared only ${shared.map(_.length).sum} chars")
+  }
 }
