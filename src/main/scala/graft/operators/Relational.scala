@@ -927,4 +927,46 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sumDec(col("l_quantity")).as("sum_qty"))
       .orderBy("_index")
   }
+
+  /** Time-series RESAMPLE + GAP-FILL — the regularization step every
+    * metric/feature pipeline needs before modeling: per event type,
+    * hourly buckets over the table's full span, empty buckets made
+    * explicit (n_events = 0) and forward-filled with the last observed
+    * value. Spark has no native time spine; this builds one.
+    *
+    * Scale shape: the corpus-sized work is ONE (type, hour) aggregation
+    * with map-side partials on an integer hour index (`ts_ns DIV
+    * 3.6e12` — nanos stay exact int64; a double division would lose
+    * precision above 2^53). The spine is `types × hours` rows built
+    * from a BROADCAST 1-row bounds aggregate + `sequence` explode — no
+    * driver action, no corpus re-scan. The forward-fill window
+    * partitions by type over the RESAMPLED series (bounded by the time
+    * span, not the event count), so the window never sees raw events.
+    * Values ride as floor(v·100 + 0.5) int64 cents — exact,
+    * order-independent sums (the engine's money convention).
+    */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr(s"ts_ns DIV $hourNs").as("hb"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("qv"))
+    val aggs = ev.groupBy("event_type", "hb").agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("qv")).as("q_raw"))
+    val bounds = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+    val fillW = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(aggs, Seq("event_type", "hb"), "left")
+      .select(
+        col("event_type"), col("hb"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"),
+        coalesce(col("q_raw"), lit(0L)).as("q_sum"),
+        coalesce(last(col("q_raw"), ignoreNulls = true).over(fillW), lit(0L))
+          .as("q_filled"))
+      .orderBy("event_type", "hb")
+  }
 }

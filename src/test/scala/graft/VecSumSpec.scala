@@ -238,6 +238,27 @@ class VecSumSpec extends SparkSpec {
     a.foreach { case (_, n, out) => assert(out >= 0 && out < n / 10) }
   }
 
+  test("q_gapfill: full spine, empty buckets explicit, forward fill carries the last observed sum") {
+    val out = operators.Relational.qGapfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byType = out.groupBy(_._1)
+    // every type covers the IDENTICAL full hour range (the spine)
+    val spans = byType.values.map(rs => (rs.map(_._2).min, rs.map(_._2).max, rs.length)).toSet
+    assert(spans.size == 1, s"all types must share one spine: $spans")
+    val (lo, hi, n) = spans.head
+    assert(n == hi - lo + 1, "spine must be dense — one row per hour")
+    // gaps exist and are explicit; fill carries the last non-empty q_sum
+    assert(out.exists(_._3 == 0), "expected at least one empty bucket at sf0.001")
+    byType.values.foreach { rs =>
+      var lastSeen = 0L
+      rs.sortBy(_._2).foreach { case (_, _, nEv, qSum, qFilled) =>
+        if (nEv > 0) lastSeen = qSum
+        assert(qFilled == lastSeen, s"fill must carry $lastSeen, got $qFilled")
+        if (nEv == 0) assert(qSum == 0L)
+      }
+    }
+  }
+
   test("property: vec.nearestCode == the struct-array_min spelling (incl. ties, ragged, null elements)") {
     // the codebook includes DUPLICATE centroids under different labels so
     // the smallest-label tiebreak is actually exercised, plus a short
