@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, QualityGate}
 
 /** Structured-streaming analog of the scroll loop: drain-all semantics,
   * convergence with the batch twin, stateful per-key transform.
@@ -486,5 +486,38 @@ class StreamingSpec extends SparkSpec {
     // the all-OOV doc scores null, never a fake zero
     val oov = got.find(_._1 == 2L).get
     assert(oov._3 == 1L && oov._4.isEmpty && oov._5.isEmpty)
+  }
+
+  test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weights = TextAnalysis.classifierWeights()
+    val rows = Seq((1L, "the quick brown fox"), (2L, "zzzz qqqq"),
+      (3L, "a b c d e f"), (4L, "lorem ipsum dolor sit amet"))
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_gate_ckpt").toString
+    val q = QualityGate.gate(input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gate_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    // two separate micro-batches: stateless scoring must not care
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "bow_score", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val got = canon(spark.table("gate_stream"))
+    val want = canon(QualityGate.gate(rows.toDF("doc_id", "text"), weights))
+    assert(got == want, s"stream $got != batch $want")
+    // and the batch operator itself agrees (same expression tree)
+    val viaOperator = TextAnalysis.qualityClassify(rows.toDF("doc_id", "text"), weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaOperator == want)
   }
 }
