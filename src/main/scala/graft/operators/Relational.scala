@@ -946,6 +946,23 @@ object Relational {
     * order-independent sums (the engine's money convention).
     */
   def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val fillW = Window.partitionBy("event_type").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlySpine(spark, dir)
+      .select(
+        col("event_type"), col("hb"),
+        coalesce(col("n_raw"), lit(0L)).as("n_events"),
+        coalesce(col("q_raw"), lit(0L)).as("q_sum"),
+        coalesce(last(col("q_raw"), ignoreNulls = true).over(fillW), lit(0L))
+          .as("q_filled"))
+      .orderBy("event_type", "hb")
+  }
+
+  /** The dense (event_type, hour) spine with raw per-bucket aggregates
+    * (null where the bucket is empty) — shared by [[qGapfill]] and
+    * [[qChangepoint]]. See qGapfill's scaladoc for the scale shape.
+    */
+  private def hourlySpine(spark: SparkSession, dir: String): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000
     val ev = Tables.events(spark, dir).select(
       col("event_type"),
@@ -958,15 +975,43 @@ object Relational {
     val spine = ev.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hb"))
-    val fillW = Window.partitionBy("event_type").orderBy("hb")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(aggs, Seq("event_type", "hb"), "left")
-      .select(
-        col("event_type"), col("hb"),
-        coalesce(col("n_raw"), lit(0L)).as("n_events"),
-        coalesce(col("q_raw"), lit(0L)).as("q_sum"),
-        coalesce(last(col("q_raw"), ignoreNulls = true).over(fillW), lit(0L))
-          .as("q_filled"))
-      .orderBy("event_type", "hb")
+  }
+
+  /** LEVEL-SHIFT detection over the regularized series — the monitoring
+    * question behind data-drift and pipeline-incident alerts: for every
+    * hour with a full 24 h window on each side, the day-over-day shift
+    * `sum(next 24h) − sum(prev 24h)` of the (gap-explicit) hourly value
+    * sums, ranked by magnitude; top 10 per type.
+    *
+    * Scale shape: everything [[qGapfill]] pays, plus two ROWS-frame
+    * window sums over the dense spine — the spine is dense by
+    * construction, so ROWS frames equal the intended time-RANGE frames
+    * with none of the range-frame sort overhead, and the windows run
+    * over the bounded resampled series, never raw events. All-integer
+    * sums: the shift is exact and the (|shift| DESC, hb ASC) rank is a
+    * total order — hash-stable top-k.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = 24
+    val series = hourlySpine(spark, dir)
+      .select(col("event_type"), col("hb"), coalesce(col("q_raw"), lit(0L)).as("q_sum"))
+    val byHb = Window.partitionBy("event_type").orderBy("hb")
+    val before = sum(col("q_sum")).over(byHb.rowsBetween(-w, -1))
+    val beforeN = count(lit(1)).over(byHb.rowsBetween(-w, -1))
+    val after = sum(col("q_sum")).over(byHb.rowsBetween(0, w - 1))
+    val afterN = count(lit(1)).over(byHb.rowsBetween(0, w - 1))
+    val rankW = Window.partitionBy("event_type")
+      .orderBy(abs(col("shift")).desc, col("hb").asc)
+    series
+      .select(col("event_type"), col("hb"),
+        before.as("before_sum"), after.as("after_sum"),
+        beforeN.as("bn"), afterN.as("an"))
+      .filter(col("bn") === w && col("an") === w)
+      .withColumn("shift", col("after_sum") - col("before_sum"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "hb", "before_sum", "after_sum", "shift", "rank")
+      .orderBy("event_type", "rank")
   }
 }

@@ -259,6 +259,30 @@ class VecSumSpec extends SparkSpec {
     }
   }
 
+  test("q_changepoint: shifts recompute from the gapfilled series; edge hours excluded") {
+    val series = operators.Relational.qGapfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))) // (type, hb, q_sum)
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
+    val out = operators.Relational.qChangepoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, hb, before, after, shift, _) =>
+      val s = series(t)
+      val idx = s.indexWhere(_._1 == hb)
+      assert(idx >= 24 && idx + 24 <= s.length, s"hour $hb lacks a full window side")
+      val b = s.slice(idx - 24, idx).map(_._2).sum
+      val a = s.slice(idx, idx + 24).map(_._2).sum
+      assert((b, a, a - b) == ((before, after, shift)), s"window sums diverge at ($t, $hb)")
+    }
+    // ranks are per-type, 1..10, magnitude-sorted
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1L to sorted.length).toSeq)
+      val mags = sorted.map(r => math.abs(r._5))
+      assert(mags.toSeq == mags.sortBy(-_).toSeq, "rank must be |shift| descending")
+    }
+  }
+
   test("property: vec.nearestCode == the struct-array_min spelling (incl. ties, ragged, null elements)") {
     // the codebook includes DUPLICATE centroids under different labels so
     // the smallest-label tiebreak is actually exercised, plus a short
