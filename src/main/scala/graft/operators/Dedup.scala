@@ -1140,4 +1140,50 @@ object Dedup {
 
   def cdcQuery(spark: SparkSession, dir: String): DataFrame =
     cdcDedup(Tables.documents(spark, dir), k = 8, divisor = 64)
+
+  /** Ingest-batch CDC accounting — "how much of this delivery is
+    * content we already store?", the transfer-suppression question a
+    * chunk store answers before accepting a batch (rsync's premise at
+    * corpus scale). Batch chunks LEFT-join the standing corpus's
+    * distinct chunk digests; per batch doc: total chunks, chunks whose
+    * digest the store already holds, and the novel chars that would
+    * actually need ingesting.
+    *
+    * Scale shape: both sides reduce to skinny (digest[, len]) rows off
+    * one chunking pass each; the join is digest-keyed (in production
+    * the standing side is the materialized chunk-digest asset — the
+    * [[incrementalBloom]] tier applies in front of it unchanged, since
+    * a chunk digest is just a digest).
+    */
+  def cdcIncremental(docs: DataFrame, splitId: Long,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"),
+        explode(graft.functions.sketch.cdcChunks(col("text"), k, divisor)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("digest"),
+        length(col("chunk")).cast("long").as("len"))
+      .groupBy(col("doc_id"), col("digest"))
+      .agg(max(col("len")).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standing = ch.filter(col("doc_id") < splitId)
+      .select("digest").distinct().withColumn("known", lit(true))
+    val out = ch.filter(col("doc_id") >= splitId)
+      .join(standing, Seq("digest"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("known_chunks"),
+        sum(when(col("known"), 0L).otherwise(col("len"))).as("novel_chars"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, ch)
+  }
+
+  /** Driver query: id midpoint as the ingest cut (the
+    * [[incrementalQuery]] convention).
+    */
+  def cdcIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    cdcIncremental(docs, split)
+  }
 }
