@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.vec
+import graft.functions.{vec, vecagg}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -331,6 +331,40 @@ object Similarity {
   /** Driver query: 5-NN graph under the shared LSH constants. */
   def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables.embeddings(spark, dir))
+
+  /** Per-label MEDOID — the member vector nearest its label's centroid
+    * (exact integer grid, smallest-vec_id tie): the cluster-prototype
+    * primitive behind "show me a representative document per cluster"
+    * curation views and medoid-seeded k-means restarts.
+    *
+    * Scale shape: one [[vecagg.vecSumLong]] pass builds the labels × d
+    * centroid table IN THE DATA PLANE (re-quantized floor(sum/n + 0.5),
+    * the engine grid convention); it BROADCASTS back onto the corpus
+    * scan, and the per-label argmin is `min(struct(dist, vec_id))` with
+    * map-side partials — the corpus never shuffles, the exchanges carry
+    * labels-sized rows.
+    */
+  def medoids(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val cent = emb
+      .groupBy(col("label"))
+      .agg(vecagg.vecSumLong(quantized(scale)).as("qsum"), count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("qsum"), x => floor(x.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
+          .as("qc"))
+    emb.select(col("label"), col("vec_id"), quantized(scale).as("qe"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("label"), vec.sqDistLong(col("qe"), col("qc")).as("dist"), col("vec_id"))
+      .groupBy(col("label"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
+      .select(col("label"), col("m.vec_id").as("medoid_id"), col("m.dist").as("dist"))
+      .orderBy("label")
+  }
+
+  /** Driver query: one representative vector per corpus label. */
+  def medoidsQuery(spark: SparkSession, dir: String): DataFrame =
+    medoids(Tables.embeddings(spark, dir))
 
   // -- driver-contract queries ------------------------------------------
 
