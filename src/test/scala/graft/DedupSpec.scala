@@ -792,6 +792,27 @@ class DedupSpec extends SparkSpec {
     assert(gotBatch == want, s"ingest-batch path disagrees: got ${gotBatch.size}, want ${want.size}")
   }
 
+  test("property: cdc chunks are a lossless in-order cover for arbitrary text") {
+    import graft.functions.sketch
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // include whitespace, repeats, and short strings — the chunker must
+    // reassemble EVERY input exactly, whatever the boundary density
+    val genText = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '\n', 'a'))).map(_.mkString)
+    val p = Prop.forAllNoShrink(Gen.listOfN(25, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df.select(col("doc_id"), sketch.cdcChunks(col("text"), 8, 16).as("cs"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val cs = got(i.toLong)
+        cs.mkString == t && (t.isEmpty == cs.isEmpty) && cs.forall(_.nonEmpty)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cdc chunks: lossless cover, boundary rule exact, and edit-locality vs fixed blocks") {
     import graft.functions.sketch
     import spark.implicits._

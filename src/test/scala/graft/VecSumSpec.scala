@@ -352,6 +352,30 @@ class VecSumSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: bowScore == driver-side model application on whitespace-rich text") {
+    import graft.operators.TextAnalysis
+    val weights = TextAnalysis.classifierWeights(64)
+    val genText = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('\t', '\n', '\u000B', '\f', '\r'))).map(_.mkString)
+    val p = Prop.forAllNoShrink(Gen.listOfN(30, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+          graft.functions.sketch.bowScore(col("text"), weights).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val trimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val want = trimmed.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty).map { tok =>
+          val h = tok.foldLeft(0L)((a, c) => a * 31L + c.toLong)
+          weights(java.lang.Long.remainderUnsigned(h, weights.length.toLong).toInt)
+        }.sum
+        got(i) == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vec.lutSum nulls out on a null code element or null array (strict-null contract)") {
     val luts = IndexedSeq(IndexedSeq(10L, 20L), IndexedSeq(30L, 40L))
     val rows = Seq(
