@@ -711,6 +711,23 @@ class QueriesSpec extends SparkSpec {
     val incPlan = Dedup.ngramIncrementalQuery(spark, sf).queryExecution.sparkPlan.toString
     assert(!incPlan.contains("CartesianProduct") && !incPlan.contains("NestedLoop"),
       s"incremental ngram must stay equi-join only:\n$incPlan")
+    // CDC family: digest equi-joins only — no pair emission anywhere
+    Seq(Dedup.cdcQuery(spark, sf), Dedup.cdcIncrementalQuery(spark, sf)).foreach { q =>
+      val p = q.queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"CDC dedup must stay digest-equi-join only:\n$p")
+    }
+    // medoids: the labels-sized centroid table must broadcast onto the
+    // corpus scan (a shuffled join would key the corpus on `label`)
+    val medPlan = graft.operators.Similarity.medoidsQuery(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(medPlan.contains("BroadcastHashJoin") && !medPlan.contains("SortMergeJoin"),
+      s"embed_medoids centroid join must broadcast:\n$medPlan")
+    // knn graph: equi-joins only (bucket bands + id join-backs)
+    val knnPlan = graft.operators.Similarity.knnGraphQuery(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!knnPlan.contains("CartesianProduct") && !knnPlan.contains("NestedLoop"),
+      s"knn graph must stay equi-join only:\n$knnPlan")
   }
 
   test("vocab_encode: exact ids, OOV mapping, and position-ordered fingerprint") {
