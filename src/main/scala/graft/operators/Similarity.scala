@@ -366,6 +366,48 @@ object Similarity {
   def medoidsQuery(spark: SparkSession, dir: String): DataFrame =
     medoids(Tables.embeddings(spark, dir))
 
+  /** PageRank over the [[knnGraph]] edges — graph CENTRALITY for a
+    * document/embedding corpus: high-rank nodes sit in dense
+    * neighborhoods (hub/boilerplate detection, influence-weighted
+    * sampling); with [[graft.operators.Clustering]]'s connected
+    * components and the k-NN graph itself this completes the graph
+    * toolkit.
+    *
+    * All-INTEGER iteration, hash-exact on any engine: ranks live on a
+    * 1e6 grid, contributions are `pr DIV out_degree` (floor), damping
+    * is `150000 + (85 · Σcontrib) DIV 100` — no float accumulation
+    * anywhere, so the result is independent of partitioning and join
+    * order. Per iteration: one src-keyed join (edges × ranks) and one
+    * dst-keyed aggregation — bounded-degree edges (≤ k per source)
+    * keep both exchanges at edges-size; the iteration count is a
+    * constant, not data-dependent.
+    */
+  def pageRankOnKnn(embeddings: DataFrame, iters: Int = 2, kTop: Int = 5): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val edges = knnGraph(embeddings, kTop = kTop)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = embeddings.filter(col("embedding").isNotNull).select("vec_id")
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst").as("vec_id"), expr("pr DIV deg").as("c"))
+        .groupBy("vec_id")
+        .agg(sum(col("c")).as("s"))
+      pr = nodes.join(contribs, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("pr"))
+    }
+    graft.engine.Caching.handoff(pr.orderBy("vec_id"), edges)
+  }
+
+  /** Driver query: two damped integer iterations over the 5-NN graph. */
+  def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
+    pageRankOnKnn(Tables.embeddings(spark, dir))
+
   // -- driver-contract queries ------------------------------------------
 
   /** Quantize an embedding onto an exact integer grid: floor(x*scale +

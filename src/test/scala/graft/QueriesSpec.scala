@@ -821,6 +821,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank: floor-bounded, in-degree-sensitive, and deterministic") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val pr = Similarity.pageRankOnKnn(emb).as[(Long, Long)].collect().toMap
+    assert(pr.nonEmpty && pr.values.forall(_ >= 150000L),
+      "damping floor: every node keeps at least the teleport mass")
+    assert(pr.values.toSet.size > 1, "degenerate: all ranks equal")
+    // a node nobody links to sits exactly at the floor; the max in-degree
+    // node must rank above it
+    val indeg = Similarity.knnGraph(emb).groupBy("nbr_id").count()
+      .as[(Long, Long)].collect().toMap
+    val orphan = pr.keySet.diff(indeg.keySet)
+    orphan.foreach(v => assert(pr(v) == 150000L, s"orphan $v must sit at the floor"))
+    val hub = indeg.maxBy(_._2)._1
+    assert(pr(hub) > 150000L)
+    // exact integer arithmetic => bit-identical across runs
+    val again = Similarity.pageRankOnKnn(emb).as[(Long, Long)].collect().toMap
+    assert(again == pr)
+  }
+
   test("bpe_pair_stats: pair frequencies weight by word frequency; single-symbol words drop") {
     import graft.operators.TextAnalysis
     import spark.implicits._
