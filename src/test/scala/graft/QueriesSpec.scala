@@ -821,6 +821,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("knn edge asset: built once, a cleared handle map loads from disk, contents equal the direct graph") {
+    import graft.operators.Similarity
+    val a = Similarity.knnGraphQuery(spark, sf).collect()
+    val built = Similarity.knnAssetBuilds.get()
+    val b = Similarity.knnGraphQuery(spark, sf).collect()
+    assert(Similarity.knnAssetBuilds.get() == built, "second consumer must not rebuild")
+    // fresh-JVM simulation: drop the handle map; the content address
+    // resolves to the committed parquet, no rebuild
+    Similarity.dropInMemoryIndexes()
+    val c = Similarity.knnGraphQuery(spark, sf).collect()
+    assert(Similarity.knnAssetBuilds.get() == built, "cleared handles must load, not rebuild")
+    assert(a.sameElements(b) && a.sameElements(c))
+    // and the asset contents are exactly the directly-computed graph
+    val direct = Similarity.knnGraph(Tables.embeddings(spark, sf))
+      .orderBy("vec_id", "rank").collect()
+    assert(a.sameElements(direct), "asset must equal the direct computation")
+  }
+
   test("graph_pagerank: floor-bounded, in-degree-sensitive, and deterministic") {
     import graft.operators.Similarity
     import spark.implicits._
