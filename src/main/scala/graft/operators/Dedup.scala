@@ -1114,17 +1114,25 @@ object Dedup {
     * doc) whose digest appears in >= 2 documents, and the chars they
     * cover.
     */
-  def cdcDedup(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
-    val chunks = docs
+  /** PERSISTED per-doc distinct chunk digests `(doc_id, digest, len)` —
+    * the one chunking pass shared by [[cdcDedup]] and [[cdcIncremental]]
+    * (a chunk repeated WITHIN a doc counts once: df semantics and dup
+    * accounting both work on the distinct set). Text leaves the plan
+    * here — only digests travel. Caller releases via
+    * `Caching.handoff(out, thisFrame)`.
+    */
+  private def chunkDigests(docs: DataFrame, k: Int, divisor: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.functions.sketch.cdcChunks(col("text"), k, divisor)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("digest"),
         length(col("chunk")).cast("long").as("len"))
-      // a chunk repeated WITHIN a doc counts once (df semantics and
-      // per-doc dup accounting both work on the distinct set)
       .groupBy(col("doc_id"), col("digest"))
       .agg(max(col("len")).as("len"))
-    val persisted = chunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def cdcDedup(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
+    val persisted = chunkDigests(docs, k, divisor)
     val df = persisted.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("chunk_df"))
     val out = persisted
@@ -1157,14 +1165,7 @@ object Dedup {
     */
   def cdcIncremental(docs: DataFrame, splitId: Long,
       k: Int = 8, divisor: Int = 64): DataFrame = {
-    val ch = docs
-      .select(col("doc_id"),
-        explode(graft.functions.sketch.cdcChunks(col("text"), k, divisor)).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("digest"),
-        length(col("chunk")).cast("long").as("len"))
-      .groupBy(col("doc_id"), col("digest"))
-      .agg(max(col("len")).as("len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ch = chunkDigests(docs, k, divisor)
     val standing = ch.filter(col("doc_id") < splitId)
       .select("digest").distinct().withColumn("known", lit(true))
     val out = ch.filter(col("doc_id") >= splitId)

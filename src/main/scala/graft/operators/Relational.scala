@@ -948,7 +948,8 @@ object Relational {
   def qGapfill(spark: SparkSession, dir: String): DataFrame = {
     val fillW = Window.partitionBy("event_type").orderBy("hb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hourlySpine(spark, dir)
+    val (spine, aggs) = hourlySpine(spark, dir)
+    val out = spine
       .select(
         col("event_type"), col("hb"),
         coalesce(col("n_raw"), lit(0L)).as("n_events"),
@@ -956,13 +957,18 @@ object Relational {
         coalesce(last(col("q_raw"), ignoreNulls = true).over(fillW), lit(0L))
           .as("q_filled"))
       .orderBy("event_type", "hb")
+    graft.engine.Caching.handoff(out, aggs)
   }
 
   /** The dense (event_type, hour) spine with raw per-bucket aggregates
     * (null where the bucket is empty) — shared by [[qGapfill]] and
-    * [[qChangepoint]]. See qGapfill's scaladoc for the scale shape.
+    * [[qChangepoint]]. Returns the joined spine plus the PERSISTED
+    * bucket-aggregate frame feeding it: bounds and the type list derive
+    * from that (tiny, types × hours) frame rather than re-scanning the
+    * corpus-sized events table — ONE corpus scan total; the caller
+    * releases the persisted frame via `Caching.handoff`.
     */
-  private def hourlySpine(spark: SparkSession, dir: String): DataFrame = {
+  private def hourlySpine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hourNs = 3600L * 1000 * 1000 * 1000
     val ev = Tables.events(spark, dir).select(
       col("event_type"),
@@ -971,11 +977,12 @@ object Relational {
     val aggs = ev.groupBy("event_type", "hb").agg(
       count(lit(1)).as("n_raw"),
       sum(col("qv")).as("q_raw"))
-    val bounds = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
-    val spine = ev.select("event_type").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = aggs.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+    val spine = aggs.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hb"))
-    spine.join(aggs, Seq("event_type", "hb"), "left")
+    (spine.join(aggs, Seq("event_type", "hb"), "left"), aggs)
   }
 
   /** LEVEL-SHIFT detection over the regularized series — the monitoring
@@ -994,7 +1001,8 @@ object Relational {
     */
   def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val w = 24
-    val series = hourlySpine(spark, dir)
+    val (spine, aggs) = hourlySpine(spark, dir)
+    val series = spine
       .select(col("event_type"), col("hb"), coalesce(col("q_raw"), lit(0L)).as("q_sum"))
     val byHb = Window.partitionBy("event_type").orderBy("hb")
     val before = sum(col("q_sum")).over(byHb.rowsBetween(-w, -1))
@@ -1003,7 +1011,7 @@ object Relational {
     val afterN = count(lit(1)).over(byHb.rowsBetween(0, w - 1))
     val rankW = Window.partitionBy("event_type")
       .orderBy(abs(col("shift")).desc, col("hb").asc)
-    series
+    val out = series
       .select(col("event_type"), col("hb"),
         before.as("before_sum"), after.as("after_sum"),
         beforeN.as("bn"), afterN.as("an"))
@@ -1013,5 +1021,6 @@ object Relational {
       .filter(col("rank") <= 10)
       .select("event_type", "hb", "before_sum", "after_sum", "shift", "rank")
       .orderBy("event_type", "rank")
+    graft.engine.Caching.handoff(out, aggs)
   }
 }

@@ -310,12 +310,11 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    def q(c: Column): Column = transform(c, e => coalesce(
-      floor(e.cast(org.apache.spark.sql.types.DoubleType) * scale + lit(0.5))
-        .cast(org.apache.spark.sql.types.LongType), lit(0L)))
     candidates
-      .join(emb.select(col("vec_id").as("id_a"), q(col("embedding")).as("q_a")), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), q(col("embedding")).as("q_b")), Seq("id_b"))
+      .join(emb.select(col("vec_id").as("id_a"),
+        quantizedCol(col("embedding"), scale).as("q_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"),
+        quantizedCol(col("embedding"), scale).as("q_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
       .groupBy(col("id_a").as("vec_id"))
       .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("id_b"), kTop).as("top"))
@@ -465,8 +464,15 @@ object Similarity {
     * the oracle twins COALESCE at the same point, so every downstream
     * sum/distance sees the identical integer grid on both engines.
     */
-  private def quantized(scale: Int): Column = transform(
-    col("embedding"),
+  private def quantized(scale: Int): Column = quantizedCol(col("embedding"), scale)
+
+  /** The grid transform on an ARBITRARY float-vector column — the ONE
+    * definition of the floor(x·scale + 0.5)/null→0 convention (the
+    * hash-parity contract with every SQL oracle; a second copy drifting
+    * would break parity only for the operators using it).
+    */
+  private def quantizedCol(c: Column, scale: Int): Column = transform(
+    c,
     e => coalesce(
       floor(e.cast(org.apache.spark.sql.types.DoubleType) * scale + lit(0.5))
         .cast(org.apache.spark.sql.types.LongType),
@@ -1218,18 +1224,11 @@ object Similarity {
     * and the oracle both filter NULL embeddings, so a null query must
     * degrade to "no rows for that query", not an NPE in the driver loop.
     */
-  private def collectQueries(queries: DataFrame, scale: Int): IndexedSeq[(Long, Seq[Long])] = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    queries
-      .filter(col("q_vec").isNotNull)
-      .select(
-        col("query_id"),
-        transform(col("q_vec"), e =>
-          coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
+  private def collectQueries(queries: DataFrame, scale: Int): IndexedSeq[(Long, Seq[Long])] =
+    quantizedQueries(queries, scale)
       .collect()
       .toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-  }
 
   /** The empty (query_id, rank, vec_id, adc) result an ANN query over
     * zero queries degenerates to (matching the other ANN operators,
@@ -1354,15 +1353,10 @@ object Similarity {
     }
 
   /** Data-plane query quantization (the [[collectQueries]] twin). */
-  private def quantizedQueries(queries: DataFrame, scale: Int): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+  private def quantizedQueries(queries: DataFrame, scale: Int): DataFrame =
     queries
       .filter(col("q_vec").isNotNull)
-      .select(
-        col("query_id"),
-        transform(col("q_vec"), e =>
-          coalesce(floor(e.cast(DoubleType) * scale + lit(0.5)).cast(LongType), lit(0L))).as("qq"))
-  }
+      .select(col("query_id"), quantizedCol(col("q_vec"), scale).as("qq"))
 
   /** Per-subspace LUT array column over `vecCol` vs the dense
     * codebooks: `luts(s)(c) = sqDist(vecCol[s*dsub..], codebook(s)(c))`.

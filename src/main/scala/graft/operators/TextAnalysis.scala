@@ -360,14 +360,22 @@ object TextAnalysis {
     * the same model-as-literal shape the centroid/PQ families use for
     * their argmins ([[Similarity]]), applied to text scoring.
     */
-  def qualityClassify(docs: DataFrame, weights: IndexedSeq[Long],
+  /** Score + verdict columns APPENDED to the input frame (all input
+    * columns pass through) — the ONE definition behind both the batch
+    * operator below and the streaming [[graft.streaming.QualityGate]],
+    * so batch and stream verdicts can never silently diverge.
+    */
+  def classifierGate(docs: DataFrame, weights: IndexedSeq[Long],
       threshold: Long = 0L): DataFrame =
     docs
-      .select(
-        col("doc_id"),
-        coalesce(graft.functions.sketch.bowScore(col("text"), weights), lit(0L))
-          .as("bow_score"))
+      .withColumn("bow_score",
+        coalesce(graft.functions.sketch.bowScore(col("text"), weights), lit(0L)))
       .withColumn("kept", col("bow_score") >= lit(threshold))
+
+  def qualityClassify(docs: DataFrame, weights: IndexedSeq[Long],
+      threshold: Long = 0L): DataFrame =
+    classifierGate(docs, weights, threshold)
+      .select("doc_id", "bow_score", "kept")
       .orderBy("doc_id")
 
   /** Driver query: 256-bucket hashed linear classifier at threshold 0. */

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Streaming QUALITY GATE — the classifier applied at ingest, so
   * below-threshold documents never land in the corpus (the continuous
@@ -20,15 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object QualityGate {
 
-  /** Score + verdict columns on a (doc_id, text) stream or batch frame
-    * — the same expression tree either way; pass the result to
-    * `.filter(col("kept"))` to gate, or keep both verdicts for
-    * attrition accounting.
+  /** Score + verdict columns APPENDED to the input frame — every input
+    * column (text included) passes through, so the gate composes in
+    * front of the text-consuming ingest stages as documented:
+    * `QualityGate.gate(stream, w).filter(col("kept"))` feeds
+    * [[IngestDedup]]/[[NearDupIngest]] unchanged. Same expression tree
+    * for batch and stream; [[graft.operators.TextAnalysis.qualityClassify]]
+    * is this plus a projection — ONE definition, so the batch↔stream
+    * parity pin can never silently diverge.
     */
   def gate(docs: DataFrame, weights: IndexedSeq[Long], threshold: Long = 0L): DataFrame =
-    docs.select(
-      col("doc_id"),
-      coalesce(graft.functions.sketch.bowScore(col("text"), weights), lit(0L))
-        .as("bow_score"))
-      .withColumn("kept", col("bow_score") >= lit(threshold))
+    graft.operators.TextAnalysis.classifierGate(docs, weights, threshold)
 }

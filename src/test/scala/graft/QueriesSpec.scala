@@ -723,8 +723,10 @@ class QueriesSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(medPlan.contains("BroadcastHashJoin") && !medPlan.contains("SortMergeJoin"),
       s"embed_medoids centroid join must broadcast:\n$medPlan")
-    // knn graph: equi-joins only (bucket bands + id join-backs)
-    val knnPlan = graft.operators.Similarity.knnGraphQuery(spark, sf)
+    // knn graph: equi-joins only (bucket bands + id join-backs). Assert
+    // on the GRAPH-BUILDING plan — knnGraphQuery serves the materialized
+    // asset, whose read plan is a FileScan and would pass vacuously.
+    val knnPlan = graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf))
       .queryExecution.sparkPlan.toString
     assert(!knnPlan.contains("CartesianProduct") && !knnPlan.contains("NestedLoop"),
       s"knn graph must stay equi-join only:\n$knnPlan")
