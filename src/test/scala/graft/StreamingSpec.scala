@@ -488,6 +488,46 @@ class StreamingSpec extends SparkSpec {
     assert(oov._3 == 1L && oov._4.isEmpty && oov._5.isEmpty)
   }
 
+  test("chunk-store ingest: store holds each chunk once, reassembly is lossless, replay converges") {
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_chunkstore").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_chunkmanifest").toString + "/manifest"
+    val rnd = new scala.util.Random(11)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(160)
+    val t1 = blob(120) + shared + blob(40)
+    val t2 = blob(60) + shared + blob(90)
+    val t4 = blob(200)
+    val batch0 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    // doc 3 is an exact copy of doc 1's text: every chunk already stored
+    val batch1 = Seq((3L, t1), (4L, t4)).toDF("doc_id", "text")
+    val (m0, s0) = ChunkStoreIngest.processBatch(batch0, 0L, storeDir, manifestDir, divisor = 16)
+    val (m1, s1) = ChunkStoreIngest.processBatch(batch1, 1L, storeDir, manifestDir, divisor = 16)
+    assert(m0 > 0 && s0 > 0 && m1 > 0)
+    val store = spark.read.parquet(storeDir)
+    // dedup invariant: every digest appears exactly once across batches
+    assert(store.count() == store.select("digest").distinct().count())
+    // doc 3 (known content) contributed nothing; doc 4's chunks are new
+    val doc3Digests = spark.read.parquet(manifestDir)
+      .filter(col("doc_id") === 3L).select("digest").distinct().count()
+    assert(doc3Digests > 0 && s1 < doc3Digests + spark.read.parquet(manifestDir)
+      .filter(col("doc_id") === 4L).select("digest").distinct().count(),
+      "batch 1 must store fewer chunks than it references")
+    // lossless: reassembly reproduces every ingested document exactly
+    val texts = Map(1L -> t1, 2L -> t2, 3L -> t1, 4L -> t4)
+    val got = ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == texts, "manifest + store must reproduce the corpus byte-for-byte")
+    // crash-replay of batch 1: same partitions rewritten, same state
+    val (m1b, s1b) = ChunkStoreIngest.processBatch(batch1, 1L, storeDir, manifestDir, divisor = 16)
+    assert((m1b, s1b) == ((m1, s1)), "replay must write the identical partition")
+    // fresh read: the overwrite replaced batch=1's files
+    val store2 = spark.read.parquet(storeDir)
+    assert(store2.count() == store2.select("digest").distinct().count())
+    assert(ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == texts)
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
