@@ -444,6 +444,33 @@ object Similarity {
     graft.engine.Caching.handoff(pr.orderBy("vec_id"), edges)
   }
 
+  /** HARD-NEGATIVE mining — for every vector, its nearest neighbor
+    * carrying a DIFFERENT label: the pairs-that-almost-confuse set a
+    * contrastive/metric-learning pipeline trains against (and a label-
+    * noise detector reads — a rank-1 cross-label neighbor at tiny
+    * distance is usually a mislabel). Third consumer of the
+    * [[corpusKnnEdges]] asset: the graph is ranked once; mining is a
+    * label join plus a per-source `min(struct(rank, ...))` aggregate
+    * with map-side partials — no distance is ever recomputed.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"))
+    corpusKnnEdges(spark, dir)
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("nbr_id"), col("label").as("neg_label")),
+        Seq("nbr_id"))
+      .filter(col("label") =!= col("neg_label"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("rank"), col("nbr_id").as("neg_id"),
+        col("neg_label"), col("dist"))).as("m"))
+      .select(col("vec_id"), col("label"), col("m.neg_id").as("neg_id"),
+        col("m.neg_label").as("neg_label"), col("m.rank").as("rank"),
+        col("m.dist").as("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.
     */
