@@ -116,11 +116,13 @@ object ChunkStoreIngest {
       docs: DataFrame,
       storeDir: String,
       manifestDir: String,
-      checkpoint: String
+      checkpoint: String,
+      k: Int = 8,
+      divisor: Int = 64
   ): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, storeDir, manifestDir); ()
+        processBatch(batch.toDF(), batchId, storeDir, manifestDir, k, divisor); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -528,6 +528,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == texts)
   }
 
+  test("chunk-store ingest end-to-end: file stream drains; shared spans stored once; restore exact") {
+    import graft.streaming.ChunkStoreIngest
+    val src = Files.createTempDirectory("graft_cs_src").toString
+    val store = Files.createTempDirectory("graft_cs_e2e").toString + "/store"
+    val manifest = Files.createTempDirectory("graft_cs_e2e_m").toString + "/manifest"
+    val ckpt = Files.createTempDirectory("graft_cs_e2e_ck").toString
+    val rnd = new scala.util.Random(23)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(200)
+    val t1 = blob(80) + shared
+    val t2 = shared + blob(80) // shares a long span with t1, ACROSS batches
+    Seq((1L, t1)).toDF("doc_id", "text").coalesce(1).write.parquet(src + "/f1")
+    Seq((2L, t2)).toDF("doc_id", "text").coalesce(1).write.parquet(src + "/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    // divisor 16 => a boundary every ~16 chars, so the 200-char shared
+    // span contains several fully-aligned interior chunks
+    ChunkStoreIngest.runChunkIngest(stream, store, manifest, ckpt, divisor = 16)
+    val st = spark.read.parquet(store)
+    assert(st.count() == st.select("digest").distinct().count())
+    // cross-batch suppression: batch 1 references chunks batch 0 stored
+    val refs = spark.read.parquet(manifest).select("digest").distinct().count()
+    assert(st.count() < refs + 1 || st.count() <= refs, // stored <= referenced
+      s"store ${st.count()} must not exceed referenced $refs")
+    assert(spark.read.parquet(store).filter(col("batch") === 1).count() <
+      spark.read.parquet(manifest).filter(col("doc_id") === 2L).count(),
+      "batch 1 must store fewer chunks than doc 2 references (shared span suppressed)")
+    val got = ChunkStoreIngest.reassemble(spark, store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> t1, 2L -> t2))
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
