@@ -29,9 +29,12 @@ class ClusteringSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  // localThreshold = 0 forces the DISTRIBUTED star iteration: these
+  // specs exist to pin the large/small-star semantics; the small-graph
+  // fast path is pinned against it separately below
   private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Clustering
-      .connectedComponents(edges.toDF("id_a", "id_b"))
+      .connectedComponents(edges.toDF("id_a", "id_b"), localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("a transitive chain collapses to one min-rooted cluster") {
@@ -78,7 +81,7 @@ class ClusteringSpec extends SparkSpec {
     // diameter 1999 — an adversarial input for any propagation scheme;
     // alternating large/small-star must close it in ~log^2 rounds
     val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val res = Clustering.connectedComponentsWithStats(edges)
+    val res = Clustering.connectedComponentsWithStats(edges, localThreshold = 0L)
     assert(res.converged, "chain must reach the star fixpoint")
     assert(res.rounds <= 15, s"expected O(log^2 n) rounds, took ${res.rounds}")
     val labels = res.labels.as[(Long, Long)].collect()
@@ -89,7 +92,7 @@ class ClusteringSpec extends SparkSpec {
   test("blown round budget returns best-effort labels and converged=false, no abort") {
     import spark.implicits._
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val res = Clustering.connectedComponentsWithStats(edges, maxRounds = 1)
+    val res = Clustering.connectedComponentsWithStats(edges, maxRounds = 1, localThreshold = 0L)
     assert(!res.converged && res.rounds == 1)
     // every node still gets a label (possibly split components), and
     // labels never invent nodes
@@ -97,5 +100,25 @@ class ClusteringSpec extends SparkSpec {
     assert(labels.map(_._1).sorted.toSeq == (0L until 200L))
     assert(labels.forall { case (doc, root) => root <= doc })
     res.labels.unpersist()
+  }
+
+  test("small-graph fast path: engages under the threshold, labels equal the star iteration") {
+    import spark.implicits._
+    val rng = new Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 30) {
+        (rng.nextInt(50).toLong, rng.nextInt(50).toLong)
+      } :+ ((77L, 77L)) // a self-loop-only singleton rides along
+      val df = edges.toDF("id_a", "id_b")
+      val local = Clustering.connectedComponentsWithStats(df)
+      assert(local.converged && local.rounds == 0,
+        "under the default threshold the driver-side solve must engage (rounds == 0)")
+      val dist = Clustering.connectedComponentsWithStats(df, localThreshold = 0L)
+      assert(dist.rounds > 0, "forcing threshold 0 must run star rounds")
+      val a = local.labels.as[(Long, Long)].collect().toMap
+      val b = dist.labels.as[(Long, Long)].collect().toMap
+      assert(a == b, s"trial $trial: local $a vs distributed $b")
+      local.labels.unpersist(); dist.labels.unpersist()
+    }
   }
 }
