@@ -636,6 +636,42 @@ object Relational {
     graft.engine.Caching.handoff(out, v, c)
   }
 
+  /** TIME-BOUNDED conversion by cohort — the windowed complement to
+    * [[qFunnel]] (which orders steps but never bounds the gap): per
+    * first-view DAY cohort, how many users purchased within 24 h of
+    * that first view. The product-analytics cut behind "did the funnel
+    * get faster", and the same plan shape a trial-to-paid or
+    * label-within-horizon feature job runs.
+    *
+    * Scale shape: first-view is one map-side-combined (user) aggregate;
+    * the qualifying-purchase probe joins the purchase slice (filter
+    * pushed to the scan) against that user-keyed frame and distincts on
+    * user — every exchange is user-keyed, nothing corpus-sized is
+    * sorted; the cohort rollup is days-sized. All-integer micros (the
+    * `ts_ns DIV 1000 == epoch_us` convention), so the cohort cut and
+    * the window edge are exact on both engines.
+    */
+  def qConversionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 24L * 3600 * 1000000
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .select("user_id", "event_type", "tus")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("fv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("tus") > col("fv") && col("tus") <= col("fv") + lit(winUs))
+      .select("user_id").distinct()
+      .withColumn("conv", lit(1L))
+    v.join(conv, Seq("user_id"), "left")
+      .groupBy(expr(s"fv DIV $dayUs").as("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted_24h"))
+      .orderBy("cohort_day")
+  }
+
   /** Exact per-group percentiles on a BOUNDED-DOMAIN column: `percentile`
     * is an exact aggregate whose state is the per-group value-count map,
     * so on a domain like l_quantity (50 integer values) state is O(50)
