@@ -119,7 +119,7 @@ object Dedup {
     incremental(docs, split)
   }
 
-  private def bloomAgg(c: Column, estItems: Long, numBits: Long): Column = {
+  private[graft] def bloomAgg(c: Column, estItems: Long, numBits: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     org.apache.spark.sql.GraftExpressionBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -127,7 +127,7 @@ object Dedup {
         Literal(estItems), Literal(numBits)).toAggregateExpression())
   }
 
-  private def mightContain(bloom: Column, c: Column): Column =
+  private[graft] def mightContain(bloom: Column, c: Column): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.GraftExpressionBridge.expression(bloom),
@@ -608,8 +608,12 @@ object Dedup {
   // [[graft.engine.AssetStore]] under a warehouse-relative,
   // content-addressed path, exactly like a managed search index living
   // next to the corpus and refreshed on corpus rebuild.
+  // Keyed by the FULL asset id (params + corpus fingerprint): the
+  // fingerprint is recomputed on every call (metadata listing, no data
+  // scan), so a same-JVM corpus rebuild misses the old handle and
+  // resolves the new address instead of serving the stale index.
   private val ngramIndexTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Builds this JVM ran for the two n-gram corpus assets — the test
     * seam for the load-instead-of-rebuild contract.
@@ -630,15 +634,14 @@ object Dedup {
     * prefix lemma needs only a consistent order).
     */
   def corpusNgramIndex(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val path = ngramIndexTables.computeIfAbsent((dir, k), _ => {
-      val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-      graft.engine.AssetStore.resolve(spark,
-        s"ngramidx_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp",
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId = s"ngramidx_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = ngramIndexTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           ngramAssetBuilds.incrementAndGet()
           ngramIndex(Tables.documents(spark, dir), k).write.mode("overwrite").parquet(staging)
-        })
-    })
+        }))
     spark.read.parquet(path)
   }
 
@@ -660,8 +663,9 @@ object Dedup {
   // skinny stats table, published via [[graft.engine.AssetStore]] like
   // a managed IDF table living next to the corpus, refreshed on corpus
   // rebuild.
+  // Keyed by the full asset id — same rationale as [[ngramIndexTables]].
   private val gramDfTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The corpus-wide df table for `dir`'s documents, built ONCE per
     * (corpus, k) per WAREHOUSE (loaded, not rebuilt, by later JVMs);
@@ -669,15 +673,14 @@ object Dedup {
     * near-dup stage, any session) reads the materialized copy.
     */
   def corpusGramDf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val path = gramDfTables.computeIfAbsent((dir, k), _ => {
-      val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-      graft.engine.AssetStore.resolve(spark,
-        s"gramdf_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp",
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId = s"gramdf_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = gramDfTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           ngramAssetBuilds.incrementAndGet()
           gramDf(Tables.documents(spark, dir), k).write.mode("overwrite").parquet(staging)
-        })
-    })
+        }))
     spark.read.parquet(path)
   }
 

@@ -327,8 +327,14 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  // asset id (already fingerprint- and parameter-qualified) -> path.
+  // The FINGERPRINT IS IN THE KEY: it is recomputed on every call (one
+  // metadata listStatus — no data scan), so a corpus rebuilt under the
+  // same directory path WITHIN one JVM stops hitting the old handle and
+  // resolves (builds or loads) the new address immediately. Cross-JVM
+  // the content address was always honest; this makes same-JVM match.
   private val knnEdgeTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Test seam: how many times the k-NN edge asset was actually BUILT
     * (a second consumer in the same or a fresh JVM must load, not
     * rebuild — the [[graft.engine.AssetStore]] contract).
@@ -337,24 +343,33 @@ object Similarity {
 
   /** The k-NN edge table as a MATERIALIZED CORPUS ASSET (the
     * [[graft.operators.Dedup.corpusNgramIndex]] pattern): built once
-    * per (corpus fingerprint, k) under the warehouse's
-    * content-addressed store, then every consumer — the graph query
-    * itself, PageRank, graph dedup, diversity sampling — scans the
-    * skinny (vec_id, rank, nbr_id, dist) parquet instead of re-running
-    * candidate generation and distance ranking. A corpus rebuild
-    * changes the address and naturally retires the old edges.
+    * per (corpus fingerprint, full parameter vector) under the
+    * warehouse's content-addressed store, then every consumer — the
+    * graph query itself, PageRank, graph dedup, diversity sampling —
+    * scans the skinny (vec_id, rank, nbr_id, dist) parquet instead of
+    * re-running candidate generation and distance ranking. A corpus
+    * rebuild changes the address and naturally retires the old edges.
+    *
+    * The asset id folds in EVERY edge-shaping parameter (k, LSH bits,
+    * table count, seed, dim, quantization scale), not just k: edges
+    * built under one LSH constant must never be served for another —
+    * the same parameter-complete addressing the PQ family uses
+    * ([[loadOrBuild]]).
     */
-  def corpusKnnEdges(spark: SparkSession, dir: String, kTop: Int = 5): DataFrame = {
-    val path = knnEdgeTables.computeIfAbsent((dir, kTop), _ => {
-      val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
-      graft.engine.AssetStore.resolve(spark,
-        s"knnedges_k${kTop}_v${graft.engine.AssetStore.FormatVersion}_$fp",
+  def corpusKnnEdges(spark: SparkSession, dir: String, kTop: Int = 5,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    val assetId =
+      s"knnedges_k${kTop}_b${bits}_t${tables}_d${dim}_sd${seedBase}_s${scale}" +
+        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = knnEdgeTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           knnAssetBuilds.incrementAndGet()
-          knnGraph(Tables.embeddings(spark, dir), kTop)
+          knnGraph(Tables.embeddings(spark, dir), kTop, bits, tables, dim, seedBase, scale)
             .write.mode("overwrite").parquet(staging)
-        })
-    })
+        }))
     spark.read.parquet(path)
   }
 
@@ -1144,9 +1159,8 @@ object Similarity {
     * `.build_*` staging dir that never matches a content address.)
     */
   private def loadOrBuild(spark: SparkSession, kind: String, dir: String,
-      m: Int, k: Int, scale: Int, nlist: Int,
+      m: Int, k: Int, scale: Int, nlist: Int, fp: String,
       build: String => PqIndexModel): PqIndexModel = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
     val ivfTag = if (kind == "ivf") s"_n$nlist" else ""
     val assetId = s"${kind}_m${m}_k${k}_s$scale${ivfTag}_v${IndexFormatVersion}_$fp"
     var built: Option[PqIndexModel] = None
@@ -1223,20 +1237,27 @@ object Similarity {
     * materialized code table.
     */
   def pqIndex(spark: SparkSession, dir: String,
-      m: Int = 16, k: Int = 16, scale: Int = 1000): PqIndexModel =
-    pqIndexCache.computeIfAbsent(s"flat|$dir|$m|$k|$scale",
-      _ => loadOrBuild(spark, "flat", dir, m, k, scale, nlist = 0,
+      m: Int = 16, k: Int = 16, scale: Int = 1000): PqIndexModel = {
+    // fingerprint OUTSIDE the cache lookup (one metadata listing per
+    // call): a same-JVM corpus rebuild must miss the old handle and
+    // resolve the NEW content address, not keep serving the stale model
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    pqIndexCache.computeIfAbsent(s"flat|$dir|$m|$k|$scale|$fp",
+      _ => loadOrBuild(spark, "flat", dir, m, k, scale, nlist = 0, fp,
         dest => buildFlatIndex(Tables.embeddings(spark, dir), m, k, scale, dest)))
+  }
 
   /** The IVF-PQ index for `dir`'s embeddings, durable like [[pqIndex]].
     * `nprobe` is a QUERY-time parameter ([[annIvfPqIndexed]]), not an
     * index parameter — one index serves every recall/cost point.
     */
   def ivfPqIndex(spark: SparkSession, dir: String,
-      nlist: Int = 16, m: Int = 16, k: Int = 16, scale: Int = 1000): PqIndexModel =
-    pqIndexCache.computeIfAbsent(s"ivf|$dir|$nlist|$m|$k|$scale",
-      _ => loadOrBuild(spark, "ivf", dir, m, k, scale, nlist,
+      nlist: Int = 16, m: Int = 16, k: Int = 16, scale: Int = 1000): PqIndexModel = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    pqIndexCache.computeIfAbsent(s"ivf|$dir|$nlist|$m|$k|$scale|$fp",
+      _ => loadOrBuild(spark, "ivf", dir, m, k, scale, nlist, fp,
         dest => buildIvfIndex(Tables.embeddings(spark, dir), nlist, m, k, scale, dest)))
+  }
 
   // --------------------------------------------------------------------
   // Index consumers

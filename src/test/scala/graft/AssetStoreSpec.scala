@@ -134,6 +134,100 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("mid-session corpus rebuild: every asset family serves the NEW address, same JVM") {
+    // The content address was always honest ACROSS JVMs; this pins the
+    // same-JVM contract — the handle caches are keyed by fingerprint,
+    // recomputed per call, so a rebuilt corpus under the SAME path is
+    // picked up without dropInMemory*() or a process restart.
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    withRoot { root =>
+      val corpus = java.nio.file.Files.createTempDirectory("graft_rebuild_corpus").toString
+      Tables.embeddings(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/embeddings.parquet")
+      Tables.documents(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/documents.parquet")
+      Similarity.dropInMemoryIndexes()
+      Dedup.dropInMemoryNgramTables()
+      try {
+        // --- first build against corpus v1
+        val knnBuilds0 = Similarity.knnAssetBuilds.get()
+        val pqTrain0 = Similarity.pqTrainings.get()
+        val ngramBuilds0 = Dedup.ngramAssetBuilds.get()
+        val edgesV1 = Similarity.corpusKnnEdges(spark, corpus).collect()
+        val pqV1 = Similarity.pqIndex(spark, corpus, m = 8, k = 8)
+        val idxV1 = Dedup.corpusNgramIndex(spark, corpus).select("doc_id").distinct().count()
+        assert(Similarity.knnAssetBuilds.get() == knnBuilds0 + 1)
+        assert(Similarity.pqTrainings.get() == pqTrain0 + 1)
+        assert(Dedup.ngramAssetBuilds.get() == ngramBuilds0 + 1)
+        // unchanged corpus: second calls hit the handle cache, no rebuild
+        Similarity.corpusKnnEdges(spark, corpus).count()
+        Similarity.pqIndex(spark, corpus, m = 8, k = 8)
+        Dedup.corpusNgramIndex(spark, corpus).count()
+        assert(Similarity.knnAssetBuilds.get() == knnBuilds0 + 1, "stable corpus must not rebuild")
+        assert(Similarity.pqTrainings.get() == pqTrain0 + 1)
+        assert(Dedup.ngramAssetBuilds.get() == ngramBuilds0 + 1)
+
+        // --- REBUILD the corpus in place: keep only even vec_ids / doc_ids
+        Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+
+        // --- NO handle drop: the next calls must observe the rebuild
+        val edgesV2 = Similarity.corpusKnnEdges(spark, corpus).collect()
+        val pqV2 = Similarity.pqIndex(spark, corpus, m = 8, k = 8)
+        val idxV2 = Dedup.corpusNgramIndex(spark, corpus).select("doc_id").distinct().count()
+        assert(Similarity.knnAssetBuilds.get() == knnBuilds0 + 2,
+          "rebuilt corpus must resolve a NEW knn edge asset in the same JVM")
+        assert(Similarity.pqTrainings.get() == pqTrain0 + 2,
+          "rebuilt corpus must retrain the PQ index in the same JVM")
+        assert(Dedup.ngramAssetBuilds.get() == ngramBuilds0 + 2,
+          "rebuilt corpus must rebuild the ngram index in the same JVM")
+        assert(pqV2.codesPath != pqV1.codesPath, "new asset => new content address")
+        assert(edgesV2.nonEmpty && edgesV2.forall { r =>
+          r.getLong(0) % 2 == 0 && r.getLong(2) % 2 == 0
+        }, "served edges must come from the REBUILT corpus (even ids only)")
+        assert(edgesV1.exists(r => r.getLong(0) % 2 != 0), "v1 edges covered odd ids")
+        assert(idxV2 < idxV1, "ngram index must cover the smaller rebuilt corpus")
+        // both addresses coexist on disk (content-addressed, never overwritten)
+        val knnDirs = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("knnedges_"))
+        assert(knnDirs.length == 2, s"expected both corpus versions' assets, got ${knnDirs.toSeq}")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("knn edge asset address is parameter-complete: changed LSH constants resolve a new asset") {
+    import graft.operators.Similarity
+    withRoot { root =>
+      val corpus = java.nio.file.Files.createTempDirectory("graft_knnparam_corpus").toString
+      Tables.embeddings(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        val builds0 = Similarity.knnAssetBuilds.get()
+        Similarity.corpusKnnEdges(spark, corpus).count()
+        // same k, different LSH shape: MUST be a distinct asset — edges
+        // built under one constant set can never serve another
+        Similarity.corpusKnnEdges(spark, corpus, kTop = 5, tables = 4).count()
+        assert(Similarity.knnAssetBuilds.get() == builds0 + 2,
+          "a changed index-shaping parameter must build under a new address")
+        val names = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("knnedges_")).sorted
+        assert(names.exists(_.contains("_t8_")) && names.exists(_.contains("_t4_")),
+          s"addresses must carry the parameter vector: ${names.toSeq}")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("corpusFingerprint changes with content and is stable under re-listing") {
     withRoot { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
