@@ -1162,9 +1162,10 @@ object Dedup {
     *
     * Scale shape: both sides reduce to skinny (digest[, len]) rows off
     * one chunking pass each; the join is digest-keyed (in production
-    * the standing side is the materialized chunk-digest asset — the
-    * [[incrementalBloom]] tier applies in front of it unchanged, since
-    * a chunk digest is just a digest).
+    * the standing side is the materialized chunk-digest asset).
+    * [[cdcIncrementalBloom]] is this operator with the sharded Bloom
+    * tier actually wired in front of the join — not a different
+    * semantics, a different probe cost.
     */
   def cdcIncremental(docs: DataFrame, splitId: Long,
       k: Int = 8, divisor: Int = 64): DataFrame = {
@@ -1189,5 +1190,69 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
     cdcIncremental(docs, split)
+  }
+
+  /** [[cdcIncremental]] with the SHARDED BLOOM TIER wired in front of
+    * the standing-chunk join — the [[incrementalBloomSharded]] kernel
+    * applied to chunk digests (a chunk digest is a digest). Same OUTPUT
+    * contract as [[cdcIncremental]] (bit-identical: per-shard filters
+    * have no false negatives, and false positives are re-checked by the
+    * exact join); what changes is the 100 TB probe economics — a batch
+    * chunk pays one lazy CASE-dispatched `might_contain` on its digest
+    * prefix, and only probable hits join the standing digest set. The
+    * streaming twin ([[graft.streaming.ChunkStoreIngest]]) runs the
+    * same screen against its persisted per-batch Bloom sidecars.
+    */
+  def cdcIncrementalBloom(docs: DataFrame, splitId: Long,
+      k: Int = 8, divisor: Int = 64,
+      shardHexChars: Int = 1, bitsPerItem: Long = 10): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1,4], got $shardHexChars")
+    val ch = chunkDigests(docs, k, divisor)
+    val hp = substring(col("digest"), 1, shardHexChars)
+    val standing = ch.filter(col("doc_id") < splitId)
+      .select(col("digest"), hp.as("hp")).distinct()
+    val batch = ch.filter(col("doc_id") >= splitId).withColumn("hp", hp)
+    val maxShard = standing.groupBy("hp").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val tagged =
+      if (maxShard.isNullAt(0)) batch.withColumn("known", lit(false))
+      else {
+        val est = math.max(maxShard.getLong(0), 16L)
+        val blooms = standing.groupBy("hp")
+          .agg(bloomAgg(xxhash64(col("digest")), est, est * bitsPerItem).as("bf"))
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .sortBy(_._1)
+        val cand = blooms.foldLeft(when(lit(false), lit(false))) {
+          case (acc, (p, bf)) =>
+            acc.when(col("hp") === p, mightContain(lit(bf), xxhash64(col("digest"))))
+        }.otherwise(lit(false))
+        val probed = batch.withColumn("__cand", cand)
+        val maybe = probed.filter(col("__cand"))
+          .join(standing.select(col("digest")).withColumn("known", lit(true)),
+            Seq("digest"), "left")
+        val clean = probed.filter(!col("__cand")).withColumn("known", lit(false))
+        maybe.select("doc_id", "digest", "len", "known")
+          .unionByName(clean.select("doc_id", "digest", "len", "known"))
+      }
+    val out = tagged
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("known_chunks"),
+        sum(when(col("known"), 0L).otherwise(col("len"))).as("novel_chars"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, ch)
+  }
+
+  /** Driver query: same cut and SAME oracle as [[cdcIncrementalQuery]]
+    * — the Bloom tier is a probe-cost change, not a semantics change
+    * (the [[incrementalBloomShardedQuery]] convention).
+    */
+  def cdcIncrementalBloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    cdcIncrementalBloom(docs, split)
   }
 }

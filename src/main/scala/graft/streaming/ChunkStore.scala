@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -28,16 +28,33 @@ import org.apache.spark.sql.streaming.Trigger
   * (manifest ⋈ store, concat by pos) reproduces every ingested
   * document byte-for-byte — the StreamingSpec lossless pin.
   *
-  * Scale shape: the only corpus-sized work is the batch's own chunking
-  * pass; the anti-join ships batch-distinct digests against the
-  * standing digest column (in production fronted by the Bloom tier —
-  * a chunk digest is a digest — and prefix partition pruning, exactly
-  * as [[IngestDedup.priorDigests]] does for whole-doc digests).
+  * Scale shape — the anti-join probe is fronted by a THREE-stage
+  * screen, all wired here (not prose):
+  *   - store partitions carry `hp` (2-hex digest prefix) under each
+  *     `batch=<id>` dir, so the standing-digest scan is PRUNED to the
+  *     partitions whose prefixes actually occur in the batch — the
+  *     [[IngestDedup.priorDigests]] file-level pruning, verbatim;
+  *   - each batch publishes tiny per-shard BLOOM sidecars (hp, bf)
+  *     next to the store; at probe time the batch's chunks pay one
+  *     lazy CASE dispatch on `hp` (each row probes only its shard's
+  *     filters — the [[graft.operators.Dedup.incrementalBloomSharded]]
+  *     kernel, applied to chunk digests: a chunk digest is a digest).
+  *     Bloom misses are PROVABLY novel and skip the exact join;
+  *   - only Bloom maybes pay the exact anti-join, against the pruned
+  *     digest scan. No false negatives per shard, false positives
+  *     re-checked exactly → store contents and manifests are
+  *     byte-identical to the unscreened path (StreamingSpec pin).
+  * Blooms are written BEFORE the store partition: a crash between the
+  * two leaves a filter claiming chunks the store doesn't hold, which
+  * the exact join refutes on replay — convergent; the reverse order
+  * would leave stored chunks invisible to the screen (silent dupes).
   */
 object ChunkStoreIngest {
 
-  /** (doc_id, pos, digest, len, chunk) rows of one batch — `pos` is the
-    * chunk's 0-based position in its document, the reassembly key.
+  /** (doc_id, pos, digest, hp, len, chunk) rows of one batch — `pos` is
+    * the chunk's 0-based position in its document, the reassembly key;
+    * `hp` is the 2-hex digest prefix, the shard/pruning key shared with
+    * the store layout and the Bloom sidecars.
     */
   private def chunkRows(batch: DataFrame, k: Int, divisor: Int): DataFrame =
     batch
@@ -46,26 +63,85 @@ object ChunkStoreIngest {
           .as(Seq("pos", "chunk")))
       .select(col("doc_id"), col("pos"), md5(col("chunk")).as("digest"),
         length(col("chunk")).cast("long").as("len"), col("chunk"))
+      .withColumn("hp", substring(col("digest"), 1, 2))
 
   /** Standing store digests (empty before the first batch), excluding
-    * `batchId`'s own partition for replay safety.
+    * `batchId`'s own partition for replay safety and PRUNED to the
+    * digest-prefix partitions in `prefixes` (file-level pruning on the
+    * `hp=` directories — the probe never lists, let alone reads, a
+    * shard the batch doesn't touch).
     */
   private[graft] def storedDigests(
-      spark: SparkSession, storeDir: String, batchId: Long): DataFrame = {
+      spark: SparkSession, storeDir: String, batchId: Long,
+      prefixes: Seq[String] = Seq.empty): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      spark.read.parquet(storeDir)
+    if (fs.exists(path)) {
+      val base = spark.read.parquet(storeDir)
         .filter(col("batch") =!= lit(batchId))
-        .select(col("digest"))
-    else
+      val pruned = if (prefixes.nonEmpty) base.filter(col("hp").isin(prefixes: _*)) else base
+      pruned.select(col("digest"))
+    } else
       spark.emptyDataFrame
         .select(lit("").as("digest")).limit(0)
   }
 
+  /** The Bloom sidecar table lives NEXT TO the store (sibling path, so
+    * a plain parquet read of the store never discovers it).
+    */
+  private[graft] def bloomDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_blooms"
+
+  /** Per-shard standing Bloom filters for the prefixes a batch touches:
+    * rows (hp, bf) from every OTHER batch's sidecar partition. Tiny —
+    * batches × touched-prefixes rows of kilobyte blobs; at deployment
+    * scale a compaction job folds old batches' filters into one row per
+    * shard (filters over the same digest domain OR together), keeping
+    * the collected set bounded. Returns an empty seq before any batch.
+    */
+  private[graft] def standingBlooms(
+      spark: SparkSession, storeDir: String, batchId: Long,
+      prefixes: Seq[String]): Seq[(String, Array[Byte])] = {
+    val dir = bloomDir(storeDir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) || prefixes.isEmpty) return Seq.empty
+    spark.read.parquet(dir)
+      .filter(col("batch") =!= lit(batchId))
+      .filter(col("hp").isin(prefixes: _*))
+      .select(col("hp"), col("bf"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toSeq
+  }
+
+  /** The lazy CASE dispatch over shard filters: a row pays exactly the
+    * might_contain probes of ITS digest prefix (OR over that shard's
+    * standing filters — one per un-compacted batch). Rows whose prefix
+    * has no filter are definitively novel (nothing stored there yet).
+    */
+  private def bloomCandidate(blooms: Seq[(String, Array[Byte])]): Column = {
+    val byShard = blooms.groupBy(_._1).toSeq.sortBy(_._1)
+    byShard.foldLeft(when(lit(false), lit(false))) { case (acc, (hp, bfs)) =>
+      val anyHit = bfs.map { case (_, bf) =>
+        graft.operators.Dedup.mightContain(lit(bf), xxhash64(col("digest")))
+      }.reduce(_ || _)
+      acc.when(col("hp") === hp, anyHit)
+    }.otherwise(lit(false))
+  }
+
+  /** Test seam: evaluate the shard-dispatched screen over arbitrary
+    * (digest, hp) rows — the no-false-negative pin probes stored
+    * digests through the exact expression the ingest path uses.
+    */
+  private[graft] def probeForSpec(
+      df: DataFrame, blooms: Seq[(String, Array[Byte])]): DataFrame =
+    df.withColumn("__cand", if (blooms.isEmpty) lit(false) else bloomCandidate(blooms))
+
   /** Process one micro-batch (columns `doc_id`, `text`): write the
-    * manifest partition and the novel-chunk store partition; returns
-    * (manifest rows, novel chunks stored). Exposed for the spec.
+    * manifest partition, the batch's Bloom sidecar, and the novel-chunk
+    * store partition; returns (manifest rows, novel chunks stored).
+    * Exposed for the spec.
     */
   private[graft] def processBatch(
       batch: DataFrame,
@@ -83,18 +159,49 @@ object ChunkStoreIngest {
         rows.select(col("doc_id"), col("pos"), col("digest"), col("len")))(
         _.write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/batch=$batchId"))
       // within-batch first occurrence (smallest (doc_id, pos) wins —
-      // deterministic under replay), then anti-join the standing store
+      // deterministic under replay)
       val firstInBatch = rows
         .groupBy(col("digest"))
         .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      val novel = rows
+      val batchDistinct = rows
         .join(firstInBatch, Seq("digest"))
         .filter(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
-        .join(storedDigests(spark, storeDir, batchId), Seq("digest"), "left_anti")
-        .select(col("digest"), col("len"), col("chunk"))
-      val stored = graft.sources.WriteMetrics.countingWrite(novel)(
-        _.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/batch=$batchId"))
-      (manifestRows, stored)
+        .select(col("digest"), col("hp"), col("len"), col("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // tier 1+2: prefix spread (drives partition pruning) and the
+        // sharded Bloom screen over the standing sidecars
+        val prefixes = batchDistinct.select(col("hp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val blooms = standingBlooms(spark, storeDir, batchId, prefixes)
+        val probed = batchDistinct.withColumn("__cand",
+          if (blooms.isEmpty) lit(false) else bloomCandidate(blooms))
+        // tier 3: only Bloom maybes pay the exact anti-join, against
+        // the prefix-pruned standing scan; misses are provably novel
+        val maybe = probed.filter(col("__cand"))
+          .join(storedDigests(spark, storeDir, batchId, prefixes), Seq("digest"), "left_anti")
+        val novel = probed.filter(!col("__cand"))
+          .unionByName(maybe)
+          .select(col("digest"), col("hp"), col("len"), col("chunk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // Bloom sidecar FIRST (see object scaladoc for the crash
+          // ordering argument), sized from the largest shard's count
+          val maxShard = novel.groupBy("hp").agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).head()
+          if (!maxShard.isNullAt(0)) {
+            val est = math.max(maxShard.getLong(0), 16L)
+            novel.groupBy(col("hp"))
+              .agg(graft.operators.Dedup.bloomAgg(
+                xxhash64(col("digest")), est, est * 10L).as("bf"))
+              .write.mode(SaveMode.Overwrite).parquet(s"${bloomDir(storeDir)}/batch=$batchId")
+          }
+          val stored = graft.sources.WriteMetrics.countingWrite(novel)(
+            _.write.partitionBy("hp").mode(SaveMode.Overwrite)
+              .parquet(s"$storeDir/batch=$batchId"))
+          (manifestRows, stored)
+        } finally { novel.unpersist(false); () }
+      } finally { batchDistinct.unpersist(false); () }
     } finally { rows.unpersist(false); () }
   }
 

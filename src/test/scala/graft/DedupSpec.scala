@@ -65,6 +65,33 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.incrementalBloom(docs, 10L)))
   }
 
+  test("cdcIncrementalBloom: bit-identical accounting to the exact cdcIncremental path (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // texts long enough to chunk, with planted shared spans so known
+    // chunks exist across the split; short/empty/null texts exercise
+    // the sub-k edge
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val textGen = Gen.oneOf(Seq(
+      "prefix " + span, span + " suffix", "wholly unrelated content here today",
+      span, "tiny", "", null.asInstanceOf[String]))
+    val corpusGen = for {
+      n <- Gen.choose(0, 16)
+      texts <- Gen.listOfN(n, textGen)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(corpusGen, Gen.choose(0L, 16L), Gen.choose(1, 2)) {
+      (rows, split, hexChars) =>
+        val docs = rows.toDF("doc_id", "text")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        val exact = canon(Dedup.cdcIncremental(docs, split))
+        val bloom = canon(Dedup.cdcIncrementalBloom(docs, split, shardHexChars = hexChars))
+        spark.catalog.clearCache() // both paths handoff-persist
+        bloom == exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("n-gram corpus assets are durable: a fresh JVM loads instead of rebuilding") {
     val root = java.nio.file.Files.createTempDirectory("graft_ngram_asset_spec").toString
     spark.conf.set("spark.graft.index.dir", root)

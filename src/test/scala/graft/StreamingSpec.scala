@@ -528,6 +528,76 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == texts)
   }
 
+  test("chunk-store Bloom tier: sidecars published, no false negatives, store byte-identical to the unscreened semantics") {
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_csbloom").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_csbloom_m").toString + "/manifest"
+    val rnd = new scala.util.Random(37)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(180)
+    val texts = Map(
+      1L -> (blob(90) + shared),
+      2L -> (shared + blob(70)),
+      3L -> blob(150),
+      4L -> (blob(40) + shared + blob(40)), // re-references batch-0 chunks
+      5L -> blob(120))
+    val batches = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L))
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      ChunkStoreIngest.processBatch(
+        ids.map(id => (id, texts(id))).toDF("doc_id", "text"),
+        b.toLong, storeDir, manifestDir, divisor = 16)
+    }
+    // --- the UNSCREENED reference semantics, computed independently:
+    // a chunk lands in the store partition of the FIRST batch whose
+    // manifest references its digest; chunk text comes from the corpus
+    val manifest = spark.read.parquet(manifestDir)
+      .select(col("doc_id"), col("digest"), col("batch").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectedBatch = manifest.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val store = spark.read.parquet(storeDir)
+      .select(col("digest"), col("len"), col("chunk"), col("hp"), col("batch").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))))
+    assert(store.length == expectedBatch.size, "store must hold each digest exactly once")
+    store.foreach { case (digest, (len, chunk, hp, batch)) =>
+      assert(batch == expectedBatch(digest),
+        s"chunk $digest must land in its first-referencing batch (screen may not re-store or drop)")
+      assert(org.apache.commons.codec.digest.DigestUtils.md5Hex(chunk) == digest &&
+        chunk.length.toLong == len, "stored bytes must be the chunk content")
+      assert(hp == digest.take(2), "store rows carry the 2-hex pruning prefix")
+    }
+    // --- reassembly still byte-exact through the screened path
+    val got = ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == texts, "screened store + manifests must reproduce the corpus byte-for-byte")
+    // --- sidecars: one (hp, bf) table per chunk-storing batch, hidden
+    // from plain store reads (sibling path)
+    val bloomRoot = new java.io.File(ChunkStoreIngest.bloomDir(storeDir))
+    assert(bloomRoot.isDirectory, "Bloom sidecar dir must be published")
+    val bloomBatches = bloomRoot.listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(bloomBatches.length == batches.length, s"one sidecar per storing batch: ${bloomBatches.toSeq}")
+    assert(!spark.read.parquet(storeDir).columns.contains("bf"),
+      "store reads must never discover the sidecar")
+    // --- no false negatives: every digest batches 0/1 stored is flagged
+    // candidate by the standing filters a LATER batch would consult
+    val standing = store.filter(_._2._4 < 2L)
+    val prefixes = standing.map(_._2._3).distinct.toSeq
+    val blooms = ChunkStoreIngest.standingBlooms(spark, storeDir, 2L, prefixes)
+    assert(blooms.nonEmpty && blooms.forall { case (hp, bf) => hp.length == 2 && bf.nonEmpty })
+    val probeDf = standing.map { case (d, (_, _, hp, _)) => (d, hp) }.toSeq
+      .toDF("digest", "hp")
+    val flagged = ChunkStoreIngest.probeForSpec(probeDf, blooms)
+      .filter(!col("__cand")).count()
+    assert(flagged == 0L, "a stored digest must never screen as definitely-novel")
+    // --- replay of the middle batch converges under the screen
+    val (m1, s1) = ChunkStoreIngest.processBatch(
+      batches(1).map(id => (id, texts(id))).toDF("doc_id", "text"),
+      1L, storeDir, manifestDir, divisor = 16)
+    assert(m1 > 0 && s1 == store.count(_._2._4 == 1L).toLong, "replay rewrites the same partition")
+    assert(ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == texts)
+  }
+
   test("chunk-store ingest end-to-end: file stream drains; shared spans stored once; restore exact") {
     import graft.streaming.ChunkStoreIngest
     val src = Files.createTempDirectory("graft_cs_src").toString
