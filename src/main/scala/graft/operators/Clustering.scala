@@ -65,7 +65,7 @@ object Clustering {
       uCol: String = "id_a",
       vCol: String = "id_b",
       maxRounds: Int = 30,
-      localThreshold: Long = 1L << 20
+      localThreshold: Long = 1L << 19
   ): DataFrame =
     connectedComponentsWithStats(edges, uCol, vCol, maxRounds, localThreshold).labels
 
@@ -81,15 +81,19 @@ object Clustering {
     *   check already runs, the labels are identical by construction
     *   (min-of-component — spec-pinned equal to the distributed path),
     *   and a genuinely corpus-scale edge set (> threshold) still takes
-    *   the star iteration. 1M edges ≈ 16 MB collected — well inside any
-    *   driver. Pass 0 to force the distributed path (the specs do).
+    *   the star iteration. Collected through the primitive tuple
+    *   encoder, 512k edges cost ~25 MB of transient driver heap (plus
+    *   up to 2× that many distinct node ids as longs) — inside any
+    *   driver sized to run Spark at all; raise the threshold only with
+    *   driver memory to match. Pass 0 to force the distributed path
+    *   (the specs do).
     */
   def connectedComponentsWithStats(
       edges: DataFrame,
       uCol: String = "id_a",
       vCol: String = "id_b",
       maxRounds: Int = 30,
-      localThreshold: Long = 1L << 20
+      localThreshold: Long = 1L << 19
   ): CcResult = {
     // one evaluation of the caller's edge pipeline feeds BOTH the first
     // frontier checkpoint and the node set for singleton labeling — an
@@ -164,8 +168,11 @@ object Clustering {
     if (fp._1 <= localThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val pairs = e.select(col("u"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      // primitive tuple encoder: collect lands specialized
+      // Tuple2$mcJJ$sp instances (~48 B/edge with headers), not
+      // GenericRows (~100 B/edge + field boxing) — the driver's
+      // transient footprint at the threshold is ~25 MB, not hundreds
+      val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
       // union-find, always attaching the larger root under the smaller:
       // every component's final root is its minimum id — the same label
       // the star fixpoint converges to
@@ -186,7 +193,7 @@ object Clustering {
       // every distinct endpoint of the RAW input (self-loop-only nodes
       // included) labels with its component min — itself if unpaired
       val nodeRows = raw0.select(col("u")).union(raw0.select(col("v").as("u")))
-        .distinct().collect().map(_.getLong(0))
+        .distinct().as[Long].collect()
       val labels = nodeRows.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       labels.count()

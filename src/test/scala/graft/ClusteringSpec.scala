@@ -102,6 +102,46 @@ class ClusteringSpec extends SparkSpec {
     res.labels.unpersist()
   }
 
+  test("fast/distributed boundary property: adversarial graphs near the threshold agree on labels") {
+    // The switch is decided on the DISTINCT CANONICAL edge count (the
+    // fingerprint aggregate), so the adversarial inputs are raw edge
+    // lists whose canonical size straddles a tiny threshold while the
+    // raw list is padded with exactly the shapes that could diverge:
+    // duplicate pairs, reversed pairs, self-loops (dropped from the
+    // canonical set but label-relevant), and self-loop-ONLY nodes.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val T = 8L // threshold under test; canonical sizes generated in [T-3, T+3]
+    val edgeGen = for {
+      nCanon <- Gen.choose((T - 3).toInt, (T + 3).toInt)
+      // build nCanon distinct canonical pairs over a small id space
+      ids = (0L to 11L).flatMap(a => ((a + 1) to 12L).map(b => (a, b)))
+      canon <- Gen.pick(nCanon, ids)
+      dups <- Gen.someOf(canon)             // duplicate pairs
+      revs <- Gen.someOf(canon)             // reversed pairs
+      loopNodes <- Gen.someOf(20L to 24L)   // self-loop-only nodes
+      loopOnCanon <- Gen.someOf(canon.map(_._1)) // self-loops on connected nodes
+    } yield (canon.toSeq ++ dups ++ revs.map(_.swap) ++
+      loopNodes.map(n => (n, n)) ++ loopOnCanon.map(n => (n, n)), nCanon)
+    val p = Prop.forAll(edgeGen) { case (edges, nCanon) =>
+      val df = edges.toDF("id_a", "id_b")
+      val viaFast = Clustering.connectedComponentsWithStats(df, localThreshold = T)
+      val viaStar = Clustering.connectedComponentsWithStats(df, localThreshold = 0L)
+      val a = viaFast.labels.as[(Long, Long)].collect().toMap
+      val b = viaStar.labels.as[(Long, Long)].collect().toMap
+      // independent ground truth: union-find over non-loop edges plus
+      // self-labels for loop-only nodes
+      val uf = unionFind(edges.filter(e => e._1 != e._2))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(n => n -> uf.getOrElse(n, n)).toMap
+      viaFast.labels.unpersist(); viaStar.labels.unpersist()
+      // the path taken must actually switch AT the boundary (<= engages)
+      val pathOk = if (nCanon <= T) viaFast.rounds == 0 else viaFast.rounds > 0
+      pathOk && a == b && a == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("small-graph fast path: engages under the threshold, labels equal the star iteration") {
     import spark.implicits._
     val rng = new Random(7)
