@@ -253,6 +253,24 @@ final class Graft(
     tasks.keySet().asScala.toSeq.sorted
   }
 
+  /** POST /maintenance/assets_gc — sweep the content-addressed asset
+    * warehouse ([[graft.engine.AssetStore.gcStale]]) of assets whose
+    * corpus was rebuilt, torn staging dirs past the grace window, and
+    * (opt-in) older-format assets. `corpora` anchors the LIVE
+    * fingerprints: every (dir, table) pair a deployment still queries
+    * must be listed, or its current assets are treated as orphaned.
+    * `dryRun` previews the delete set without touching disk — the safe
+    * default for an operator poking a 100 TB warehouse; the HTTP route
+    * makes the sweep reachable without a Scala REPL.
+    */
+  def gcAssets(
+      corpora: Seq[(String, String)],
+      graceMs: Long = 60L * 60 * 1000,
+      sweepOlderFormats: Boolean = false,
+      dryRun: Boolean = true
+  ): Seq[String] =
+    graft.engine.AssetStore.gcStale(spark, corpora, graceMs, sweepOlderFormats, dryRun)
+
   /** DELETE /tasks/:id — removes the task and its namespaced transforms
     * (both stores, `tasks.js:89-97`).
     */

@@ -22,7 +22,7 @@ import graft.transform.ExprMutators
   *   POST   /_stop                       stop + cancel in-flight job group
   *   GET    /status                      {manager, tasks}
   *   GET    /tasks                       {taskId: status} for every task
-  *   POST   /tasks/{id}                  add a task (JSON spec below)
+  *   POST   /tasks/{id}                  add a task (202; async planning — see note)
   *   GET    /tasks/{id}                  status + per-subtask progress
   *   DELETE /tasks/{id}                  remove task + its namespace
   *   GET    /tasks/{id}/errors           recorded subtask errors
@@ -32,6 +32,7 @@ import graft.transform.ExprMutators
   *   GET    /mutators/{ns}/{id}          read back one registered mutator
   *   POST   /mutators/{ns}/{id}          register a SQL-expr mutator
   *   DELETE /mutators/{ns}/{id}          remove a mutator
+  *   POST   /maintenance/assets_gc       sweep the asset warehouse (dry-run default)
   *   GET    /filters/{ns}                {ids} in a namespace
   *   GET    /filters/{ns}/{id}           read back one stored filter
   *   POST   /filters/{ns}/{id}           store a metadata filter
@@ -55,7 +56,17 @@ import graft.transform.ExprMutators
   * ASYNCHRONOUS: the POST claims the task (409 if a run is already in
   * flight), submits the drain to a background thread, and answers 202;
   * clients poll `GET /tasks/{id}/_run` for `{state, completed,
-  * rowsWritten}`. Requests are dispatched on a small thread pool so
+  * rowsWritten}`. Task SUBMISSION follows the same shape: the planning
+  * scan (size-stat jobs over the source) runs on the background pool,
+  * the POST answers 202 `{"state": "planning"}` after synchronous
+  * reference validation (unknown mutators/filters still 404 at
+  * submit), and clients poll `GET /tasks/{id}` (404 until planned) or
+  * `GET /tasks/{id}/_run` ("planning" → prior summary, or
+  * "plan_failed" + error). The reference's synchronous `POST
+  * /tasks/:id` (`tasks.js`) blocks its event loop the same way the old
+  * dispatch-thread plan blocked ours — at real table sizes that is a
+  * minutes-long hung request, so async-with-poll is the deliberate
+  * deviation. Requests are dispatched on a small thread pool so
   * `/_stop` (and status/errors reads) stay deliverable while a run is
   * in flight — a single-threaded dispatcher would make the stop
   * undeliverable exactly when it matters. An `api_key` header check
@@ -129,6 +140,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("POST", List("mutators", ns, id))    => addMutator(ex, ns, id)
         case ("DELETE", List("mutators", ns, id)) =>
           g.mutators.remove(ObjectId(ns, id)); json(ex, 204, null)
+        case ("POST", List("maintenance", "assets_gc")) => gcAssets(ex)
         case ("GET", List("filters", ns))          => listFilters(ex, ns)
         case ("GET", List("filters", ns, id))      => getFilter(ex, ns, id)
         case ("POST", List("filters", ns, id))     => addFilter(ex, ns, id)
@@ -214,36 +226,48 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     val sizeCols = Option(body.get("sizeCols"))
       .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
-    // same submit-to-start guard as DELETE: a re-add between a run's 202
-    // and its drain thread starting would replace the TaskState under the
-    // run. But planning (Planner.expand) executes Spark jobs to collect
-    // size stats and can take seconds — holding the runs lock for its
-    // duration would stall every other control-plane request (DELETE,
-    // POST _run claim) behind one slow plan. So: claim the id under the
-    // lock with a lightweight "planning" marker, plan OUTSIDE the lock,
-    // then restore under the lock. DELETE and _run treat "planning" as
-    // busy, so the submit-to-start guard the long-held lock used to
-    // provide still holds, per-task, without the global stall.
+    // reference validation stays SYNCHRONOUS: registry lookups are
+    // control-plane cheap and an unknown mutator/filter must 404 the
+    // submit itself, not surface later as an async plan failure
+    spec.mutators.foreach(ref => g.mutators.require(ref.id))
+    spec.indexFilters.foreach(ref => g.filters.require(ref.id))
+    // PLANNING IS ASYNC (the /_run pattern): Planner.expand runs Spark
+    // jobs over the source to collect size stats — minutes on a real
+    // table — and holding the dispatch thread for it makes the submit a
+    // blocked request exactly when the table is big. Claim the id under
+    // the runs lock with a "planning" marker (DELETE and _run treat it
+    // as busy, closing the submit-to-start window), hand the plan to the
+    // background pool, answer 202. Clients poll GET /tasks/{id} (404
+    // until planned, then status+backlog) or GET /tasks/{id}/_run
+    // (reports "planning", then "plan_failed" with the error, or the
+    // prior run summary once planned).
     val prev = runs.synchronized {
       val cur = Option(runs.get(id))
       if (cur.exists(s => s.state == "running" || s.state == "planning"))
         throw new IllegalStateException(
           s"task '$id' has a run in flight; stop it before re-adding")
       runs.put(id, RunSummary("planning", 0, 0L, None))
-      cur
+      // a stale plan_failed from an earlier attempt is control-plane
+      // residue, not run history — don't resurrect it after success
+      cur.filter(s => s.state != "plan_failed")
     }
-    val backlog =
-      try g.addTask(spec, sizeCols)
-      finally runs.synchronized {
-        // restore whatever run summary the task had before planning (the
-        // marker is control-plane state, not a run result); on planning
-        // failure this also clears the marker so the task isn't wedged
-        prev match {
-          case Some(s) => runs.put(id, s)
-          case None    => runs.remove(id)
+    runExec.submit(new Runnable {
+      def run(): Unit =
+        try {
+          g.addTask(spec, sizeCols)
+          runs.synchronized {
+            // restore whatever REAL run summary the task had before
+            // planning (the marker is control-plane state, not a result)
+            prev match {
+              case Some(s) => runs.put(id, s)
+              case None    => runs.remove(id)
+            }
+          }
+        } catch {
+          case e: Throwable => runs.put(id, RunSummary("plan_failed", 0, 0L, Some(e.toString)))
         }
-      }
-    json(ex, 200, Map("backlog" -> backlog.size))
+    })
+    json(ex, 202, Map("state" -> "planning"))
   }
 
   private def runTask(ex: HttpExchange, id: String): Unit = {
@@ -294,6 +318,35 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       ).asJava
     }
     json(ex, 200, errs.asJava)
+  }
+
+  /** POST /maintenance/assets_gc — the ops entry point for the asset
+    * warehouse sweep. Body:
+    * `{"corpora": [{"dir": "...", "table": "..."}], "graceMs": n,
+    *   "sweepOlderFormats": false, "dryRun": true}`.
+    * `corpora` is REQUIRED and non-empty: an empty live set means every
+    * current-version asset is "orphaned" — a fat-fingered sweep of the
+    * whole warehouse; make the caller say what is live. `dryRun`
+    * defaults TRUE (preview); the destructive sweep is the explicit
+    * `"dryRun": false`. Runs synchronously — the sweep is one directory
+    * listing plus per-corpus metadata listings, control-plane cheap.
+    */
+  private def gcAssets(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val corpora = Option(body.get("corpora"))
+      .map(_.elements().asScala.map(n =>
+        (reqText(n, "dir"), reqText(n, "table"))).toSeq)
+      .getOrElse(Seq.empty)
+    if (corpora.isEmpty)
+      throw new IllegalArgumentException(
+        "corpora must list every live (dir, table) — an empty live set would sweep everything")
+    val dryRun = Option(body.get("dryRun")).forall(_.asBoolean(true))
+    val swept = g.gcAssets(
+      corpora,
+      graceMs = Option(body.get("graceMs")).map(_.asLong()).getOrElse(60L * 60 * 1000),
+      sweepOlderFormats = Option(body.get("sweepOlderFormats")).exists(_.asBoolean(false)),
+      dryRun = dryRun)
+    json(ex, 200, Map("dryRun" -> dryRun, "swept" -> swept))
   }
 
   private def listMutators(ex: HttpExchange, ns: String): Unit =

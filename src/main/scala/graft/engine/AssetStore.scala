@@ -127,7 +127,8 @@ object AssetStore {
     * a deployment runs after corpus rebuilds.
     */
   def gcStale(spark: SparkSession, corpora: Seq[(String, String)],
-      graceMs: Long = 60L * 60 * 1000, sweepOlderFormats: Boolean = false): Seq[String] = {
+      graceMs: Long = 60L * 60 * 1000, sweepOlderFormats: Boolean = false,
+      dryRun: Boolean = false): Seq[String] = {
     val root = warehouse(spark)
     val fs = fsFor(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -148,7 +149,9 @@ object AssetStore {
           case addressed(v, _) => v.toInt < FormatVersion && sweepOlderFormats
           case _               => false // not ours; never touch
         }
-      if (stale && fs.delete(st.getPath, true)) Some(name) else None
+      // dryRun reports the would-delete set without touching disk — the
+      // operator preview behind the maintenance API's dry_run flag
+      if (stale && (dryRun || fs.delete(st.getPath, true))) Some(name) else None
     }
   }
 

@@ -26,6 +26,31 @@ class HttpApiSpec extends SparkSpec {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  /** POST a task spec (async planning: 202) and await the plan: poll
+    * `/_run` out of `planning`, then read the task's backlog size.
+    * Fails the test on `plan_failed`.
+    */
+  private def addTaskAwait(base: String, id: String, body: String, deadlineSec: Int = 60): Int = {
+    val resp = send("POST", s"$base/tasks/$id", body)
+    assert(resp.statusCode() == 202, s"submit: ${resp.statusCode()} ${resp.body()}")
+    assert(mapper.readTree(resp.body()).get("state").asText() == "planning")
+    val deadline = System.nanoTime() + deadlineSec * 1000000000L
+    while (System.nanoTime() < deadline) {
+      val run = send("GET", s"$base/tasks/$id/_run")
+      val state =
+        if (run.statusCode() == 404) "none" // marker cleared: planned, no prior run
+        else mapper.readTree(run.body()).get("state").asText()
+      assert(state != "plan_failed", s"planning failed: ${run.body()}")
+      if (state != "planning") {
+        val st = send("GET", s"$base/tasks/$id")
+        assert(st.statusCode() == 200, s"planned task must be readable: ${st.body()}")
+        return mapper.readTree(st.body()).get("status").get("backlog").asInt()
+      }
+      Thread.sleep(50)
+    }
+    fail(s"task '$id' did not finish planning in ${deadlineSec}s")
+  }
+
   /** Poll `GET /tasks/{id}/_run` until the run leaves `running`. */
   private def pollRun(base: String, id: String, deadlineSec: Int = 60) = {
     val deadline = System.nanoTime() + deadlineSec * 1000000000L
@@ -55,11 +80,9 @@ class HttpApiSpec extends SparkSpec {
       assert(send("POST", s"$base/tasks/job1",
         """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["items"],
           |"mutators": ["job1/nope"]}""".stripMargin).statusCode() == 404)
-      val add = send("POST", s"$base/tasks/job1",
+      assert(addTaskAwait(base, "job1",
         """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["items"],
-          |"mutators": ["job1/dropCheap"]}""".stripMargin)
-      assert(add.statusCode() == 200)
-      assert(mapper.readTree(add.body()).get("backlog").asInt() == 1)
+          |"mutators": ["job1/dropCheap"]}""".stripMargin) == 1)
 
       // status before run
       val st0 = mapper.readTree(send("GET", s"$base/tasks/job1").body())
@@ -135,11 +158,9 @@ class HttpApiSpec extends SparkSpec {
           |"tables": ["first", "second"], "filters": ["jobF/nope"]}""".stripMargin)
         .statusCode() == 404)
       // the STORED filter prunes 'second' out of the plan: backlog is 1
-      val add = send("POST", s"$base/tasks/jobF",
+      assert(addTaskAwait(base, "jobF",
         """{"sourceDir": "mem://s", "destDir": "mem://d",
-          |"tables": ["first", "second"], "filters": ["jobF/onlyFirst"]}""".stripMargin)
-      assert(add.statusCode() == 200)
-      assert(mapper.readTree(add.body()).get("backlog").asInt() == 1)
+          |"tables": ["first", "second"], "filters": ["jobF/onlyFirst"]}""".stripMargin) == 1)
 
       // delete one; task removal drops the rest of the namespace
       assert(send("DELETE", s"$base/filters/jobF/bad").statusCode() == 204)
@@ -185,8 +206,8 @@ class HttpApiSpec extends SparkSpec {
     val api = new HttpApi(g).start()
     val base = s"http://127.0.0.1:${api.boundPort}"
     try {
-      assert(send("POST", s"$base/tasks/jobS",
-        """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["first"]}""").statusCode() == 200)
+      addTaskAwait(base, "jobS",
+        """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["first"]}""")
       val t0 = System.nanoTime()
       assert(send("POST", s"$base/tasks/jobS/_run").statusCode() == 202)
       Thread.sleep(2000) // let the bulk job start
@@ -231,7 +252,7 @@ class HttpApiSpec extends SparkSpec {
       // a broken regex must be rejected AT THE STORE, not later at task add
       assert(send("POST", s"$base/filters/ns/bad",
         """{"type": "index", "pattern": "[unclosed"}""").statusCode() == 400)
-      assert(send("POST", s"$base/tasks/jobG", addBody).statusCode() == 200)
+      addTaskAwait(base, "jobG", addBody)
       // a run submitted while stopped must refuse — not report a false done
       assert(send("POST", s"$base/_stop").statusCode() == 200)
       assert(send("POST", s"$base/tasks/jobG/_run").statusCode() == 409)
@@ -258,12 +279,10 @@ class HttpApiSpec extends SparkSpec {
     val api = new HttpApi(g).start()
     val base = s"http://127.0.0.1:${api.boundPort}"
     try {
-      val add = send("POST", s"$base/tasks/jobP",
-        s"""{"sourceDir": "$sf", "destDir": "$destRoot", "tables": ["region", "nation"],
-           |"sizeCols": {"nation": "n_nationkey"}}""".stripMargin)
-      assert(add.statusCode() == 200)
       // nation splits into 3 size buckets + region unbucketed = 4 subtasks
-      assert(mapper.readTree(add.body()).get("backlog").asInt() == 4)
+      assert(addTaskAwait(base, "jobP",
+        s"""{"sourceDir": "$sf", "destDir": "$destRoot", "tables": ["region", "nation"],
+           |"sizeCols": {"nation": "n_nationkey"}}""".stripMargin) == 4)
       assert(send("POST", s"$base/tasks/jobP/_run").statusCode() == 202)
       val run = pollRun(base, "jobP")
       assert(run.get("state").asText() == "done")
@@ -278,6 +297,133 @@ class HttpApiSpec extends SparkSpec {
       assert(mapper.readTree(send("GET", s"$base/tasks/jobP").body())
         .get("status").get("percentComplete").asDouble() == 100.0)
     } finally api.close()
+  }
+
+  test("slow-planning table: submit answers 202 immediately; planning is pollable and guards run/delete/re-add") {
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import graft.sources.DocConnector
+    // a source whose scan stalls — the stand-in for size-stat jobs over
+    // a real multi-TB table taking minutes
+    val planGate = new java.util.concurrent.CountDownLatch(1)
+    val inner = new InMemoryConnector
+    inner.bulk((1 to 4).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), "slowt")
+    val slowSrc = new DocConnector {
+      override def scan(spark: SparkSession, table: String): DataFrame = {
+        planGate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        inner.scan(spark, table)
+      }
+      override def bulk(df: DataFrame, table: String): Long = inner.bulk(df, table)
+      override def listTables(pattern: String): Seq[String] = inner.listTables(pattern)
+    }
+    val sink = new InMemoryConnector
+    val g = new Graft(spark, _ => (slowSrc, sink))
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    val body = """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["slowt"]}"""
+    try {
+      val t0 = System.nanoTime()
+      val resp = send("POST", s"$base/tasks/jobSlow", body)
+      val submitSec = (System.nanoTime() - t0) / 1e9
+      assert(resp.statusCode() == 202 && submitSec < 5.0,
+        s"submit must not wait for planning (took ${submitSec}s)")
+      // while planning: state pollable; run, delete and re-add conflict
+      val mid = mapper.readTree(send("GET", s"$base/tasks/jobSlow/_run").body())
+      assert(mid.get("state").asText() == "planning")
+      assert(send("POST", s"$base/tasks/jobSlow/_run").statusCode() == 404,
+        "task does not exist until planned — run cannot claim it")
+      assert(send("DELETE", s"$base/tasks/jobSlow").statusCode() == 409)
+      assert(send("POST", s"$base/tasks/jobSlow", body).statusCode() == 409)
+      // other control-plane requests stay deliverable during the plan
+      assert(send("GET", s"$base/status").statusCode() == 200)
+      planGate.countDown()
+      // planning completes: task readable, marker cleared, run possible
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var planned = send("GET", s"$base/tasks/jobSlow")
+      while (planned.statusCode() != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(50); planned = send("GET", s"$base/tasks/jobSlow")
+      }
+      assert(planned.statusCode() == 200)
+      assert(mapper.readTree(planned.body()).get("status").get("backlog").asInt() == 1)
+      assert(send("GET", s"$base/tasks/jobSlow/_run").statusCode() == 404,
+        "planning marker must clear (no prior run to restore)")
+      assert(send("POST", s"$base/tasks/jobSlow/_run").statusCode() == 202)
+      assert(pollRun(base, "jobSlow").get("state").asText() == "done")
+    } finally api.close()
+  }
+
+  test("a failing plan surfaces as plan_failed with the error, and the task can be resubmitted") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import graft.sources.DocConnector
+    val broken = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val inner = new InMemoryConnector
+    inner.bulk((1 to 3).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), "t"): Unit
+    val src = new DocConnector {
+      override def scan(spark: SparkSession, table: String): DataFrame =
+        if (broken.get) sys.error("source exploded during planning") else inner.scan(spark, table)
+      override def bulk(df: DataFrame, table: String): Long = inner.bulk(df, table)
+      override def listTables(pattern: String): Seq[String] = inner.listTables(pattern)
+    }
+    val g = new Graft(spark, _ => (src, new InMemoryConnector))
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    val body = """{"sourceDir": "mem://s", "destDir": "mem://d", "tables": ["t"]}"""
+    try {
+      assert(send("POST", s"$base/tasks/jobBad", body).statusCode() == 202)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var node = mapper.readTree(send("GET", s"$base/tasks/jobBad/_run").body())
+      while (node.get("state").asText() == "planning" && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        node = mapper.readTree(send("GET", s"$base/tasks/jobBad/_run").body())
+      }
+      assert(node.get("state").asText() == "plan_failed")
+      assert(node.get("error").asText().contains("source exploded"))
+      assert(send("GET", s"$base/tasks/jobBad").statusCode() == 404, "failed plan adds no task")
+      // plan_failed does not wedge the id: a fixed source resubmits fine
+      broken.set(false)
+      assert(addTaskAwait(base, "jobBad", body) == 1)
+    } finally api.close()
+  }
+
+  test("POST /maintenance/assets_gc: dry-run previews, explicit dryRun=false sweeps, empty corpora is a 400") {
+    import graft.engine.AssetStore
+    val root = java.nio.file.Files.createTempDirectory("graft_gc_api").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // a live corpus anchors one asset; a dead-fingerprint asset is sweepable
+      val corpus = java.nio.file.Files.createTempDirectory("graft_gc_api_corpus").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpus, "t.parquet"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(corpus, "t.parquet", "f"), "v1")
+      val fp = AssetStore.corpusFingerprint(spark, corpus, "t.parquet")
+      val v = AssetStore.FormatVersion
+      def publish(id: String): Unit = AssetStore.resolve(spark, id, staging =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(staging, "d"), "x"))
+      publish(s"live_k3_v${v}_$fp")
+      publish(s"stale_k3_v${v}_${"0" * 16}")
+      val corporaJson = s"""{"corpora": [{"dir": "$corpus", "table": "t.parquet"}]}"""
+
+      // guard rails: empty/missing corpora refuse rather than sweep-all
+      assert(send("POST", s"$base/maintenance/assets_gc", """{"corpora": []}""").statusCode() == 400)
+      assert(send("POST", s"$base/maintenance/assets_gc", "{}").statusCode() == 400)
+
+      // default is DRY-RUN: the stale asset is reported, nothing deleted
+      val dry = mapper.readTree(send("POST", s"$base/maintenance/assets_gc", corporaJson).body())
+      assert(dry.get("dryRun").asBoolean() &&
+        dry.get("swept").get(0).asText() == s"stale_k3_v${v}_${"0" * 16}")
+      assert(new java.io.File(s"$root/stale_k3_v${v}_${"0" * 16}").exists, "dry run must not delete")
+
+      // explicit dryRun=false performs the sweep; the live asset survives
+      val wet = mapper.readTree(send("POST", s"$base/maintenance/assets_gc",
+        corporaJson.dropRight(1) + """, "dryRun": false}""").body())
+      assert(!wet.get("dryRun").asBoolean() && wet.get("swept").size() == 1)
+      assert(!new java.io.File(s"$root/stale_k3_v${v}_${"0" * 16}").exists, "sweep must delete")
+      assert(new java.io.File(s"$root/live_k3_v${v}_$fp").exists, "live asset must survive")
+    } finally {
+      api.close()
+      spark.conf.unset("spark.graft.index.dir")
+    }
   }
 
   test("api key gate: absent key is 400, wrong key is 401, right key passes") {
