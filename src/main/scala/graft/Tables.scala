@@ -42,7 +42,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
         raw
           .withColumn("ts_ns", col("ts"))
-          .withColumn("ts", expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)"))
+          .withColumn("ts", expr("timestamp_micros((CAST(ts AS BIGINT) - pmod(CAST(ts AS BIGINT), 1000)) DIV 1000)"))
       case _ => // micros TIMESTAMP / TIMESTAMP_NTZ (UTC session => same instant)
         raw
           .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))

@@ -21,6 +21,17 @@ import graft.transform._
   */
 object Relational {
 
+  /** Epoch MICROS from `ts_ns` with FLOOR-division semantics: Spark's
+    * `div` truncates toward zero while DuckDB's `//` (and its
+    * `epoch_us`) floor, so a pre-1970 timestamp would land one unit
+    * apart between engines. `a - pmod(a, d)` is the largest multiple
+    * of d ≤ a, making the DIV exact floor division in long arithmetic
+    * — the same trick every time-bucketing site here composes on
+    * (bucket-of-floor == floor-of-bucket only under floor semantics).
+    */
+  private val floorDivUs =
+    "(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000"
+
   /** Cast to exact decimal for order-independent aggregation. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -617,7 +628,7 @@ object Relational {
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ev = Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr(floorDivUs))
       .select("user_id", "event_type", "tus")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("tus")).as("fv")).persist(lvl)
@@ -655,7 +666,7 @@ object Relational {
     val winUs = 24L * 3600 * 1000000
     val dayUs = 86400000000L
     val ev = Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr(floorDivUs))
       .select("user_id", "event_type", "tus")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("tus")).as("fv"))
@@ -665,7 +676,7 @@ object Relational {
       .select("user_id").distinct()
       .withColumn("conv", lit(1L))
     v.join(conv, Seq("user_id"), "left")
-      .groupBy(expr(s"fv DIV $dayUs").as("cohort_day"))
+      .groupBy(expr(s"(fv - pmod(fv, $dayUs)) DIV $dayUs").as("cohort_day"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(coalesce(col("conv"), lit(0L))).as("n_converted_24h"))
@@ -726,7 +737,7 @@ object Relational {
     */
   def qTransitions(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr(floorDivUs))
       .select("user_id", "event_id", "event_type", "tus")
     val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
@@ -786,7 +797,7 @@ object Relational {
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame =
     asofLastBefore(
       Tables.events(spark, dir)
-        .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+        .withColumn("tus", expr(floorDivUs))
         .select("user_id", "event_id", "event_type", "tus"),
       matchType = "click", probeType = "purchase")
       .withColumnRenamed("probe_id", "purchase_id")
@@ -841,7 +852,7 @@ object Relational {
     */
   def qAsOf(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr(floorDivUs))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -861,7 +872,7 @@ object Relational {
   def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val ev = Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr(floorDivUs))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
       .rangeBetween(-hourUs, 0)
     ev.filter(col("user_id") < 100)
@@ -1008,7 +1019,7 @@ object Relational {
     val hourNs = 3600L * 1000 * 1000 * 1000
     val ev = Tables.events(spark, dir).select(
       col("event_type"),
-      expr(s"ts_ns DIV $hourNs").as("hb"),
+      expr(s"(ts_ns - pmod(ts_ns, $hourNs)) DIV $hourNs").as("hb"),
       expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("qv"))
     val aggs = ev.groupBy("event_type", "hb").agg(
       count(lit(1)).as("n_raw"),

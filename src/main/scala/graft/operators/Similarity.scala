@@ -286,8 +286,10 @@ object Similarity {
     * self-join per bucket (LSH bounds bucket occupancy, never
     * all-pairs), embeddings join back by id, distances on the exact
     * integer grid ([[vec.sqDistLong]] — hash-stable ranks, no float
-    * ulp lottery), and per-source top-k via the map-side-partial
-    * [[graft.functions.agg.topKOrdTie]] so the final exchange carries
+    * ulp lottery at ANY dim/scale: the ranking runs through the
+    * long-ord [[graft.functions.agg.topKLongOrdTie]], never a double),
+    * and per-source top-k via that map-side-partial aggregate so the
+    * final exchange carries
     * `vecs × kTop` rows, not the candidate set. Directed: `rank` is
     * per source vector; a vector sharing no bucket with anyone emits
     * no rows (LSH contract — raise `tables` for denser graphs).
@@ -317,13 +319,16 @@ object Similarity {
         quantizedCol(col("embedding"), scale).as("q_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
       .groupBy(col("id_a").as("vec_id"))
-      .agg(graft.functions.agg.topKOrdTie(-col("dist"), col("id_b"), kTop).as("top"))
+      // LONG-ord top-k: the squared grid distance stays in int64
+      // arithmetic through the ranking (the double-ord variant is exact
+      // only below 2^53 — a silent rank swap past dim·(scale·max)²)
+      .agg(graft.functions.agg.topKLongOrdTie(-col("dist"), col("id_b"), kTop).as("top"))
       .select(col("vec_id"), posexplode(col("top")))
       .select(
         col("vec_id"),
         (col("pos") + 1).cast("long").as("rank"),
         col("col.tie").as("nbr_id"),
-        (-col("col.ord")).cast("long").as("dist"))
+        (-col("col.ord")).as("dist"))
       .orderBy("vec_id", "rank")
   }
 

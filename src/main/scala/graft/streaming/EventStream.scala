@@ -66,7 +66,7 @@ object EventStream {
       case LongType => // TIMESTAMP(NANOS) as long
         raw
           .withColumn("ts_ns", col("ts"))
-          .withColumn("ts", expr("timestamp_micros(CAST(ts_ns AS BIGINT) div 1000)"))
+          .withColumn("ts", expr("timestamp_micros((CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000)"))
       case _ => // micros TIMESTAMP / TIMESTAMP_NTZ
         raw
           .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
@@ -99,7 +99,7 @@ object EventStream {
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, dir)
-      .withColumn("ts_us", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("ts_us", expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     ev
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
@@ -269,7 +269,7 @@ object EventStream {
   def attributionBatch(
       spark: SparkSession, dir: String, windowUs: Long = AttributionWindowUs): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
-      .withColumn("tus", expr("CAST(ts_ns AS BIGINT) div 1000"))
+      .withColumn("tus", expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("tus").as("ctus"))
     val purchases = ev.filter(col("event_type") === "purchase")

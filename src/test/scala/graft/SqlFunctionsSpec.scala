@@ -77,6 +77,34 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(s.getSeq[Long](0).toList == List(2L, 1L))
   }
 
+  test("topKLongOrdTie: exact past 2^53 where the double-ord variant silently collapses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three ords that are DISTINCT as longs but IDENTICAL as doubles
+    // (2^60 and its ±1 neighbors round to the same double) — the exact
+    // failure mode of routing an int64 distance through a double ord
+    val base = 1L << 60
+    val df = Seq((base - 1, 10L), (base, 20L), (base + 1, 30L)).toDF("ord", "tie")
+    val viaLong = df.agg(graft.functions.agg.topKLongOrdTie(col("ord"), col("tie"), 2).as("t"))
+      .selectExpr("transform(t, x -> x.tie) AS ids", "transform(t, x -> x.ord) AS ords")
+      .collect().head
+    // long path: true order is (base+1, base, base-1) -> ties (30, 20)
+    assert(viaLong.getSeq[Long](0).toList == List(30L, 20L))
+    assert(viaLong.getSeq[Long](1).toList == List(base + 1, base))
+    // double path: all three ords collapse, tie-ASC wins -> a WRONG set
+    val viaDouble = df.agg(graft.functions.agg.topKOrdTie(col("ord"), col("tie"), 2).as("t"))
+      .selectExpr("transform(t, x -> x.tie) AS ids").collect().head
+    assert(viaDouble.getSeq[Long](0).toList == List(10L, 20L),
+      "this documents WHY the long variant exists; if doubles got exact, revisit")
+    // and the long variant agrees with the double one on safe ords
+    val safe = Seq((5L, 1L), (9L, 2L), (1L, 3L), (9L, 0L)).toDF("ord", "tie")
+    val a = safe.agg(graft.functions.agg.topKLongOrdTie(col("ord"), col("tie"), 3).as("t"))
+      .selectExpr("transform(t, x -> x.tie) AS ids").collect().head.getSeq[Long](0).toList
+    val b = safe.agg(graft.functions.agg.topKOrdTie(col("ord"), col("tie"), 3).as("t"))
+      .selectExpr("transform(t, x -> x.tie) AS ids").collect().head.getSeq[Long](0).toList
+    assert(a == List(0L, 2L, 1L) && a == b)
+  }
+
   test("registerAll accepts any numeric literal type for int args") {
     graft.functions.Register.registerAll(spark)
     val r = spark.sql(
