@@ -281,4 +281,40 @@ object Clustering {
       )
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** CONTENT-AWARE canonical selection over near-dup clusters — the
+    * curation policy layered on [[dedupClustersQuery]]'s min-id rule:
+    * real pipelines keep the MOST COMPLETE member of a duplicate group
+    * (near-dups are usually truncations/excerpts of one another), so
+    * the canonical is argmax token count, smallest id on ties. One row
+    * per clustered doc with the cluster's keeper; downstream a corpus
+    * anti-joins `keep = false` ids exactly as with the min-id rule.
+    *
+    * Scale shape: labels come from the same pair graph; token counts
+    * ride the fused single-pass kernel ([[graft.functions.text]]); the
+    * argmax is a min(struct) aggregate with map-side partials (one
+    * clusters-sized exchange), joined back on cluster_id — nothing
+    * corpus-sized is sorted or collected.
+    */
+  def dedupCanonicalQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.text
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup
+      .minhashPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs)
+    val toks = docs.select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val lab = labels.join(toks, "doc_id")
+    val best = lab.groupBy("cluster_id")
+      .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("b"))
+      .select(col("cluster_id"), col("b.d").as("keep_id"))
+    lab.join(best, "cluster_id")
+      .select(
+        col("cluster_id"),
+        col("doc_id"),
+        col("n_tokens"),
+        col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("cluster_id", "doc_id")
+  }
 }

@@ -439,6 +439,75 @@ object Dedup {
     minhashPairs(Tables.documents(spark, dir), threshold = 0.7)
       .orderBy(asc("id_a"), asc("id_b"))
 
+  /** INGEST-BATCH near-dup accounting via the minhash band index — the
+    * approximate tier of the incremental family ([[incremental]] exact
+    * digests, [[ngramIncremental]] exact Jaccard, [[cdcIncremental]]
+    * chunk containment; this one answers "which batch docs are NEAR
+    * copies of standing content, and of what"). Per batch doc with at
+    * least one verified standing match at `threshold`: its best
+    * standing match (highest exact Jaccard, smallest id tiebreak).
+    *
+    * Exact-dup copies of standing text are OUT OF SCOPE by design: the
+    * signature stage collapses identical texts to their min doc_id (the
+    * exact tier — [[incremental]]/[[incrementalBloom]] — owns those
+    * verdicts), so this reports genuinely near-but-not-identical
+    * arrivals, the ones no digest can catch.
+    *
+    * Scale shape = [[minhashPairs]] with the candidate join CUT to
+    * standing × batch (the id split prunes both banded sides before the
+    * join, so candidates are batch-sized × collision rate, never
+    * corpus²); verification is the same exact sorted-merge Jaccard, so
+    * banding recall (1-t^r)^b makes the output provably equal to the
+    * exact cross-split similarity join the oracle computes. The best
+    * match is a min(struct) argmax — map-side partial, one skinny
+    * exchange.
+    */
+  def minhashIncremental(
+      docs: DataFrame,
+      splitId: Long,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val s = signed(docs, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
+      )
+    }
+    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val standing = banded.filter(col("doc_id") < splitId)
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val batch = banded.filter(col("doc_id") >= splitId)
+      .select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = standing.join(batch, Seq("band", "bh"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val verified =
+      verifiedJaccard(candidates, s.select(col("doc_id"), col("sh").as("s")), threshold)
+    val out = verified
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("id_a").as("m"))).as("best"))
+      .select(col("doc_id"), col("best.m").as("match_id"), (-col("best.nj")).as("jaccard"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, s)
+  }
+
+  /** Driver query: id-midpoint cut (the [[incrementalQuery]]
+    * convention), Jaccard >= 0.7 like [[minhashQuery]].
+    */
+  def minhashIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    minhashIncremental(docs, split)
+  }
+
   // --------------------------------------------------------------------
   // SimHash near-dedup: 64-bit signature, candidates = equal signature
   // band (4x16-bit chunks, Hamming<=3 within chunk-collision candidates).

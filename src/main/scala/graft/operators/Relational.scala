@@ -1015,6 +1015,35 @@ object Relational {
     * corpus-sized events table — ONE corpus scan total; the caller
     * releases the persisted frame via `Caching.handoff`.
     */
+  /** SLIDING-window rollup (3 h window, 1 h slide) per event type:
+    * events, distinct users, and the cent-grid value sum per window —
+    * the dashboard primitive between tumbling buckets ([[hourlySpine]])
+    * and sessionization. A sliding window is a CONSTANT-factor row
+    * expansion (each event belongs to exactly window/slide = 3
+    * windows), so the plan is explode(3) → one grouped aggregation:
+    * count/sum combine map-side; the distinct-user count is Spark's
+    * two-phase distinct aggregate, keyed by (type, window, user) —
+    * nothing holds a per-window user set in one buffer. Window key =
+    * floor-division hour index of the window START (floor semantics
+    * shared with the DuckDB twin, exact for any sign).
+    */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr(s"(ts_ns - pmod(ts_ns, $hourNs)) DIV $hourNs").as("hb"),
+      col("user_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("qv"))
+    ev.select(col("event_type"), col("user_id"), col("qv"),
+        explode(array(col("hb") - 2, col("hb") - 1, col("hb"))).as("win_start"))
+      .groupBy("event_type", "win_start")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("qv")).as("sum_v"))
+      .orderBy("event_type", "win_start")
+  }
+
   private def hourlySpine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hourNs = 3600L * 1000 * 1000 * 1000
     val ev = Tables.events(spark, dir).select(

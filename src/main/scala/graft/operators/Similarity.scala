@@ -275,6 +275,67 @@ object Similarity {
       )
   }
 
+  /** INGEST-BATCH semantic near-dup accounting — the embedding member
+    * of the incremental family (exact digests → n-gram Jaccard →
+    * chunk containment → minhash; this is the one that catches a
+    * PARAPHRASE of standing content, where every lexical tier is
+    * blind). Per batch vector with at least one standing LSH-bucket
+    * match at cosine >= `threshold`: its best standing match (highest
+    * cosine in basis points, smallest id tiebreak).
+    *
+    * Scale shape = [[cosineNearDupMulti]] with the bucket join CUT to
+    * standing × batch: the split prunes both banded sides before the
+    * join (candidates scale with the batch × bucket occupancy, never
+    * corpus²); embeddings move only for candidate pairs; the argmax is
+    * a min(struct) aggregate with map-side partials. In deployment the
+    * standing side's banded table is a materialized asset like the
+    * k-NN edge table — the probe never re-bands the corpus.
+    */
+  def cosineIncremental(
+      corpus: DataFrame,
+      splitId: Long,
+      threshold: Double,
+      bits: Int,
+      tables: Int,
+      dim: Int = 64,
+      seedBase: Long = 42L
+  ): DataFrame = {
+    def buckets(v: Column): Column = tableBuckets(v, bits, tables, dim, seedBase)
+    val emb = corpus.filter(col("embedding").isNotNull)
+    val banded = emb
+      .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
+      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    val standing = banded.filter(col("vec_id") < splitId)
+      .select(col("t"), col("b"), col("vec_id").as("id_a"))
+    val batch = banded.filter(col("vec_id") >= splitId)
+      .select(col("t"), col("b"), col("vec_id").as("id_b"))
+    val candidates = standing.join(batch, Seq("t", "b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), Seq("id_b"))
+      .withColumn("cos_bp",
+        floor(vec.cosine(col("v_a"), col("v_b")) * 10000 + 0.5).cast("long"))
+      .filter(col("cos_bp") >= (threshold * 10000).toLong)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct((-col("cos_bp")).as("nc"), col("id_a").as("m"))).as("best"))
+      .select(col("vec_id"), col("best.m").as("match_id"), (-col("best.nc")).as("cos_bp"))
+      .orderBy("vec_id")
+  }
+
+  /** Driver query: id-midpoint cut, same LSH constants as
+    * `embed_neardup`. The threshold cut runs in BASIS POINTS on both
+    * engines (the floor(·10⁴+0.5) grid), so the boundary is exact — a
+    * raw-double cut could disagree at the last ulp between Spark's and
+    * DuckDB's float summation order.
+    */
+  def cosineIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val split = emb.agg(expr("max(vec_id) div 2").cast("long")).head().getLong(0)
+    cosineIncremental(emb, split, threshold = 0.2, bits = 4, tables = 8)
+  }
+
   /** k-NN GRAPH over the corpus — every vector's `kTop` nearest
     * neighbors among its LSH-bucket candidates: the graph primitive
     * under graph-based semantic dedup, diversity sampling, and label
@@ -383,6 +444,53 @@ object Similarity {
     */
   def knnGraphQuery(spark: SparkSession, dir: String): DataFrame =
     corpusKnnEdges(spark, dir).orderBy("vec_id", "rank")
+
+  /** GRAPH-EXPANSION ANN — the expand-and-refine step every graph ANN
+    * index (HNSW/NSG) is built from, run over the materialized k-NN
+    * edge asset: a query's candidates are its direct graph neighbors
+    * plus their neighbors (2-hop closure), exact-reranked on the
+    * integer grid to top-k. Recall beats the flat LSH shortlist
+    * wherever the true neighbor shares no bucket with the query but is
+    * adjacent to something that does — the "navigate, then refine"
+    * property that makes graph indexes work.
+    *
+    * Scale shape: a fourth consumer of the durable edge asset (zero
+    * candidate generation at query time); both hops are equi-joins on
+    * the skinny (src, dst) edge table — bounded fan-out k per hop, so
+    * candidates ≤ k + k² per query; the re-rank pays exact distances
+    * on candidates only and ranks through the long-ord top-k aggregate
+    * (groups × k exchange).
+    */
+  def annGraphExpand(spark: SparkSession, dir: String,
+      kTop: Int = 5, scale: Int = 1000): DataFrame = {
+    val edges = corpusKnnEdges(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val q = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), quantizedCol(col("embedding"), scale).as("qq"))
+    val e1 = edges.as("e1")
+    val e2 = edges.as("e2")
+    val hop1 = e1.join(q.select(col("query_id")), col("e1.src") === col("query_id"))
+      .select(col("query_id"), col("e1.dst").as("cand"))
+    val hop2 = hop1.as("h1").join(e2, col("h1.cand") === col("e2.src"))
+      .select(col("h1.query_id").as("query_id"), col("e2.dst").as("cand"))
+    val cands = hop1.unionByName(hop2)
+      .filter(col("cand") =!= col("query_id"))
+      .distinct()
+    cands.join(q, "query_id")
+      .join(emb.select(col("vec_id").as("cand"), quantizedCol(col("embedding"), scale).as("qc")),
+        "cand")
+      .select(col("query_id"), col("cand"), vec.sqDistLong(col("qq"), col("qc")).as("dist"))
+      .groupBy("query_id")
+      .agg(graft.functions.agg.topKLongOrdTie(-col("dist"), col("cand"), kTop).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        (-col("col.ord")).as("dist"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Per-label MEDOID — the member vector nearest its label's centroid
     * (exact integer grid, smallest-vec_id tie): the cluster-prototype

@@ -495,6 +495,77 @@ object TextAnalysis {
       .orderBy(desc("pair_freq"), asc("left_sym"), asc("right_sym"))
       .limit(topK)
 
+  /** MULTI-ROUND BPE TRAINER (Sennrich et al., ACL 2016): the ordered
+    * merge list a tokenizer ships — [[bpePairStats]] run to a fixpoint
+    * instead of one round. Per round: aggregate adjacent-symbol pair
+    * frequencies over the word dictionary, take the argmax
+    * (freq DESC, pair ASC — the deterministic tiebreak), apply the
+    * merge GREEDY LEFT-TO-RIGHT non-overlapping to every word's symbol
+    * sequence (the reference algorithm's scan order: on "aaa" the
+    * merge (a,a) yields [aa, a]), repeat. Stops early when no pair
+    * remains. Output: (round, left_sym, right_sym, pair_freq).
+    *
+    * Dataflow at 100 TB — why a driver-side round loop is the RIGHT
+    * shape here: the corpus collapses to the word-frequency dictionary
+    * once (the only corpus-sized exchange, map-side combined); every
+    * round after that is a vocabulary-sized aggregation plus a
+    * vocabulary-sized map — the argmax row (ONE row) is the only thing
+    * that ever reaches the driver, exactly the
+    * [[graft.operators.Similarity.kmeansStep]] / bounded-model-state
+    * pattern. The merge application is a per-word fold, codegen'd,
+    * no UDF.
+    */
+  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var dict = wordFreq.filter(length(col("w")) > 0)
+      .select(col("w"), col("freq"),
+        expr("filter(split(w, ''), x -> x != '')").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var round = 1
+      var exhausted = false
+      while (round <= rounds && !exhausted) {
+        val top = dict.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .orderBy(desc("pf"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+          merges += ((round.toLong, l, r, pf))
+          // greedy left-to-right fold; the merged symbol can't rematch
+          // within the same round (the new last element is l||r, not l)
+          val applied = dict.withColumn("syms", expr(
+            s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+               |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' AND x = '${esc(r)}'
+               |THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}'))
+               |ELSE concat(acc, array(x)) END)""".stripMargin))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          applied.count() // materialize before releasing the previous round
+          dict.unpersist(blocking = false)
+          dict = applied
+          round += 1
+        }
+      }
+      merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_freq")
+    } finally dict.unpersist(blocking = false)
+  }
+
+  /** Driver query: the first 3 merges of a character-level BPE over the
+    * corpus dictionary.
+    */
+  def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(wordFrequency(Tables.documents(spark, dir)), rounds = 3)
+      .orderBy("round")
+
   /** The corpus→dictionary half: token explode + (word) count. */
   def wordFrequency(docs: DataFrame): DataFrame =
     docs

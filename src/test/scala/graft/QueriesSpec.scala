@@ -908,4 +908,67 @@ class QueriesSpec extends SparkSpec {
     val verdicts = got.values.map(_._2).toSet
     assert(verdicts == Set(true, false), s"degenerate verdict split: $verdicts")
   }
+
+  test("ann_graph_expand: superset-of-direct recall, distance-monotone, never the query itself") {
+    import graft.operators.Similarity
+    val out = Similarity.annGraphExpand(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val direct = Similarity.knnGraphQuery(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "dense ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, "distance-monotone")
+      assert(!rs.exists(_._3 == q), "query never its own neighbor")
+      // candidates include every direct edge, so the expanded rank-1
+      // distance can only improve on the graph's own rank-1
+      direct.get(q).foreach { case (_, _, _, d1) =>
+        assert(sorted.head._4 <= d1, s"query $q: expand must not be worse than direct")
+      }
+    }
+  }
+
+  test("dedup_canonical: keeper is the longest member of its own cluster (min id on ties)") {
+    import graft.operators.Clustering
+    val rows = Clustering.dedupCanonicalQuery(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      val keepIds = members.map(_._4).distinct
+      assert(keepIds.length == 1, s"cluster $cid: one keeper, got $keepIds")
+      val keeper = keepIds.head
+      assert(members.exists(_._2 == keeper), s"cluster $cid: keeper must be a member")
+      val best = members.minBy(m => (-m._3, m._2)) // max tokens, min id
+      assert(best._2 == keeper, s"cluster $cid: keeper $keeper vs expected ${best._2}")
+      assert(members.count(_._5) == 1 && members.find(_._5).get._2 == keeper)
+    }
+    // the policy must actually diverge from min-id somewhere, or the
+    // spec is vacuous on this corpus
+    assert(rows.exists(r => r._5 && r._2 != r._1),
+      "at least one cluster should keep a non-min-id member")
+  }
+
+  test("dedup_minhash_incremental: equals the cross-split argmax over the full minhash pair set") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    val got = Dedup.minhashIncrementalQuery(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    // reference: full pair set (id_a < id_b), keep cross-split pairs in
+    // either orientation, argmax jaccard (min match id on ties)
+    val all = Dedup.minhashPairs(docs, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    val cross = all.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j))
+    }.filter { case (m, d, _) => m < split && d >= split }
+    val want = cross.groupBy(_._2).map { case (d, ms) =>
+      val best = ms.minBy(m => (-m._3, m._1))
+      (d, best._1, best._3)
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty, "corpus must exercise the operator")
+  }
 }
