@@ -287,9 +287,10 @@ object Similarity {
     * standing × batch: the split prunes both banded sides before the
     * join (candidates scale with the batch × bucket occupancy, never
     * corpus²); embeddings move only for candidate pairs; the argmax is
-    * a min(struct) aggregate with map-side partials. In deployment the
-    * standing side's banded table is a materialized asset like the
-    * k-NN edge table — the probe never re-bands the corpus.
+    * a min(struct) aggregate with map-side partials. The standing
+    * side's banded table IS a materialized asset
+    * ([[corpusBandedEmbeddings]], wired in the driver query) — the
+    * probe never re-bands the corpus, only the batch.
     */
   def cosineIncremental(
       corpus: DataFrame,
@@ -298,13 +299,15 @@ object Similarity {
       bits: Int,
       tables: Int,
       dim: Int = 64,
-      seedBase: Long = 42L
+      seedBase: Long = 42L,
+      bandedTable: Option[DataFrame] = None
   ): DataFrame = {
     def buckets(v: Column): Column = tableBuckets(v, bits, tables, dim, seedBase)
     val emb = corpus.filter(col("embedding").isNotNull)
-    val banded = emb
-      .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
-      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    val banded = bandedTable.getOrElse(
+      emb
+        .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
+        .select(col("vec_id"), col("bk.t"), col("bk.b")))
     val standing = banded.filter(col("vec_id") < splitId)
       .select(col("t"), col("b"), col("vec_id").as("id_a"))
     val batch = banded.filter(col("vec_id") >= splitId)
@@ -324,16 +327,55 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // asset id (params + fingerprint) -> path; fingerprint recomputed per
+  // call, same contract as [[knnEdgeTables]]
+  private val bandedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val bandedAssetBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The corpus's LSH band table (vec_id, t, b) as a DURABLE
+    * content-addressed asset — the standing side every semantic-ingest
+    * probe joins against. Banding is deterministic under the seeded
+    * plane constants, so the address needs exactly the corpus
+    * fingerprint plus the LSH parameter vector; a corpus rebuild or a
+    * changed constant retires the table automatically. Skinny three
+    * longs per (vector, table) row — `tables` × corpus rows on disk,
+    * scanned with vec_id pruning by consumers.
+    */
+  def corpusBandedEmbeddings(spark: SparkSession, dir: String,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    val assetId =
+      s"embbands_b${bits}_t${tables}_d${dim}_sd${seedBase}" +
+        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = bandedTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          bandedAssetBuilds.incrementAndGet()
+          val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+          emb.select(col("vec_id"),
+              explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
+            .select(col("vec_id"), col("bk.t"), col("bk.b"))
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
   /** Driver query: id-midpoint cut, same LSH constants as
-    * `embed_neardup`. The threshold cut runs in BASIS POINTS on both
-    * engines (the floor(·10⁴+0.5) grid), so the boundary is exact — a
-    * raw-double cut could disagree at the last ulp between Spark's and
-    * DuckDB's float summation order.
+    * `embed_neardup`; BOTH sides slice the materialized band asset
+    * (the [[graft.operators.Dedup.ngramIncrementalQuery]] convention —
+    * a snapshot cut is a doc_id slice of the one standing table, so
+    * nothing is re-banded at probe time). The threshold cut runs in
+    * BASIS POINTS on both engines (the floor(·10⁴+0.5) grid), so the
+    * boundary is exact — a raw-double cut could disagree at the last
+    * ulp between Spark's and DuckDB's float summation order.
     */
   def cosineIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val split = emb.agg(expr("max(vec_id) div 2").cast("long")).head().getLong(0)
-    cosineIncremental(emb, split, threshold = 0.2, bits = 4, tables = 8)
+    cosineIncremental(emb, split, threshold = 0.2, bits = 4, tables = 8,
+      bandedTable = Some(corpusBandedEmbeddings(spark, dir)))
   }
 
   /** k-NN GRAPH over the corpus — every vector's `kTop` nearest
@@ -1124,6 +1166,7 @@ object Similarity {
   private[graft] def dropInMemoryIndexes(): Unit = {
     pqIndexCache.clear()
     knnEdgeTables.clear()
+    bandedTables.clear()
   }
 
   /** Number of codebook trainings this JVM has run — the test seam for

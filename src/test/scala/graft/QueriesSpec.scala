@@ -950,6 +950,25 @@ class QueriesSpec extends SparkSpec {
       "at least one cluster should keep a non-min-id member")
   }
 
+  test("embed band asset: built once, loads after handle drop, probe equals the re-banding path") {
+    import graft.operators.Similarity
+    val viaAsset = Similarity.cosineIncrementalQuery(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val builds = Similarity.bandedAssetBuilds.get()
+    Similarity.cosineIncrementalQuery(spark, sf).count()
+    assert(Similarity.bandedAssetBuilds.get() == builds, "second probe must reuse the asset")
+    Similarity.dropInMemoryIndexes()
+    Similarity.cosineIncrementalQuery(spark, sf).count()
+    assert(Similarity.bandedAssetBuilds.get() == builds, "cleared handles must load, not rebuild")
+    // semantic pin: the asset path and the inline re-banding path agree
+    val emb = Tables.embeddings(spark, sf)
+    val split = emb.agg(expr("max(vec_id) div 2").cast("long")).head().getLong(0)
+    val direct = Similarity.cosineIncremental(emb, split, threshold = 0.2, bits = 4, tables = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaAsset == direct, "banding is deterministic; the asset must change nothing")
+    assert(viaAsset.nonEmpty)
+  }
+
   test("dedup_minhash_incremental: equals the cross-split argmax over the full minhash pair set") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
