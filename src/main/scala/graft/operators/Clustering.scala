@@ -303,8 +303,13 @@ object Clustering {
       .minhashPairs(docs, threshold = 0.7)
       .select("id_a", "id_b")
     val labels = connectedComponents(pairs)
-    val toks = docs.select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val lab = labels.join(toks, "doc_id")
+    // token kernel AFTER the join, labels BROADCAST: near-dup labels
+    // are a tiny fraction of the corpus, so the corpus scan stays
+    // partition-local (no text ever shuffles) and the per-row tokenizer
+    // runs only on the matched slice
+    val lab = broadcast(labels).join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      .drop("text")
     val best = lab.groupBy("cluster_id")
       .agg(min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("d"))).as("b"))
       .select(col("cluster_id"), col("b.d").as("keep_id"))
