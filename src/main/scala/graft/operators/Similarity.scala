@@ -79,7 +79,7 @@ object Similarity {
         col("col.ord").as("cosine"))
 
   /** Shared multi-table banding: one struct (t, bucket) per hash table. */
-  private def tableBuckets(
+  private[graft] def tableBuckets(
       v: Column, bits: Int, tables: Int, dim: Int, seedBase: Long): Column =
     array(
       (0 until tables).map(t =>

@@ -528,6 +528,114 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == texts)
   }
 
+  test("semantic ingest: paraphrase-tier drops vs corpus + history, within-batch rule, replay converges") {
+    import graft.streaming.SemanticIngest
+    import graft.operators.Similarity
+    val warehouse = Files.createTempDirectory("graft_sem_wh").toString
+    spark.conf.set("spark.graft.index.dir", warehouse)
+    Similarity.dropInMemoryIndexes()
+    try {
+      val corpusDir = Files.createTempDirectory("graft_sem_corpus").toString
+      val destDir = Files.createTempDirectory("graft_sem_dest").toString + "/dest"
+      val idxDir = Files.createTempDirectory("graft_sem_idx").toString + "/idx"
+      def v(xs: Float*): Array[Float] = xs.toArray
+      // corpus: two unit axes
+      Seq((1L, v(1f, 0f, 0f, 0f), 0), (2L, v(0f, 1f, 0f, 0f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+      val corpusBands = Similarity.corpusBandedEmbeddings(spark, corpusDir, bits = 4, tables = 8, dim = 4)
+      val corpusVecs = Tables.embeddings(spark, corpusDir)
+        .select(col("vec_id"), col("embedding"))
+      def run(batch: Seq[(Long, Array[Float])], id: Long): Long =
+        SemanticIngest.processBatch(batch.toDF("vec_id", "embedding"), id,
+          destDir, idxDir, corpusBands, corpusVecs,
+          threshold = 0.9, bits = 4, tables = 8, dim = 4, seedBase = 42L)
+      // batch 0: 10 = scaled copy of corpus 1 (cos 1 -> drop);
+      // 11 = new direction (kept); 12/13 = within-batch near-identical
+      // pair (larger id 13 drops); 14 = orthogonal to all (kept)
+      val w0 = run(Seq(
+        (10L, v(2f, 0f, 0f, 0f)),
+        (11L, v(0f, 0f, 1f, 0f)),
+        (12L, v(1f, 1f, 1f, 0f)), (13L, v(2f, 2f, 2f, 0f)),
+        (14L, v(0f, 0f, 0f, 1f))), 0L)
+      assert(w0 == 3, s"batch 0 must keep 11, 12, 14 — wrote $w0")
+      val kept0 = spark.read.parquet(destDir).select("vec_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept0 == Seq(11L, 12L, 14L))
+      // batch 1: 20 = copy of batch-0 survivor 12 (HISTORY drop — the
+      // accreted band rows, not the corpus, catch it); 21 = copy of
+      // corpus 2 (corpus drop); 22 = genuinely new (kept)
+      val w1 = run(Seq(
+        (20L, v(3f, 3f, 3f, 0f)),
+        (21L, v(0f, 5f, 0f, 0f)),
+        (22L, v(1f, -1f, 0f, 0f))), 1L)
+      assert(w1 == 1, s"batch 1 must keep only 22 — wrote $w1")
+      // replay batch 1: same partition rewritten, same verdicts
+      assert(run(Seq(
+        (20L, v(3f, 3f, 3f, 0f)),
+        (21L, v(0f, 5f, 0f, 0f)),
+        (22L, v(1f, -1f, 0f, 0f))), 1L) == 1, "replay must converge")
+      val keptAll = spark.read.parquet(destDir).select("vec_id")
+        .as[Long].collect().sorted.toSeq
+      assert(keptAll == Seq(11L, 12L, 14L, 22L))
+      // accreted band rows cover exactly the kept vectors
+      val idxIds = spark.read.parquet(idxDir).select("vec_id").distinct()
+        .as[Long].collect().sorted.toSeq
+      assert(idxIds == keptAll, "band accretion must track the kept set")
+      // batch-twin parity: the cross-side verdicts match cosineIncremental
+      // over corpus + batch-0 survivors when ids play the split
+      val combined = Tables.embeddings(spark, corpusDir)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(Seq((11L, v(0f, 0f, 1f, 0f)), (12L, v(1f, 1f, 1f, 0f)),
+          (14L, v(0f, 0f, 0f, 1f)), (20L, v(3f, 3f, 3f, 0f)),
+          (21L, v(0f, 5f, 0f, 0f)), (22L, v(1f, -1f, 0f, 0f))).toDF("vec_id", "embedding"))
+      val twin = Similarity.cosineIncremental(combined, splitId = 20L,
+        threshold = 0.9, bits = 4, tables = 8, dim = 4)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(twin == Seq(20L, 21L), "batch twin must drop the same batch-1 ids")
+    } finally {
+      Similarity.dropInMemoryIndexes()
+      spark.conf.unset("spark.graft.index.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("semantic ingest end-to-end: file stream drains through the band asset; novel vectors land") {
+    import graft.streaming.SemanticIngest
+    import graft.operators.Similarity
+    val warehouse = Files.createTempDirectory("graft_sem_e2e_wh").toString
+    spark.conf.set("spark.graft.index.dir", warehouse)
+    Similarity.dropInMemoryIndexes()
+    try {
+      val corpusDir = Files.createTempDirectory("graft_sem_e2e_c").toString
+      val src = Files.createTempDirectory("graft_sem_e2e_src").toString
+      val dest = Files.createTempDirectory("graft_sem_e2e_d").toString + "/dest"
+      val idx = Files.createTempDirectory("graft_sem_e2e_i").toString + "/idx"
+      val ckpt = Files.createTempDirectory("graft_sem_e2e_ck").toString
+      def v(xs: Float*): Array[Float] = xs.toArray
+      Seq((1L, v(1f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+      // two single-row files => two micro-batches; the second vector is
+      // a scaled copy of the first batch's survivor
+      Seq((10L, v(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(src + "/f1")
+      Seq((20L, v(0f, 2f, 0f, 0f))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(src + "/f2")
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+      SemanticIngest.runSemanticIngest(stream, corpusDir, dest, idx, ckpt,
+        threshold = 0.9, bits = 4, tables = 8, dim = 4)
+      val kept = spark.read.parquet(dest).select("vec_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(10L), s"10 is novel, 20 duplicates accreted history: $kept")
+    } finally {
+      Similarity.dropInMemoryIndexes()
+      spark.conf.unset("spark.graft.index.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("chunk-store Bloom tier: sidecars published, no false negatives, store byte-identical to the unscreened semantics") {
     import graft.streaming.ChunkStoreIngest
     val storeDir = Files.createTempDirectory("graft_csbloom").toString + "/store"
