@@ -515,9 +515,11 @@ object TextAnalysis {
     * pattern. The merge application is a per-word fold, codegen'd,
     * no UDF.
     */
-  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame = {
-    val spark = wordFreq.sparkSession
-    import spark.implicits._
+  /** The training loop's full result: the ordered merges AND the
+    * dictionary with every merge applied (caller unpersists `dict`).
+    */
+  private[graft] def bpeTrainCore(
+      wordFreq: DataFrame, rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     var dict = wordFreq.filter(length(col("w")) > 0)
@@ -525,39 +527,72 @@ object TextAnalysis {
         expr("filter(split(w, ''), x -> x != '')").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    try {
-      var round = 1
-      var exhausted = false
-      while (round <= rounds && !exhausted) {
-        val top = dict.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("pf"))
-          .orderBy(desc("pf"), asc("l"), asc("r"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-          merges += ((round.toLong, l, r, pf))
-          // greedy left-to-right fold; the merged symbol can't rematch
-          // within the same round (the new last element is l||r, not l)
-          val applied = dict.withColumn("syms", expr(
-            s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
-               |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' AND x = '${esc(r)}'
-               |THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}'))
-               |ELSE concat(acc, array(x)) END)""".stripMargin))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          applied.count() // materialize before releasing the previous round
-          dict.unpersist(blocking = false)
-          dict = applied
-          round += 1
-        }
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = dict.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(desc("pf"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((round.toLong, l, r, pf))
+        // greedy left-to-right fold; the merged symbol can't rematch
+        // within the same round (the new last element is l||r, not l)
+        val applied = dict.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${esc(l)}' AND x = '${esc(r)}'
+             |THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(l + r)}'))
+             |ELSE concat(acc, array(x)) END)""".stripMargin))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        applied.count() // materialize before releasing the previous round
+        dict.unpersist(blocking = false)
+        dict = applied
+        round += 1
       }
-      merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_freq")
-    } finally dict.unpersist(blocking = false)
+    }
+    (merges.toSeq, dict)
   }
+
+  def bpeTrain(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val (merges, dict) = bpeTrainCore(wordFreq, rounds)
+    try merges.toDF("round", "left_sym", "right_sym", "pair_freq")
+    finally dict.unpersist(blocking = false)
+  }
+
+  /** TOKENIZER APPLICATION of the trained merges — the train→apply
+    * loop closed on the dictionary: after `rounds` merges, each word's
+    * symbol segmentation, reported for the most frequent words
+    * (freq DESC, word ASC). `n_syms` is the word's post-merge token
+    * count — summed over frequencies this is exactly the corpus's
+    * token-count reduction from those merges — and `syms_fp` pins the
+    * segmentation content, not just its size. Same scale shape as
+    * training: everything after the one corpus collapse is
+    * dictionary-sized.
+    */
+  def bpeApply(wordFreq: DataFrame, rounds: Int, topK: Int = 20): DataFrame = {
+    val (_, dict) = bpeTrainCore(wordFreq, rounds)
+    val out = dict
+      .select(col("w"), col("freq"),
+        size(col("syms")).cast("long").as("n_syms"),
+        md5(concat_ws("|", col("syms"))).as("syms_fp"))
+      .orderBy(desc("freq"), asc("w"))
+      .limit(topK)
+    graft.engine.Caching.handoff(out, dict)
+  }
+
+  /** Driver query: segmentation of the 20 most frequent words after
+    * the 3-round training run.
+    */
+  def bpeApplyQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeApply(wordFrequency(Tables.documents(spark, dir)), rounds = 3)
 
   /** Driver query: the first 3 merges of a character-level BPE over the
     * corpus dictionary.
@@ -565,6 +600,52 @@ object TextAnalysis {
   def bpeTrainQuery(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(wordFrequency(Tables.documents(spark, dir)), rounds = 3)
       .orderBy("round")
+
+  /** Per-source TOKEN-DISTRIBUTION DIVERGENCE — the mix-design
+    * diagnostic behind "which source is least like the corpus"
+    * (domain-weight tuning reads exactly this table): KL(source ‖
+    * corpus) over unigram distributions, plus size/diversity columns.
+    * KL here is an EXPECTED log-ratio, so the [[entropy]] family's
+    * determinism pattern applies verbatim: each term's log-ratio is
+    * quantized to the 1e4 grid FIRST (integer per-term contribution),
+    * then summed as int64 weighted by the term count — order- and
+    * engine-independent where a raw double sum is a ulp lottery.
+    * `kl_q` is that integer sum; `kl` divides once at the end
+    * (single double division, exact on both engines).
+    *
+    * Scale shape: one corpus-sized token explode feeding two map-side
+    * combined aggregations ((source, term) and (term)); everything
+    * after is vocabulary-sized — the totals broadcast, the per-term
+    * join keys on term, and the final rollup is sources-sized.
+    */
+  def mixKl(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(text.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val st = tok.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val tTot = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
+    val nTot = st.agg(sum(col("n_st")).as("N"))
+    val out = st
+      .join(broadcast(sTot), "source")
+      .join(tTot, "term")
+      .crossJoin(broadcast(nTot))
+      .withColumn("q", expr(
+        "CAST(floor(ln(CAST(n_st * N AS DOUBLE) / CAST(n_s * n_t AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy("source")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_st") * col("q")).as("kl_q"))
+      .withColumn("kl", col("kl_q").cast("double") / (col("n_tokens") * 10000).cast("double"))
+      .orderBy("source")
+    graft.engine.Caching.handoff(out, st)
+  }
+
+  /** Driver query: the per-source divergence report. */
+  def mixKlQuery(spark: SparkSession, dir: String): DataFrame =
+    mixKl(Tables.documents(spark, dir))
 
   /** The corpus→dictionary half: token explode + (word) count. */
   def wordFrequency(docs: DataFrame): DataFrame =
