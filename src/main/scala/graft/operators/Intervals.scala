@@ -103,4 +103,43 @@ object Intervals {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy("incident_id")
   }
+
+  /** INTERVAL MERGE / coverage — the "union of intervals" primitive
+    * (uptime accounting, activity coverage, span coalescing): every
+    * event opens a 30-minute activity interval for its user; per user,
+    * overlapping/touching intervals coalesce into maximal merged spans
+    * and the report is their count, total covered micros, and the
+    * longest span. The classic sweep: sort a user's intervals by start,
+    * a new span begins where start exceeds the running max of prior
+    * ends (half-open semantics: touching intervals chain).
+    *
+    * Scale shape: the sort is a WINDOW over (user) — per-user event
+    * counts bound the partition, never the corpus; the running max and
+    * the group-id prefix sum ride the same window sort (one exchange +
+    * sort total), and both rollups are merged-spans-sized. Tie order
+    * within equal (start, end) rows cannot change the outcome (the
+    * running max is order-insensitive across equal rows), so the
+    * result is deterministic without a unique sort key.
+    */
+  def coverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = 30L * 60 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + winUs)
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+    val merged = ev
+      .withColumn("pmax", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ns")).over(w))
+      .groupBy("user_id", "grp")
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    merged
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms")).as("covered_us"),
+        max(col("me") - col("ms")).as("longest_us"))
+      .orderBy("user_id")
+  }
 }
