@@ -568,6 +568,47 @@ object Similarity {
   def medoidsQuery(spark: SparkSession, dir: String): DataFrame =
     medoids(Tables.embeddings(spark, dir))
 
+  /** Per-label OUTLIERS — [[medoids]]' argmin flipped to a top-k
+    * argmax: the members FARTHEST from their label's centroid, the
+    * embedding-QA screen for suspected label noise and out-of-domain
+    * contamination (with [[pageRankOnKnn]]'s hubs and
+    * [[embedHardNegatives]]' cross-label neighbors this completes the
+    * labeled-corpus diagnostic set). Exact integer-grid distances,
+    * rank ties broken by smallest vec_id.
+    *
+    * Scale shape: identical to [[medoids]] — the centroid table builds
+    * in the data plane ([[vecagg.vecSumLong]], map-side partials),
+    * broadcasts back onto one corpus scan, and the per-label top-k
+    * rides the long-ord bounded aggregate: the final exchange carries
+    * labels × k rows, the corpus never shuffles.
+    */
+  def outliers(embeddings: DataFrame, kTop: Int = 3, scale: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val cent = emb
+      .groupBy(col("label"))
+      .agg(vecagg.vecSumLong(quantized(scale)).as("qsum"), count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("qsum"), x => floor(x.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
+          .as("qc"))
+    emb.select(col("label"), col("vec_id"), quantized(scale).as("qe"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("label"), vec.sqDistLong(col("qe"), col("qc")).as("dist"), col("vec_id"))
+      .groupBy(col("label"))
+      .agg(graft.functions.agg.topKLongOrdTie(col("dist"), col("vec_id"), kTop).as("top"))
+      .select(col("label"), posexplode(col("top")))
+      .select(
+        col("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.tie").as("vec_id"),
+        col("col.ord").as("dist"))
+      .orderBy("label", "rank")
+  }
+
+  /** Driver query: the 3 farthest members per label. */
+  def outliersQuery(spark: SparkSession, dir: String): DataFrame =
+    outliers(Tables.embeddings(spark, dir))
+
   /** PageRank over the [[knnGraph]] edges — graph CENTRALITY for a
     * document/embedding corpus: high-rank nodes sit in dense
     * neighborhoods (hub/boilerplate detection, influence-weighted
