@@ -105,6 +105,61 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(a == List(0L, 2L, 1L) && a == b)
   }
 
+  test("topKLongOrdTie property: equals the sort-based reference on random longs, any k") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // duplicated ords and ties across a small domain force the
+    // tiebreak and the bounded-buffer eviction paths
+    val rowGen = for {
+      ord <- Gen.oneOf(Gen.choose(-5L, 5L), Gen.choose(Long.MinValue, Long.MaxValue))
+      tie <- Gen.choose(0L, 6L)
+    } yield (ord, tie)
+    val p = Prop.forAll(Gen.listOf(rowGen), Gen.choose(1, 6)) { (rows, k) =>
+      rows.isEmpty || {
+        val got = rows.toDF("ord", "tie")
+          .repartition(3) // exercise merge() across partial buffers
+          .agg(graft.functions.agg.topKLongOrdTie(col("ord"), col("tie"), k).as("t"))
+          .selectExpr("transform(t, x -> struct(x.ord, x.tie)) AS r")
+          .as[Seq[(Long, Long)]].collect().head.toList
+        // reference: full sort by (ord DESC, tie ASC), first k rows;
+        // duplicate (ord, tie) rows are real rows and survive like any
+        // tie (no -ord negation: Long.MinValue would overflow)
+        val want = rows.sorted(Ordering.fromLessThan[(Long, Long)] {
+          case ((o1, t1), (o2, t2)) => o1 > o2 || (o1 == o2 && t1 < t2)
+        }).take(k)
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("floor-division bucketing: (a - pmod(a, d)) DIV d equals Math.floorDiv on 20k random longs") {
+    import spark.implicits._
+    // the exact identity every time-bucketing site relies on (Spark's
+    // bare div truncates toward zero; DuckDB's // floors) — checked
+    // against the JDK's floorDiv across signs, including pre-1970-style
+    // negatives and the divisors actually used (us, hour-ns, day-us)
+    val rnd = new scala.util.Random(1234)
+    val divisors = Seq(1000L, 3600L * 1000 * 1000 * 1000, 86400000000L, 7L)
+    val rows = Seq.tabulate(20000) { i =>
+      val a = i % 4 match {
+        case 0 => rnd.nextLong() % 2000000000000000000L
+        case 1 => -(rnd.nextLong().abs % 4000000000L)   // pre-1970 micros scale
+        case 2 => rnd.nextLong().abs % 4000000000L
+        case _ => Seq(0L, -1L, 1L, Long.MinValue / 2, Long.MaxValue / 2)(i % 5)
+      }
+      (a, divisors(i % divisors.length))
+    }
+    val got = rows.toDF("a", "d")
+      .selectExpr("a", "d", "(a - pmod(a, d)) DIV d AS f")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, d, f) =>
+      assert(f == Math.floorDiv(a, d), s"floorDiv($a, $d): got $f want ${Math.floorDiv(a, d)}")
+    }
+  }
+
   test("registerAll accepts any numeric literal type for int args") {
     graft.functions.Register.registerAll(spark)
     val r = spark.sql(
