@@ -160,19 +160,27 @@ object Clustering {
         .filter(col("u") =!= col("v"))
     }
 
-    var (e, releaseE) = checkpointed(canonical(raw))
-    var fp = fingerprint(e)
+    // Path decision BEFORE any checkpoint: the eager localCheckpoint
+    // exists to cut the ITERATIVE path's lineage stacking — on the fast
+    // path it is pure waste (materialize + store + release RDD blocks
+    // for a frame read exactly once). The count comes from the same
+    // scalar fingerprint aggregate, evaluated on the un-checkpointed
+    // canonical plan (raw0 is persisted, so nothing upstream replays);
+    // the distributed path pays one extra distinct+agg over that plan —
+    // noise against its 2-shuffle-per-round iteration.
+    val canon0 = canonical(raw)
+    val fp0 = fingerprint(canon0)
 
     // SMALL-GRAPH FAST PATH (see the localThreshold scaladoc): the edge
     // count is already on the driver from the fingerprint aggregate.
-    if (fp._1 <= localThreshold) {
+    if (fp0._1 <= localThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       // primitive tuple encoder: collect lands specialized
       // Tuple2$mcJJ$sp instances (~48 B/edge with headers), not
       // GenericRows (~100 B/edge + field boxing) — the driver's
       // transient footprint at the threshold is ~25 MB, not hundreds
-      val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val pairs = canon0.select(col("u"), col("v")).as[(Long, Long)].collect()
       // union-find, always attaching the larger root under the smaller:
       // every component's final root is its minimum id — the same label
       // the star fixpoint converges to
@@ -197,10 +205,12 @@ object Clustering {
       val labels = nodeRows.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       labels.count()
-      releaseE()
       raw0.unpersist(blocking = false)
       return CcResult(labels, converged = true, rounds = 0)
     }
+
+    var (e, releaseE) = checkpointed(canon0)
+    var fp = fp0
 
     var rounds = 0
     var converged = false
