@@ -293,6 +293,40 @@ object EventStream {
         col("cnt")
       )
 
+  /** SLIDING-window rollup with EXACT distinct users in a stream — the
+    * continuous twin of `q_sliding_window`, and deliberately the
+    * hardest shape Structured Streaming supports: TWO CHAINED STATEFUL
+    * AGGREGATIONS in append mode (Spark ≥ 3.5's multiple-stateful-
+    * operator support). The first aggregation keys state by
+    * (window, type, user) — collapsing each user to one row per window
+    * is what makes the distinct EXACT without holding a user set in
+    * any single buffer; the second re-aggregates those rows to
+    * (window, type) counts. The watermark propagates through both
+    * operators; a window emits once the watermark passes its end, so
+    * results are append-only and replay-stable.
+    *
+    * State shape at scale: stage-1 state is (windows × types × active
+    * users) skinny count rows — the same cardinality any exact
+    * distinct must pay, but spread across the shuffle, never a
+    * per-window blob; stage-2 state is windows × types. Each event
+    * feeds window/slide = 3 windows (constant fan-out).
+    */
+  def slidingUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sv"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("sv")).as("sum_v"))
+      .select(
+        (unix_micros(col("window.start")) / lit(3600000000L)).cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_v"))
+
   /** Watermarked per-window bounded top-k: the highest-`value` events of
     * each tumbling hour, ranked by the custom [[graft.functions.TopKOrdTie]]
     * aggregate INSIDE Structured Streaming state. This is the aggregate's

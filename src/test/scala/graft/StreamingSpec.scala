@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("sliding-window stream (chained stateful aggs) equals q_sliding_window with EXACT distinct users") {
+    // two stateful aggregations chained in append mode (Spark >= 3.5):
+    // (window, type, user) state makes the distinct exact without any
+    // per-window user set; a far-future sentinel batch pushes the
+    // watermark past every real window so they all finalize
+    val src = Files.createTempDirectory("graft_slide_src").toString
+    val ckpt = Files.createTempDirectory("graft_slide_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+    ev.coalesce(1).write.parquet(src + "/a_events")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    Seq((Long.MaxValue, -1L, "sentinel", 0.0,
+        new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(src + "/z_sentinel")
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.slidingUserCounts(stream), "slide_test", ckpt, OutputMode.Append)
+    val streamed = spark.table("slide_test")
+      .select("event_type", "win_start", "n_events", "n_users", "sum_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Relational.qSlidingWindow(spark, sf)
+      .select("event_type", "win_start", "n_events", "n_users", "sum_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; batch-only: ${batch.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty && streamed.exists(_._4 > 1), "distinct-user path must be exercised")
+  }
+
   test("windowed top-k stream (TypedImperativeAggregate state) converges to the batch twin") {
     val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
     // maxFilesPerTrigger=1 with a multi-file source would be ideal; the
