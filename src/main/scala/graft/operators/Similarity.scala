@@ -609,6 +609,33 @@ object Similarity {
   def outliersQuery(spark: SparkSession, dir: String): DataFrame =
     outliers(Tables.embeddings(spark, dir))
 
+  /** SEMANTIC COMPONENTS — connected components over the k-NN edge
+    * asset restricted to edges under a distance ceiling: the
+    * graph-clustering view of semantic dedup (semdedup's threshold
+    * test made transitive), and the fifth consumer of the durable edge
+    * table. Emits one row per clustered vector with its min-id cluster
+    * label and the cluster size; vectors with no qualifying edge are
+    * not "clusters of one" — they are simply unclustered (the
+    * dedup_clusters contract).
+    *
+    * Scale shape: the edge filter is a scan predicate on the skinny
+    * materialized asset (no candidate generation, no distances
+    * recomputed); the closure is [[graft.operators.Clustering]]'s
+    * star iteration with its driver fast path — edge sets here are
+    * near-dup-graph sized, orders below the corpus.
+    */
+  def semanticComponents(spark: SparkSession, dir: String,
+      maxDist: Long = 1280000L): DataFrame = {
+    val edges = corpusKnnEdges(spark, dir)
+      .filter(col("dist") <= maxDist)
+      .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"))
+    val labels = graft.operators.Clustering.connectedComponents(edges)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("doc_id").as("vec_id"), col("cluster_size"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
   /** PageRank over the [[knnGraph]] edges — graph CENTRALITY for a
     * document/embedding corpus: high-rank nodes sit in dense
     * neighborhoods (hub/boilerplate detection, influence-weighted
