@@ -772,6 +772,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> t1, 2L -> t2))
   }
 
+  test("chunk-store crash between sidecar and store writes: replay converges, nothing lost or duplicated") {
+    // the scaladoc's write-order argument, executed: blooms land BEFORE
+    // the store partition, so the worst crash leaves a filter claiming
+    // chunks the store doesn't hold — the exact join refutes it on
+    // replay. (The reverse order would leave stored chunks invisible to
+    // the screen: silent duplicates.)
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_cscrash").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_cscrash_m").toString + "/manifest"
+    val rnd = new scala.util.Random(91)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(150)
+    val t1 = blob(80) + shared
+    val t2 = shared + blob(60)
+    ChunkStoreIngest.processBatch(Seq((1L, t1)).toDF("doc_id", "text"),
+      0L, storeDir, manifestDir, divisor = 16)
+    // batch 1 runs fully, then we simulate the crash window: sidecar
+    // and manifest written, the STORE partition lost before commit
+    ChunkStoreIngest.processBatch(Seq((2L, t2)).toDF("doc_id", "text"),
+      1L, storeDir, manifestDir, divisor = 16)
+    val b1Store = new java.io.File(s"$storeDir/batch=1")
+    assert(b1Store.isDirectory)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(b1Store)
+    assert(new java.io.File(s"${ChunkStoreIngest.bloomDir(storeDir)}/batch=1").isDirectory,
+      "crash window: sidecar present, store partition gone")
+    // REPLAY batch 1: its own sidecar is self-excluded; batch-0 filters
+    // flag the shared chunks (present in the store) and the exact join
+    // keeps them deduped, while batch-1-only chunks land again
+    ChunkStoreIngest.processBatch(Seq((2L, t2)).toDF("doc_id", "text"),
+      1L, storeDir, manifestDir, divisor = 16)
+    val store = spark.read.parquet(storeDir)
+    assert(store.count() == store.select("digest").distinct().count(),
+      "post-replay store must hold each chunk exactly once")
+    val got = ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> t1, 2L -> t2), "reassembly must be lossless after the crash-replay")
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
