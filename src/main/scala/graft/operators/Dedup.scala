@@ -691,7 +691,7 @@ object Dedup {
 
   /** Test seam: forget the in-JVM asset paths (simulates a fresh JVM). */
   private[graft] def dropInMemoryNgramTables(): Unit = {
-    ngramIndexTables.clear(); gramDfTables.clear()
+    ngramIndexTables.clear(); gramDfTables.clear(); chunkDigestTables.clear()
   }
 
   /** The materialized [[ngramIndex]] for `dir`'s documents, built ONCE
@@ -1203,11 +1203,43 @@ object Dedup {
       .agg(max(col("len")).as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  def cdcDedup(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
-    val persisted = chunkDigests(docs, k, divisor)
-    val df = persisted.groupBy(col("digest"))
+  // full asset id -> path; fingerprint recomputed per call (the
+  // [[ngramIndexTables]] contract)
+  private val chunkDigestTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The corpus's per-doc distinct chunk digests `(doc_id, digest,
+    * len)` as a DURABLE content-addressed asset — the standing side of
+    * CDC accounting materialized, so incremental probes slice a skinny
+    * parquet table instead of re-chunking the corpus (the
+    * [[corpusNgramIndex]] pattern; text never reaches the artifact).
+    * Address carries the chunking parameters: a changed boundary rule
+    * can never be served stale chunks.
+    */
+  def corpusChunkDigests(spark: SparkSession, dir: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId =
+      s"cdcdigests_k${k}_w${divisor}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = chunkDigestTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          ngramAssetBuilds.incrementAndGet()
+          val ch = chunkDigests(Tables.documents(spark, dir), k, divisor)
+          try ch.write.mode("overwrite").parquet(staging)
+          finally { ch.unpersist(blocking = false); () }
+        }))
+    spark.read.parquet(path)
+  }
+
+  /** The accounting half over any (doc_id, digest, len) frame — fed by
+    * the in-plan chunking pass (batch API) or a slice of the
+    * materialized [[corpusChunkDigests]] asset (driver query).
+    */
+  private def cdcDedupOn(ch: DataFrame): DataFrame = {
+    val df = ch.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("chunk_df"))
-    val out = persisted
+    ch
       .join(df, Seq("digest"))
       .groupBy(col("doc_id"))
       .agg(
@@ -1215,11 +1247,19 @@ object Dedup {
         sum(when(col("chunk_df") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
         sum(when(col("chunk_df") >= 2, col("len")).otherwise(0L)).as("dup_chars"))
       .orderBy("doc_id")
-    graft.engine.Caching.handoff(out, persisted)
   }
 
+  def cdcDedup(docs: DataFrame, k: Int = 8, divisor: Int = 64): DataFrame = {
+    val persisted = chunkDigests(docs, k, divisor)
+    graft.engine.Caching.handoff(cdcDedupOn(persisted), persisted)
+  }
+
+  /** Driver query: the accounting runs off the materialized digest
+    * asset — the corpus is chunked once per (corpus, k, divisor) per
+    * warehouse, not per query.
+    */
   def cdcQuery(spark: SparkSession, dir: String): DataFrame =
-    cdcDedup(Tables.documents(spark, dir), k = 8, divisor = 64)
+    cdcDedupOn(corpusChunkDigests(spark, dir, k = 8, divisor = 64))
 
   /** Ingest-batch CDC accounting — "how much of this delivery is
     * content we already store?", the transfer-suppression question a
@@ -1229,19 +1269,18 @@ object Dedup {
     * digest the store already holds, and the novel chars that would
     * actually need ingesting.
     *
-    * Scale shape: both sides reduce to skinny (digest[, len]) rows off
-    * one chunking pass each; the join is digest-keyed (in production
-    * the standing side is the materialized chunk-digest asset).
+    * Scale shape: both sides reduce to skinny (digest[, len]) rows;
+    * the join is digest-keyed, and the driver query slices the
+    * MATERIALIZED chunk-digest asset ([[corpusChunkDigests]]) on both
+    * sides — the corpus is chunked once per warehouse, never per probe.
     * [[cdcIncrementalBloom]] is this operator with the sharded Bloom
     * tier actually wired in front of the join — not a different
     * semantics, a different probe cost.
     */
-  def cdcIncremental(docs: DataFrame, splitId: Long,
-      k: Int = 8, divisor: Int = 64): DataFrame = {
-    val ch = chunkDigests(docs, k, divisor)
+  private def cdcIncrementalOn(ch: DataFrame, splitId: Long): DataFrame = {
     val standing = ch.filter(col("doc_id") < splitId)
       .select("digest").distinct().withColumn("known", lit(true))
-    val out = ch.filter(col("doc_id") >= splitId)
+    ch.filter(col("doc_id") >= splitId)
       .join(standing, Seq("digest"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -1249,16 +1288,24 @@ object Dedup {
         sum(when(col("known"), 1L).otherwise(0L)).as("known_chunks"),
         sum(when(col("known"), 0L).otherwise(col("len"))).as("novel_chars"))
       .orderBy("doc_id")
-    graft.engine.Caching.handoff(out, ch)
+  }
+
+  def cdcIncremental(docs: DataFrame, splitId: Long,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    val ch = chunkDigests(docs, k, divisor)
+    graft.engine.Caching.handoff(cdcIncrementalOn(ch, splitId), ch)
   }
 
   /** Driver query: id midpoint as the ingest cut (the
-    * [[incrementalQuery]] convention).
+    * [[incrementalQuery]] convention); BOTH sides slice the
+    * materialized digest asset — a snapshot cut is a doc_id slice of
+    * the one standing table (the [[ngramIncrementalQuery]] pattern),
+    * so nothing is re-chunked at probe time.
     */
   def cdcIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
-    cdcIncremental(docs, split)
+    cdcIncrementalOn(corpusChunkDigests(spark, dir), split)
   }
 
   /** [[cdcIncremental]] with the SHARDED BLOOM TIER wired in front of
@@ -1272,12 +1319,10 @@ object Dedup {
     * streaming twin ([[graft.streaming.ChunkStoreIngest]]) runs the
     * same screen against its persisted per-batch Bloom sidecars.
     */
-  def cdcIncrementalBloom(docs: DataFrame, splitId: Long,
-      k: Int = 8, divisor: Int = 64,
-      shardHexChars: Int = 1, bitsPerItem: Long = 10): DataFrame = {
+  private def cdcIncrementalBloomOn(ch: DataFrame, splitId: Long,
+      shardHexChars: Int, bitsPerItem: Long): DataFrame = {
     require(shardHexChars >= 1 && shardHexChars <= 4,
       s"shardHexChars must be in [1,4], got $shardHexChars")
-    val ch = chunkDigests(docs, k, divisor)
     val hp = substring(col("digest"), 1, shardHexChars)
     val standing = ch.filter(col("doc_id") < splitId)
       .select(col("digest"), hp.as("hp")).distinct()
@@ -1305,23 +1350,32 @@ object Dedup {
         maybe.select("doc_id", "digest", "len", "known")
           .unionByName(clean.select("doc_id", "digest", "len", "known"))
       }
-    val out = tagged
+    tagged
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("known"), 1L).otherwise(0L)).as("known_chunks"),
         sum(when(col("known"), 0L).otherwise(col("len"))).as("novel_chars"))
       .orderBy("doc_id")
-    graft.engine.Caching.handoff(out, ch)
+  }
+
+  def cdcIncrementalBloom(docs: DataFrame, splitId: Long,
+      k: Int = 8, divisor: Int = 64,
+      shardHexChars: Int = 1, bitsPerItem: Long = 10): DataFrame = {
+    val ch = chunkDigests(docs, k, divisor)
+    graft.engine.Caching.handoff(
+      cdcIncrementalBloomOn(ch, splitId, shardHexChars, bitsPerItem), ch)
   }
 
   /** Driver query: same cut and SAME oracle as [[cdcIncrementalQuery]]
     * — the Bloom tier is a probe-cost change, not a semantics change
-    * (the [[incrementalBloomShardedQuery]] convention).
+    * (the [[incrementalBloomShardedQuery]] convention); runs off the
+    * digest asset like its unscreened twin.
     */
   def cdcIncrementalBloomQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
-    cdcIncrementalBloom(docs, split)
+    cdcIncrementalBloomOn(corpusChunkDigests(spark, dir), split,
+      shardHexChars = 1, bitsPerItem = 10)
   }
 }

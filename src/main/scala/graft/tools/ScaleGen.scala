@@ -80,6 +80,17 @@ object ScaleGen {
         .withColumn("l_partkey", col("l_partkey") + lit(r * IdStride))
     }
 
+  /** Events scale as 10× TRAFFIC over the same time range: user ids
+    * interleave (per-user event counts — the session/interval partition
+    * bound — stay at the original shape), timestamps unchanged (window
+    * counts grow 10× per bucket, the realistic densification).
+    */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame =
+    replicas(ev, factor) { (e, r) =>
+      e.withColumn("event_id", col("event_id") * factor + lit(r.toLong))
+        .withColumn("user_id", col("user_id") * factor + lit(r.toLong))
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args
     val factor = factorS.toInt
@@ -98,6 +109,7 @@ object ScaleGen {
     write(scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor), "documents")
     write(scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor), "embeddings")
     write(scaleLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet"), factor), "lineitem")
+    write(scaleEvents(spark.read.parquet(s"$srcDir/events.parquet"), factor), "events")
     spark.stop()
   }
 }
