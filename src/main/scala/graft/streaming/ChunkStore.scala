@@ -94,10 +94,10 @@ object ChunkStoreIngest {
 
   /** Per-shard standing Bloom filters for the prefixes a batch touches:
     * rows (hp, bf) from every OTHER batch's sidecar partition. Tiny —
-    * batches × touched-prefixes rows of kilobyte blobs; at deployment
-    * scale a compaction job folds old batches' filters into one row per
-    * shard (filters over the same digest domain OR together), keeping
-    * the collected set bounded. Returns an empty seq before any batch.
+    * batches × touched-prefixes rows of kilobyte blobs, kept bounded by
+    * [[compactBlooms]] (the maintenance job that folds all batches'
+    * filters into one row per shard). Returns an empty seq before any
+    * batch.
     */
   private[graft] def standingBlooms(
       spark: SparkSession, storeDir: String, batchId: Long,
@@ -113,6 +113,47 @@ object ChunkStoreIngest {
       .collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .toSeq
+  }
+
+  /** COMPACTION: fold the per-batch sidecars into ONE row per shard.
+    * Filters of different sizes cannot merge bit-wise, so the compacted
+    * filters are REBUILT from the store's digest column (the source of
+    * truth), sized to the largest shard — one scan of the skinny
+    * digests, grouped per shard with map-side partials. The compacted
+    * rows land in `batch=-1` — never a real foreachBatch id, so no
+    * replay ever self-excludes them — and the old batch partitions are
+    * deleted only AFTER the compacted write commits: a crash between
+    * the two leaves both generations visible, which only adds probe
+    * work, never false negatives. A replay of a pre-compaction batch
+    * stays convergent: its chunks screen as maybes against the
+    * compacted filters (they ARE in the store) and the exact join —
+    * which self-excludes only the STORE partition — re-verifies them.
+    * Run it whenever the sidecar row count grows past a few hundred
+    * (the probe collects batches × touched-prefixes rows).
+    */
+  def compactBlooms(spark: SparkSession, storeDir: String,
+      bitsPerItem: Long = 10): Unit = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storePath)) return
+    val digests = spark.read.parquet(storeDir).select(col("digest"), col("hp"))
+    val maxShard = digests.groupBy("hp").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    if (maxShard.isNullAt(0)) return
+    val est = math.max(maxShard.getLong(0), 16L)
+    val dir = bloomDir(storeDir)
+    val old = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(q => q.getName.startsWith("batch=") && q.getName != "batch=-1")
+      else Seq.empty
+    }
+    digests.groupBy(col("hp"))
+      .agg(graft.operators.Dedup.bloomAgg(
+        xxhash64(col("digest")), est, est * bitsPerItem).as("bf"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=-1")
+    old.foreach(p => fs.delete(p, true))
   }
 
   /** The lazy CASE dispatch over shard filters: a row pays exactly the

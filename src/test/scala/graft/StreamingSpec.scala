@@ -814,6 +814,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> t1, 2L -> t2), "reassembly must be lossless after the crash-replay")
   }
 
+  test("bloom-sidecar compaction: one row per shard, screen stays exact, old-batch replay converges") {
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_cscompact").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_cscompact_m").toString + "/manifest"
+    val rnd = new scala.util.Random(53)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(140)
+    val texts = Map(1L -> (blob(60) + shared), 2L -> (shared + blob(50)), 3L -> blob(130))
+    (0 to 2).foreach { b =>
+      ChunkStoreIngest.processBatch(Seq((b + 1L, texts(b + 1L))).toDF("doc_id", "text"),
+        b.toLong, storeDir, manifestDir, divisor = 16)
+    }
+    val preStore = spark.read.parquet(storeDir).select("digest", "chunk")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    ChunkStoreIngest.compactBlooms(spark, storeDir)
+    val bloomRoot = new java.io.File(ChunkStoreIngest.bloomDir(storeDir))
+    assert(bloomRoot.listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq == Seq("batch=-1"),
+      "compaction must leave exactly the batch=-1 generation")
+    val compacted = spark.read.parquet(ChunkStoreIngest.bloomDir(storeDir))
+    assert(compacted.count() == compacted.select("hp").distinct().count(),
+      "one filter per shard")
+    // no false negatives against the compacted generation
+    val standing = spark.read.parquet(storeDir).select("digest", "hp")
+    val blooms = ChunkStoreIngest.standingBlooms(spark, storeDir, 99L,
+      standing.select("hp").distinct().as[String].collect().toSeq)
+    assert(ChunkStoreIngest.probeForSpec(standing, blooms)
+      .filter(!col("__cand")).count() == 0L,
+      "every stored digest must screen as a maybe post-compaction")
+    // a NEW batch (one dup of stored content + one novel doc) behaves
+    // exactly as pre-compaction semantics demand
+    val t4 = blob(45) + shared
+    ChunkStoreIngest.processBatch(Seq((4L, texts(1L)), (5L, t4)).toDF("doc_id", "text"),
+      3L, storeDir, manifestDir, divisor = 16)
+    val store = spark.read.parquet(storeDir)
+    assert(store.count() == store.select("digest").distinct().count())
+    // pre-compaction batch replay: the compacted generation is NOT
+    // self-excluded (batch=-1 is never a real id) yet replay converges
+    ChunkStoreIngest.processBatch(Seq((2L, texts(2L))).toDF("doc_id", "text"),
+      1L, storeDir, manifestDir, divisor = 16)
+    val store2 = spark.read.parquet(storeDir)
+    assert(store2.count() == store2.select("digest").distinct().count())
+    preStore.foreach { case (d, c) =>
+      assert(store2.filter(col("digest") === d).select("chunk").head().getString(0) == c)
+    }
+    val got = ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == texts ++ Map(4L -> texts(1L), 5L -> t4),
+      "reassembly stays lossless across compaction, new batches and replay")
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
