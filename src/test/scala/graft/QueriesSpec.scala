@@ -969,6 +969,39 @@ class QueriesSpec extends SparkSpec {
     assert(viaAsset.nonEmpty)
   }
 
+  test("round-13 plan pins: canonical never shuffles text; cdc/band driver queries scan their assets") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import graft.operators.{Clustering, Dedup, Similarity}
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(FormattedMode)
+    // dedup_canonical: the text column must only appear between the
+    // documents scan and the broadcast join's stream side — never in a
+    // shuffle exchange's output (the broadcast(labels) argument)
+    val canonPlan = plan(Clustering.dedupCanonicalQuery(spark, sf))
+    val shuffledText = "Exchange hashpartitioning[\\s\\S]{0,400}?text".r
+      .findAllMatchIn(canonPlan).size
+    assert(shuffledText == 0, s"text crossed a hash exchange:\n$canonPlan")
+    // cdc driver queries run off the materialized digest asset: no
+    // in-plan chunking kernel, and the documents table is never scanned
+    val cdcPlan = plan(Dedup.cdcQuery(spark, sf))
+    assert(!cdcPlan.contains("graft_cdc_chunks") && !cdcPlan.contains("cdcChunks")
+      && !cdcPlan.contains("documents.parquet"),
+      s"dedup_cdc must scan the digest asset, not re-chunk:\n$cdcPlan")
+    val cdcIncPlan = plan(Dedup.cdcIncrementalQuery(spark, sf))
+    assert(!cdcIncPlan.contains("documents.parquet"),
+      s"dedup_cdc_incremental must slice the digest asset:\n$cdcIncPlan")
+    // embed_neardup_incremental: both banded sides come from the band
+    // asset — the LSH projection kernel must not appear in the plan
+    val eniPlan = plan(Similarity.cosineIncrementalQuery(spark, sf))
+    assert(eniPlan.contains("embbands_"),
+      s"banded sides must scan the embbands_ asset:\n${eniPlan.take(2000)}")
+    assert(!eniPlan.toLowerCase.contains("vecsignbucket") &&
+      !eniPlan.contains("tableBuckets"),
+      s"banding must come from the asset, not be recomputed:\n${eniPlan.take(2000)}")
+    // and the cdc plans scan their asset address
+    assert(cdcPlan.contains("cdcdigests_") && cdcIncPlan.contains("cdcdigests_"))
+  }
+
   test("dedup_minhash_incremental: equals the cross-split argmax over the full minhash pair set") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
