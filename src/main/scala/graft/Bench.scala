@@ -83,16 +83,14 @@ object Bench {
       mins: Map[String, Double], sfDir: String, suspect: Boolean): String = {
     val FixedOverhead = 120 // metric/unit/n_queries/elided/suspect/value + braces
     val byCost = mins.toSeq.sortBy(-_._2)
-    val rendered = byCost.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .map { case (k, v) => (v, "\"" + k + "\":" + r2(v)) }
     var used = FixedOverhead + sfDir.length
-    val admitted = rendered.zipWithIndex.takeWhile { case (e, i) =>
-      val fits = i < MaxEntries && used + e.length + 1 <= LineBudget
+    val admitted = byCost.takeWhile { case (_, e) =>
+      val fits = used + e.length + 1 <= LineBudget
       if (fits) used += e.length + 1
       fits
-    }.map { case (_, i) => byCost(i) }
-    val qs = admitted.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    }.take(MaxEntries)
+    val qs = admitted.sortBy(_._1).map(_._2).mkString("{", ",", "}")
     // sum the ROUNDED per-query values so value == sum over the sidecar's
     // rounded map holds exactly for a consumer cross-checking the two
     val total = if (mins.nonEmpty) mins.values.map(v => r2(v).toDouble).sum else 0.0

@@ -264,7 +264,21 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
             }
           }
         } catch {
-          case e: Throwable => runs.put(id, RunSummary("plan_failed", 0, 0L, Some(e.toString)))
+          case e: Throwable =>
+            // a failed RE-plan leaves the existing task (and its plan)
+            // fully live — don't destroy its real run history or make a
+            // healthy task read as broken; only a first add's failure
+            // surfaces as plan_failed on the poll target. The re-plan
+            // failure is logged (the submit already returned 202).
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"async planning for task '$id' failed: $e")
+            runs.synchronized {
+              if (g.listTasks.contains(id)) prev match {
+                case Some(s) => runs.put(id, s)
+                case None    => runs.remove(id)
+              }
+              else runs.put(id, RunSummary("plan_failed", 0, 0L, Some(e.toString)))
+            }
         }
     })
     json(ex, 202, Map("state" -> "planning"))

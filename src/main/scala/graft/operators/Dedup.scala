@@ -133,6 +133,41 @@ object Dedup {
         org.apache.spark.sql.GraftExpressionBridge.expression(bloom),
         org.apache.spark.sql.GraftExpressionBridge.expression(c)))
 
+  /** THE sharded-Bloom screen kernel, shared by every tier that fronts
+    * an exact digest join with per-prefix filters
+    * ([[incrementalBloomSharded]], [[cdcIncrementalBloomOn]], the chunk
+    * store's persisted sidecars): build one filter per shard off the
+    * standing (key, hp) rows, sized from the LARGEST shard's exact
+    * count — and dispatch probes through a lazy CASE on the prefix so
+    * a row pays exactly its shard's `might_contain`s (several per
+    * shard when un-compacted generations coexist). Probes whose prefix
+    * has no filter are definitively novel. The no-false-negative
+    * invariant lives HERE, once.
+    */
+  private[graft] def buildShardBlooms(standing: DataFrame, keyCol: String,
+      bitsPerItem: Long): Seq[(String, Array[Byte])] = {
+    val maxShard = standing.groupBy("hp").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    if (maxShard.isNullAt(0)) Seq.empty
+    else {
+      val est = math.max(maxShard.getLong(0), 16L)
+      standing.groupBy("hp")
+        .agg(bloomAgg(xxhash64(col(keyCol)), est, est * bitsPerItem).as("bf"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+        .sortBy(_._1).toSeq
+    }
+  }
+
+  private[graft] def bloomDispatch(
+      blooms: Seq[(String, Array[Byte])], key: Column, hp: Column): Column =
+    if (blooms.isEmpty) lit(false)
+    else blooms.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(false))) { case (acc, (p, bfs)) =>
+        acc.when(hp === p,
+          bfs.map { case (_, bf) => mightContain(lit(bf), xxhash64(key)) }.reduce(_ || _))
+      }.otherwise(lit(false))
+
   /** TWO-TIER incremental dedup: a broadcast Bloom filter pre-screens
     * the incoming side so only probable hits pay the exact digest join
     * — same OUTPUT contract as [[incremental]] (bit-identical verdicts:
@@ -245,25 +280,12 @@ object Dedup {
     // size to the largest shard's exact distinct count — counts are a
     // tiny (<= 16^shardHexChars rows) aggregate over the persisted
     // digest projection
-    val maxShard = old.groupBy("hp").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
+    val blooms = buildShardBlooms(old, "h", bitsPerItem)
     val tagged =
-      if (maxShard.isNullAt(0)) nw.withColumn("is_old", lit(false)) // no seen set
+      if (blooms.isEmpty) nw.withColumn("is_old", lit(false)) // no seen set
       else {
-        val est = math.max(maxShard.getLong(0), 16L)
-        val blooms = old.groupBy("hp")
-          .agg(bloomAgg(xxhash64(col("h")), est, est * bitsPerItem).as("bf"))
-          .collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-          .sortBy(_._1)
-        // lazy CASE dispatch: every branch's filter is a foldable
-        // literal (BloomFilterMightContain's contract) and a row pays
-        // exactly one might_contain — its shard's
-        val cand = blooms.foldLeft(when(lit(false), lit(false))) {
-          case (acc, (hp, bf)) =>
-            acc.when(col("hp") === hp, mightContain(lit(bf), xxhash64(col("h"))))
-        }.otherwise(lit(false))
-        val probed = nw.withColumn("__cand", cand)
+        val probed = nw.withColumn("__cand",
+          bloomDispatch(blooms, col("h"), col("hp")))
         val maybe = probed.filter(col("__cand"))
           .join(old.select(col("h")).withColumn("is_old", lit(true)), Seq("h"), "left")
         val clean = probed.filter(!col("__cand")).withColumn("is_old", lit(false))
@@ -1327,22 +1349,12 @@ object Dedup {
     val standing = ch.filter(col("doc_id") < splitId)
       .select(col("digest"), hp.as("hp")).distinct()
     val batch = ch.filter(col("doc_id") >= splitId).withColumn("hp", hp)
-    val maxShard = standing.groupBy("hp").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
+    val blooms = buildShardBlooms(standing, "digest", bitsPerItem)
     val tagged =
-      if (maxShard.isNullAt(0)) batch.withColumn("known", lit(false))
+      if (blooms.isEmpty) batch.withColumn("known", lit(false))
       else {
-        val est = math.max(maxShard.getLong(0), 16L)
-        val blooms = standing.groupBy("hp")
-          .agg(bloomAgg(xxhash64(col("digest")), est, est * bitsPerItem).as("bf"))
-          .collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-          .sortBy(_._1)
-        val cand = blooms.foldLeft(when(lit(false), lit(false))) {
-          case (acc, (p, bf)) =>
-            acc.when(col("hp") === p, mightContain(lit(bf), xxhash64(col("digest"))))
-        }.otherwise(lit(false))
-        val probed = batch.withColumn("__cand", cand)
+        val probed = batch.withColumn("__cand",
+          bloomDispatch(blooms, col("digest"), col("hp")))
         val maybe = probed.filter(col("__cand"))
           .join(standing.select(col("digest")).withColumn("known", lit(true)),
             Seq("digest"), "left")

@@ -79,7 +79,15 @@ object ChunkStoreIngest {
     if (fs.exists(path)) {
       val base = spark.read.parquet(storeDir)
         .filter(col("batch") =!= lit(batchId))
-      val pruned = if (prefixes.nonEmpty) base.filter(col("hp").isin(prefixes: _*)) else base
+      // format tolerance: a store written before the hp layout has no
+      // prefix column — scan it unpruned (correct, just unscreened).
+      // A MIXED-depth store (old flat batches + new hp-partitioned
+      // ones) is rejected by partition discovery itself and needs a
+      // one-off rewrite; the formats cannot silently coexist.
+      val pruned =
+        if (prefixes.nonEmpty && base.columns.contains("hp"))
+          base.filter(col("hp").isin(prefixes: _*))
+        else base
       pruned.select(col("digest"))
     } else
       spark.emptyDataFrame
@@ -120,16 +128,24 @@ object ChunkStoreIngest {
     * filters are REBUILT from the store's digest column (the source of
     * truth), sized to the largest shard — one scan of the skinny
     * digests, grouped per shard with map-side partials. The compacted
-    * rows land in `batch=-1` — never a real foreachBatch id, so no
-    * replay ever self-excludes them — and the old batch partitions are
-    * deleted only AFTER the compacted write commits: a crash between
-    * the two leaves both generations visible, which only adds probe
-    * work, never false negatives. A replay of a pre-compaction batch
-    * stays convergent: its chunks screen as maybes against the
-    * compacted filters (they ARE in the store) and the exact join —
-    * which self-excludes only the STORE partition — re-verifies them.
-    * Run it whenever the sidecar row count grows past a few hundred
-    * (the probe collects batches × touched-prefixes rows).
+    * rows land in a NEGATIVE generation id (`batch=-1`/`batch=-2`,
+    * never a real foreachBatch id, so no replay self-excludes them).
+    * Crash safety across REPEATED compactions is generation
+    * ALTERNATION, not overwrite-in-place: the new generation is
+    * written to whichever negative id is currently absent, and every
+    * OTHER sidecar partition (the previous generation + per-batch
+    * dirs) is deleted only after that write commits — at every instant
+    * some complete covering generation exists, so the worst crash
+    * leaves EXTRA filters visible (more probe work), never a coverage
+    * hole (an in-place overwrite would delete the only generation
+    * covering already-compacted batches before its replacement
+    * commits — a false-negative window that silently duplicates
+    * chunks). A replay of a pre-compaction batch stays convergent: its
+    * chunks screen as maybes against the compacted filters (they ARE
+    * in the store) and the exact join — which self-excludes only the
+    * STORE partition — re-verifies them. Run it whenever the sidecar
+    * row count grows past a few hundred (the probe collects batches ×
+    * touched-prefixes rows).
     */
   def compactBlooms(spark: SparkSession, storeDir: String,
       bitsPerItem: Long = 10): Unit = {
@@ -142,34 +158,28 @@ object ChunkStoreIngest {
     if (maxShard.isNullAt(0)) return
     val est = math.max(maxShard.getLong(0), 16L)
     val dir = bloomDir(storeDir)
-    val old = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(q => q.getName.startsWith("batch=") && q.getName != "batch=-1")
-      else Seq.empty
-    }
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, name))
+    // overwriting an id that exists is only safe when the OTHER
+    // generation covers the store for the duration of the write
+    val newGen = if (exists("batch=-1")) "batch=-2" else "batch=-1"
     digests.groupBy(col("hp"))
       .agg(graft.operators.Dedup.bloomAgg(
         xxhash64(col("digest")), est, est * bitsPerItem).as("bf"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=-1")
-    old.foreach(p => fs.delete(p, true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$newGen")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(q => q.getName.startsWith("batch=") && q.getName != newGen)
+        .foreach(q => fs.delete(q, true))
   }
 
-  /** The lazy CASE dispatch over shard filters: a row pays exactly the
-    * might_contain probes of ITS digest prefix (OR over that shard's
-    * standing filters — one per un-compacted batch). Rows whose prefix
-    * has no filter are definitively novel (nothing stored there yet).
+  /** The lazy CASE dispatch over shard filters — one shared kernel
+    * ([[graft.operators.Dedup.bloomDispatch]]) carries the
+    * no-false-negative invariant for every Bloom tier in the engine.
     */
-  private def bloomCandidate(blooms: Seq[(String, Array[Byte])]): Column = {
-    val byShard = blooms.groupBy(_._1).toSeq.sortBy(_._1)
-    byShard.foldLeft(when(lit(false), lit(false))) { case (acc, (hp, bfs)) =>
-      val anyHit = bfs.map { case (_, bf) =>
-        graft.operators.Dedup.mightContain(lit(bf), xxhash64(col("digest")))
-      }.reduce(_ || _)
-      acc.when(col("hp") === hp, anyHit)
-    }.otherwise(lit(false))
-  }
+  private def bloomCandidate(blooms: Seq[(String, Array[Byte])]): Column =
+    graft.operators.Dedup.bloomDispatch(blooms, col("digest"), col("hp"))
 
   /** Test seam: evaluate the shard-dispatched screen over arbitrary
     * (digest, hp) rows — the no-false-negative pin probes stored

@@ -321,7 +321,11 @@ object EventStream {
       .groupBy(col("window"), col("event_type"))
       .agg(
         sum(col("n")).as("n_events"),
-        count(lit(1)).as("n_users"),
+        // a NULL user forms a stage-1 group like any key, but the batch
+        // twin's count_distinct IGNORES nulls — count only non-null
+        // user groups so parity holds on sources with nullable ids
+        // (n_events/sum_v still include the null-user rows, as batch does)
+        count(when(col("user_id").isNotNull, lit(1))).as("n_users"),
         sum(col("sv")).as("sum_v"))
       .select(
         (unix_micros(col("window.start")) / lit(3600000000L)).cast("long").as("win_start"),

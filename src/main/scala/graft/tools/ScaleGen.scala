@@ -43,17 +43,27 @@ object ScaleGen {
 
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
     replicas(docs, factor) { (d, r) =>
+      // degenerate-population fidelity: NULL text stays NULL and
+      // token-free text (empty / whitespace-only) passes through
+      // untouched — the sf0.1 edge-case rows must survive into every
+      // replica or the scale point under-exercises exactly the
+      // degenerate paths; tokenization matches the engine's \s+ rule
+      // (a bare single-space split would mint empty tokens)
+      val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+      val scrambled = concat_ws(" ",
+        transform(
+          array_sort(
+            zip_with(
+              toks,
+              sequence(lit(0), size(toks) - 1),
+              (t, i) => struct(xxhash64(t, i, lit(r)).as("h"),
+                concat(lit(s"r${r}_"), t).as("t")))),
+          x => x("t")))
       val text =
         if (r == 0) col("text")
-        else concat_ws(" ",
-          transform(
-            array_sort(
-              zip_with(
-                split(col("text"), " "),
-                sequence(lit(0), size(split(col("text"), " ")) - 1),
-                (t, i) => struct(xxhash64(t, i, lit(r)).as("h"),
-                  concat(lit(s"r${r}_"), t).as("t")))),
-            x => x("t")))
+        else when(col("text").isNull, lit(null).cast("string"))
+          .when(size(toks) === 0, col("text"))
+          .otherwise(scrambled)
       d.select(
         (col("doc_id") * factor + lit(r.toLong)).as("doc_id"),
         text.as("text"),

@@ -381,6 +381,22 @@ class HttpApiSpec extends SparkSpec {
       // plan_failed does not wedge the id: a fixed source resubmits fine
       broken.set(false)
       assert(addTaskAwait(base, "jobBad", body) == 1)
+      // run it so the task has REAL history, then fail a RE-plan: the
+      // live task and its run summary must survive (a healthy task must
+      // not read as broken because a re-plan attempt died)
+      assert(send("POST", s"$base/tasks/jobBad/_run").statusCode() == 202)
+      assert(pollRun(base, "jobBad").get("state").asText() == "done")
+      broken.set(true)
+      assert(send("POST", s"$base/tasks/jobBad", body).statusCode() == 202)
+      val deadline2 = System.nanoTime() + 30L * 1000000000L
+      var after = mapper.readTree(send("GET", s"$base/tasks/jobBad/_run").body())
+      while (after.get("state").asText() == "planning" && System.nanoTime() < deadline2) {
+        Thread.sleep(50)
+        after = mapper.readTree(send("GET", s"$base/tasks/jobBad/_run").body())
+      }
+      assert(after.get("state").asText() == "done",
+        s"failed re-plan must restore the real run history, got: $after")
+      assert(send("GET", s"$base/tasks/jobBad").statusCode() == 200, "old task stays live")
     } finally api.close()
   }
 

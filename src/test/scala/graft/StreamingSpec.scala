@@ -830,8 +830,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     ChunkStoreIngest.compactBlooms(spark, storeDir)
     val bloomRoot = new java.io.File(ChunkStoreIngest.bloomDir(storeDir))
-    assert(bloomRoot.listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq == Seq("batch=-1"),
-      "compaction must leave exactly the batch=-1 generation")
+    def generations() =
+      bloomRoot.listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(generations() == Seq("batch=-1"),
+      s"compaction must leave exactly one negative generation: ${generations()}")
     val compacted = spark.read.parquet(ChunkStoreIngest.bloomDir(storeDir))
     assert(compacted.count() == compacted.select("hp").distinct().count(),
       "one filter per shard")
@@ -862,6 +864,21 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == texts ++ Map(4L -> texts(1L), 5L -> t4),
       "reassembly stays lossless across compaction, new batches and replay")
+    // RE-compaction alternates the generation id (never overwrites the
+    // only covering generation in place) and stays exact
+    ChunkStoreIngest.compactBlooms(spark, storeDir)
+    assert(generations() == Seq("batch=-2"),
+      s"second compaction must land on the alternate id: ${generations()}")
+    val standing2 = spark.read.parquet(storeDir).select("digest", "hp")
+    val blooms2 = ChunkStoreIngest.standingBlooms(spark, storeDir, 99L,
+      standing2.select("hp").distinct().as[String].collect().toSeq)
+    assert(ChunkStoreIngest.probeForSpec(standing2, blooms2)
+      .filter(!col("__cand")).count() == 0L,
+      "no false negatives after re-compaction")
+    ChunkStoreIngest.processBatch(Seq((6L, blob(90))).toDF("doc_id", "text"),
+      4L, storeDir, manifestDir, divisor = 16)
+    val store3 = spark.read.parquet(storeDir)
+    assert(store3.count() == store3.select("digest").distinct().count())
   }
 
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
