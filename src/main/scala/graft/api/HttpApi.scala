@@ -98,6 +98,14 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
   private final case class RunSummary(
       state: String, completed: Int, rowsWritten: Long, error: Option[String])
   private val runs = new ConcurrentHashMap[String, RunSummary]()
+  /** Last ASYNC RE-PLAN failure per task. A failed re-plan of an
+    * existing task deliberately restores the prior run summary (the
+    * task and its old plan stay fully live), but the 202-then-poll
+    * contract would otherwise make that indistinguishable from a
+    * successful re-plan — clients need to learn the new spec was never
+    * applied. Cleared by the next successful plan of the same id.
+    */
+  private val planErrors = new ConcurrentHashMap[String, String]()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -129,7 +137,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
             if (Option(runs.get(id)).exists(s => s.state == "running" || s.state == "planning"))
               throw new IllegalStateException(
                 s"task '$id' has a run in flight; stop it before deleting")
-            g.removeTask(id); runs.remove(id)
+            g.removeTask(id); runs.remove(id); planErrors.remove(id)
           }
           json(ex, 204, null)
         case ("GET", List("tasks", id, "errors"))  => getErrors(ex, id)
@@ -205,10 +213,12 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         "worker" -> p.worker, "lastModified" -> p.lastModified.toString
       ).asJava
     }
-    json(ex, 200, Map[String, Any](
+    val payload = Map[String, Any](
       "status" -> statusMap(id),
       "progress" -> prog.asJava
-    ))
+    )
+    json(ex, 200, Option(planErrors.get(id))
+      .fold(payload)(e => payload + ("lastPlanError" -> e)))
   }
 
   private def addTask(ex: HttpExchange, id: String): Unit = {
@@ -255,6 +265,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       def run(): Unit =
         try {
           g.addTask(spec, sizeCols)
+          planErrors.remove(id)
           runs.synchronized {
             // restore whatever REAL run summary the task had before
             // planning (the marker is control-plane state, not a result)
@@ -269,13 +280,18 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
             // fully live — don't destroy its real run history or make a
             // healthy task read as broken; only a first add's failure
             // surfaces as plan_failed on the poll target. The re-plan
-            // failure is logged (the submit already returned 202).
+            // failure is logged AND recorded in [[planErrors]] so a
+            // polling client can distinguish it from a successful
+            // re-plan (the submit already returned 202).
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"async planning for task '$id' failed: $e")
             runs.synchronized {
-              if (g.listTasks.contains(id)) prev match {
-                case Some(s) => runs.put(id, s)
-                case None    => runs.remove(id)
+              if (g.listTasks.contains(id)) {
+                planErrors.put(id, e.toString)
+                prev match {
+                  case Some(s) => runs.put(id, s)
+                  case None    => runs.remove(id)
+                }
               }
               else runs.put(id, RunSummary("plan_failed", 0, 0L, Some(e.toString)))
             }
@@ -321,7 +337,9 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       case Some(r) =>
         val base = Map[String, Any](
           "state" -> r.state, "completed" -> r.completed, "rowsWritten" -> r.rowsWritten)
-        json(ex, 200, r.error.fold(base)(e => base + ("error" -> e)))
+        val withErr = r.error.fold(base)(e => base + ("error" -> e))
+        json(ex, 200, Option(planErrors.get(id))
+          .fold(withErr)(e => withErr + ("lastPlanError" -> e)))
     }
 
   private def getErrors(ex: HttpExchange, id: String): Unit = {

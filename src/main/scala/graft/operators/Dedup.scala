@@ -386,6 +386,58 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sketch.minhash(col("sh"), numHashes))
 
+  /** [[signed]] in its STORABLE form — `(doc_id, hs, sig)` where `hs`
+    * is the sorted-distinct xxhash64'd shingle set (the representation
+    * [[verifiedJaccard]] hashes into per call anyway, and the same
+    * 8-byte-sorted layout [[ngramIndex]] persists) and `sig` the
+    * minhash signature. Everything every minhash consumer needs —
+    * banding reads `sig`, exact verification reads `hs` — with the
+    * string shingles dropped before anything is shuffled or stored.
+    */
+  private def signedHashed(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
+    signed(docs, shingleK, numHashes)
+      .select(
+        col("doc_id"),
+        sort_array(array_distinct(transform(col("sh"), g => xxhash64(g)))).as("hs"),
+        col("sig"))
+
+  // (asset id) -> parquet path of the materialized signature table —
+  // the minhash family's durable corpus asset (the [[ngramIndexTables]]
+  // pattern): built once per (corpus fingerprint, shingleK, numHashes)
+  // per warehouse, loaded (not rebuilt) by later JVMs and every other
+  // consumer. Before this asset existed, dedup_minhash, dedup_clusters,
+  // dedup_canonical and dedup_minhash_incremental each re-shingled,
+  // re-signed and re-banded the corpus from raw text — four of the
+  // bench's slowest queries paying the same corpus-wide pass.
+  private val minhashSigTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test seam: builds this JVM ran for the minhash signature asset. */
+  private[graft] val minhashAssetBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The materialized [[signedHashed]] table for `dir`'s documents.
+    * `bands` is deliberately ABSENT from the address: banding is a
+    * cheap per-query derivation from `sig` (slice + xxhash64), so one
+    * signature asset serves every band configuration and both the
+    * all-pairs and incremental consumers — only parameters that change
+    * the stored bytes (shingle k, signature width, corpus content)
+    * address the asset.
+    */
+  def corpusMinhashSignatures(spark: SparkSession, dir: String,
+      shingleK: Int = 3, numHashes: Int = 128): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId =
+      s"minhashsig_k${shingleK}_h${numHashes}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = minhashSigTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          minhashAssetBuilds.incrementAndGet()
+          signedHashed(Tables.documents(spark, dir), shingleK, numHashes)
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
   /** Candidate pairs via banding: signature split into `bands` bands of
     * `numHashes/bands` rows; docs agreeing on any band's hash co-locate
     * in one shuffle (`explode` -> groupBy-free self-join on the band
@@ -405,45 +457,63 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.0
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // The signature stage (tokenize -> shingle -> 128-way minhash) feeds
     // three consumers: the band explode and both sides of the verify
     // join. Without a persist each consumer recomputes the whole narrow
-    // stage — measured ~3x the query time. At 100 TB this intermediate is
-    // a materialized table; here it is cached for the duration of the
-    // call and released by the Caching.handoff below.
-    val s = signed(docs, shingleK, numHashes)
+    // stage — measured ~3x the query time. At 100 TB this intermediate
+    // IS a materialized table ([[corpusMinhashSignatures]]); here it is
+    // cached for the call and released by the Caching.handoff below.
+    val s = signedHashed(docs, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.Caching.handoff(minhashPairsOn(s, numHashes, bands, threshold), s)
+  }
 
-    // Band on SKINNY rows: (doc_id, band, bh) only. Carrying the shingle
-    // arrays through the bands-x explode would multiply the shuffled
-    // payload by `bands`; instead candidates join back to the shingle
-    // table, so the wide arrays move only for actual candidate pairs.
-    val bandCols = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
-      )
-    }
-    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-
+  /** The band-candidate + exact-verify tail of [[minhashPairs]] over a
+    * prebuilt `(doc_id, hs, sig)` signature table — the entry point the
+    * durable asset serves. A parquet-backed `s` needs NO persist: the
+    * three consumers are column-pruned scans (banding reads `sig`, the
+    * verify join reads `hs`), each a fraction of the signature
+    * computation they replace.
+    *
+    * Banding on SKINNY rows: (doc_id, band, bh) only. Carrying the
+    * hashed-shingle arrays through the bands-x explode would multiply
+    * the shuffled payload by `bands`; instead candidates join back to
+    * the signature table, so the wide arrays move only for actual
+    * candidate pairs.
+    */
+  def minhashPairsOn(
+      s: DataFrame,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.0
+  ): DataFrame = {
+    val banded = mhBanded(s, numHashes, bands)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // verify: fetch hashed shingle sets for candidate ids only — the
+    // same sorted-merge verifier the n-gram join uses
+    verifiedJaccardIdx(candidates, s.select(col("doc_id"), col("hs")))
+      .filter(col("jaccard") >= threshold)
+  }
 
-    // verify: fetch shingle sets for candidate ids only — the same
-    // sorted-merge verifier the n-gram join uses (one copy of the
-    // jaccard formula and threshold cut)
-    val pairs =
-      verifiedJaccard(candidates, s.select(col("doc_id"), col("sh").as("s")), threshold)
-    // pairs are tiny relative to the signature table: materialize them,
-    // release the signatures — nothing big outlives the call
-    graft.engine.Caching.handoff(pairs, s)
+  /** Skinny (doc_id, band, bh) band keys derived from `sig` — shared by
+    * the all-pairs and incremental candidate joins.
+    */
+  private def mhBanded(s: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
+      )
+    }
+    s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
   }
 
   /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold
@@ -453,12 +523,15 @@ object Dedup {
     * j >= 0.9, where it is (1-0.9^4)^32 ≈ 1.5e-15) — and the band hashes
     * are fixed constants, so on a fixed corpus the outcome is
     * deterministic, not a per-run gamble. Since candidate verification
-    * uses the EXACT shingle-set Jaccard, the output provably equals the
-    * exact all-pairs similarity join the DuckDB oracle computes — which
-    * is what makes a probabilistic sketch hash-checkable.
+    * uses the EXACT shingle-set Jaccard, the output matches the exact
+    * all-pairs similarity join the DuckDB oracle computes on this
+    * corpus — parity pinned empirically by the suite (recall < 1 by
+    * construction, so this is a measured property of the data, not a
+    * guarantee), which is what makes a probabilistic sketch
+    * hash-checkable.
     */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(spark, dir), threshold = 0.7)
+    minhashPairsOn(corpusMinhashSignatures(spark, dir), threshold = 0.7)
       .orderBy(asc("id_a"), asc("id_b"))
 
   /** INGEST-BATCH near-dup accounting via the minhash band index — the
@@ -478,11 +551,15 @@ object Dedup {
     * Scale shape = [[minhashPairs]] with the candidate join CUT to
     * standing × batch (the id split prunes both banded sides before the
     * join, so candidates are batch-sized × collision rate, never
-    * corpus²); verification is the same exact sorted-merge Jaccard, so
-    * banding recall (1-t^r)^b makes the output provably equal to the
-    * exact cross-split similarity join the oracle computes. The best
-    * match is a min(struct) argmax — map-side partial, one skinny
-    * exchange.
+    * corpus²); verification is the same exact sorted-merge Jaccard.
+    * Banding recall at threshold is (1-(1-t^r)^b) < 1, so a qualifying
+    * pair CAN deterministically be missed on unlucky data — parity with
+    * the exact cross-split similarity join the oracle computes is
+    * pinned EMPIRICALLY at the suite's corpus (the [[minhashQuery]]
+    * convention: fixed band hashes on a fixed corpus make the outcome
+    * deterministic, and the planted near-dups sit deep in the S-curve's
+    * high-recall tail), not guaranteed by construction. The best match
+    * is a min(struct) argmax — map-side partial, one skinny exchange.
     */
   def minhashIncremental(
       docs: DataFrame,
@@ -492,18 +569,24 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.7
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val s = signed(docs, shingleK, numHashes)
+    val s = signedHashed(docs, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")
-      )
-    }
-    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    graft.engine.Caching.handoff(
+      minhashIncrementalOn(s, splitId, numHashes, bands, threshold), s)
+  }
+
+  /** [[minhashIncremental]]'s tail over a prebuilt `(doc_id, hs, sig)`
+    * signature table — the durable-asset entry point (see
+    * [[minhashPairsOn]] for why a parquet-backed `s` needs no persist).
+    */
+  def minhashIncrementalOn(
+      s: DataFrame,
+      splitId: Long,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val banded = mhBanded(s, numHashes, bands)
     val standing = banded.filter(col("doc_id") < splitId)
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val batch = banded.filter(col("doc_id") >= splitId)
@@ -511,23 +594,23 @@ object Dedup {
     val candidates = standing.join(batch, Seq("band", "bh"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val verified =
-      verifiedJaccard(candidates, s.select(col("doc_id"), col("sh").as("s")), threshold)
-    val out = verified
+    val verified = verifiedJaccardIdx(candidates, s.select(col("doc_id"), col("hs")))
+      .filter(col("jaccard") >= threshold)
+    verified
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(struct((-col("jaccard")).as("nj"), col("id_a").as("m"))).as("best"))
       .select(col("doc_id"), col("best.m").as("match_id"), (-col("best.nj")).as("jaccard"))
       .orderBy("doc_id")
-    graft.engine.Caching.handoff(out, s)
   }
 
   /** Driver query: id-midpoint cut (the [[incrementalQuery]]
-    * convention), Jaccard >= 0.7 like [[minhashQuery]].
+    * convention), Jaccard >= 0.7 like [[minhashQuery]], served from the
+    * materialized signature asset.
     */
   def minhashIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
-    minhashIncremental(docs, split)
+    minhashIncrementalOn(corpusMinhashSignatures(spark, dir), split)
   }
 
   // --------------------------------------------------------------------
@@ -714,6 +797,7 @@ object Dedup {
   /** Test seam: forget the in-JVM asset paths (simulates a fresh JVM). */
   private[graft] def dropInMemoryNgramTables(): Unit = {
     ngramIndexTables.clear(); gramDfTables.clear(); chunkDigestTables.clear()
+    minhashSigTables.clear()
   }
 
   /** The materialized [[ngramIndex]] for `dir`'s documents, built ONCE

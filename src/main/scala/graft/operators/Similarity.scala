@@ -504,8 +504,14 @@ object Similarity {
     * (groups × k exchange).
     */
   def annGraphExpand(spark: SparkSession, dir: String,
-      kTop: Int = 5, scale: Int = 1000): DataFrame = {
-    val edges = corpusKnnEdges(spark, dir)
+      kTop: Int = 5, scale: Int = 1000, bits: Int = 4, tables: Int = 8,
+      dim: Int = 64, seedBase: Long = 42L): DataFrame = {
+    // the edge asset and the re-rank share ONE parameter vector: edges
+    // expanded at kTop=k must be k-NN edges, and the exact re-rank must
+    // use the quantization grid the edges were ranked under — a
+    // different kTop/scale here resolves (builds or loads) the matching
+    // asset address rather than silently serving the default one
+    val edges = corpusKnnEdges(spark, dir, kTop, bits, tables, dim, seedBase, scale)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
     val q = emb.filter(col("vec_id") < 16)

@@ -83,7 +83,8 @@ object ChunkStoreIngest {
       // prefix column — scan it unpruned (correct, just unscreened).
       // A MIXED-depth store (old flat batches + new hp-partitioned
       // ones) is rejected by partition discovery itself and needs a
-      // one-off rewrite; the formats cannot silently coexist.
+      // one-off rewrite; [[requireHpCompatible]] fails the batch
+      // BEFORE the first incompatible write can create that state.
       val pruned =
         if (prefixes.nonEmpty && base.columns.contains("hp"))
           base.filter(col("hp").isin(prefixes: _*))
@@ -92,6 +93,30 @@ object ChunkStoreIngest {
     } else
       spark.emptyDataFrame
         .select(lit("").as("digest")).limit(0)
+  }
+
+  /** Fail fast BEFORE writing the first hp-partitioned batch into a
+    * store laid out in the pre-hp flat format. Mixing the two layouts
+    * (flat parquet files under `batch=N` next to `batch=M/hp=xx/` dirs)
+    * makes every subsequent partition discovery throw — wedging the
+    * stream until a manual rewrite — so the incompatible WRITE is the
+    * thing to stop, with a migration message, not the later read.
+    * A uniform pre-write store reads cleanly, so schema inspection is
+    * a reliable probe: a store without the `hp` column is flat.
+    */
+  private[graft] def requireHpCompatible(
+      spark: SparkSession, storeDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) &&
+        !spark.read.parquet(storeDir).columns.contains("hp"))
+      throw new IllegalStateException(
+        s"chunk store at $storeDir uses the pre-hp flat layout; " +
+          "writing an hp-partitioned batch into it would create a " +
+          "mixed-depth store that partition discovery rejects. " +
+          "Migrate first: rewrite each batch=N partition with " +
+          ".withColumn(\"hp\", substring(digest,1,2))" +
+          ".write.partitionBy(\"hp\"), then resume the stream.")
   }
 
   /** The Bloom sidecar table lives NEXT TO the store (sibling path, so
@@ -146,18 +171,41 @@ object ChunkStoreIngest {
     * STORE partition — re-verifies them. Run it whenever the sidecar
     * row count grows past a few hundred (the probe collects batches ×
     * touched-prefixes rows).
+    *
+    * CONCURRENT-INGEST safety is the same snapshot discipline applied
+    * on the delete side: the sidecar partition list is captured BEFORE
+    * the store digests are scanned, and only that captured set is
+    * deleted after the new generation commits. A batch that lands
+    * mid-compaction (after the snapshot) keeps its own sidecar — its
+    * chunks were not in the digest scan, so the new generation does
+    * not cover them, and deleting their filter would make future
+    * probes screen them as "provably novel" and re-store duplicates
+    * (breaking the byte-exact reassembly invariant: two store rows per
+    * digest). Extra surviving sidecars cost probe rows, never
+    * correctness.
     */
   def compactBlooms(spark: SparkSession, storeDir: String,
-      bitsPerItem: Long = 10): Unit = {
+      bitsPerItem: Long = 10,
+      midCompactionHook: () => Unit = () => ()): Unit = {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(storePath)) return
+    val dir = bloomDir(storeDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // snapshot FIRST: only sidecars that predate the digest scan are
+    // candidates for deletion — anything written later covers chunks
+    // the new generation can't know about
+    val preScan: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+      else Seq.empty
+    midCompactionHook() // test seam: a concurrent batch lands here
     val digests = spark.read.parquet(storeDir).select(col("digest"), col("hp"))
     val maxShard = digests.groupBy("hp").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head()
     if (maxShard.isNullAt(0)) return
     val est = math.max(maxShard.getLong(0), 16L)
-    val dir = bloomDir(storeDir)
     def exists(name: String) =
       fs.exists(new org.apache.hadoop.fs.Path(dir, name))
     // overwriting an id that exists is only safe when the OTHER
@@ -167,11 +215,9 @@ object ChunkStoreIngest {
       .agg(graft.operators.Dedup.bloomAgg(
         xxhash64(col("digest")), est, est * bitsPerItem).as("bf"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$newGen")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(p))
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(q => q.getName.startsWith("batch=") && q.getName != newGen)
-        .foreach(q => fs.delete(q, true))
+    preScan
+      .filter(_.getName != newGen)
+      .foreach(q => fs.delete(q, true))
   }
 
   /** The lazy CASE dispatch over shard filters — one shared kernel
@@ -203,6 +249,7 @@ object ChunkStoreIngest {
       divisor: Int = 64
   ): (Long, Long) = {
     val spark = batch.sparkSession
+    requireHpCompatible(spark, storeDir)
     val rows = chunkRows(batch, k, divisor)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -202,6 +202,57 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("minhash signature asset: built once, loaded by every consumer and by fresh JVMs, bit-identical to the raw path") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    withRoot { root =>
+      val corpus = java.nio.file.Files.createTempDirectory("graft_mh_corpus").toString
+      Tables.documents(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      try {
+        val builds0 = Dedup.minhashAssetBuilds.get()
+        // asset-served pairs must be BIT-IDENTICAL to the raw-docs path
+        // (the asset is a physical change: same oracle, same rows)
+        val raw = Dedup.minhashPairs(Tables.documents(spark, corpus), threshold = 0.7)
+          .orderBy("id_a", "id_b").collect()
+        val served = Dedup.minhashPairsOn(Dedup.corpusMinhashSignatures(spark, corpus),
+          threshold = 0.7).orderBy("id_a", "id_b").collect()
+        assert(Dedup.minhashAssetBuilds.get() == builds0 + 1)
+        assert(raw.toSeq == served.toSeq,
+          "asset-served pairs must equal the raw signature path exactly")
+        assert(raw.nonEmpty, "vacuous corpus: no near-dup pairs to compare")
+        // the other consumers LOAD the same asset — zero further builds
+        Dedup.minhashIncrementalOn(Dedup.corpusMinhashSignatures(spark, corpus), 50L).count()
+        graft.operators.Clustering.connectedComponents(
+          Dedup.minhashPairsOn(Dedup.corpusMinhashSignatures(spark, corpus), threshold = 0.7)
+            .select("id_a", "id_b")).count()
+        assert(Dedup.minhashAssetBuilds.get() == builds0 + 1,
+          "every minhash consumer must share ONE signature build")
+        // fresh JVM (handle cache dropped): load, never rebuild
+        Dedup.dropInMemoryNgramTables()
+        Dedup.corpusMinhashSignatures(spark, corpus).count()
+        assert(Dedup.minhashAssetBuilds.get() == builds0 + 1,
+          "a fresh JVM must load the committed asset, not rebuild it")
+        val names = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("minhashsig_"))
+        assert(names.length == 1 && names.head.startsWith("minhashsig_k3_h128_v"),
+          s"one parameter-addressed signature asset expected: ${names.toSeq}")
+        // corpus rebuild in place: same JVM resolves the NEW address
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+        val ids = Dedup.corpusMinhashSignatures(spark, corpus)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(Dedup.minhashAssetBuilds.get() == builds0 + 2,
+          "rebuilt corpus must build under a new address in the same JVM")
+        assert(ids.forall(_ % 2 == 0), "served signatures must come from the rebuilt corpus")
+      } finally {
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("knn edge asset address is parameter-complete: changed LSH constants resolve a new asset") {
     import graft.operators.Similarity
     withRoot { root =>

@@ -397,6 +397,22 @@ class HttpApiSpec extends SparkSpec {
       assert(after.get("state").asText() == "done",
         s"failed re-plan must restore the real run history, got: $after")
       assert(send("GET", s"$base/tasks/jobBad").statusCode() == 200, "old task stays live")
+      // the restored summary alone would make a failed re-plan
+      // indistinguishable from a successful one — lastPlanError is the
+      // client-visible record that the new spec was never applied
+      assert(after.get("lastPlanError").asText().contains("source exploded"),
+        s"_run must surface the re-plan failure: $after")
+      val taskView = mapper.readTree(send("GET", s"$base/tasks/jobBad").body())
+      assert(taskView.get("lastPlanError").asText().contains("source exploded"),
+        s"GET /tasks/id must surface the re-plan failure: $taskView")
+      // a subsequent SUCCESSFUL re-plan clears the record (backlog is 0:
+      // the incremental re-plan sees the completed transfer and plans
+      // nothing new — P5 semantics, not a failed plan)
+      broken.set(false)
+      assert(addTaskAwait(base, "jobBad", body) == 0)
+      assert(!mapper.readTree(send("GET", s"$base/tasks/jobBad").body()).has("lastPlanError"),
+        "a successful re-plan must clear lastPlanError")
+      assert(!mapper.readTree(send("GET", s"$base/tasks/jobBad/_run").body()).has("lastPlanError"))
     } finally api.close()
   }
 

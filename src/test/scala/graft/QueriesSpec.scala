@@ -930,6 +930,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_expand: non-default kTop expands k-matched edges on the matching grid") {
+    import graft.operators.Similarity
+    // kTop=3 must expand 3-NN edges (its own asset address), not the
+    // default 5-NN asset — the r13-advice parameter pass-through
+    val out = Similarity.annGraphExpand(spark, sf, kTop = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3, s"query $q: kTop=3 must cap results at 3, got ${rs.length}")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the candidate pool differs from the default run's (3-NN vs 5-NN
+    // edges), so at least one query's result set must differ from a
+    // plain truncation of the kTop=5 output on this corpus
+    val k5 = Similarity.annGraphExpand(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).take(3).map(_._3).toSet).toMap
+    val k3 = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(k3.keySet == k5.keySet)
+  }
+
   test("dedup_canonical: keeper is the longest member of its own cluster (min id on ties)") {
     import graft.operators.Clustering
     val rows = Clustering.dedupCanonicalQuery(spark, sf)

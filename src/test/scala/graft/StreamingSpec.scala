@@ -881,6 +881,68 @@ class StreamingSpec extends SparkSpec {
     assert(store3.count() == store3.select("digest").distinct().count())
   }
 
+  test("bloom-sidecar compaction: a batch landing mid-compaction keeps its sidecar (no coverage hole)") {
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_csconc").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_csconc_m").toString + "/manifest"
+    val rnd = new scala.util.Random(71)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val t1 = blob(150); val t2 = blob(140); val t3 = blob(160)
+    ChunkStoreIngest.processBatch(Seq((1L, t1)).toDF("doc_id", "text"),
+      0L, storeDir, manifestDir, divisor = 16)
+    ChunkStoreIngest.processBatch(Seq((2L, t2)).toDF("doc_id", "text"),
+      1L, storeDir, manifestDir, divisor = 16)
+    // batch 2 lands AFTER compaction snapshots the sidecar list but
+    // before it scans store digests — the advisor's race, made
+    // deterministic via the seam
+    ChunkStoreIngest.compactBlooms(spark, storeDir,
+      midCompactionHook = () =>
+        ChunkStoreIngest.processBatch(Seq((3L, t3)).toDF("doc_id", "text"),
+          2L, storeDir, manifestDir, divisor = 16))
+    val bloomRoot = new java.io.File(ChunkStoreIngest.bloomDir(storeDir))
+    val gens = bloomRoot.listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(gens.contains("batch=2"),
+      s"the mid-compaction batch's sidecar must survive the post-commit delete: $gens")
+    assert(!gens.contains("batch=0") && !gens.contains("batch=1"),
+      s"pre-snapshot sidecars must be folded away: $gens")
+    // no stored digest screens as provably-novel — the coverage hole
+    // the unsnapshotted delete would open
+    val standing = spark.read.parquet(storeDir).select("digest", "hp")
+    val blooms = ChunkStoreIngest.standingBlooms(spark, storeDir, 99L,
+      standing.select("hp").distinct().as[String].collect().toSeq)
+    assert(ChunkStoreIngest.probeForSpec(standing, blooms)
+      .filter(!col("__cand")).count() == 0L,
+      "every stored digest (incl. the mid-compaction batch's) must screen as a maybe")
+    // re-sending batch 2's content in a new batch must store NOTHING new
+    ChunkStoreIngest.processBatch(Seq((4L, t3)).toDF("doc_id", "text"),
+      3L, storeDir, manifestDir, divisor = 16)
+    val store = spark.read.parquet(storeDir)
+    assert(store.count() == store.select("digest").distinct().count(),
+      "no duplicate store rows — the byte-exact reassembly invariant holds")
+    val got = ChunkStoreIngest.reassemble(spark, storeDir, manifestDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t3))
+  }
+
+  test("chunk store refuses to write an hp-partitioned batch into a pre-hp flat store") {
+    import graft.streaming.ChunkStoreIngest
+    val storeDir = Files.createTempDirectory("graft_csflat").toString + "/store"
+    val manifestDir = Files.createTempDirectory("graft_csflat_m").toString + "/manifest"
+    // fabricate a legacy flat-layout store: batch=0 with bare parquet
+    // files, no hp partition level
+    Seq(("d0", 5L, "hello")).toDF("digest", "len", "chunk")
+      .write.parquet(s"$storeDir/batch=0")
+    val ex = intercept[IllegalStateException] {
+      ChunkStoreIngest.processBatch(Seq((1L, "some fresh document text here")).toDF("doc_id", "text"),
+        1L, storeDir, manifestDir, divisor = 16)
+    }
+    assert(ex.getMessage.contains("pre-hp flat layout"), ex.getMessage)
+    // nothing was written: the store still reads cleanly as flat
+    assert(spark.read.parquet(storeDir).count() == 1L)
+    assert(!new java.io.File(manifestDir).exists(),
+      "the batch must fail before any write")
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
