@@ -253,6 +253,45 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("bpe merge asset: one training per corpus serves train AND apply; apply-from-asset equals retrain") {
+    import graft.operators.TextAnalysis
+    withRoot { root =>
+      val corpus = java.nio.file.Files.createTempDirectory("graft_bpe_corpus").toString
+      Tables.documents(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/documents.parquet")
+      TextAnalysis.dropInMemoryBpeTables()
+      try {
+        val builds0 = TextAnalysis.bpeAssetBuilds.get()
+        val wf = TextAnalysis.wordFrequency(Tables.documents(spark, corpus))
+        // retrain-from-scratch reference (the pre-asset semantics)
+        val retrained = TextAnalysis.bpeApply(wf, rounds = 3).collect()
+        // train query + apply query: ONE training between them
+        val merges = TextAnalysis.corpusBpeMerges(spark, corpus, rounds = 3)
+        assert(merges.count() == 3L)
+        val applied = TextAnalysis.bpeApplyFromMerges(wf, merges).collect()
+        assert(TextAnalysis.bpeAssetBuilds.get() == builds0 + 1,
+          "bpe_train and bpe_apply must share one training per corpus fingerprint")
+        assert(applied.toSeq == retrained.toSeq,
+          "apply-from-asset must reproduce the retrain-from-scratch segmentation exactly")
+        // fresh JVM: load the committed merge list, never retrain
+        TextAnalysis.dropInMemoryBpeTables()
+        TextAnalysis.corpusBpeMerges(spark, corpus, rounds = 3).count()
+        assert(TextAnalysis.bpeAssetBuilds.get() == builds0 + 1,
+          "a fresh JVM must load the merge asset, not retrain")
+        val names = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("bpemerges_"))
+        assert(names.length == 1 && names.head.startsWith("bpemerges_r3_v"),
+          s"one round-addressed merge asset expected: ${names.toSeq}")
+        // a different round budget is a different model: new address
+        TextAnalysis.corpusBpeMerges(spark, corpus, rounds = 2).count()
+        assert(TextAnalysis.bpeAssetBuilds.get() == builds0 + 2)
+      } finally {
+        TextAnalysis.dropInMemoryBpeTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("knn edge asset address is parameter-complete: changed LSH constants resolve a new asset") {
     import graft.operators.Similarity
     withRoot { root =>
