@@ -168,6 +168,43 @@ object Dedup {
           bfs.map { case (_, bf) => mightContain(lit(bf), xxhash64(key)) }.reduce(_ || _))
       }.otherwise(lit(false))
 
+  /** The ON-DISK DEPLOYMENT of the sharded screen — the build side of
+    * [[graft.functions.PersistedShardBloomProbe]]: one raw `<hp>.bf`
+    * file per shard under `outDir`, each holding that shard's filter in
+    * the Spark-sketch serialization. The grouped aggregation is the
+    * same one [[buildShardBlooms]] runs (filters sized from the largest
+    * shard's exact count — identical BYTES); what changes is the
+    * transport: EXECUTORS write their shards' files directly
+    * (foreachPartition), so nothing filter-sized ever transits the
+    * driver or a query plan — at p=2/n=10^11 that is the difference
+    * between ~125 GB of plan literals and 256 files probed lazily by
+    * the executors that touch them. This is the batch twin of the
+    * chunk store's parquet sidecars ([[graft.streaming.ChunkStoreIngest]]
+    * loads only touched prefixes per micro-batch); both carry the
+    * kernel's no-false-negative invariant.
+    */
+  private[graft] def persistShardBloomFiles(standing: DataFrame, keyCol: String,
+      bitsPerItem: Long, outDir: String): Unit = {
+    val maxShard = standing.groupBy("hp").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    if (!maxShard.isNullAt(0)) {
+      val est = math.max(maxShard.getLong(0), 16L)
+      standing.groupBy("hp")
+        .agg(bloomAgg(xxhash64(col(keyCol)), est, est * bitsPerItem).as("bf"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val conf = new org.apache.hadoop.conf.Configuration()
+            rows.foreach { r =>
+              val p = new org.apache.hadoop.fs.Path(outDir, r.getString(0) + ".bf")
+              val fs = p.getFileSystem(conf)
+              val out = fs.create(p, true)
+              try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+            }
+          }
+        }
+    }
+  }
+
   /** TWO-TIER incremental dedup: a broadcast Bloom filter pre-screens
     * the incoming side so only probable hits pay the exact digest join
     * — same OUTPUT contract as [[incremental]] (bit-identical verdicts:
@@ -312,6 +349,85 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
     incrementalBloomSharded(docs, split, shardHexChars = 1)
+  }
+
+  // (asset id) -> committed sidecar directory of persisted per-shard
+  // filters — the on-disk Bloom deployments, content-addressed like
+  // every other corpus asset (split and shard params are address
+  // components: a filter set built under one cut can never screen
+  // another).
+  private val shardBloomDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test seam: sidecar builds this JVM ran. */
+  private[graft] val shardBloomBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test seam: forget the in-JVM sidecar handles. */
+  private[graft] def dropInMemoryShardBlooms(): Unit = shardBloomDirs.clear()
+
+  /** [[incrementalBloomSharded]] with the filters PROBED FROM DISK
+    * (the [[graft.functions.PersistedShardBloomProbe]] deployment
+    * shape) instead of carried as plan literals: verdicts are
+    * bit-identical — the probe reads the same filter bytes the literal
+    * path embeds, a missing shard file is the same "definitively
+    * novel" as an absent literal, and Bloom maybes pay the same exact
+    * re-check join. `sidecarDir` must hold files written by
+    * [[persistShardBloomFiles]] over the SAME standing slice and
+    * prefix width.
+    */
+  def incrementalBloomShardedOnDisk(
+      docs: DataFrame,
+      splitId: Long,
+      sidecarDir: String,
+      shardHexChars: Int = 2
+  ): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1,4], got $shardHexChars")
+    val h = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+      .withColumn("hp", substring(col("h"), 1, shardHexChars))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = h.filter(col("doc_id") < splitId).select(col("h"), col("hp")).distinct()
+    val nw = h.filter(col("doc_id") >= splitId)
+    val firstNew = nw.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val probed = nw.withColumn("__cand",
+      sketch.persistedShardBloom(sidecarDir, col("hp"), xxhash64(col("h"))))
+    val maybe = probed.filter(col("__cand"))
+      .join(old.select(col("h")).withColumn("is_old", lit(true)), Seq("h"), "left")
+    val clean = probed.filter(!col("__cand")).withColumn("is_old", lit(false))
+    val out = maybe.select("doc_id", "h", "is_old")
+      .unionByName(clean.select("doc_id", "h", "is_old"))
+      .join(firstNew, "h")
+      .select(
+        col("doc_id"),
+        when(col("is_old"), "dup_of_old")
+          .when(col("doc_id") =!= col("first_id"), "dup_of_new")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, h)
+  }
+
+  /** Driver query: same cut and SAME oracle as the literal-dispatch
+    * [[incrementalBloomShardedQuery]] — the sidecar files are a durable
+    * asset (built once per (corpus, cut, prefix width), loaded by
+    * later JVMs), and the probe reads them from the executors.
+    */
+  def incrementalBloomShardedDiskQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId =
+      s"shardblooms_inc_s${split}_p1_b10_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val sidecars = shardBloomDirs.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          shardBloomBuilds.incrementAndGet()
+          val standing = docs.filter(col("doc_id") < split)
+            .select(md5(coalesce(col("text"), lit(""))).as("h"))
+            .withColumn("hp", substring(col("h"), 1, 1))
+            .distinct()
+          persistShardBloomFiles(standing, "h", bitsPerItem = 10, staging)
+        }))
+    incrementalBloomShardedOnDisk(docs, split, sidecars, shardHexChars = 1)
   }
 
   // --------------------------------------------------------------------
@@ -1473,5 +1589,58 @@ object Dedup {
     val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
     cdcIncrementalBloomOn(corpusChunkDigests(spark, dir), split,
       shardHexChars = 1, bitsPerItem = 10)
+  }
+
+  /** [[cdcIncrementalBloomOn]] with persisted filters — the CDC member
+    * of the on-disk tier ([[incrementalBloomShardedOnDisk]] documents
+    * the bit-identical contract). Runs off the digest asset like its
+    * twins; the screen probes `sidecarDir`'s files from the executors.
+    */
+  private def cdcIncrementalBloomDiskOn(ch: DataFrame, splitId: Long,
+      sidecarDir: String, shardHexChars: Int): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1,4], got $shardHexChars")
+    val hp = substring(col("digest"), 1, shardHexChars)
+    val standing = ch.filter(col("doc_id") < splitId)
+      .select(col("digest"), hp.as("hp")).distinct()
+    val batch = ch.filter(col("doc_id") >= splitId).withColumn("hp", hp)
+    val probed = batch.withColumn("__cand",
+      sketch.persistedShardBloom(sidecarDir, col("hp"), xxhash64(col("digest"))))
+    val maybe = probed.filter(col("__cand"))
+      .join(standing.select(col("digest")).withColumn("known", lit(true)),
+        Seq("digest"), "left")
+    val clean = probed.filter(!col("__cand")).withColumn("known", lit(false))
+    maybe.select("doc_id", "digest", "len", "known")
+      .unionByName(clean.select("doc_id", "digest", "len", "known"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("known_chunks"),
+        sum(when(col("known"), 0L).otherwise(col("len"))).as("novel_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver query: same cut and SAME oracle as
+    * [[cdcIncrementalBloomQuery]]; the standing chunk filters are a
+    * durable sidecar asset derived from the digest asset's standing
+    * slice.
+    */
+  def cdcIncrementalBloomDiskQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    val ch = corpusChunkDigests(spark, dir)
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId =
+      s"shardblooms_cdc_s${split}_p1_b10_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val sidecars = shardBloomDirs.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          shardBloomBuilds.incrementAndGet()
+          val standing = ch.filter(col("doc_id") < split)
+            .select(col("digest"), substring(col("digest"), 1, 1).as("hp"))
+            .distinct()
+          persistShardBloomFiles(standing, "digest", bitsPerItem = 10, staging)
+        }))
+    cdcIncrementalBloomDiskOn(ch, split, sidecars, shardHexChars = 1)
   }
 }

@@ -292,6 +292,46 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("shard-Bloom sidecar assets: disk-probed driver queries equal their literal twins; built once, loaded after") {
+    import graft.operators.Dedup
+    withRoot { root =>
+      val corpus = java.nio.file.Files.createTempDirectory("graft_bf_corpus").toString
+      Tables.documents(spark, sf).write.mode("overwrite")
+        .parquet(s"$corpus/documents.parquet")
+      Dedup.dropInMemoryShardBlooms()
+      Dedup.dropInMemoryNgramTables()
+      try {
+        val builds0 = Dedup.shardBloomBuilds.get()
+        val litInc = Dedup.incrementalBloomShardedQuery(spark, corpus).collect()
+        val diskInc = Dedup.incrementalBloomShardedDiskQuery(spark, corpus).collect()
+        assert(litInc.toSeq == diskInc.toSeq,
+          "disk-probed incremental verdicts must equal the literal tier")
+        val litCdc = Dedup.cdcIncrementalBloomQuery(spark, corpus).collect()
+        val diskCdc = Dedup.cdcIncrementalBloomDiskQuery(spark, corpus).collect()
+        assert(litCdc.toSeq == diskCdc.toSeq,
+          "disk-probed CDC accounting must equal the literal tier")
+        assert(Dedup.shardBloomBuilds.get() == builds0 + 2,
+          "one sidecar build per (family, corpus, cut)")
+        // fresh JVM: the committed sidecars are loaded, not rebuilt
+        Dedup.dropInMemoryShardBlooms()
+        Dedup.incrementalBloomShardedDiskQuery(spark, corpus).count()
+        Dedup.cdcIncrementalBloomDiskQuery(spark, corpus).count()
+        assert(Dedup.shardBloomBuilds.get() == builds0 + 2,
+          "a fresh JVM must load the committed sidecar assets")
+        val names = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("shardblooms_")).sorted
+        assert(names.length == 2 &&
+          names.exists(_.startsWith("shardblooms_cdc_s")) &&
+          names.exists(_.startsWith("shardblooms_inc_s")),
+          s"two cut-addressed sidecar assets expected: ${names.toSeq}")
+      } finally {
+        Dedup.dropInMemoryShardBlooms()
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("knn edge asset address is parameter-complete: changed LSH constants resolve a new asset") {
     import graft.operators.Similarity
     withRoot { root =>

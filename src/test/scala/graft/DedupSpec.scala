@@ -92,6 +92,54 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("on-disk shard Bloom tier: bit-identical verdicts to the exact path, filters probed from sidecar files (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val textGen = Gen.oneOf(Seq(
+      "alpha", "beta", "gamma", "delta", "twin twin", "", null.asInstanceOf[String]))
+    val corpusGen = for {
+      n <- Gen.choose(0, 24)
+      texts <- Gen.listOfN(n, textGen)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(corpusGen, Gen.choose(0L, 24L), Gen.choose(1, 2)) {
+      (rows, split, hexChars) =>
+        val docs = rows.toDF("doc_id", "text")
+        // build the sidecars exactly as the deployment would: from the
+        // standing slice, one .bf file per populated shard
+        val dir = java.nio.file.Files.createTempDirectory("graft_bfdisk").toString
+        val standing = docs.filter(col("doc_id") < split)
+          .select(md5(coalesce(col("text"), lit(""))).as("h"))
+          .withColumn("hp", substring(col("h"), 1, hexChars)).distinct()
+        Dedup.persistShardBloomFiles(standing, "h", 10L, dir)
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, String)].collect().sortBy(_._1).toSeq
+        val exact = canon(Dedup.incremental(docs, split))
+        val disk = canon(Dedup.incrementalBloomShardedOnDisk(docs, split, dir, hexChars))
+        spark.catalog.clearCache() // both paths handoff-persist
+        disk == exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+    // deterministic shape check: populated shards land as raw <hp>.bf
+    // files (the layout PersistedShardBloomProbe loads lazily), and an
+    // EMPTY sidecar dir means every probe is definitively novel
+    val docs = ((1 to 6).map(i => (i.toLong, s"seen doc $i")) ++
+      Seq((10L, "seen doc 3"), (11L, "fresh"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfdisk_det").toString
+    val standing = docs.filter(col("doc_id") < 10L)
+      .select(md5(coalesce(col("text"), lit(""))).as("h"))
+      .withColumn("hp", substring(col("h"), 1, 1)).distinct()
+    Dedup.persistShardBloomFiles(standing, "h", 10L, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".bf"))
+    assert(files.nonEmpty && files.forall(f => f.stripSuffix(".bf").matches("[0-9a-f]")),
+      s"expected per-shard .bf files, got ${files.toSeq}")
+    val empty = java.nio.file.Files.createTempDirectory("graft_bfdisk_empty").toString
+    val allNovel = Dedup.incrementalBloomShardedOnDisk(docs, 0L, empty, 1)
+      .as[(Long, String)].collect()
+    assert(allNovel.forall(r => r._2 == "kept" || r._2 == "dup_of_new"),
+      "no sidecars + no standing set must never claim dup_of_old")
+    spark.catalog.clearCache()
+  }
+
   test("n-gram corpus assets are durable: a fresh JVM loads instead of rebuilding") {
     val root = java.nio.file.Files.createTempDirectory("graft_ngram_asset_spec").toString
     spark.conf.set("spark.graft.index.dir", root)
