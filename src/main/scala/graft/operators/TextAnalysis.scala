@@ -760,18 +760,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = freqs.agg(sum(col("freq")).cast("double").as("__total"))
+    // rank + cumulative share over the TOP-K ROWS ONLY: K is bounded
+    // and driver-chosen, so the K rows are model state — collected and
+    // ranked on the driver (the bpeTrain/centroid pattern) instead of
+    // through a partition-less WindowExec whose single-task sort is
+    // harmless here but warns on every run. The running sum stays an
+    // exact long; the one double division per row matches the oracle.
+    val spark = docs.sparkSession
+    val tot = total.head().getDouble(0)
     val top = freqs.orderBy(desc("freq"), asc("term")).limit(topK)
-    // the window below runs over `topK` rows (post-limit) — bounded by
-    // construction, so the single-partition sort is a non-issue
-    val w = Window.orderBy(desc("freq"), asc("term"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top
-      .crossJoin(broadcast(total))
-      .select(
-        row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("long").as("rank"),
-        col("term"),
-        col("freq"),
-        (sum(col("freq")).over(w) / col("__total")).as("cum_share"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (term, freq) => (-freq, term) }
+    val ranked = top.zipWithIndex.scanLeft((0L, "", 0L, 0L)) {
+      case ((_, _, _, cum), ((term, freq), i)) =>
+        ((i + 1).toLong, term, freq, cum + freq)
+    }.drop(1).map { case (rank, term, freq, cum) => (rank, term, freq, cum / tot) }
+    import spark.implicits._
+    ranked.toSeq.toDF("rank", "term", "freq", "cum_share")
   }
 
   def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1756,15 +1761,20 @@ object TextAnalysis {
       .join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lw_q")).as("logw_q"))
-    // rank window runs over topK rows (post-limit) — bounded by
-    // construction, the vocabCoverage argument
-    scored
+    // rank over the topK rows only — bounded, driver-chosen: collect
+    // and rank on the driver (the vocabCoverage pattern; no
+    // partition-less WindowExec)
+    val spark = docs.sparkSession
+    val top = scored
       .orderBy(desc("logw_q"), asc("doc_id"))
       .limit(topK)
-      .select(
-        row_number().over(
-          Window.orderBy(desc("logw_q"), asc("doc_id"))).cast("long").as("rank"),
-        col("doc_id"), col("n_tokens"), col("logw_q"))
+      .select(col("doc_id"), col("n_tokens"), col("logw_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, lw) => (-lw, id) }
+    import spark.implicits._
+    top.zipWithIndex
+      .map { case ((id, nt, lw), i) => ((i + 1).toLong, id, nt, lw) }
+      .toSeq.toDF("rank", "doc_id", "n_tokens", "logw_q")
   }
 
   /** Driver query: resample the non-src0 pool toward src0 as the target
@@ -1795,12 +1805,20 @@ object TextAnalysis {
     val toks = docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos", "term")))
-    val vocab = toks
+    // id assignment over the K vocab rows only — bounded, driver-chosen
+    // (the vocabCoverage pattern): the K-row vocabulary is model state,
+    // ranked on the driver and broadcast back, no partition-less window
+    val spark = docs.sparkSession
+    val vocabRows = toks
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("term"))
       .limit(vocabK)
-      .select(col("term"),
-        row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("long").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (term, freq) => (-freq, term) }
+    import spark.implicits._
+    val vocab = vocabRows.zipWithIndex
+      .map { case ((term, _), i) => (term, (i + 1).toLong) }
+      .toSeq.toDF("term", "id")
     toks
       .join(broadcast(vocab), Seq("term"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
