@@ -943,6 +943,75 @@ class StreamingSpec extends SparkSpec {
       "the batch must fail before any write")
   }
 
+  test("composed curated ingest: gate → exact dedup → chunk store equals the batch composition; reassembly lossless") {
+    import graft.streaming.{ChunkStoreIngest, CuratedIngest}
+    import graft.operators.TextAnalysis
+    val weights = TextAnalysis.classifierWeights()
+    val src = Files.createTempDirectory("graft_ci_src").toString
+    val dest = Files.createTempDirectory("graft_ci_dest").toString + "/docs"
+    val digest = Files.createTempDirectory("graft_ci_dig").toString + "/digests"
+    val store = Files.createTempDirectory("graft_ci_store").toString + "/store"
+    val manifest = Files.createTempDirectory("graft_ci_man").toString + "/manifest"
+    val ckpt = Files.createTempDirectory("graft_ci_ck").toString
+    val rnd = new scala.util.Random(97)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = blob(150)
+    // batch 0: ids 1-3; batch 1: ids 4-6. id 4 repeats id 1's exact
+    // text (cross-batch dup), id 5 shares a long span with id 1
+    // (chunk-level dedup), junk rows exercise the gate's reject side
+    val texts = Map(
+      1L -> ("the quick brown fox " + shared),
+      2L -> "zzzz qqqq zzzz qqqq zzzz qqqq xxqz",
+      3L -> ("lorem ipsum dolor sit amet " + blob(60)),
+      4L -> ("the quick brown fox " + shared),
+      5L -> (shared + " over the lazy dog again"),
+      6L -> "qqqq zzzz qqqq zzzz vvvv wwww qzqz")
+    Seq(1L, 2L, 3L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f1")
+    Seq(4L, 5L, 6L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f2")
+    val all = texts.toSeq.toDF("doc_id", "text")
+    // the corpus must exercise BOTH gate verdicts or the pin is vacuous
+    val verdicts = QualityGate.gate(all, weights).select("kept")
+      .collect().map(_.getBoolean(0)).toSet
+    assert(verdicts == Set(true, false), s"degenerate gate split: $verdicts")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    CuratedIngest.runCuratedIngest(stream, weights, dest, digest, store, manifest,
+      ckpt, divisor = 16)
+    // BATCH TWIN of the composition: gate, then keep min doc_id per
+    // content (ids rise with batch order, so min-id == first-seen)
+    val batchKept = QualityGate.gate(all, weights).filter(col("kept"))
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val landed = spark.read.parquet(dest).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed == batchKept,
+      s"stream composition must equal the batch gate→dedup: $landed vs $batchKept")
+    assert(landed.nonEmpty && landed.size < texts.size,
+      "composition must both keep and drop something")
+    // stage 3 lossless: the chunk store reproduces every landed doc
+    // byte-for-byte, and holds each chunk exactly once
+    val st = spark.read.parquet(store)
+    assert(st.count() == st.select("digest").distinct().count())
+    val got = ChunkStoreIngest.reassemble(spark, store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == landed, "reassembly must reproduce exactly the landed docs")
+    // replay convergence end-to-end: re-running batch 1 changes nothing
+    CuratedIngest.processBatch(
+      Seq(4L, 5L, 6L).map(i => (i, texts(i))).toDF("doc_id", "text"),
+      1L, weights, 0L, dest, digest, store, manifest, divisor = 16)
+    val landed2 = spark.read.parquet(dest).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val st2 = spark.read.parquet(store)
+    assert(landed2 == landed && st2.count() == st.count(),
+      "a replayed micro-batch must converge to the identical composed state")
+  }
+
   test("streaming quality gate: per-micro-batch classifier verdicts equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
