@@ -650,6 +650,42 @@ object Dedup {
     minhashPairsOn(corpusMinhashSignatures(spark, dir), threshold = 0.7)
       .orderBy(asc("id_a"), asc("id_b"))
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — the mix-design diagnostic
+    * behind "how much does source X overlap source Y" (corpus buyers
+    * ask exactly this before weighting a new crawl): near-dup pairs at
+    * Jaccard >= `threshold` rolled up by canonicalized source pair,
+    * with the pair count and the integer-quantized Jaccard mass
+    * (sum of floor(j*10^4+0.5) — int64-summed, so the aggregate is
+    * order- and engine-independent; the within-source diagonal stays
+    * in the output because self-duplication rates matter too).
+    *
+    * Scale shape: a consumer of the materialized
+    * [[corpusMinhashSignatures]] asset — no re-shingling; the verified
+    * pair table is tiny (near-dup rate x corpus), so it BROADCASTS
+    * onto the two (doc_id, source) lookups and the final exchange is
+    * source-pairs-sized. The corpus never shuffles.
+    */
+  def crossSourceDupQuery(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairsOn(corpusMinhashSignatures(spark, dir), threshold = threshold)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // both lookups keep the pair side broadcast: the corpus-side scans
+    // stay partition-local, pairs-sized rows are all that ever moves
+    val withA = src.select(col("doc_id").as("id_a"), col("source").as("sa"))
+      .join(broadcast(pairs), Seq("id_a"))
+    src.select(col("doc_id").as("id_b"), col("source").as("sb"))
+      .join(broadcast(withA), Seq("id_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jq"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jq")).as("jaccard_q_sum"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** INGEST-BATCH near-dup accounting via the minhash band index — the
     * approximate tier of the incremental family ([[incremental]] exact
     * digests, [[ngramIncremental]] exact Jaccard, [[cdcIncremental]]

@@ -60,6 +60,34 @@ object TextAnalysis {
       .select(col("doc_id"), text.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** PER-SOURCE LANGUAGE COMPOSITION — the mix-design table behind
+    * "what is each source actually made of": documents and tokens per
+    * (source, predicted language), plus each cell's token share of the
+    * whole corpus. Multilingual mixes are weighted off exactly this
+    * breakdown (a crawl that is 40% non-target-language gets its quota
+    * cut before any per-doc filtering runs).
+    *
+    * Scale shape: ONE corpus pass — both fused kernels
+    * ([[graft.functions.text.langId]], [[graft.functions.text
+    * .tokenCount]]) run in the same narrow projection, the aggregation
+    * is map-side combined to (sources x languages) rows, and the total
+    * is a 1-row broadcast. `token_share` is a single division of two
+    * exact longs (engine-independent, the [[mixKl]] convention).
+    */
+  def mixLanguagesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"),
+        text.langId(col("text")).as("pred_lang"),
+        text.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).cast("double").as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("pred_lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__t")).as("token_share"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** Heavy hitters: top sources by document count — the frequent-item
     * scan a corpus-curation pipeline runs first. Exact via groupBy;
     * deterministic tie-break on the key.

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** ASSET-BUILD-TIME bench: time each durable corpus asset's BUILD into
+  * a fresh warehouse — the number a 100 TB operator plans around (the
+  * sf1 query tables measure latency AGAINST prebuilt assets; this
+  * measures building them). Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.AssetBench"
+  *
+  * Each family resolves into its own FRESH `spark.graft.index.dir`
+  * (and the in-JVM handle caches are dropped first), so every number
+  * is a cold build: corpus scan + kernel + parquet/file write. One
+  * JSON line to stdout: {"sf_dir": ..., "builds": {name: sec, ...}}.
+  */
+object AssetBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+    def freshRoot(): Unit = {
+      spark.conf.set("spark.graft.index.dir",
+        java.nio.file.Files.createTempDirectory("graft_assetbench").toString)
+      Dedup.dropInMemoryNgramTables()
+      Dedup.dropInMemoryShardBlooms()
+      Similarity.dropInMemoryIndexes()
+      TextAnalysis.dropInMemoryBpeTables()
+      spark.catalog.clearCache()
+    }
+
+    val builds = Seq[(String, () => Long)](
+      "ngramidx_k3" -> (() => Dedup.corpusNgramIndex(spark, sfDir).count()),
+      "gramdf_k3" -> (() => Dedup.corpusGramDf(spark, sfDir).count()),
+      "cdcdigests" -> (() => Dedup.corpusChunkDigests(spark, sfDir).count()),
+      "minhashsig_k3_h128" -> (() => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
+      "knnedges_k5" -> (() => Similarity.corpusKnnEdges(spark, sfDir).count()),
+      "bpemerges_r3" -> (() => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
+    )
+    val timed = builds.map { case (name, run) =>
+      freshRoot()
+      val t0 = System.nanoTime()
+      run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> math.round(sec * 1000) / 1000.0
+    }
+    val json = timed.map { case (n, s) => s""""$n": $s""" }.mkString(", ")
+    println(s"""{"sf_dir": "$sfDir", "builds": {$json}}""")
+    spark.stop()
+  }
+}

@@ -687,13 +687,17 @@ class QueriesSpec extends SparkSpec {
     // text_c4 is a pure narrow projection: zero exchanges of any kind
     val c4Plan = TextAnalysis.c4Rules(docs).queryExecution.sparkPlan.toString
     assert(!c4Plan.contains("Exchange"), s"text_c4 must be shuffle-free:\n$c4Plan")
-    // mix_dsir: the bucket weight table must reach the scoring pass by
-    // broadcast (a shuffled join there would key the corpus on a
-    // 256-value column); no cartesian anywhere
-    val dsirPlan = TextAnalysis.dsirSelect(docs, col("source") === "src0")
-      .queryExecution.sparkPlan.toString
-    assert(dsirPlan.contains("BroadcastHashJoin"), s"mix_dsir weight join must broadcast:\n$dsirPlan")
+    // mix_dsir: since round 14 the returned frame is the driver-ranked
+    // bounded top-K (LocalTableScan — no partition-less WindowExec);
+    // the broadcast of the 256-row weight table onto the scoring pass
+    // is pinned in dsirSelect's own code (join(broadcast(weights))),
+    // which ran eagerly to produce these rows
+    val dsir = TextAnalysis.dsirSelect(docs, col("source") === "src0")
+    val dsirPlan = dsir.queryExecution.sparkPlan.toString
+    assert(dsirPlan.contains("LocalTableScan"),
+      s"mix_dsir must return driver-ranked bounded rows:\n$dsirPlan")
     assert(!dsirPlan.contains("CartesianProduct"), dsirPlan)
+    assert(dsir.count() <= 100L, "bounded by topK (default 100)")
     // vocab_encode: the K-row vocab broadcasts onto the token stream —
     // a sort-merge join there would shuffle the corpus by TERM
     val vePlan = TextAnalysis.vocabEncode(docs).queryExecution.sparkPlan.toString
