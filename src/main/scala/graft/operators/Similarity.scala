@@ -540,6 +540,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PER-DIMENSION EMBEDDING STATS — the feature-health table run
+    * before any whitening/normalization decision (a dead dimension,
+    * a clipped range, or a wildly off-center mean shows up here first):
+    * per dimension, count + integer-grid sum / sum-of-squares / min /
+    * max. All aggregates are int64 over the quantization grid (the
+    * [[quantizedCol]] convention), so the table is exact and
+    * engine-independent — mean/variance are one division away for the
+    * reader, left undone to keep every cell integral.
+    *
+    * Scale shape: one corpus pass, posexplode to skinny (dim, q) pairs,
+    * map-side combined aggregation to d rows — the exchange carries
+    * dims × partials, never vectors.
+    */
+  def embedDimStatsQuery(spark: SparkSession, dir: String, scale: Int = 1000): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(quantizedCol(col("embedding"), scale)).as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("sum_q"),
+        col("sumsq_q"), col("min_q"), col("max_q"))
+      .orderBy("dim")
+
   /** Per-label MEDOID — the member vector nearest its label's centroid
     * (exact integer grid, smallest-vec_id tie): the cluster-prototype
     * primitive behind "show me a representative document per cluster"

@@ -88,6 +88,47 @@ object TextAnalysis {
       .orderBy("source", "pred_lang")
   }
 
+  /** CROSS-SOURCE VOCABULARY OVERLAP — pairwise Jaccard of the
+    * per-source top-K vocabularies: the complement of [[mixKl]]'s
+    * divergence view ("how much does X's frequent vocabulary overlap
+    * Y's" is the question behind merging near-duplicate crawls or
+    * keeping them as distinct mix components). Within-source diagonal
+    * excluded (trivially 1); source pairs sharing no top-K term drop
+    * out (inner join — both engines agree).
+    *
+    * Scale shape: one corpus pass to (source, term) counts (map-side
+    * combined); the top-K cut is a window PARTITIONED by source
+    * (bounded per-group work, no global sort); everything after runs
+    * on sources × K rows — the pairwise join is tiny by construction.
+    */
+  def vocabOverlapQuery(spark: SparkSession, dir: String, topK: Int = 32): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(text.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source")).orderBy(desc("freq"), asc("term"))
+    val top = counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("source"), col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("k"))
+    val inter = top.select(col("source").as("source_a"), col("term"))
+      .join(top.select(col("source").as("source_b"), col("term")), Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val out = inter
+      .join(sizes.select(col("source").as("source_a"), col("k").as("ka")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("k").as("kb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("ka") + col("kb") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+    graft.engine.Caching.handoff(out, top)
+  }
+
   /** Heavy hitters: top sources by document count — the frequent-item
     * scan a corpus-curation pipeline runs first. Exact via groupBy;
     * deterministic tie-break on the key.

@@ -955,6 +955,64 @@ class QueriesSpec extends SparkSpec {
     assert(k3.keySet == k5.keySet)
   }
 
+  test("dedup_cross_source: canonical pair order, mass conservation vs the pair table") {
+    import graft.operators.Dedup
+    val rows = Dedup.crossSourceDupQuery(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, jq) =>
+      assert(a <= b, s"pair must be canonicalized: ($a, $b)")
+      assert(n > 0 && jq >= n * 7000L && jq <= n * 10000L,
+        s"quantized mass must sit in [0.7, 1.0] per pair: n=$n jq=$jq")
+    }
+    // conservation: the matrix partitions the pair table exactly
+    val pairs = Dedup.minhashPairsOn(Dedup.corpusMinhashSignatures(spark, sf), threshold = 0.7)
+      .collect()
+    assert(rows.map(_._3).sum == pairs.length.toLong,
+      "sum of per-cell pair counts must equal the total verified pair count")
+  }
+
+  test("mix_languages: cells partition the corpus; shares sum to 1") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.mixLanguagesQuery(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == nDocs, "every doc lands in exactly one cell")
+    val shareSum = rows.map(_._5).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares must sum to 1: $shareSum")
+    assert(rows.map(_._1).distinct.length > 1, "multiple sources expected on the corpus")
+  }
+
+  test("vocab_overlap: bounded shared counts, jaccard formula, canonical order") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.vocabOverlapQuery(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty, "sources share common-English vocabulary on this corpus")
+    rows.foreach { case (a, b, n, j) =>
+      assert(a < b, s"canonical order: ($a, $b)")
+      assert(n >= 1 && n <= 32, s"shared terms bounded by topK: $n")
+      assert(j > 0.0 && j <= 1.0, s"jaccard in (0,1]: $j")
+      // with both vocabs cut at k<=32, jaccard >= n/(32+32-n)
+      assert(j >= n.toDouble / (64 - n) - 1e-12, s"formula bound violated: n=$n j=$j")
+    }
+  }
+
+  test("embed_dimstats: one row per dimension, exact grid aggregates match a driver recomputation") {
+    import graft.operators.Similarity
+    val rows = Similarity.embedDimStatsQuery(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val vecs = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(rows.length == vecs.head.length, "one row per dimension")
+    val d0 = vecs.map(v => math.floor(v(0).toDouble * 1000 + 0.5).toLong)
+    val r0 = rows.find(_._1 == 0L).get
+    assert(r0._2 == vecs.length.toLong)
+    assert(r0._3 == d0.sum && r0._4 == d0.map(q => q * q).sum)
+    assert(r0._5 == d0.min && r0._6 == d0.max)
+    rows.foreach { r => assert(r._5 <= r._6 && r._2 == vecs.length.toLong) }
+  }
+
   test("dedup_canonical: keeper is the longest member of its own cluster (min id on ties)") {
     import graft.operators.Clustering
     val rows = Clustering.dedupCanonicalQuery(spark, sf)
