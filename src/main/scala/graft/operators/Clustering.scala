@@ -278,7 +278,7 @@ object Clustering {
     */
   def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup
-      .minhashPairsOn(Dedup.corpusMinhashSignatures(spark, dir), threshold = 0.7)
+      .corpusMinhashPairs(spark, dir, threshold = 0.7)
       .select("id_a", "id_b")
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -310,7 +310,7 @@ object Clustering {
     import graft.functions.text
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup
-      .minhashPairsOn(Dedup.corpusMinhashSignatures(spark, dir), threshold = 0.7)
+      .corpusMinhashPairs(spark, dir, threshold = 0.7)
       .select("id_a", "id_b")
     val labels = connectedComponents(pairs)
     // token kernel AFTER the join, labels BROADCAST: near-dup labels

@@ -632,6 +632,46 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
   }
 
+  // (asset id) -> parquet path of the VERIFIED PAIR TABLE — the second
+  // rung of the minhash asset family: where [[corpusMinhashSignatures]]
+  // materializes the per-doc signatures, this materializes the
+  // threshold-cut verified pair graph built FROM them (band candidates
+  // + exact sorted-merge Jaccard — [[minhashPairsOn]]). Real pipelines
+  // keep exactly this artifact ("the near-dup edge list") next to the
+  // corpus: clustering, canonical selection and the cross-source
+  // matrix are all downstream reads of it, so none of them pays
+  // banding or verification at query time. Threshold and band shape
+  // are address components (a 0.7-cut graph can never serve 0.8).
+  private val minhashPairTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test seam: pair-graph builds this JVM ran. */
+  private[graft] val minhashPairBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The materialized verified pair table for `dir`'s documents at
+    * `threshold` (permille in the address — asset ids stay dot-free).
+    * Builds ride the signature asset, so a cold warehouse pays one
+    * signature build + one banding/verify pass, total.
+    */
+  def corpusMinhashPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val tPermille = math.round(threshold * 1000)
+    val assetId =
+      s"minhashpairs_k${shingleK}_h${numHashes}_b${bands}_t${tPermille}" +
+        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = minhashPairTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          minhashPairBuilds.incrementAndGet()
+          minhashPairsOn(corpusMinhashSignatures(spark, dir, shingleK, numHashes),
+            numHashes, bands, threshold)
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
   /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold
     * the 32-band x 4-row S-curve makes banding recall effectively exact:
     * a true pair at j >= 0.7 escapes every band with probability
@@ -647,7 +687,7 @@ object Dedup {
     * hash-checkable.
     */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOn(corpusMinhashSignatures(spark, dir), threshold = 0.7)
+    corpusMinhashPairs(spark, dir, threshold = 0.7)
       .orderBy(asc("id_a"), asc("id_b"))
 
   /** CROSS-SOURCE DUPLICATION MATRIX — the mix-design diagnostic
@@ -667,7 +707,7 @@ object Dedup {
     */
   def crossSourceDupQuery(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairsOn(corpusMinhashSignatures(spark, dir), threshold = threshold)
+    val pairs = corpusMinhashPairs(spark, dir, threshold = threshold)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
@@ -949,7 +989,7 @@ object Dedup {
   /** Test seam: forget the in-JVM asset paths (simulates a fresh JVM). */
   private[graft] def dropInMemoryNgramTables(): Unit = {
     ngramIndexTables.clear(); gramDfTables.clear(); chunkDigestTables.clear()
-    minhashSigTables.clear()
+    minhashSigTables.clear(); minhashPairTables.clear()
   }
 
   /** The materialized [[ngramIndex]] for `dir`'s documents, built ONCE

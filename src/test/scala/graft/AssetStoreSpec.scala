@@ -238,6 +238,26 @@ class AssetStoreSpec extends SparkSpec {
           .filter(_.startsWith("minhashsig_"))
         assert(names.length == 1 && names.head.startsWith("minhashsig_k3_h128_v"),
           s"one parameter-addressed signature asset expected: ${names.toSeq}")
+        // second rung: the VERIFIED PAIR TABLE materializes once (off
+        // the signature asset, no second signature build), serves every
+        // graph consumer, and equals the direct computation exactly
+        val pairBuilds0 = Dedup.minhashPairBuilds.get()
+        val pairRows = Dedup.corpusMinhashPairs(spark, corpus, threshold = 0.7)
+          .orderBy("id_a", "id_b").collect()
+        assert(pairRows.toSeq == served.toSeq,
+          "pair asset must equal the directly-computed pair table")
+        Dedup.corpusMinhashPairs(spark, corpus, threshold = 0.7).count()
+        assert(Dedup.minhashPairBuilds.get() == pairBuilds0 + 1 &&
+          Dedup.minhashAssetBuilds.get() == builds0 + 1,
+          "one pair build riding the existing signature asset")
+        Dedup.dropInMemoryNgramTables()
+        Dedup.corpusMinhashPairs(spark, corpus, threshold = 0.7).count()
+        assert(Dedup.minhashPairBuilds.get() == pairBuilds0 + 1,
+          "a fresh JVM must load the committed pair asset")
+        val pairNames = new java.io.File(root).listFiles().map(_.getName)
+          .filter(_.startsWith("minhashpairs_"))
+        assert(pairNames.length == 1 && pairNames.head.startsWith("minhashpairs_k3_h128_b32_t700_v"),
+          s"threshold-addressed pair asset expected: ${pairNames.toSeq}")
         // corpus rebuild in place: same JVM resolves the NEW address
         Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
           .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
