@@ -416,22 +416,35 @@ case class PersistedShardBloomProbe(dir: String, left: Expression, right: Expres
   override def inputTypes = Seq(StringType, LongType)
   override def dataType: DataType = BooleanType
 
+  // keyed by the probing UTF8String itself (bytes equality/hash):
+  // the hot-path lookup allocates NOTHING per row — no toString, no
+  // Option, no closure; only a MISS pays a defensive clone() for the
+  // stored key plus the file read. A missing shard file caches the
+  // Absent sentinel. The map converges to <= shard-count entries per
+  // task.
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.util.sketch.BloomFilter]]()
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, AnyRef]()
 
-  private def load(hp: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = new org.apache.hadoop.fs.Path(dir, hp + ".bf")
+  private def load(hp: UTF8String): AnyRef = {
+    val p = new org.apache.hadoop.fs.Path(dir, hp.toString + ".bf")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) PersistedShardBloomProbe.Absent
     else {
       val in = fs.open(p)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
       finally in.close()
     }
   }
 
-  def probe(hp: UTF8String, h: Long): Boolean =
-    cache.computeIfAbsent(hp.toString, load).exists(_.mightContainLong(h))
+  def probe(hp: UTF8String, h: Long): Boolean = {
+    var bf = cache.get(hp)
+    if (bf == null) {
+      bf = load(hp)
+      cache.putIfAbsent(hp.clone(), bf)
+    }
+    (bf ne PersistedShardBloomProbe.Absent) &&
+      bf.asInstanceOf[org.apache.spark.util.sketch.BloomFilter].mightContainLong(h)
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Boolean.valueOf(probe(a.asInstanceOf[UTF8String], b.asInstanceOf[java.lang.Long]))
@@ -444,6 +457,13 @@ case class PersistedShardBloomProbe(dir: String, left: Expression, right: Expres
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object PersistedShardBloomProbe {
+  /** Cache sentinel for "shard file absent" (ConcurrentHashMap cannot
+    * hold null values; an Option would cost a closure per probe).
+    */
+  private[functions] object Absent
 }
 
 /** Column-level API. */
