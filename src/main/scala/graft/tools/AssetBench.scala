@@ -24,7 +24,6 @@ object AssetBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Dedup, Similarity, TextAnalysis}
