@@ -1099,4 +1099,43 @@ object Relational {
       .orderBy("event_type", "rank")
     graft.engine.Caching.handoff(out, aggs)
   }
+
+  /** TOP ENTRY PATHS — each user's first `depth` event types in
+    * (ts, event_id) order joined into a `a>b>c` path string, rolled up
+    * to the `topK` most common paths: the sequence-mining view of the
+    * funnel family (q_funnel asks "who completed THIS path"; this asks
+    * "which paths happen"). Ties in the report are pinned by
+    * (n_users DESC, path ASC).
+    *
+    * Scale shape: the per-user prefix is a bounded window (row_number
+    * ≤ depth over the user partition — the q_sessionize exchange); the
+    * path assembly is `depth` conditional aggregates in ONE grouped
+    * pass (no array sort, no collect_list — concat_ws skips the NULL
+    * tail for users with fewer events); the rollup keys on the path
+    * string (≤ |event_types|^depth groups, map-side combined); and the
+    * final topK rows are report state, ranked on the driver (the
+    * vocabCoverage pattern — no partition-less window).
+    */
+  def qTopPaths(spark: SparkSession, dir: String,
+      depth: Int = 4, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .select("user_id", "event_id", "event_type", "tus")
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val prefix = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= depth)
+    val slots = (1 to depth).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"e$i"))
+    val paths = prefix.groupBy("user_id")
+      .agg(slots.head, slots.tail: _*)
+      .select(concat_ws(">", (1 to depth).map(i => col(s"e$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    val top = paths.orderBy(desc("n_users"), asc("path")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (path, n) => (-n, path) }
+    import spark.implicits._
+    top.zipWithIndex
+      .map { case ((path, n), i) => ((i + 1).toLong, path, n) }
+      .toSeq.toDF("rank", "path", "n_users")
+  }
 }

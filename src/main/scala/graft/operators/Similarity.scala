@@ -743,6 +743,161 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** MUTUAL k-NN pairs — edges present in BOTH directions of the
+    * directed graph (a ranks b among its top-k AND b ranks a): the
+    * standard robustness filter over approximate neighbor graphs —
+    * one-directional edges are where hubness and LSH-bucket asymmetry
+    * concentrate, so semantic-dedup and clustering pipelines gate on
+    * reciprocity before trusting an edge. Emits each mutual pair once
+    * (`id_a < id_b`) with both ranks and the shared integer-grid
+    * distance (symmetric by construction — [[vec.sqDistLong]]).
+    *
+    * Scale shape: a self-equi-join of the skinny materialized
+    * [[corpusKnnEdges]] asset on the reversed key — both sides are
+    * `n·k` rows, the join key is (id, id), and the output is bounded
+    * by the forward edge count. No distances recomputed, no candidate
+    * generation; at 100 TB this is two scans of one parquet asset.
+    */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusKnnEdges(spark, dir)
+    val fwd = e.select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"),
+      col("rank").as("rank_ab"), col("dist"))
+    val rev = e.select(col("vec_id").as("rid_b"), col("nbr_id").as("rid_a"),
+      col("rank").as("rank_ba"))
+    fwd.join(rev, col("id_a") === col("rid_a") && col("id_b") === col("rid_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The UNDIRECTED view of the k-NN edge asset: one row per unordered
+    * adjacent pair, canonicalized `a < b`. Shared by the triangle and
+    * neighbor-Jaccard operators so both sides of an oracle comparison
+    * symmetrize identically.
+    */
+  private def undirectedKnn(spark: SparkSession, dir: String): DataFrame =
+    corpusKnnEdges(spark, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .dropDuplicates("a", "b")
+
+  /** TRIANGLE COUNTS + local clustering coefficient per node over the
+    * symmetrized k-NN graph — the density diagnostic of a semantic
+    * neighborhood: near-duplicate clumps close their triangles
+    * (coefficient → 1), topic-boundary nodes don't, so the coefficient
+    * ranks "how redundant is this vector's neighborhood" without any
+    * new distance computation. Sixth consumer of the durable edge
+    * asset.
+    *
+    * Scale shape — DEGREE-ORDERED orientation (the compact-forward
+    * algorithm): every undirected edge is oriented from its lower
+    * (degree, id) endpoint to its higher, wedges are built only from
+    * a node's HIGHER-ordered neighbors, and each triangle is counted
+    * exactly once at its lowest-ordered vertex. The wedge join is then
+    * bounded by Σ out_deg², where out-degree under degree ordering is
+    * bounded by the graph arboricity (O(√edges) worst case) — NOT by
+    * the max in-degree, which in k-NN graphs is exactly where hub
+    * vectors explode an id-oriented join. All three steps are
+    * equi-joins on the skinny pair table; the per-node rollup is a
+    * map-side-partial count. lcc is emitted in integer basis points
+    * (`20000·T DIV (deg·(deg-1))`) so the aggregate is engine- and
+    * order-independent.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedKnn(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("vec_id"))
+      .unionAll(und.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    // Orient each edge from lower (degree, id) to higher (degree, id).
+    val withDeg = und
+      .join(deg.select(col("vec_id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("vec_id").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degKey = deg.select(col("vec_id"), col("degree"))
+    // Wedges (u; v, w) from u's out-neighbors with ord(v) < ord(w),
+    // closed by the oriented edge (v, w).
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = e1.join(e2, Seq("u"))
+      .join(degKey.select(col("vec_id").as("v"), col("degree").as("dv")), Seq("v"))
+      .join(degKey.select(col("vec_id").as("w"), col("degree").as("dw")), Seq("w"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("u2"), col("v").as("v2")),
+        col("v") === col("u2") && col("w") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+    val out = deg.join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_bp",
+        when(col("degree") >= 2,
+          expr("(20000 * n_triangles) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("vec_id")
+    graft.engine.Caching.handoff(out, und, oriented)
+  }
+
+  /** SHARED-NEAREST-NEIGHBOR similarity — for every adjacent pair of
+    * the symmetrized k-NN graph, the Jaccard overlap of the two
+    * endpoints' neighbor sets (each excluding the other endpoint): the
+    * SNN weight under Jarvis–Patrick / SNN-DBSCAN clustering, and a
+    * sharper near-duplicate signal than raw distance because two
+    * near-dups don't just sit close — they agree on WHO ELSE is close.
+    * Seventh consumer of the edge asset. Jaccard is emitted in integer
+    * basis points (`10000·shared DIV union`), engine-independent.
+    *
+    * Scale shape: shared-neighbor counts come from joining the edge
+    * list's two adjacency directions through the common endpoint c —
+    * the per-edge intersect runs as two equi-joins seeded FROM the
+    * edge table (never materializing wedges for non-adjacent pairs),
+    * with intermediate size Σ_(a,b)∈E deg(a) ≤ E·maxdeg, and the
+    * rollup is a map-side-partial count on (a, b). Degrees join in
+    * broadcast-sized; nothing corpus-scale shuffles.
+    */
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedKnn(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Full adjacency (both directions) once; reused for both endpoints.
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("degree"))
+    val shared = und
+      .join(adj.select(col("node").as("a"), col("nbr").as("c")), Seq("a"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("c")), Seq("b", "c"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    val out = und
+      .join(shared, Seq("a", "b"), "left")
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        (col("da") + col("db") - lit(2) - coalesce(col("shared"), lit(0L)))
+          .as("union_n"))
+      .withColumn("jacc_bp",
+        when(col("union_n") > 0, expr("(10000 * shared) DIV union_n"))
+          .otherwise(lit(0L)))
+      .orderBy("id_a", "id_b")
+    graft.engine.Caching.handoff(out, und)
+  }
+
+  /** Driver queries for the three edge-asset graph diagnostics. */
+  def mutualKnnQuery(spark: SparkSession, dir: String): DataFrame =
+    mutualKnn(spark, dir)
+  def triangleStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(spark, dir)
+  def neighborJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccard(spark, dir)
+
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.
     */

@@ -1682,6 +1682,43 @@ object TextAnalysis {
   def corpusStatsQuery(spark: SparkSession, dir: String): DataFrame =
     corpusStats(Tables.documents(spark, dir)).orderBy("source")
 
+  /** ROBUST LENGTH OUTLIERS — per-source median + MAD (median absolute
+    * deviation) over `n_chars`, flagging docs more than `k`·MAD from
+    * their source's median: the robust-statistics twin of a z-score
+    * filter (mean/stddev are dragged by the very outliers being
+    * hunted; median/MAD are not), and the standard truncation/
+    * concatenation-artifact detector in corpus QA.
+    *
+    * Determinism: `n_chars` is integral and small, so every quantity —
+    * the interpolated median (half-integer grid), the absolute
+    * deviations, the MAD, and the `k·MAD` comparison — is EXACT in
+    * double arithmetic (all values ≪ 2^52; interpolation at f=0.5 of
+    * exact halves is exact). No ulp lottery, hence hash-stable across
+    * engines — same argument as the integer-grid distances.
+    *
+    * Scale shape: two map-side-reduced percentile aggregations keyed
+    * by source (|sources| groups) plus one broadcast-sized join back;
+    * the doc table is scanned twice on a 3-column projection and never
+    * shuffled (the per-source stats frames are the only exchanges).
+    */
+  def lengthOutliers(docs: DataFrame, k: Double = 3.0): DataFrame = {
+    val slim = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val med = slim.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
+    val dev = slim.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("n_chars") - col("med_chars")))
+    val mad = dev.groupBy("source")
+      .agg(expr("percentile(adev, 0.5)").as("mad_chars"))
+    dev.join(broadcast(mad), Seq("source"))
+      .filter(col("mad_chars") > 0 && col("adev") > lit(k) * col("mad_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med_chars"), col("mad_chars"))
+      .orderBy("doc_id")
+  }
+
+  def lengthOutliersQuery(spark: SparkSession, dir: String): DataFrame =
+    lengthOutliers(Tables.documents(spark, dir))
+
   /** Winnowing fingerprint (rolling-hash k-grams, min-per-window —
     * SIGMOD'03). Output: per-doc fingerprint count + first fingerprint.
     * The gram hash is a Rabin-Karp polynomial mod 2^64, so the DuckDB

@@ -1106,4 +1106,110 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got.nonEmpty, "corpus must exercise the operator")
   }
+
+  // -- edge-asset graph diagnostics (mutual / triangles / SNN) ---------
+
+  /** The directed edge set as (src -> dst) pairs, shared by the three
+    * graph-diagnostic references below.
+    */
+  private def directedEdges(): Set[(Long, Long)] =
+    graft.operators.Similarity.knnGraphQuery(spark, sf)
+      .select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("graph_mutual_knn: exactly the reciprocated directed edges, ranks faithful, dist symmetric") {
+    import graft.operators.Similarity
+    val dir = Similarity.knnGraphQuery(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getLong(3)))).toMap
+    val got = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = dir.keySet.filter { case (a, b) => a < b && dir.contains((b, a)) }
+    assert(got.map(t => (t._1, t._2)).toSet == want, "pair set must be the reciprocated edges")
+    got.foreach { case (a, b, rab, rba, d) =>
+      assert(a < b, "canonical order")
+      assert(dir((a, b))._1 == rab && dir((b, a))._1 == rba, "ranks must come from the edge asset")
+      assert(dir((a, b))._2 == d && dir((b, a))._2 == d, "grid distance must be symmetric")
+    }
+    assert(got.nonEmpty, "corpus must exercise the operator")
+  }
+
+  test("graph_triangles: per-node counts equal a brute-force adjacency-set reference") {
+    import graft.operators.Similarity
+    val und = directedEdges().map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val refTri = adj.map { case (n, ns) =>
+      n -> ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }
+    val got = Similarity.triangleStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == adj.keySet, "one row per node with >=1 edge")
+    got.foreach { case (n, deg, tri, lcc) =>
+      assert(deg == adj(n).size.toLong, s"degree of $n")
+      assert(tri == refTri(n), s"triangle count of $n")
+      val expLcc = if (deg >= 2) (20000L * tri) / (deg * (deg - 1)) else 0L
+      assert(lcc == expLcc, s"lcc_bp of $n")
+    }
+    assert(got.exists(_._3 > 0), "corpus must close at least one triangle")
+  }
+
+  test("graph_neighbor_jaccard: shared/union/jacc_bp equal the set-intersection reference") {
+    import graft.operators.Similarity
+    val und = directedEdges().map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val got = Similarity.neighborJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2)).toSet == und, "one row per undirected edge")
+    got.foreach { case (a, b, shared, unionN, bp) =>
+      val s = ((adj(a) - b) intersect (adj(b) - a)).size.toLong
+      val u = (adj(a) - b).size.toLong + (adj(b) - a).size.toLong - s
+      assert(shared == s, s"shared($a,$b)")
+      assert(unionN == u, s"union($a,$b)")
+      assert(bp == (if (u > 0) 10000L * s / u else 0L), s"jacc_bp($a,$b)")
+    }
+    assert(got.exists(_._3 > 0), "corpus must share at least one neighbor across an edge")
+  }
+
+  test("text_length_outliers: flags exactly the docs beyond 3 MAD of their source median") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val bySource = docs.groupBy(_._2)
+    val expect = bySource.flatMap { case (src, rows) =>
+      val med = medianOf(rows.map(_._3.toDouble).toSeq)
+      val mad = medianOf(rows.map(r => math.abs(r._3 - med)).toSeq)
+      if (mad <= 0) Seq.empty[(Long, String, Long, Double, Double)]
+      else rows.toSeq.filter(r => math.abs(r._3 - med) > 3 * mad)
+        .map(r => (r._1, src, r._3, med, mad))
+    }.toSet
+    val got = TextAnalysis.lengthOutliers(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
+  }
+
+  test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000 AS tus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).map { case (_, rows) =>
+      rows.sortBy(r => (r._4, r._2)).take(4).map(_._3).mkString(">")
+    }
+    val counts = paths.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => ((i + 1).toLong, p, n) }
+    val got = Relational.qTopPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty, "corpus must exercise the operator")
+  }
 }
