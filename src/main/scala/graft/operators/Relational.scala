@@ -1138,4 +1138,50 @@ object Relational {
       .map { case ((path, n), i) => ((i + 1).toLong, path, n) }
       .toSeq.toDF("rank", "path", "n_users")
   }
+
+  /** RFM SEGMENTATION — per-user recency (latest event), frequency
+    * (event count) and monetary (cent-quantized value sum), each cut
+    * into ntile(4) quartiles over ALL users, composed into the classic
+    * `RFM` segment code (`r·100 + f·10 + m`): the standard
+    * user-base-segmentation rollup of event analytics.
+    *
+    * Scale shape: the per-user rollup is one map-side-combined
+    * aggregation; the three quartile cuts are where a naive plan dies —
+    * `ntile(4) OVER (ORDER BY ...)` with no partition collapses the
+    * user table into ONE task. Each cut here runs through
+    * [[graft.engine.GlobalRank.withRowNumber]] (ranged repartition +
+    * per-partition windows + broadcast offsets — no single-partition
+    * stage) and [[graft.engine.GlobalRank.ntileFromRank]]'s closed-form
+    * bucket formula, which is exactly the window function's split.
+    * Monetary is summed in integer cents (floor(v·100 + 0.5)), so
+    * every ranked key is exact and the quartile boundaries are
+    * engine-independent; all three sort keys carry user_id tiebreaks
+    * (total order — ranks never depend on partitioning).
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .select(col("user_id"), col("tus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val u = ev.groupBy("user_id").agg(
+      max(col("tus")).as("recency_us"),
+      count(lit(1)).as("frequency"),
+      coalesce(sum(col("vc")), lit(0L)).as("monetary_c"))
+    def quartile(df: DataFrame, key: Column, out: String): DataFrame = {
+      val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
+        df, Seq(key.desc, col("user_id").asc), "__r")
+      ranked
+        .withColumn(out, graft.engine.GlobalRank.ntileFromRank(col("__r"), 4, total))
+        .drop("__r")
+    }
+    val cut = quartile(quartile(quartile(u,
+      col("recency_us"), "r_q"), col("frequency"), "f_q"), col("monetary_c"), "m_q")
+    // the three ranged stages stay persisted through the caller's one
+    // action and are released by the harness's between-query
+    // clearCache (the GlobalRank contract — see its scaladoc)
+    cut.select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary_c"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+      .orderBy("user_id")
+  }
 }

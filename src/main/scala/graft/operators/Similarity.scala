@@ -890,13 +890,40 @@ object Similarity {
     graft.engine.Caching.handoff(out, und)
   }
 
-  /** Driver queries for the three edge-asset graph diagnostics. */
+  /** IN-DEGREE HISTOGRAM of the directed k-NN graph — the hubness
+    * audit: out-degree is capped at k by construction, but in-degree
+    * is where approximate-neighbor graphs concentrate pathology (a hub
+    * vector ranked "near" by thousands inflates downstream joins and
+    * poisons graph-ANN recall). One row per in-degree value, including
+    * the zero bucket (vectors nobody ranks — the unreachable set a
+    * graph-ANN index must re-seed). Eighth consumer of the edge asset.
+    *
+    * Scale shape: one map-side-combined count on the skinny edge
+    * table, a left anti-ish join against the vector ids for the zero
+    * bucket, and a histogram rollup whose key cardinality is bounded
+    * by the max in-degree — nothing corpus-scale shuffles.
+    */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val indeg = corpusKnnEdges(spark, dir)
+      .groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull).select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("in_degree")
+  }
+
+  /** Driver queries for the edge-asset graph diagnostics. */
   def mutualKnnQuery(spark: SparkSession, dir: String): DataFrame =
     mutualKnn(spark, dir)
   def triangleStatsQuery(spark: SparkSession, dir: String): DataFrame =
     triangleStats(spark, dir)
   def neighborJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     neighborJaccard(spark, dir)
+  def degreeHistogramQuery(spark: SparkSession, dir: String): DataFrame =
+    degreeHistogram(spark, dir)
 
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.

@@ -1195,6 +1195,58 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
   }
 
+  test("graph_degree_hist: buckets equal the collected in-degree map; masses conserve nodes and edges") {
+    import graft.operators.Similarity
+    val edges = directedEdges().toSeq
+    val nodes = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val indeg = edges.groupBy(_._2).map { case (n, xs) => n -> xs.size.toLong }
+    val ref = nodes.toSeq.map(n => indeg.getOrElse(n, 0L))
+      .groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) }
+    val got = Similarity.degreeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toMap == ref, "histogram must equal the reference map")
+    assert(got.map(_._2).sum == nodes.size.toLong, "buckets must conserve the node count")
+    assert(got.map(t => t._1 * t._2).sum == edges.size.toLong,
+      "degree-weighted mass must conserve the edge count")
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered by in_degree")
+  }
+
+  test("q_rfm: quartiles equal the ntile formula on collected aggregates; buckets balanced") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000 AS tus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val u = ev.groupBy(_._1).map { case (uid, rows) =>
+      (uid, rows.map(_._2).max, rows.size.toLong, rows.flatMap(_._3).sum)
+    }.toSeq
+    val total = u.size.toLong
+    def ntile4(rank: Long): Long = {
+      val base = total / 4; val rem = total % 4; val cut = rem * (base + 1)
+      if (rank <= cut) (rank - 1) / (base + 1) + 1 else rem + (rank - cut - 1) / base + 1
+    }
+    def quart(key: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      u.sortBy(r => (-key(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> ntile4(i + 1L) }.toMap
+    val rq = quart(_._2); val fq = quart(_._3); val mq = quart(_._4)
+    val want = u.map(r =>
+      (r._1, r._2, r._3, r._4, rq(r._1), fq(r._1), mq(r._1),
+        rq(r._1) * 100 + fq(r._1) * 10 + mq(r._1))).sortBy(_._1)
+    val got = Relational.qRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want, "RFM rows must equal the collected reference")
+    // ntile balance: bucket sizes differ by at most one per dimension
+    Seq(4, 5, 6).foreach { i =>
+      val sizes = got.groupBy(_.productElement(i).asInstanceOf[Long]).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"dimension $i buckets must be balanced")
+    }
+  }
+
   test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
