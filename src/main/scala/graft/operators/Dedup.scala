@@ -475,6 +475,42 @@ object Dedup {
   def lineStatsQuery(spark: SparkSession, dir: String): DataFrame =
     lineStats(Tables.documents(spark, dir))
 
+  /** PREFIX-DUPLICATE groups — docs sharing their first `prefixLen`
+    * characters, the boilerplate-header tell (scraped pages repeating a
+    * site banner, dumps repeating a license block): the cheapest member
+    * of the near-dup family, between exact-hash and shingle Jaccard.
+    * Emits only multi-doc groups, labeled by min doc id, with the
+    * keep-longest policy ([[graft.operators.Clustering]]'s canonical
+    * rule): keep = argmax n_chars, min id on ties.
+    *
+    * Scale shape: the exchange carries `xxhash64(prefix)` — 8 bytes per
+    * doc, never the text (the dedup_substring hash-vs-text grouping
+    * contract: identical modulo ~2^-64 collisions, which the oracle
+    * comparison empirically pins). One grouped aggregate with a
+    * min/max-struct (map-side partial), one skinny join back; the
+    * group row set is bounded by the duplicate mass, not the corpus.
+    */
+  def prefixDup(docs: DataFrame, prefixLen: Int = 48): DataFrame = {
+    val p = docs
+      .filter(col("text").isNotNull && length(col("text")) >= prefixLen)
+      .select(col("doc_id"), col("n_chars"),
+        xxhash64(substring(col("text"), 1, prefixLen)).as("ph"))
+    val g = p.groupBy("ph")
+      .agg(
+        count(lit(1)).as("group_size"),
+        min(col("doc_id")).as("group_id"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"))
+      .filter(col("group_size") >= 2)
+    p.join(g, "ph")
+      .select(col("group_id"), col("doc_id"), col("n_chars"), col("group_size"),
+        (col("n_chars") === col("best.n_chars") &&
+          (-col("doc_id")) === col("best.negid")).as("keep"))
+      .orderBy("group_id", "doc_id")
+  }
+
+  def prefixDupQuery(spark: SparkSession, dir: String): DataFrame =
+    prefixDup(Tables.documents(spark, dir))
+
   // --------------------------------------------------------------------
   // MinHash + LSH near-dedup
   // --------------------------------------------------------------------

@@ -1195,6 +1195,29 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
   }
 
+  test("dedup_prefix: groups equal a text-prefix reference; keep = longest, min id on ties") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    val ref = docs
+      .collect { case (id, Some(t), nc) if t.length >= 48 => (id, t.substring(0, 48), nc) }
+      .groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap { g =>
+        val gid = g.map(_._1).min
+        val keepId = g.minBy(r => (-r._3, r._1))._1
+        g.map(r => (gid, r._1, r._3, g.length.toLong, r._1 == keepId))
+      }.toSet
+    val got = Dedup.prefixDup(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == ref, s"got ${got.size} rows, expected ${ref.size}")
+    assert(got.nonEmpty, "corpus must exercise the operator")
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.count(_._5) == 1, "exactly one keeper per group")
+    }
+  }
+
   test("graph_degree_hist: buckets equal the collected in-degree map; masses conserve nodes and edges") {
     import graft.operators.Similarity
     val edges = directedEdges().toSeq
