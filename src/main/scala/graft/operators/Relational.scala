@@ -1184,4 +1184,36 @@ object Relational {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
       .orderBy("user_id")
   }
+
+  /** AUDIENCE OVERLAP — pairwise Jaccard of the USER SETS behind each
+    * event type (who clicks vs who purchases vs who churns): the
+    * audience-similarity matrix behind funnel design and feature
+    * cross-sell analysis — [[graft.operators.TextAnalysis]]'
+    * vocab_overlap with users in place of terms. Jaccard in integer
+    * basis points (`10000·inter DIV union`), engine-independent.
+    *
+    * Scale shape: one distinct pass collapses events to (type, user)
+    * memberships; the pair counts come from a per-user self-join whose
+    * fan-out is |types-per-user|² ≤ |event_types|² — a CONSTANT per
+    * user, so the exchange is users-sized, never events-sized; the
+    * rollup keys on the type pair (≤ |types|² groups, map-side
+    * combined) and set sizes broadcast back onto the matrix.
+    */
+  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = m.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = m.select(col("event_type").as("type_a"), col("user_id"))
+      .join(m.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("inter"),
+        expr("(10000 * inter) DIV (n_a + n_b - inter)").as("jacc_bp"))
+      .orderBy("type_a", "type_b")
+    graft.engine.Caching.handoff(out, m)
+  }
 }

@@ -1701,20 +1701,30 @@ object TextAnalysis {
     * the doc table is scanned twice on a 3-column projection and never
     * shuffled (the per-source stats frames are the only exchanges).
     */
-  def lengthOutliers(docs: DataFrame, k: Double = 3.0): DataFrame = {
-    val slim = docs.select(col("doc_id"), col("source"), col("n_chars"))
+  /** The per-source (median, MAD) length profile — the MODEL side of
+    * the robust outlier screen, separated so the streaming
+    * [[graft.streaming.ProfileGate]] can broadcast a standing-corpus
+    * profile into an ingest stream (the classifierGate pattern: one
+    * definition, batch and stream share it).
+    */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val slim = docs.select(col("source"), col("n_chars"))
     val med = slim.groupBy("source")
       .agg(expr("percentile(n_chars, 0.5)").as("med_chars"))
-    val dev = slim.join(broadcast(med), Seq("source"))
+    slim.join(broadcast(med), Seq("source"))
+      .groupBy("source")
+      .agg(max(col("med_chars")).as("med_chars"), // constant per group
+        expr("percentile(abs(n_chars - med_chars), 0.5)").as("mad_chars"))
+  }
+
+  def lengthOutliers(docs: DataFrame, k: Double = 3.0): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(lengthProfile(docs)), Seq("source"))
       .withColumn("adev", abs(col("n_chars") - col("med_chars")))
-    val mad = dev.groupBy("source")
-      .agg(expr("percentile(adev, 0.5)").as("mad_chars"))
-    dev.join(broadcast(mad), Seq("source"))
       .filter(col("mad_chars") > 0 && col("adev") > lit(k) * col("mad_chars"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("med_chars"), col("mad_chars"))
       .orderBy("doc_id")
-  }
 
   def lengthOutliersQuery(spark: SparkSession, dir: String): DataFrame =
     lengthOutliers(Tables.documents(spark, dir))

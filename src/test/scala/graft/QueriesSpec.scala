@@ -1270,6 +1270,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_audience_overlap: pair matrix equals the collected user-set reference") {
+    import graft.operators.Relational
+    val m = Tables.events(spark, sf)
+      .select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val byType = m.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      inter = (byType(a) intersect byType(b)).size.toLong if inter > 0
+    } yield {
+      val na = byType(a).size.toLong; val nb = byType(b).size.toLong
+      (a, b, na, nb, inter, 10000L * inter / (na + nb - inter))
+    }).toSet
+    val got = Relational.qAudienceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"got ${got.size} pairs, expected ${want.size}")
+    assert(got.nonEmpty, "corpus must exercise the operator")
+  }
+
   test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)

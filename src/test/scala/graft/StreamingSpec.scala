@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{EventStream, QualityGate}
+import graft.streaming.{EventStream, ProfileGate, QualityGate}
 
 /** Structured-streaming analog of the scroll loop: drain-all semantics,
   * convergence with the batch twin, stateful per-key transform.
@@ -1043,5 +1043,49 @@ class StreamingSpec extends SparkSpec {
     val viaOperator = TextAnalysis.qualityClassify(rows.toDF("doc_id", "text"), weights)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(viaOperator == want)
+  }
+
+  test("streaming profile gate: standing-corpus median/MAD screen equals the batch operator; cold sources pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, SparkSpec.Sf001)
+    val profile = ProfileGate.profile(corpus)
+    // arriving docs: known sources with normal / extreme lengths plus a
+    // source the profile has never seen (cold start — must pass)
+    val known = corpus.select("source").distinct().collect().map(_.getString(0)).sorted
+    val rows = Seq(
+      (1L, known.head, 300L), (2L, known.head, 900000L),
+      (3L, known.last, 250L), (4L, known.last, 0L),
+      (5L, "brand_new_source", 123456L))
+    val input = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_pgate_ckpt").toString
+    val q = ProfileGate.gate(
+        input.toDF().toDF("doc_id", "source", "n_chars"), profile)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pgate_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "len_outlier")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val got = canon(spark.table("pgate_stream"))
+    val want = canon(ProfileGate.gate(rows.toDF("doc_id", "source", "n_chars"), profile))
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.find(_._1 == 2L).exists(_._2), "an extreme length in a profiled source must flag")
+    assert(got.find(_._1 == 5L).exists(!_._2), "a cold-start source must pass un-flagged")
+    // and the flag agrees with the batch outlier OPERATOR on the corpus
+    // itself: gate(corpus, profile) flags exactly lengthOutliers' rows
+    val flagged = ProfileGate.gate(corpus, profile)
+      .filter(col("len_outlier")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = TextAnalysis.lengthOutliers(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == batch, "gate over the corpus must equal the batch outlier set")
   }
 }
