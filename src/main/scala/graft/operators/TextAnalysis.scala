@@ -1682,6 +1682,66 @@ object TextAnalysis {
   def corpusStatsQuery(spark: SparkSession, dir: String): DataFrame =
     corpusStats(Tables.documents(spark, dir)).orderBy("source")
 
+  /** The MERGEABLE PARTIAL of [[corpusStats]] — counts, token
+    * sums/extremes and the language SET per source (the set, not its
+    * size: `countDistinct` is the one non-algebraic cell in the
+    * rollup, so the partial carries what union-merges). A standing
+    * corpus publishes this once; every refresh merges it with the new
+    * batch's partial instead of rescanning — the incremental-tier
+    * pattern (dedup_incremental, cdc_incremental) applied to
+    * reporting.
+    */
+  def corpusStatsPartial(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        sketch.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        collect_set(col("lang")).as("langs"))
+
+  /** Merge any number of partials into the EXACT full-corpus rollup —
+    * provably equal to [[corpusStats]] on the concatenated input
+    * because every cell is algebraic: counts and sums add, extremes
+    * take min/max, language sets union (sized only here, at the end),
+    * and the mean is derived from merged exact integers in ONE double
+    * division (the corpusStats determinism argument, unchanged).
+    * Partials are |sources|-sized — the merge is broadcast-scale work
+    * regardless of corpus size.
+    */
+  def corpusStatsMerge(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        min(col("min_tokens")).as("min_tokens"),
+        max(col("max_tokens")).as("max_tokens"),
+        size(array_distinct(flatten(collect_list(col("langs")))))
+          .cast("long").as("n_langs"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .select("source", "n_docs", "total_tokens", "min_tokens",
+        "max_tokens", "n_langs", "mean_tokens")
+
+  /** Driver query: the standing/batch halves (the incremental-family
+    * midpoint cut) rolled up independently and MERGED — pinned
+    * bit-identical to the full recompute by sharing corpus_stats'
+    * oracle verbatim (the ann_pq_joined precedent: same contract,
+    * different physical path).
+    */
+  def corpusStatsMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    corpusStatsMerge(
+      corpusStatsPartial(docs.filter(col("doc_id") < cut)),
+      corpusStatsPartial(docs.filter(col("doc_id") >= cut)))
+      .orderBy("source")
+  }
+
   /** ROBUST LENGTH OUTLIERS — per-source median + MAD (median absolute
     * deviation) over `n_chars`, flagging docs more than `k`·MAD from
     * their source's median: the robust-statistics twin of a z-score

@@ -1195,6 +1195,25 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
   }
 
+  test("corpus_stats_merge: merged partials equal the full recompute bit-for-bit; merge is split-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val full = canon(TextAnalysis.corpusStats(docs))
+    val merged = canon(TextAnalysis.corpusStatsMergeQuery(spark, sf))
+    assert(merged == full, "midpoint-cut merge must equal the full recompute")
+    // split-invariance: a different 3-way partition merges to the same
+    val t = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val threeWay = canon(TextAnalysis.corpusStatsMerge(
+      TextAnalysis.corpusStatsPartial(docs.filter(col("doc_id") % 3 === 0)),
+      TextAnalysis.corpusStatsPartial(docs.filter(col("doc_id") % 3 === 1)),
+      TextAnalysis.corpusStatsPartial(docs.filter(col("doc_id") % 3 === 2))))
+    assert(threeWay == full, "merge must be partition-invariant")
+    assert(t > 0 && full.nonEmpty)
+  }
+
   test("dedup_prefix: groups equal a text-prefix reference; keep = longest, min id on ties") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
