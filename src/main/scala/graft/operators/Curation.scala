@@ -406,4 +406,47 @@ object Curation {
       Tables.documents(spark, dir),
       AnnotateConfig(gopherMinStopHits = 1, maxRep3Ratio = 0.05, maxMeanNllQ = 34000.0)
     ).orderBy("doc_id")
+
+  /** DEDUP FUNNEL — the tiered-deduplication capstone: exact (content
+    * digest) → prefix (boilerplate header) → near (MinHash Jaccard ≥
+    * 0.7, components, keep-min-id), each tier running only on the
+    * previous tier's survivors, reported as per-tier in/removed/out —
+    * the accounting table every production dedup pipeline publishes
+    * (cheap tiers first so expensive tiers see fewer docs).
+    *
+    * Scale shape: tier 1 is one digest shuffle; tier 2 is
+    * [[Dedup.prefixDup]]'s 8-byte-key aggregate on survivors; tier 3
+    * reads the MATERIALIZED verified pair asset
+    * ([[Dedup.corpusMinhashPairs]]) semi-joined to survivor ids — the
+    * restriction is exact because Jaccard is pairwise (a pair's score
+    * does not depend on other documents), so no shingling, banding or
+    * verification runs at query time. The only driver-side state is
+    * four scalar counts (the bounded-report convention).
+    */
+  def dedupFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val hh = docs.select(col("doc_id"), col("text"), col("n_chars"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val k1 = hh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    val s1 = hh.join(k1.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rm2 = Dedup.prefixDup(s1).filter(!col("keep")).select("doc_id")
+    val s2 = s1.join(rm2, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s2ids = s2.select("doc_id")
+    val pairs = Dedup.corpusMinhashPairs(spark, dir, threshold = 0.7)
+      .join(s2ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(s2ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val labels = Clustering.connectedComponents(pairs)
+    val rm3 = labels.filter(col("doc_id") =!= col("cluster_id")).count()
+    val n0 = docs.count(); val n1 = s1.count(); val n2 = s2.count()
+    s1.unpersist(blocking = false); s2.unpersist(blocking = false)
+    Seq(
+      (1L, "exact", n0, n0 - n1, n1),
+      (2L, "prefix", n1, n1 - n2, n2),
+      (3L, "near", n2, rm3, n2 - rm3))
+      .toDF("ord", "tier", "docs_in", "docs_removed", "docs_out")
+  }
 }

@@ -1195,6 +1195,56 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
   }
 
+  test("dedup_funnel: tier accounting equals a brute-force three-tier reference; flows conserve") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // tier 1: exact (min id per digest of coalesced text)
+    val s1 = docs.groupBy { case (_, t, _) => md5hex(t.getOrElse("")) }
+      .values.map(g => g.minBy(_._1)).toSeq
+    // tier 2: 48-char prefix, keep longest (min id ties)
+    val inPfx = s1.collect { case (id, Some(t), nc) if t.length >= 48 => (id, t.substring(0, 48), nc) }
+    val rm2 = inPfx.groupBy(_._2).values.filter(_.size >= 2)
+      .flatMap { g => val keep = g.minBy(r => (-r._3, r._1))._1; g.map(_._1).filter(_ != keep) }
+      .toSet
+    val s2 = s1.filterNot(r => rm2.contains(r._1))
+    // tier 3: 3-shingle jaccard >= 0.7 components, keep min id
+    def shingles(t: String): Set[String] = {
+      val tok = t.trim.split("\\s+").toSeq
+      if (t.trim.isEmpty || tok.length < 3) Set.empty
+      else tok.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = s2.collect { case (id, Some(t), _) if shingles(t).nonEmpty => id -> shingles(t) }.toMap
+    val ids = sh.keys.toSeq.sorted
+    val edges = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sh(a) intersect sh(b)).size
+      if inter > 0 && inter.toDouble / (sh(a).size + sh(b).size - inter) >= 0.7
+    } yield (a, ids(j))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rm3 = ids.count(i => find(i) != i).toLong
+    val want = Seq(
+      (1L, "exact", docs.length.toLong, (docs.length - s1.length).toLong, s1.length.toLong),
+      (2L, "prefix", s1.length.toLong, rm2.size.toLong, s2.length.toLong),
+      (3L, "near", s2.length.toLong, rm3, s2.length - rm3))
+    val got = Curation.dedupFunnelQuery(spark, sf).orderBy("ord").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // conservation: out_t == in_{t+1} and in - removed == out everywhere
+    got.foreach { case (_, _, in, rm, out) => assert(in - rm == out) }
+    assert(got(0)._5 == got(1)._3 && got(1)._5 == got(2)._3)
+  }
+
   test("corpus_stats_merge: merged partials equal the full recompute bit-for-bit; merge is split-invariant") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
