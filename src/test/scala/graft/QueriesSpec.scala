@@ -1245,6 +1245,33 @@ class QueriesSpec extends SparkSpec {
     assert(got(0)._5 == got(1)._3 && got(1)._5 == got(2)._3)
   }
 
+  test("dedup_funnel restriction lemma: asset pairs semi-joined to survivors equal recomputing pairs on the survivor subset") {
+    // the capstone's scaladoc claims the pair-asset restriction is
+    // exact because Jaccard is pairwise — pin that claim executable:
+    // restrict the corpus-wide verified pairs to an arbitrary subset
+    // and recompute pairs from scratch on only that subset
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val subset = docs.filter(col("doc_id") % 3 =!= 1L)
+    val ids = subset.select("doc_id")
+    val restricted = Dedup.corpusMinhashPairs(spark, sf, threshold = 0.7)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute from raw text on the subset only (minhashPairs dedups
+    // byte-identical texts first — mirror that on the subset's rep set)
+    val direct = Dedup.minhashPairs(subset, threshold = 0.7)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // strict equality: band keys are per-doc (corpus-independent), the
+    // Jaccard of a pair depends on its two texts only, and this corpus
+    // has no byte-identical docs (so rep-id remapping can't differ)
+    assert(direct == restricted,
+      s"pairwise-Jaccard restriction must be exact: direct ${direct.size} vs restricted ${restricted.size}")
+    assert(restricted.nonEmpty, "subset must exercise the lemma")
+  }
+
   test("corpus_stats_merge: merged partials equal the full recompute bit-for-bit; merge is split-invariant") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf)
