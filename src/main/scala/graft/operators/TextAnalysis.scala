@@ -34,6 +34,34 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** TOKENIZER FERTILITY — sub-word tokens per whitespace word, rolled
+    * up by language: the standard tokenizer-QA number (a language with
+    * fertility ≫ the corpus mean is being shredded by the vocabulary —
+    * under-trained merges, wrong script coverage — and will pay that
+    * multiple in sequence length forever). Reuses the two green token
+    * kernels verbatim; exact int64 sums, one double division per
+    * language row (the corpusStats determinism argument).
+    *
+    * Scale shape: both counts are narrow per-row expressions fused
+    * into the scan projection; one map-side-combined aggregate keyed
+    * by language — the exchange is |langs| partial rows per task.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        text.tokenCount(col("text")).cast("long").as("nw"),
+        text.bpeTokenCount(col("text")).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("nb")).as("total_bpe"))
+      .withColumn("fertility",
+        when(col("total_words") > 0,
+          col("total_bpe").cast("double") / col("total_words").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("lang")
+
   /** Quality scoring: integer component counts + one ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

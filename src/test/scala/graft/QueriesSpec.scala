@@ -1245,6 +1245,29 @@ class QueriesSpec extends SparkSpec {
     assert(got(0)._5 == got(1)._3 && got(1)._5 == got(2)._3)
   }
 
+  test("tokenizer_fertility: per-lang rollup equals the summed per-doc token counts; fertility >= 1 wherever words exist") {
+    import graft.operators.TextAnalysis
+    val words = TextAnalysis.textTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bpe = TextAnalysis.textTokensBpe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = langs.groupBy(_._2).map { case (l, ds) =>
+      val ids = ds.map(_._1)
+      val tw = ids.map(words.getOrElse(_, 0L)).sum
+      val tb = ids.map(bpe.getOrElse(_, 0L)).sum
+      (l, ids.length.toLong, tw, tb, if (tw > 0) tb.toDouble / tw else 0.0)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // a whitespace word yields at least one sub-word token
+    got.filter(_._3 > 0).foreach { case (l, _, tw, tb, f) =>
+      assert(tb >= tw && f >= 1.0, s"fertility of $l must be >= 1")
+    }
+  }
+
   test("dedup_funnel restriction lemma: asset pairs semi-joined to survivors equal recomputing pairs on the survivor subset") {
     // the capstone's scaladoc claims the pair-asset restriction is
     // exact because Jaccard is pairwise — pin that claim executable:
