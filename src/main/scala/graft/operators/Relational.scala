@@ -1185,6 +1185,39 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** TIME-DECAYED ENGAGEMENT — per-user value sum under half-life-
+    * per-day decay, computed EXACTLY: cents are right-shifted by the
+    * event's age in whole days (`vc DIV 2^age`), so the "recency-
+    * weighted spend" every churn/engagement model starts from is pure
+    * int64 arithmetic — no float `exp`/`pow` whose rounding differs
+    * across engines (an exponential-decay score in doubles is a ulp
+    * lottery under re-ordered sums; the power-of-two grid is the
+    * integer-grid trick the distance kernels use, applied to time).
+    * Ages past 62 days contribute zero (the shift would overflow; the
+    * true contribution is < 1 cent anyway).
+    *
+    * Scale shape: the reference instant is one broadcast scalar; decay
+    * is a narrow per-row projection fused into the scan; one map-side-
+    * combined aggregate keyed by user.
+    */
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .select(col("user_id"), col("tus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val ref = ev.agg(max(col("tus")).as("m"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", expr("(m - tus) DIV 86400000000"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        coalesce(sum(when(col("age") <= 62,
+          expr("vc DIV shiftleft(1L, CAST(age AS INT))")).otherwise(lit(0L))), lit(0L))
+          .as("decay_score"))
+      .orderBy("user_id")
+  }
+
   /** AUDIENCE OVERLAP — pairwise Jaccard of the USER SETS behind each
     * event type (who clicks vs who purchases vs who churns): the
     * audience-similarity matrix behind funnel design and feature

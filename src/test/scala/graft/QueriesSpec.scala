@@ -1245,6 +1245,29 @@ class QueriesSpec extends SparkSpec {
     assert(got(0)._5 == got(1)._3 && got(1)._5 == got(2)._3)
   }
 
+  test("q_decay_score: per-user shifted-cent sums equal a collected reference; monotone in recency") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000 AS tus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = ev.map(_._2).max
+    val want = ev.groupBy(_._1).map { case (uid, rows) =>
+      val ages = rows.map(r => (m - r._2) / 86400000000L)
+      val score = rows.zip(ages).map { case ((_, _, vc), a) =>
+        if (a <= 62) vc >> a.toInt else 0L
+      }.sum
+      (uid, rows.length.toLong, ages.min, score)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.qDecayScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // decay can only shrink: score <= undecayed cent sum
+    val raw = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._3).sum }
+    got.foreach { case (u, _, _, s) => assert(s <= raw(u), s"user $u decayed above raw") }
+  }
+
   test("tokenizer_fertility: per-lang rollup equals the summed per-doc token counts; fertility >= 1 wherever words exist") {
     import graft.operators.TextAnalysis
     val words = TextAnalysis.textTokens(spark, sf).collect()
