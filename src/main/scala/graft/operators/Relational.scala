@@ -1185,6 +1185,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** SESSION-LENGTH DISTRIBUTION — the histogram view of
+    * [[graft.streaming.EventStream.sessionizeBatch]]'s gap-based
+    * sessions: how many sessions have k events, with total and max
+    * duration per bucket — the engagement-depth report sitting on top
+    * of the sessionizer (bounce rate = the k=1 bucket; the histogram
+    * tail is the power-user curve).
+    *
+    * Scale shape: the sessionizer's per-user window exchange is the
+    * only data-sized stage; the rollup keys on session length
+    * (bounded by the longest session), map-side combined.
+    */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionizeBatch(spark, dir)
+      .groupBy("n_events")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("end_us") - col("start_us")).as("total_duration_us"),
+        max(col("end_us") - col("start_us")).as("max_duration_us"))
+      .orderBy("n_events")
+
   /** TIME-DECAYED ENGAGEMENT — per-user value sum under half-life-
     * per-day decay, computed EXACTLY: cents are right-shifted by the
     * event's age in whole days (`vc DIV 2^age`), so the "recency-

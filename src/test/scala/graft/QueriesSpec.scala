@@ -1245,6 +1245,21 @@ class QueriesSpec extends SparkSpec {
     assert(got(0)._5 == got(1)._3 && got(1)._5 == got(2)._3)
   }
 
+  test("q_session_stats: histogram equals the rollup of the sessionize output; masses conserve") {
+    import graft.operators.Relational
+    val sess = graft.streaming.EventStream.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(4) - r.getLong(3))) // (n_events, duration)
+    val want = sess.groupBy(_._1).map { case (k, xs) =>
+      (k, xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.qSessionStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._2).sum == sess.length.toLong, "buckets must conserve session count")
+    assert(got.map(t => t._1 * t._2).sum ==
+      Tables.events(spark, sf).count(), "length-weighted mass must conserve events")
+  }
+
   test("q_decay_score: per-user shifted-cent sums equal a collected reference; monotone in recency") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
