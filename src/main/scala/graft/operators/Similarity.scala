@@ -915,6 +915,33 @@ object Similarity {
       .orderBy("in_degree")
   }
 
+  /** LABEL CONFUSION MATRIX of the embedding space — k-NN edges rolled
+    * up by (source label, neighbor label): the diagonal is class
+    * cohesion, the off-diagonal is which classes BLUR into each other
+    * — the first chart read when an embedding model ships (high
+    * cross-label edge mass between two labels predicts retrieval
+    * confusion and semantic-dedup false merges between them). Distance
+    * mass is the exact int64 grid sum — a mean is one client-side
+    * division away and stays engine-independent because both operands
+    * are exact. Ninth consumer of the durable edge asset.
+    *
+    * Scale shape: two label equi-joins on the skinny edge table and a
+    * labels²-keyed map-side-combined rollup; nothing corpus-sized
+    * shuffles.
+    */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"))
+    corpusKnnEdges(spark, dir)
+      .join(labels.select(col("vec_id"), col("label").as("label_a")), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("nbr_id"), col("label").as("label_b")),
+        Seq("nbr_id"))
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n_edges"), sum(col("dist")).as("sum_dist"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Driver queries for the edge-asset graph diagnostics. */
   def mutualKnnQuery(spark: SparkSession, dir: String): DataFrame =
     mutualKnn(spark, dir)
@@ -924,6 +951,8 @@ object Similarity {
     neighborJaccard(spark, dir)
   def degreeHistogramQuery(spark: SparkSession, dir: String): DataFrame =
     degreeHistogram(spark, dir)
+  def labelConfusionQuery(spark: SparkSession, dir: String): DataFrame =
+    labelConfusion(spark, dir)
 
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.

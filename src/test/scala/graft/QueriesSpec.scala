@@ -1393,6 +1393,25 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered by in_degree")
   }
 
+  test("graph_label_confusion: matrix equals the label-joined edge rollup; edge mass conserves") {
+    import graft.operators.Similarity
+    val edges = Similarity.knnGraphQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (src, nbr, dist)
+    val lab = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .selectExpr("vec_id", "CAST(label AS LONG) AS label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = edges.groupBy(e => (lab(e._1), lab(e._2))).map { case ((a, b), xs) =>
+      (a, b, xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.labelConfusion(spark, sf)
+      .selectExpr("CAST(label_a AS LONG)", "CAST(label_b AS LONG)", "n_edges", "sum_dist")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._3).sum == edges.length.toLong, "matrix must conserve the edge count")
+    assert(got.exists(t => t._1 == t._2), "diagonal (cohesion) must be present")
+  }
+
   test("q_rfm: quartiles equal the ntile formula on collected aggregates; buckets balanced") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
