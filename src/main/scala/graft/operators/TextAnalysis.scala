@@ -62,6 +62,38 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("lang")
 
+  /** N-GRAM NOVELTY — per document, the fraction of its distinct
+    * 3-shingles whose FIRST corpus occurrence (min doc id) is this
+    * document: the novelty curve curation pipelines sample against
+    * (a doc that introduces nothing the corpus hasn't already said is
+    * a compression candidate; a high-novelty doc anchors coverage).
+    * Emitted in integer basis points — engine-independent.
+    *
+    * Scale shape: one fused shingle kernel in the scan projection, one
+    * grams-keyed min aggregate (map-side combined) for first
+    * occurrence, one equi-join back, one doc-keyed rollup. The
+    * exchange carries (gram, doc) pairs — the dedup_ngram inverted
+    * index shape, with the same df-bounded behavior.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(sketch.shingleSet(col("t"), 3)).as("g"))
+    val firstDoc = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstDoc, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
   /** Quality scoring: integer component counts + one ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1393,6 +1393,31 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered by in_degree")
   }
 
+  test("text_ngram_novelty: per-doc novel counts equal a collected first-occurrence reference; first doc is fully novel") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    def sh3(t: String): Set[String] = {
+      val tok = t.trim.split("\\s+").toSeq
+      if (t.trim.isEmpty || tok.length < 3) Set.empty
+      else tok.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val grams = docs.collect { case (id, Some(t)) if sh3(t).nonEmpty => id -> sh3(t) }
+    val firstDoc = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val want = grams.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.size.toLong, novel, 10000L * novel / gs.size)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.ngramNoveltyQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // the lowest doc id with grams introduces everything it contains
+    val firstId = want.map(_._1).min
+    assert(want.find(_._1 == firstId).exists(r => r._2 == r._3),
+      "the first doc must be 100% novel")
+  }
+
   test("graph_label_confusion: matrix equals the label-joined edge rollup; edge mass conserves") {
     import graft.operators.Similarity
     val edges = Similarity.knnGraphQuery(spark, sf).collect()
