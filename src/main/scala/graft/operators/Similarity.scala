@@ -1111,6 +1111,44 @@ object Similarity {
       .orderBy("label", "assigned")
   }
 
+  /** CLUSTER QUALITY STATS — per assigned centroid: member count,
+    * exact within-cluster distance mass (cohesion) and the squared
+    * distance to the nearest OTHER centroid (separation): the
+    * integer-grid core of a Davies–Bouldin-style clustering audit —
+    * a cluster whose cohesion mass per member approaches its
+    * separation is one the next k-means iteration will tear apart.
+    * All cells exact int64 (the [[nearestCentroid]] grid argument), so
+    * any ratio a client derives is from exact operands.
+    *
+    * Scale shape: the centroid model is driver-collected literals
+    * (clusters tiny by contract), so assignment is a narrow per-row
+    * expression — one corpus scan, a clusters-keyed rollup, and a
+    * clusters-sized broadcast of the k² driver-computed separations.
+    */
+  def clusterStats(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    val spark = embeddings.sparkSession
+    val emb = embeddings.filter(col("embedding").isNotNull)
+    val cents = centroidModel(emb, scale)
+    val minSep = cents.map { case (c, v) =>
+      val sep = cents.iterator.filter(_._1 != c).map { case (_, w) =>
+        v.zip(w).map { case (a, b) => val d = a - b; d * d }.sum
+      }.min
+      (c.toLong, sep)
+    }.toSeq
+    import spark.implicits._
+    val sepDf = minSep.toDF("cluster", "min_sep")
+    emb.select(quantized(scale).as("qe"))
+      .select(nearestOf(cents).as("best"))
+      .groupBy(col("best.c_label").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("best.dist")).as("sum_dist"))
+      .join(broadcast(sepDf), Seq("cluster"))
+      .select("cluster", "n_members", "sum_dist", "min_sep")
+      .orderBy("cluster")
+  }
+
+  def clusterStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    clusterStats(Tables.embeddings(spark, dir))
+
   /** Driver query: the true-label x assigned-centroid confusion matrix. */
   def assignQuery(spark: SparkSession, dir: String): DataFrame =
     nearestCentroid(Tables.embeddings(spark, dir))

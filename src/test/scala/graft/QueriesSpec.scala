@@ -1393,6 +1393,37 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered by in_degree")
   }
 
+  test("embed_cluster_stats: cohesion/separation equal a collected integer-grid reference") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .selectExpr("vec_id", "CAST(label AS INT) AS label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+    val cents = emb.groupBy(_._2).map { case (l, xs) =>
+      val d = xs.head._3.length
+      val c = (0 until d).map { i =>
+        val s = xs.map(_._3(i)).sum
+        math.floor(s.toDouble / xs.length + 0.5).toLong
+      }.toArray
+      (l, c)
+    }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val v = x - y; v * v }.sum
+    val assigned = emb.map { case (_, _, q) =>
+      cents.map { case (l, c) => (sq(q, c), l) }.minBy(identity)
+    }
+    val minSep = cents.map { case (l, c) =>
+      l.toLong -> cents.filter(_._1 != l).map { case (_, w) => sq(c, w) }.min
+    }.toMap
+    val want = assigned.groupBy(_._2).map { case (l, xs) =>
+      (l.toLong, xs.size.toLong, xs.map(_._1).sum, minSep(l.toLong))
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.clusterStats(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._2).sum == emb.length.toLong, "members must conserve the corpus")
+  }
+
   test("text_ngram_novelty: per-doc novel counts equal a collected first-occurrence reference; first doc is fully novel") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
