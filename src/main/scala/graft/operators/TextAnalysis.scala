@@ -94,6 +94,39 @@ object TextAnalysis {
   def ngramNoveltyQuery(spark: SparkSession, dir: String): DataFrame =
     ngramNovelty(Tables.documents(spark, dir))
 
+  /** The INCREMENTAL tier of [[ngramNovelty]] — each batch document's
+    * shingles screened against the STANDING corpus's gram set (the
+    * midpoint-cut convention of the incremental family): "how much of
+    * this ingest batch is new material" is the admission-control number
+    * a continuously-growing corpus reads per batch, where the batch
+    * view ([[ngramNovelty]]) answers the within-corpus question.
+    *
+    * Scale shape: a left-anti-style membership join on the gram key —
+    * standing grams arrive as a skinny distinct set (at deployment, the
+    * `gramdf` asset family); the rollup keys on batch doc.
+    */
+  def ngramNoveltyIncremental(docs: DataFrame): DataFrame = {
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val sh = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(sketch.shingleSet(col("t"), 3)).as("g"))
+    val standing = sh.filter(col("doc_id") < cut).select("g").distinct()
+      .withColumn("known", lit(1L))
+    sh.filter(col("doc_id") >= cut)
+      .join(standing, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyIncrementalQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyIncremental(Tables.documents(spark, dir))
+
   /** Quality scoring: integer component counts + one ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

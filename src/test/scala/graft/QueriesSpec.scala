@@ -1393,6 +1393,38 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "ordered by in_degree")
   }
 
+  test("text_novelty_incremental: batch-vs-standing novelty equals a collected reference and bounds the batch view") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val cut = docs.map(_._1).max / 2
+    def sh3(t: String): Set[String] = {
+      val tok = t.trim.split("\\s+").toSeq
+      if (t.trim.isEmpty || tok.length < 3) Set.empty
+      else tok.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val grams = docs.collect { case (id, Some(t)) if sh3(t).nonEmpty => id -> sh3(t) }
+    val standing = grams.filter(_._1 < cut).flatMap(_._2).toSet
+    val want = grams.filter(_._1 >= cut).map { case (id, gs) =>
+      val novel = gs.count(g => !standing.contains(g)).toLong
+      (id, gs.size.toLong, novel, 10000L * novel / gs.size)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.ngramNoveltyIncrementalQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // against-standing novelty can only be <= the within-corpus view
+    // for batch docs (the standing set is a subset of "docs before me"
+    // only when this doc introduced the gram — check the containment
+    // that IS guaranteed: a gram known to the standing set is never
+    // novel in the full-corpus view either for batch docs)
+    val full = TextAnalysis.ngramNoveltyQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, _, novel, _) =>
+      assert(full(id) <= novel,
+        s"doc $id: full-corpus novelty (first-occurrence among ALL docs) must be <= batch-vs-standing novelty")
+    }
+  }
+
   test("embed_cluster_stats: cohesion/separation equal a collected integer-grid reference") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
