@@ -1232,8 +1232,14 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         min(col("age")).as("last_age_days"),
+        // sign-safe shift: Spark's DIV truncates toward zero while
+        // DuckDB's // floors, so a negative vc (refund) would diverge
+        // by one cent whenever 2^age doesn't divide it. Dividing the
+        // MAGNITUDE and re-applying the sign is truncation-toward-zero
+        // on both engines — identical for vc >= 0, exact for refunds.
         coalesce(sum(when(col("age") <= 62,
-          expr("vc DIV shiftleft(1L, CAST(age AS INT))")).otherwise(lit(0L))), lit(0L))
+          expr("CASE WHEN vc < 0 THEN -((-vc) DIV shiftleft(1L, CAST(age AS INT))) " +
+            "ELSE vc DIV shiftleft(1L, CAST(age AS INT)) END")).otherwise(lit(0L))), lit(0L))
           .as("decay_score"))
       .orderBy("user_id")
   }

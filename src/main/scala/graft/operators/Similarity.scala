@@ -1129,11 +1129,14 @@ object Similarity {
     val spark = embeddings.sparkSession
     val emb = embeddings.filter(col("embedding").isNotNull)
     val cents = centroidModel(emb, scale)
-    val minSep = cents.map { case (c, v) =>
-      val sep = cents.iterator.filter(_._1 != c).map { case (_, w) =>
+    // a single-centroid corpus has NO "nearest other centroid": the
+    // oracle's cross-centroid join produces zero rows and the inner
+    // join below drops the lone cluster — minOption mirrors that
+    // (min on the empty iterator would throw instead)
+    val minSep = cents.flatMap { case (c, v) =>
+      cents.iterator.filter(_._1 != c).map { case (_, w) =>
         v.zip(w).map { case (a, b) => val d = a - b; d * d }.sum
-      }.min
-      (c.toLong, sep)
+      }.minOption.map(sep => (c.toLong, sep))
     }.toSeq
     import spark.implicits._
     val sepDf = minSep.toDF("cluster", "min_sep")
