@@ -43,4 +43,26 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"))
       .limit(topN)
+
+  /** CARDINALITY CONTRACT for pairwise-matrix operators (round 15) —
+    * the guard companion to the df-cap convention. An operator that
+    * emits a keys×keys matrix (vocab_overlap's sources², audience
+    * overlap's event-types²) is only sane while the key space is
+    * DIMENSION-sized; fed a corpus where the "dimension" turns out to
+    * be high-cardinality (10k sources → 100M pairs) it degrades
+    * quadratically with no plan-level warning. This makes the contract
+    * executable: one tiny distinct-count job over the (already
+    * persisted, key-skinny) input, failing fast with the operator's
+    * name and the remedy instead of melting the shuffle.
+    */
+  val MaxPairwiseKeys = 4096L
+
+  def requirePairwiseKeyBound(df: DataFrame, keyCol: String, op: String,
+      max: Long = MaxPairwiseKeys): Unit = {
+    val n = df.select(keyCol).distinct().count()
+    require(n <= max,
+      s"$op: $n distinct '$keyCol' keys exceed the pairwise-matrix cap $max " +
+        s"(the operator emits keys² pairs) — bucket or shard '$keyCol' first, " +
+        "or raise the cap deliberately for a dimension you know is bounded")
+  }
 }

@@ -194,11 +194,27 @@ object Dedup {
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             val conf = new org.apache.hadoop.conf.Configuration()
+            // write-then-rename per shard: a speculative or zombie attempt
+            // racing a retry must never interleave bytes inside a committed
+            // .bf file (a torn filter would silently break the tier's
+            // no-false-negative contract). Each attempt writes its own
+            // temp file (attempt id in the name) and renames atomically;
+            // whichever rename lands last wins with a COMPLETE filter.
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
             rows.foreach { r =>
-              val p = new org.apache.hadoop.fs.Path(outDir, r.getString(0) + ".bf")
-              val fs = p.getFileSystem(conf)
-              val out = fs.create(p, true)
+              val fin = new org.apache.hadoop.fs.Path(outDir, r.getString(0) + ".bf")
+              val tmp = new org.apache.hadoop.fs.Path(
+                outDir, s".${r.getString(0)}.bf.tmp-$attempt")
+              val fs = fin.getFileSystem(conf)
+              val out = fs.create(tmp, true)
               try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+              fs.delete(fin, false)
+              if (!fs.rename(tmp, fin)) {
+                fs.delete(tmp, false)
+                if (!fs.exists(fin))
+                  throw new java.io.IOException(s"bloom shard commit failed: $fin")
+              }
             }
           }
         }
@@ -983,7 +999,11 @@ object Dedup {
     val inv = sh.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     // global document frequency per shingle: one shuffle on the gram key
     // (or zero, when a precomputed corpus table is supplied)
-    val dfs = dfTable.getOrElse(inv.groupBy("g").agg(count(lit(1)).as("__df")))
+    // a supplied table may carry extra stats columns (gramDf also
+    // publishes first_doc) — prune to the two the index consumes so
+    // they don't ride the doc_id exchange below
+    val dfs = dfTable.map(_.select(col("g"), col("__df")))
+      .getOrElse(inv.groupBy("g").agg(count(lit(1)).as("__df")))
     // rank each doc's shingles rarest-first ((df, g) is a total order)
     // ARRAY-SIDE: fold each doc's (df, g) pairs with one hash aggregate,
     // sort the ~doc-length array, then hash. Replaces a row_number
@@ -1048,16 +1068,23 @@ object Dedup {
     spark.read.parquet(path)
   }
 
-  /** Shingle document-frequency table (`g`, `__df`) for a corpus — the
-    * shareable stats artifact behind the prefix index. Skinny two-column
-    * output; materialized by [[corpusGramDf]] for cross-run reuse.
+  /** Shingle stats table (`g`, `__df`, `first_doc`) for a corpus — the
+    * shareable stats artifact behind the prefix index AND the novelty
+    * pair. `__df` is the document frequency (the prefix-index order
+    * key); `first_doc` is the gram's first corpus occurrence
+    * (min doc id), which is all the novelty queries need: the min
+    * rides the SAME map-side-combined aggregate as the count, so the
+    * extra column is free at build time and replaces a second
+    * corpus-wide join on hot grams at query time (round-15 fix for the
+    * round-14 sf1 watch item). Skinny three-column output;
+    * materialized by [[corpusGramDf]] for cross-run reuse.
     */
   def gramDf(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), sketch.tokenShingles(col("text"), k).as("s"))
       .filter(size(col("s")) > 0)
-      .select(explode(col("s")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("__df"))
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("__df"), min(col("doc_id")).as("first_doc"))
 
   // (corpus dir, k) -> parquet path of the materialized df table. A
   // MATERIALIZED, DURABLE table, not a cache: every consumer plan
@@ -1077,7 +1104,10 @@ object Dedup {
     */
   def corpusGramDf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val assetId = s"gramdf_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    // family id bumped gramdf -> gramdffd when first_doc joined the
+    // schema (round 15): a same-id schema change would serve the stale
+    // two-column table from any warehouse published by an older build
+    val assetId = s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
     val path = gramDfTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {

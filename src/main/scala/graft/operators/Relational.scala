@@ -1258,10 +1258,20 @@ object Relational {
     * rollup keys on the type pair (≤ |types|² groups, map-side
     * combined) and set sizes broadcast back onto the matrix.
     */
-  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.events(spark, dir)
+  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(spark, dir))
+
+  /** Frame-level core of [[qAudienceOverlap]] (input needs `event_type`,
+    * `user_id`). CARDINALITY CONTRACT: the matrix is event-types² — the
+    * key space must be dimension-sized, enforced by
+    * [[graft.engine.Skew.requirePairwiseKeyBound]] before the pair
+    * stage runs (property-tested in QueriesSpec).
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val m = events
       .select(col("event_type"), col("user_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.Skew.requirePairwiseKeyBound(m, "event_type", "q_audience_overlap")
     val sizes = m.groupBy("event_type").agg(count(lit(1)).as("n"))
     val inter = m.select(col("event_type").as("type_a"), col("user_id"))
       .join(m.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))

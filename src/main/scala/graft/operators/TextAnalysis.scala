@@ -69,11 +69,14 @@ object TextAnalysis {
     * a compression candidate; a high-novelty doc anchors coverage).
     * Emitted in integer basis points — engine-independent.
     *
-    * Scale shape: one fused shingle kernel in the scan projection, one
-    * grams-keyed min aggregate (map-side combined) for first
-    * occurrence, one equi-join back, one doc-keyed rollup. The
-    * exchange carries (gram, doc) pairs — the dedup_ngram inverted
-    * index shape, with the same df-bounded behavior.
+    * Scale shape (in-plan form, for arbitrary DataFrames): one fused
+    * shingle kernel in the scan projection, one grams-keyed min
+    * aggregate (map-side combined) for first occurrence, one equi-join
+    * back, one doc-keyed rollup. The join back re-carries hot grams
+    * through a second corpus-wide exchange — which is why the driver
+    * query runs [[ngramNoveltyFromAssets]] instead (no gram join at
+    * all); this form remains the reference semantics both are pinned
+    * against.
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
     val sh = docs
@@ -91,8 +94,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[ngramNovelty]] served from the corpus gram assets (round 15) —
+    * the deployment plan. Two observations kill the in-plan version's
+    * gram-keyed join (the round-14 sf1 watch item: re-carrying hot
+    * grams through a second corpus-wide join):
+    *   - every gram has exactly ONE first-occurrence doc, so the
+    *     per-doc novel count is just `gramstats GROUP BY first_doc` —
+    *     a vocabulary-sized aggregate, no join back to the corpus;
+    *   - the per-doc denominator (distinct-gram count) is the `n`
+    *     column the materialized per-doc index already carries.
+    * The only corpus-sized work left is the asset builds, shared with
+    * every other exact-ngram consumer; the query itself is one
+    * doc-keyed join of two skinny doc-sized tables.
+    */
+  def ngramNoveltyFromAssets(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val novel = graft.operators.Dedup.corpusGramDf(spark, dir, k)
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    graft.operators.Dedup.corpusNgramIndex(spark, dir, k)
+      .select(col("doc_id"), col("n").cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
   def ngramNoveltyQuery(spark: SparkSession, dir: String): DataFrame =
-    ngramNovelty(Tables.documents(spark, dir))
+    ngramNoveltyFromAssets(spark, dir)
 
   /** The INCREMENTAL tier of [[ngramNovelty]] — each batch document's
     * shingles screened against the STANDING corpus's gram set (the
@@ -102,30 +131,63 @@ object TextAnalysis {
     * view ([[ngramNovelty]]) answers the within-corpus question.
     *
     * Scale shape: a left-anti-style membership join on the gram key —
-    * standing grams arrive as a skinny distinct set (at deployment, the
-    * `gramdf` asset family); the rollup keys on batch doc.
+    * standing grams arrive as a skinny distinct set; the rollup keys
+    * on batch doc. This in-plan form re-derives the standing set from
+    * raw text (for arbitrary DataFrames, e.g. the streaming parity
+    * pin); the driver query runs
+    * [[ngramNoveltyIncrementalFromAssets]], which reads it from the
+    * materialized gram-stats asset instead.
     */
-  def ngramNoveltyIncremental(docs: DataFrame): DataFrame = {
-    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val sh = docs
-      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(sketch.shingleSet(col("t"), 3)).as("g"))
-    val standing = sh.filter(col("doc_id") < cut).select("g").distinct()
-      .withColumn("known", lit(1L))
-    sh.filter(col("doc_id") >= cut)
-      .join(standing, Seq("g"), "left")
+  /** The incremental tier's CORE, shared by the batch query, the
+    * asset-backed query, and the streaming admission gate
+    * ([[graft.streaming.NoveltyGate]]): per-doc novelty of `docs`'
+    * k-shingles against an explicit standing gram set (one column
+    * `g`). Docs with no shingles (null text / < k tokens) produce no
+    * row — a gate layering on this treats them as no-evidence
+    * pass-throughs. One gram-keyed membership join (left; the standing
+    * side is a skinny distinct set), one doc-keyed rollup.
+    */
+  def noveltyAgainst(docs: DataFrame, standingGrams: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(sketch.tokenShingles(col("text"), k)).as("g"))
+      .join(standingGrams.select(col("g")).withColumn("__known", lit(1L)), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_bp", expr("(10000 * n_novel) DIV n_grams"))
+
+  def ngramNoveltyIncremental(docs: DataFrame): DataFrame = {
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val standing = docs.filter(col("doc_id") < cut)
+      .select(explode(sketch.tokenShingles(col("text"), 3)).as("g")).distinct()
+    noveltyAgainst(docs.filter(col("doc_id") >= cut), standing, 3)
+      .orderBy("doc_id")
+  }
+
+  /** The incremental tier served from the corpus gram asset
+    * (round 15): the STANDING gram set is `first_doc < cut` over the
+    * materialized gram-stats table — a skinny asset scan — instead of
+    * re-shingling half the corpus per query. The BATCH side stays
+    * raw-shingled on purpose: that is the honest ingest shape (a new
+    * batch has no index entry yet); only the standing side, which a
+    * deployment accumulates, comes from the asset. Membership is
+    * unchanged: a gram occurs in some standing doc iff its first
+    * occurrence is standing.
+    */
+  def ngramNoveltyIncrementalFromAssets(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // a gram occurs in some standing doc iff its first occurrence is
+    // standing — the asset's first_doc column IS the membership test
+    val standing = graft.operators.Dedup.corpusGramDf(spark, dir, k)
+      .filter(col("first_doc") < cut).select(col("g"))
+    noveltyAgainst(docs.filter(col("doc_id") >= cut), standing, k)
       .orderBy("doc_id")
   }
 
   def ngramNoveltyIncrementalQuery(spark: SparkSession, dir: String): DataFrame =
-    ngramNoveltyIncremental(Tables.documents(spark, dir))
+    ngramNoveltyIncrementalFromAssets(spark, dir)
 
   /** Quality scoring: integer component counts + one ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
@@ -194,8 +256,17 @@ object TextAnalysis {
     * (bounded per-group work, no global sort); everything after runs
     * on sources × K rows — the pairwise join is tiny by construction.
     */
-  def vocabOverlapQuery(spark: SparkSession, dir: String, topK: Int = 32): DataFrame = {
-    val counts = Tables.documents(spark, dir)
+  def vocabOverlapQuery(spark: SparkSession, dir: String, topK: Int = 32): DataFrame =
+    vocabOverlap(Tables.documents(spark, dir), topK)
+
+  /** Frame-level core of [[vocabOverlapQuery]]. CARDINALITY CONTRACT:
+    * the matrix is sources² — the key space must be dimension-sized,
+    * enforced by [[graft.engine.Skew.requirePairwiseKeyBound]] on the
+    * (persisted, sources×topK-row) top-term table before the pair
+    * stage runs (property-tested in QueriesSpec).
+    */
+  def vocabOverlap(docs: DataFrame, topK: Int = 32): DataFrame = {
+    val counts = docs
       .select(col("source"), explode(text.tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("source", "term")
@@ -206,6 +277,7 @@ object TextAnalysis {
       .filter(col("__rn") <= topK)
       .select(col("source"), col("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.Skew.requirePairwiseKeyBound(top, "source", "vocab_overlap")
     val sizes = top.groupBy("source").agg(count(lit(1)).as("k"))
     val inter = top.select(col("source").as("source_a"), col("term"))
       .join(top.select(col("source").as("source_b"), col("term")), Seq("term"))
@@ -929,7 +1001,17 @@ object TextAnalysis {
     // harmless here but warns on every run. The running sum stays an
     // exact long; the one double division per row matches the oracle.
     val spark = docs.sparkSession
-    val tot = total.head().getDouble(0)
+    import spark.implicits._
+    // empty corpus: sum(freq) aggregates to NULL — return the empty
+    // frame (the pre-rewrite window plan's behavior) instead of
+    // throwing from getDouble on the null scalar
+    val totRow = total.head()
+    if (totRow.isNullAt(0)) {
+      freqs.unpersist()
+      return Seq.empty[(Long, String, Long, Double)]
+        .toDF("rank", "term", "freq", "cum_share")
+    }
+    val tot = totRow.getDouble(0)
     val top = freqs.orderBy(desc("freq"), asc("term")).limit(topK)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (term, freq) => (-freq, term) }
@@ -937,7 +1019,6 @@ object TextAnalysis {
       case ((_, _, _, cum), ((term, freq), i)) =>
         ((i + 1).toLong, term, freq, cum + freq)
     }.drop(1).map { case (rank, term, freq, cum) => (rank, term, freq, cum / tot) }
-    import spark.implicits._
     ranked.toSeq.toDF("rank", "term", "freq", "cum_share")
   }
 

@@ -13,6 +13,12 @@ import org.apache.spark.sql.streaming.Trigger
   *      run FIRST because it is pure row-local projection: every
   *      downstream join, digest write and chunk store shrinks to the
   *      kept slice;
+  *   1b. NOVELTY GATE ([[NoveltyGate]], optional, round 15) — admits
+  *      only docs whose shingle novelty against the standing gram
+  *      asset clears `minNoveltyBp`; runs AFTER the row-local gate
+  *      (its membership join sees only quality-kept docs) and BEFORE
+  *      dedup (redundant-by-construction material never reaches the
+  *      digest table);
   *   2. EXACT INGEST DEDUP ([[IngestDedup.processBatch]]) — first-seen
   *      content lands, later copies are dropped against the standing
   *      digest table (prefix-pruned scan, replay-safe partitions);
@@ -37,8 +43,9 @@ import org.apache.spark.sql.streaming.Trigger
 object CuratedIngest {
 
   /** Process one micro-batch (columns `doc_id`, `text`); returns
-    * (gated-in rows, docs landed, novel chunks stored). Exposed for the
-    * spec.
+    * (gated-in rows — survivors of the quality AND, when configured,
+    * novelty gates —, docs landed, novel chunks stored). Exposed for
+    * the spec.
     */
   private[graft] def processBatch(
       batch: DataFrame,
@@ -50,12 +57,19 @@ object CuratedIngest {
       storeDir: String,
       manifestDir: String,
       k: Int = 8,
-      divisor: Int = 64
+      divisor: Int = 64,
+      noveltyStanding: Option[DataFrame] = None,
+      minNoveltyBp: Long = 0L
   ): (Long, Long, Long) = {
     val spark = batch.sparkSession
-    val gated = QualityGate.gate(batch, weights, threshold)
+    val qualityKept = QualityGate.gate(batch, weights, threshold)
       .filter(col("kept"))
       .select(col("doc_id"), col("text"))
+    val gated = noveltyStanding
+      .map(sg => NoveltyGate.gate(qualityKept, sg, minNoveltyBp)
+        .filter(col("admitted"))
+        .select(col("doc_id"), col("text")))
+      .getOrElse(qualityKept)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val gatedIn = gated.count()
@@ -86,12 +100,15 @@ object CuratedIngest {
       checkpoint: String,
       threshold: Long = 0L,
       k: Int = 8,
-      divisor: Int = 64
+      divisor: Int = 64,
+      noveltyStanding: Option[DataFrame] = None,
+      minNoveltyBp: Long = 0L
   ): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, weights, threshold,
-          destDir, digestDir, storeDir, manifestDir, k, divisor); ()
+          destDir, digestDir, storeDir, manifestDir, k, divisor,
+          noveltyStanding, minNoveltyBp); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

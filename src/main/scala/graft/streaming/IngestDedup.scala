@@ -41,7 +41,14 @@ object IngestDedup {
   private def storedDigests(spark: org.apache.spark.sql.SparkSession, digestDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(digestDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(digestDir)
+    // EXPLICIT schema, never inference: a micro-batch whose docs were
+    // all dropped upstream (gates, dedup) commits a batch=<id> partition
+    // with zero data files — legitimate, but schema inference over a
+    // footerless tree throws UNABLE_TO_INFER_SCHEMA and would poison
+    // every later batch's digest scan (spec-pinned). hp/batch are
+    // partition columns; h is the only column inside the files.
+    if (fs.exists(path))
+      spark.read.schema("h STRING, hp STRING, batch LONG").parquet(digestDir)
     else spark.emptyDataFrame
       .select(lit("").as("h"), lit("").as("hp"), lit(0L).as("batch")).limit(0)
   }

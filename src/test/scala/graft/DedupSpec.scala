@@ -257,10 +257,21 @@ class DedupSpec extends SparkSpec {
       "same key must read the same materialized files")
     assert(Dedup.corpusGramDf(spark, sf, 4).inputFiles.toSeq != a.inputFiles.toSeq,
       "different k is a different table")
-    // content equals a fresh computation
+    // content equals a fresh computation — df AND first_doc columns
     val fresh = Dedup.gramDf(Tables.documents(spark, sf), 3)
-      .as[(String, Long)].collect().toMap
-    assert(a.as[(String, Long)].collect().toMap == fresh)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(a.as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap == fresh)
+    // first_doc is internally consistent: it is one of the docs the
+    // gram occurs in, and a df=1 gram's first_doc is its only doc
+    val docs = Tables.documents(spark, sf)
+    val byGram = docs
+      .select(col("doc_id"),
+        explode(graft.functions.sketch.tokenShingles(col("text"), 3)).as("g"))
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    fresh.foreach { case (g, (_, fd)) =>
+      assert(byGram(g) == fd, s"first_doc mismatch for gram '$g'")
+    }
   }
 
   test("exact ngram jaccard join equals brute-force all-pairs jaccard") {

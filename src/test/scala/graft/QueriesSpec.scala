@@ -1456,6 +1456,64 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum == emb.length.toLong, "members must conserve the corpus")
   }
 
+  test("pairwise-matrix cardinality contract: overlap operators fail fast past the key cap") {
+    import graft.operators.{Relational, TextAnalysis}
+    import graft.engine.Skew
+    // in-bounds: the sf corpus passes and emits at most keys·(keys-1)/2 pairs
+    val okTypes = Relational.qAudienceOverlap(spark, sf)
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(okTypes.count() <= nTypes * (nTypes - 1) / 2)
+    spark.catalog.clearCache()
+    // at the cap exactly: allowed (disjoint users keep the pair stage empty)
+    val atCap = spark.range(0, Skew.MaxPairwiseKeys)
+      .selectExpr("concat('t', id) AS event_type", "id AS user_id")
+    assert(Relational.audienceOverlap(atCap).count() == 0L)
+    spark.catalog.clearCache()
+    // one past the cap: the guard fires BEFORE the pair stage, naming
+    // the operator and the remedy
+    val overCap = spark.range(0, Skew.MaxPairwiseKeys + 1)
+      .selectExpr("concat('t', id) AS event_type", "id AS user_id")
+    val e1 = intercept[IllegalArgumentException] { Relational.audienceOverlap(overCap) }
+    assert(e1.getMessage.contains("q_audience_overlap") && e1.getMessage.contains("4096"))
+    // same contract on the vocab matrix (disjoint per-source vocab)
+    val overDocs = spark.range(0, Skew.MaxPairwiseKeys + 1)
+      .selectExpr("id AS doc_id", "concat('s', id) AS source",
+        "concat('w', id, 'a w', id, 'b w', id, 'c') AS text")
+    val e2 = intercept[IllegalArgumentException] { TextAnalysis.vocabOverlap(overDocs, topK = 4) }
+    assert(e2.getMessage.contains("vocab_overlap"))
+    spark.catalog.clearCache()
+  }
+
+  test("novelty asset path: fresh-JVM load instead of rebuild, pinned equal to the in-plan form") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val root = java.nio.file.Files.createTempDirectory("graft_novelty_asset_spec").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    try {
+      Dedup.dropInMemoryNgramTables()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // asset-backed == in-plan reference semantics, both tiers
+      val batchA = canon(TextAnalysis.ngramNoveltyFromAssets(spark, sf))
+      val batchP = canon(TextAnalysis.ngramNovelty(Tables.documents(spark, sf)))
+      assert(batchA == batchP, "asset-backed batch novelty diverged from the in-plan form")
+      val incA = canon(TextAnalysis.ngramNoveltyIncrementalFromAssets(spark, sf))
+      val incP = canon(TextAnalysis.ngramNoveltyIncremental(Tables.documents(spark, sf)))
+      assert(incA == incP, "asset-backed incremental novelty diverged from the in-plan form")
+      val builds = Dedup.ngramAssetBuilds.get()
+      assert(builds >= 2, "gram assets must have been built into the fresh warehouse")
+      // "new JVM": drop the in-memory handles; the queries must LOAD
+      Dedup.dropInMemoryNgramTables()
+      assert(canon(TextAnalysis.ngramNoveltyFromAssets(spark, sf)) == batchA)
+      assert(canon(TextAnalysis.ngramNoveltyIncrementalFromAssets(spark, sf)) == incA)
+      assert(Dedup.ngramAssetBuilds.get() == builds,
+        "fresh-JVM novelty must load the published gram assets, not rebuild them")
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      Dedup.dropInMemoryNgramTables()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("text_ngram_novelty: per-doc novel counts equal a collected first-occurrence reference; first doc is fully novel") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{EventStream, ProfileGate, QualityGate}
+import graft.streaming.{EventStream, NoveltyGate, ProfileGate, QualityGate}
 
 /** Structured-streaming analog of the scroll loop: drain-all semantics,
   * convergence with the batch twin, stateful per-key transform.
@@ -149,6 +149,24 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq((6L, "delta text"), (6L, "delta text")).toDF("doc_id", "text")
     assert(IngestDedup.processBatch(b2, 2L, dest, digests) == 1L)
     assert(spark.read.parquet(dest).filter(col("doc_id") === 6L).count() == 1L)
+  }
+
+  test("dedup ingest: an all-dropped batch leaves the digest table readable for later batches") {
+    import graft.streaming.IngestDedup
+    val dest = Files.createTempDirectory("graft_ingest_empty").toString + "/docs"
+    val digests = Files.createTempDirectory("graft_ingest_empty_h").toString + "/digests"
+    // batch 0: upstream gates dropped everything — a zero-row frame
+    // still commits its batch=0 digest partition (zero data files)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(empty, 0L, dest, digests) == 0L)
+    // batch 1 must scan the digest dir WITHOUT schema inference — a
+    // footerless batch=0 tree used to throw UNABLE_TO_INFER_SCHEMA and
+    // poison every later batch
+    val b1 = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b1, 1L, dest, digests) == 2L)
+    // and the dedup contract still holds across the gap
+    val b2 = Seq((3L, "alpha text"), (4L, "gamma text")).toDF("doc_id", "text")
+    assert(IngestDedup.processBatch(b2, 2L, dest, digests) == 1L)
   }
 
   test("dedup ingest: prefix-partitioned digests prune the prior-digest scan") {
@@ -1043,6 +1061,121 @@ class StreamingSpec extends SparkSpec {
     val viaOperator = TextAnalysis.qualityClassify(rows.toDF("doc_id", "text"), weights)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(viaOperator == want)
+  }
+
+  test("streaming novelty gate: per-micro-batch admission equals the batch incremental-novelty operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // standing corpus: two docs; arriving docs range from verbatim-old
+    // (novelty 0) through mixed to fully-new, plus a shingle-less short
+    // doc (no-evidence pass-through) across TWO micro-batches
+    val standingDocs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6"), (2L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    // the deployment shape: standing grams from the gram-stats asset
+    // schema (g, __df, first_doc) — the gate must prune the extras
+    val standingGrams = Dedup.gramDf(standingDocs, 3)
+    val rows = Seq(
+      (10L, "s1 s2 s3 s4 s5 s6"),        // all old -> 0 bp
+      (11L, "s1 s2 s3 n1 n2 n3"),        // mixed
+      (12L, "u1 u2 u3 u4 u5"),           // all new -> 10000 bp
+      (13L, "one two"),                  // < 3 tokens: no evidence
+      (14L, "t4 t5 t6 v1 v2"))
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_nov_ckpt").toString
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "novelty_bp", "admitted")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    // the gate aggregates per doc, so it runs inside foreachBatch (the
+    // deployment shape in CuratedIngest) — not as a bare Append-mode
+    // streaming aggregation
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vs = canon(NoveltyGate.gate(b.toDF(), standingGrams, minNoveltyBp = 5000L))
+        buf.synchronized { buf ++= vs }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = buf.sortBy(_._1).toSeq
+    // batch twin: the SAME gate expression over the whole arrival set
+    val want = canon(NoveltyGate.gate(rows.toDF("doc_id", "text"), standingGrams, 5000L))
+    assert(got == want, s"stream $got != batch $want")
+    // and the novelty numbers equal the batch incremental operator's
+    // core on the same standing set
+    val nums = TextAnalysis.noveltyAgainst(rows.toDF("doc_id", "text"),
+        standingGrams.select("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    got.filter(_._2 >= 0).foreach { case (id, bp, _) =>
+      assert(nums(id) == bp, s"doc $id: gate bp $bp != operator bp ${nums(id)}")
+    }
+    // the pin is non-vacuous: both verdicts occur, and the shingle-less
+    // doc passed through admitted with null novelty
+    assert(got.map(_._3).toSet == Set(true, false))
+    assert(got.find(_._1 == 13L).exists(t => t._2 == -1L && t._3))
+    assert(got.find(_._1 == 10L).exists(t => t._2 == 0L && !t._3))
+    assert(got.find(_._1 == 12L).exists(t => t._2 == 10000L && t._3))
+  }
+
+  test("curated ingest with novelty tier: landed set equals the batch gate→novelty→dedup composition") {
+    import graft.streaming.CuratedIngest
+    import graft.operators.{Dedup, TextAnalysis}
+    val weights = TextAnalysis.classifierWeights()
+    val src = Files.createTempDirectory("graft_cin_src").toString
+    val dest = Files.createTempDirectory("graft_cin_dest").toString + "/docs"
+    val digest = Files.createTempDirectory("graft_cin_dig").toString + "/digests"
+    val store = Files.createTempDirectory("graft_cin_store").toString + "/store"
+    val manifest = Files.createTempDirectory("graft_cin_man").toString + "/manifest"
+    val ckpt = Files.createTempDirectory("graft_cin_ck").toString
+    // texts built from words the hashed-bow classifier scores POSITIVE
+    // (probed), except the deliberate quality reject — each verdict
+    // below must come from the intended tier
+    val standingDocs = Seq(
+      (1L, "forest lambda autumn willow thunder sigma"),
+      (2L, "trout stone golden alpha theta cedar")).toDF("doc_id", "text")
+    val standingGrams = Dedup.gramDf(standingDocs, 3)
+    val texts = Map(
+      10L -> "forest lambda autumn willow thunder sigma", // quality-pass, redundant vs standing
+      11L -> "voyage valley heron cloud crimson zeta",    // quality-pass, fully novel
+      12L -> "voyage valley heron cloud crimson zeta",    // exact dup of 11
+      13L -> "zzzz qqqq zzzz qqqq zzzz qqqq xxqz",        // quality reject
+      14L -> "forest lambda autumn falcon copper salmon") // quality-pass, 3/4 novel shingles
+    Seq(10L, 11L, 12L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f1")
+    Seq(13L, 14L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    CuratedIngest.runCuratedIngest(stream, weights, dest, digest, store, manifest,
+      ckpt, divisor = 16, noveltyStanding = Some(standingGrams), minNoveltyBp = 5000L)
+    val all = texts.toSeq.toDF("doc_id", "text")
+    // batch twin: quality gate -> novelty gate (same standing set) ->
+    // first-seen exact dedup (min doc_id per content)
+    val batchKept = NoveltyGate.gate(
+        QualityGate.gate(all, weights).filter(col("kept")).select("doc_id", "text"),
+        standingGrams, 5000L)
+      .filter(col("admitted"))
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val landed = spark.read.parquet(dest).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed == batchKept,
+      s"stream composition must equal batch gate→novelty→dedup: $landed vs $batchKept")
+    // the novelty tier did real work: the redundant doc is absent, the
+    // novel doc landed exactly once
+    assert(!landed.contains(10L) && landed.contains(11L) && !landed.contains(12L))
   }
 
   test("streaming profile gate: standing-corpus median/MAD screen equals the batch operator; cold sources pass") {
