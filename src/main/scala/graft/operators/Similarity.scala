@@ -407,14 +407,34 @@ object Similarity {
       scale: Int = 1000
   ): DataFrame = {
     val emb = corpus.filter(col("embedding").isNotNull)
-    val banded = emb
-      .select(col("vec_id"), explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
-      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    val banded = bandsOf(emb, bits, tables, dim, seedBase)
     val candidates = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    rankCandidatesTopK(candidates, emb, kTop, scale)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The (vec_id, t, b) LSH band projection — the one expression both
+    * the full build and the incremental maintenance band with (bands
+    * are per-vector deterministic, so a batch's bands ARE the merged
+    * table's rows for those vectors).
+    */
+  private def bandsOf(emb: DataFrame, bits: Int, tables: Int,
+      dim: Int, seedBase: Long): DataFrame =
+    emb
+      .select(col("vec_id"),
+        explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
+      .select(col("vec_id"), col("bk.t"), col("bk.b"))
+
+  /** [[knnGraph]]'s exact ranking tail over an explicit candidate-pair
+    * set — shared verbatim by the incremental path so "refreshed rows
+    * equal rebuilt rows" is structural.
+    */
+  private def rankCandidatesTopK(candidates: DataFrame, emb: DataFrame,
+      kTop: Int, scale: Int): DataFrame =
     candidates
       .join(emb.select(col("vec_id").as("id_a"),
         quantizedCol(col("embedding"), scale).as("q_a")), Seq("id_a"))
@@ -432,7 +452,66 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.tie").as("nbr_id"),
         (-col("col.ord")).as("dist"))
+
+  /** INCREMENTAL k-NN EDGE MAINTENANCE (round 15) — extend a standing
+    * edge table with a batch of NEW vectors without rebuilding the
+    * graph. The exactness argument: a source's top-k can change only
+    * if its LSH candidate set changed, bands are per-vector
+    * deterministic, and appending a batch only ADDS candidate pairs —
+    * each involving at least one new vector. So the affected sources
+    * are exactly (old vectors sharing ≥1 bucket with a new vector) ∪
+    * (the batch); those re-rank over their FULL merged candidate sets
+    * through [[knnGraph]]'s own ranking tail (same total order, same
+    * ties), and every other standing edge row is kept verbatim —
+    * pinned equal to the full rebuild on the merged corpus in
+    * SimilaritySpec.
+    *
+    * Scale shape: the batch is banded once (batch-sized); the affected
+    * set comes from one band-keyed join of the standing band ASSET
+    * against the batch's bands (bounded by bucket occupancy, never
+    * corpus×corpus); re-ranking is bounded by |affected| × occupancy.
+    * The untouched majority of the edge asset moves by anti-join —
+    * no distance is recomputed for it. This is the
+    * `dedup_minhash_incremental` pattern applied to the graph asset
+    * with NINE downstream consumers.
+    */
+  def knnEdgesIncrement(
+      oldEdges: DataFrame,
+      oldBands: DataFrame,
+      mergedEmb: DataFrame,
+      newVecs: DataFrame,
+      kTop: Int = 5,
+      bits: Int = 4,
+      tables: Int = 8,
+      dim: Int = 64,
+      seedBase: Long = 42L,
+      scale: Int = 1000
+  ): DataFrame = {
+    val newBands = bandsOf(newVecs.filter(col("embedding").isNotNull),
+        bits, tables, dim, seedBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standingBands = oldBands.select("vec_id", "t", "b")
+    val mergedBands = standingBands.unionByName(newBands)
+    // affected = standing sources sharing a bucket with the batch, plus
+    // the batch itself; everyone else's candidate set is unchanged
+    val affected = standingBands
+      .join(newBands.select(col("t"), col("b")).distinct(), Seq("t", "b"))
+      .select("vec_id")
+      .unionByName(newBands.select("vec_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = mergedBands.join(affected, Seq("vec_id"))
+      .select(col("t"), col("b"), col("vec_id").as("id_a"))
+      .join(mergedBands.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val refreshed = rankCandidatesTopK(
+      candidates, mergedEmb.filter(col("embedding").isNotNull), kTop, scale)
+    val out = oldEdges.join(affected, Seq("vec_id"), "left_anti")
+      .unionByName(refreshed)
       .orderBy("vec_id", "rank")
+    graft.engine.Caching.handoff(out, newBands, affected)
   }
 
   // asset id (already fingerprint- and parameter-qualified) -> path.
@@ -464,18 +543,57 @@ object Similarity {
     * the same parameter-complete addressing the PQ family uses
     * ([[loadOrBuild]]).
     */
+  private def knnEdgesAssetId(spark: SparkSession, dir: String, kTop: Int,
+      bits: Int, tables: Int, dim: Int, seedBase: Long, scale: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    s"knnedges_k${kTop}_b${bits}_t${tables}_d${dim}_sd${seedBase}_s${scale}" +
+      s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
   def corpusKnnEdges(spark: SparkSession, dir: String, kTop: Int = 5,
       bits: Int = 4, tables: Int = 8, dim: Int = 64,
       seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
-    val assetId =
-      s"knnedges_k${kTop}_b${bits}_t${tables}_d${dim}_sd${seedBase}_s${scale}" +
-        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = knnEdgesAssetId(spark, dir, kTop, bits, tables, dim, seedBase, scale)
     val path = knnEdgeTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           knnAssetBuilds.incrementAndGet()
           knnGraph(Tables.embeddings(spark, dir), kTop, bits, tables, dim, seedBase, scale)
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
+  /** Builds the increment path ran this JVM — spec seam. */
+  private[graft] val knnIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Publish `dir`'s k-NN edge asset by INCREMENT from `oldDir`'s
+    * (round 15): the standing edge and band assets are loaded, the
+    * vectors `dir` added are detected by id anti-join, and
+    * [[knnEdgesIncrement]] refreshes only the affected sources. The
+    * result is published under the SAME content address
+    * `corpusKnnEdges(spark, dir, …)` would build into — every
+    * downstream consumer (all nine) loads the incremented table with
+    * no code change, and the equality pin (increment ≡ full rebuild)
+    * means the address is honest. A corpus append workflow calls this
+    * once after landing the batch; the full rebuild remains the
+    * fallback when no prior asset exists.
+    */
+  def corpusKnnEdgesIncrement(spark: SparkSession, oldDir: String, dir: String,
+      kTop: Int = 5, bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
+    val assetId = knnEdgesAssetId(spark, dir, kTop, bits, tables, dim, seedBase, scale)
+    val path = knnEdgeTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          knnIncrementBuilds.incrementAndGet()
+          val oldEdges = corpusKnnEdges(spark, oldDir, kTop, bits, tables, dim, seedBase, scale)
+          val oldBands = corpusBandedEmbeddings(spark, oldDir, bits, tables, dim, seedBase)
+          val merged = Tables.embeddings(spark, dir)
+          val newVecs = merged.join(
+            Tables.embeddings(spark, oldDir).select("vec_id"), Seq("vec_id"), "left_anti")
+          knnEdgesIncrement(oldEdges, oldBands, merged, newVecs,
+              kTop, bits, tables, dim, seedBase, scale)
             .write.mode("overwrite").parquet(staging)
         }))
     spark.read.parquet(path)

@@ -38,16 +38,34 @@ object AssetBench {
       spark.catalog.clearCache()
     }
 
-    val builds = Seq[(String, () => Long)](
-      "ngramidx_k3" -> (() => Dedup.corpusNgramIndex(spark, sfDir).count()),
-      "gramdf_k3" -> (() => Dedup.corpusGramDf(spark, sfDir).count()),
-      "cdcdigests" -> (() => Dedup.corpusChunkDigests(spark, sfDir).count()),
-      "minhashsig_k3_h128" -> (() => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
-      "knnedges_k5" -> (() => Similarity.corpusKnnEdges(spark, sfDir).count()),
-      "bpemerges_r3" -> (() => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
+    // midpoint-split standing corpus for the increment row: the
+    // standing assets are prebuilt in the SETUP phase (outside the
+    // timer) — the timed number is what an append workflow actually
+    // pays: band the batch, refresh affected sources, publish
+    val incOldDir = java.nio.file.Files.createTempDirectory("graft_assetbench_old").toString
+    def noSetup: () => Unit = () => ()
+    val builds = Seq[(String, () => Unit, () => Long)](
+      ("ngramidx_k3", noSetup, () => Dedup.corpusNgramIndex(spark, sfDir).count()),
+      ("gramdf_k3", noSetup, () => Dedup.corpusGramDf(spark, sfDir).count()),
+      ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
+      ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
+      ("knnedges_k5", noSetup, () => Similarity.corpusKnnEdges(spark, sfDir).count()),
+      ("knnedges_k5_increment",
+        () => {
+          import org.apache.spark.sql.functions.{col, expr}
+          val emb = graft.Tables.embeddings(spark, sfDir)
+          val cut = emb.agg(expr("max(vec_id) div 2").cast("long")).head().getLong(0)
+          emb.filter(col("vec_id") < cut)
+            .write.mode("overwrite").parquet(s"$incOldDir/embeddings.parquet")
+          Similarity.corpusKnnEdges(spark, incOldDir).count()
+          Similarity.corpusBandedEmbeddings(spark, incOldDir).count()
+        },
+        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir).count()),
+      ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
     )
-    val timed = builds.map { case (name, run) =>
+    val timed = builds.map { case (name, setup, run) =>
       freshRoot()
+      setup()
       val t0 = System.nanoTime()
       run()
       val sec = (System.nanoTime() - t0) / 1e9

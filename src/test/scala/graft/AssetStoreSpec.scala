@@ -134,6 +134,55 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("knn edge increment: equals the full rebuild on the merged corpus; publishes the merged address") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_knninc_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_knninc_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        // more hyperplanes than the query default so the batch does NOT
+        // touch every standing bucket — the kept-verbatim path must be
+        // exercised, not vacuous (asserted below)
+        val B = 12
+        Similarity.corpusKnnEdges(spark, oldDir, bits = B).count()
+        Similarity.corpusBandedEmbeddings(spark, oldDir, bits = B).count()
+        val touched = Similarity.corpusBandedEmbeddings(spark, oldDir, bits = B)
+          .join(Similarity.corpusBandedEmbeddings(spark, newDir, bits = B)
+            .filter(col("vec_id") >= cut).select("t", "b").distinct(), Seq("t", "b"))
+          .select("vec_id").distinct().count()
+        val oldN = emb.filter(col("vec_id") < cut && col("embedding").isNotNull).count()
+        assert(touched < oldN,
+          s"degenerate fixture: all $oldN standing sources affected — raise bits")
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        val builds0 = Similarity.knnAssetBuilds.get()
+        val inc0 = Similarity.knnIncrementBuilds.get()
+        val inc = canon(Similarity.corpusKnnEdgesIncrement(spark, oldDir, newDir, bits = B))
+        assert(Similarity.knnIncrementBuilds.get() == inc0 + 1)
+        assert(Similarity.knnAssetBuilds.get() == builds0,
+          "the increment must not fall back to a full rebuild")
+        val full = canon(Similarity.knnGraph(Tables.embeddings(spark, newDir), bits = B))
+        assert(inc == full, s"increment diverged: ${inc.size} vs ${full.size} rows")
+        // the published address is the one every consumer resolves:
+        // a fresh handle LOADS the incremented table, builds stay flat
+        Similarity.dropInMemoryIndexes()
+        val served = canon(Similarity.corpusKnnEdges(spark, newDir, bits = B))
+        assert(Similarity.knnAssetBuilds.get() == builds0,
+          "consumers must LOAD the incremented asset, not rebuild")
+        assert(served == inc)
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("mid-session corpus rebuild: every asset family serves the NEW address, same JVM") {
     // The content address was always honest ACROSS JVMs; this pins the
     // same-JVM contract — the handle caches are keyed by fingerprint,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** SWEEPING PLAN AUDIT (round 15) — the per-round manual plan reviews
+  * (no cartesian products, no single-task windows, no silent codegen
+  * fallback) asserted mechanically over EVERY registered query, so the
+  * next 64 KB codegen blowout or partition-less window fails at commit
+  * time instead of judge time.
+  *
+  * Three invariants, each an anti-pattern with a crisp physical-plan
+  * signature:
+  *   - `CartesianProductExec` anywhere is a corpus×corpus execution —
+  *     always a bug here (the deliberate 1-row scalar cross joins plan
+  *     as BroadcastNestedLoopJoin over a broadcast aggregate, which is
+  *     bounded by construction and allowed);
+  *   - a Window (or rank-pushdown WindowGroupLimit) with an EMPTY
+  *     partition spec collapses its input into one task — the
+  *     single-partition sort GlobalRank exists to avoid;
+  *   - `spark.sql.codegen.fallback=false` turns whole-stage-codegen
+  *     compilation failures (the 64 KB method limit, constant-pool
+  *     overflow) from silent interpreted fallbacks into hard errors
+  *     while each query EXECUTES at sf0.001.
+  *
+  * Driver-side collects inside query builders stay under the manual
+  * audit (their boundedness is a per-operator contract — centroid
+  * models, shard Blooms, top-K — not a plan signature).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("every registered query: no cartesian product, no unpartitioned window, codegen compiles") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sf)
+          val plan = df.queryExecution.sparkPlan
+          plan.collect {
+            case c: CartesianProductExec => c
+          }.headOption.foreach(_ => bad += s"$name: CartesianProduct in plan")
+          plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => "Window"
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => "WindowGroupLimit"
+          }.headOption.foreach(k => bad += s"$name: unpartitioned $k (single-task sort)")
+          // execute: with fallback disabled, a codegen compile failure
+          // anywhere in the query throws instead of degrading silently
+          df.collect()
+        } catch {
+          case e: Throwable =>
+            bad += s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(300)}"
+        }
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    assert(bad.isEmpty, s"plan-audit violations (${bad.size}):\n${bad.mkString("\n")}")
+  }
+}
