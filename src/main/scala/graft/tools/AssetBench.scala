@@ -38,11 +38,25 @@ object AssetBench {
       spark.catalog.clearCache()
     }
 
-    // midpoint-split standing corpus for the increment row: the
-    // standing assets are prebuilt in the SETUP phase (outside the
-    // timer) — the timed number is what an append workflow actually
-    // pays: band the batch, refresh affected sources, publish
+    // 10%-append standing corpus for the increment rows: the standing
+    // assets are prebuilt in the SETUP phase (outside the timer) — the
+    // timed number is what an append workflow actually pays: band the
+    // batch, refresh affected sources, publish. Benchmarked at TWO LSH
+    // widths: the query default bits=4 (16 buckets — bucket occupancy
+    // makes every standing source affected, so the increment honestly
+    // measures ≈ a rebuild) and the deployment width bits=12 (4096
+    // buckets — the affected set shrinks to the batch's bucket
+    // neighborhood, which is where the increment pays).
     val incOldDir = java.nio.file.Files.createTempDirectory("graft_assetbench_old").toString
+    def incSetup(bits: Int): () => Unit = () => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val cut = emb.agg((expr("max(vec_id)") * 9 / 10).cast("long")).head().getLong(0)
+      emb.filter(col("vec_id") < cut)
+        .write.mode("overwrite").parquet(s"$incOldDir/embeddings.parquet")
+      Similarity.corpusKnnEdges(spark, incOldDir, bits = bits).count()
+      Similarity.corpusBandedEmbeddings(spark, incOldDir, bits = bits).count()
+    }
     def noSetup: () => Unit = () => ()
     val builds = Seq[(String, () => Unit, () => Long)](
       ("ngramidx_k3", noSetup, () => Dedup.corpusNgramIndex(spark, sfDir).count()),
@@ -50,17 +64,12 @@ object AssetBench {
       ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
       ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
       ("knnedges_k5", noSetup, () => Similarity.corpusKnnEdges(spark, sfDir).count()),
-      ("knnedges_k5_increment",
-        () => {
-          import org.apache.spark.sql.functions.{col, expr}
-          val emb = graft.Tables.embeddings(spark, sfDir)
-          val cut = emb.agg(expr("max(vec_id) div 2").cast("long")).head().getLong(0)
-          emb.filter(col("vec_id") < cut)
-            .write.mode("overwrite").parquet(s"$incOldDir/embeddings.parquet")
-          Similarity.corpusKnnEdges(spark, incOldDir).count()
-          Similarity.corpusBandedEmbeddings(spark, incOldDir).count()
-        },
+      ("knnedges_k5_increment", incSetup(4),
         () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir).count()),
+      ("knnedges_k5b12", noSetup,
+        () => Similarity.corpusKnnEdges(spark, sfDir, bits = 12).count()),
+      ("knnedges_k5b12_increment", incSetup(12),
+        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir, bits = 12).count()),
       ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
     )
     val timed = builds.map { case (name, setup, run) =>

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir> [reportJson]
+
+With a third argument, also writes the driver-format correctness
+report (CORRECTNESS_r{N}.json shape) — updated after EVERY query, so
+even a killed run leaves a populated artifact.
 
 Expects `graft.Verify` to have been run first:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify"
@@ -27,7 +31,21 @@ def canon(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, report_path=None):
+    # report_path: optional CORRECTNESS_r{N}.json in the driver's format
+    # (per-query rows/schema/hash match) — written INCREMENTALLY after
+    # every query so a killed run still leaves a populated artifact.
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match, sr, orc, err):
+        if report_path is None:
+            return
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": sr,
+                        "oracle_rows": orc, "err": err}
+        with open(report_path, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -41,11 +59,13 @@ def main(sf_dir, out_dir):
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, False, False, -1, -1, f"oracle SQL error: {e}")
             failures += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output at {out_dir}/{name}")
+            record(name, False, False, False, -1, len(want), "no spark output")
             failures += 1
             continue
         # read the spark side with pyarrow/pandas (NOT duckdb): the
@@ -55,15 +75,18 @@ def main(sf_dir, out_dir):
         w, g = canon(want), canon(got)
         if list(w.columns) != list(g.columns):
             print(f"FAIL {name}: columns want={list(w.columns)} got={list(g.columns)}")
+            record(name, len(w) == len(g), False, False, len(g), len(w), "column mismatch")
             failures += 1
             continue
         if list(map(str, w.dtypes)) != list(map(str, g.dtypes)):
             print(f"FAIL {name}: dtypes want={dict(zip(w.columns, map(str, w.dtypes)))} "
                   f"got={dict(zip(g.columns, map(str, g.dtypes)))}")
+            record(name, len(w) == len(g), False, False, len(g), len(w), "dtype mismatch")
             failures += 1
             continue
         if len(w) != len(g):
             print(f"FAIL {name}: rows want={len(w)} got={len(g)}")
+            record(name, False, True, False, len(g), len(w), "row count mismatch")
             failures += 1
             continue
         # exact value compare, column by column
@@ -77,13 +100,16 @@ def main(sf_dir, out_dir):
                            f"({int(neq.sum())} diffs)")
         if bad:
             print(f"FAIL {name}: " + "; ".join(bad[:3]))
+            record(name, True, True, False, len(g), len(w), "; ".join(bad[:3]))
             failures += 1
         else:
             print(f"PASS {name} ({len(w)} rows)")
+            record(name, True, True, True, len(g), len(w), None)
     # queries without oracles get a rows-only check from the driver
     print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries pass")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
