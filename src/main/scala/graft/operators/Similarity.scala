@@ -1072,6 +1072,75 @@ object Similarity {
   def labelConfusionQuery(spark: SparkSession, dir: String): DataFrame =
     labelConfusion(spark, dir)
 
+  /** 2-HOP REACH — per vector: direct out-degree and how many NEW
+    * nodes become reachable at exactly two hops (neighbors-of-neighbors
+    * minus self minus direct neighbors), plus the expansion ratio in
+    * basis points. This is the navigability diagnostic behind
+    * [[annGraphExpand]]: expansion near zero means the 2-hop closure
+    * adds no candidates there (a clustered/clique-y neighborhood),
+    * expansion near k² means the graph fans out — the number that says
+    * whether expand-and-refine will buy recall before you pay for it.
+    *
+    * Scale shape: a tenth consumer of the durable edge asset — one
+    * self-equi-join on the skinny (src, dst) table (fan-out ≤ k per
+    * hop, so ≤ k² rows per source pre-distinct), one anti-join against
+    * the direct edges, two doc-keyed rollups. No distances, no corpus
+    * scan.
+    */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusKnnEdges(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val one = e.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("n_1hop"))
+    val h2 = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("d2"))
+      .filter(col("src") =!= col("d2"))
+      .distinct()
+    val fresh = h2.join(e.select(col("src"), col("dst").as("d2")), Seq("src", "d2"), "left_anti")
+      .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("n_2hop_new"))
+    val out = one.join(fresh, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_1hop"),
+        coalesce(col("n_2hop_new"), lit(0L)).as("n_2hop_new"))
+      .withColumn("expansion_bp", expr("(10000 * n_2hop_new) DIV n_1hop"))
+      .orderBy("vec_id")
+    graft.engine.Caching.handoff(out, e)
+  }
+
+  /** RANGE SEARCH (ε-NN) — every LSH-candidate pair within a squared
+    * grid distance ceiling, symmetric (id_a < id_b): the fixed-radius
+    * complement to top-k ANN. Top-k answers "the 5 nearest whatever
+    * the distance"; range search answers "everything actually CLOSE",
+    * which is what semantic-dedup thresholds, near-duplicate audits
+    * and density estimates consume (graph_semantic_clusters is exactly
+    * this set closed transitively). Distances on the exact int64 grid
+    * — the ceiling is an integer compare, no float boundary.
+    *
+    * Scale shape: candidates from the materialized band asset (no
+    * banding at query time), bounded by LSH bucket occupancy — never
+    * all-pairs; one exact-distance projection with the ceiling pushed
+    * into the same stage, so only qualifying pairs reach the exchange.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, radius: Long = 1280000L,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
+    val bands = corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase)
+    val cands = bands.select(col("t"), col("b"), col("vec_id").as("id_a"))
+      .join(bands.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    cands
+      .join(emb.select(col("vec_id").as("id_a"),
+        quantizedCol(col("embedding"), scale).as("q_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"),
+        quantizedCol(col("embedding"), scale).as("q_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.
     */

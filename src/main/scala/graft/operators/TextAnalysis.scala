@@ -1025,6 +1025,34 @@ object TextAnalysis {
   def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), topK = 100).orderBy("rank")
 
+  /** ZIPF PROFILE — the vocabulary's rank-frequency power law read off
+    * a frequency-DOUBLING histogram: terms are bucketed by
+    * `k = floor(log2(freq))` and each bucket reports term count, token
+    * mass and its frequency range. A Zipfian corpus shows n_terms
+    * decaying geometrically in k (the classic slope, with no float
+    * `log` anywhere: k comes from the BIGINT's binary width, so both
+    * engines bucket identically — the integer-grid convention applied
+    * to the log axis). The profile is what a tokenizer build reads to
+    * pick vocabulary size and what corpus QA reads to spot synthetic /
+    * template-heavy corpora (a missing tail or a spiked head bucket).
+    *
+    * Scale shape: one (term) aggregation with map-side partials — the
+    * exchange carries the vocabulary, not the corpus — then a ~64-row
+    * rollup on the bucket index. Nothing else.
+    */
+  def vocabZipfProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy((length(bin(col("freq"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("freq")).as("total_freq"),
+        min(col("freq")).as("min_freq"),
+        max(col("freq")).as("max_freq"))
+      .orderBy("k")
+
   /** Benchmark-contamination check: which corpus docs share an 8-token
     * gram with the (small) eval set. The eval side's exploded grams are
     * BROADCAST — the 100 TB corpus side streams through one narrow

@@ -1456,6 +1456,67 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum == emb.length.toLong, "members must conserve the corpus")
   }
 
+  test("vocab_zipf_profile: doubling buckets equal a collected reference; masses conserve") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0))).map(_.trim).filter(_.nonEmpty)
+    val freq = docs.flatMap(_.split("\\s+")).groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val want = freq.groupBy(f => 63 - java.lang.Long.numberOfLeadingZeros(f))
+      .map { case (k, fs) => (k.toLong, fs.size.toLong, fs.sum, fs.min, fs.max) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.vocabZipfProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._2).sum == freq.size.toLong, "term count must conserve the vocabulary")
+    assert(got.map(_._3).sum == freq.sum, "token mass must conserve the corpus")
+    // buckets partition the frequency axis: ranges nest inside [2^k, 2^(k+1))
+    got.foreach { case (k, _, _, lo, hi) =>
+      assert(lo >= (1L << k) && hi < (1L << (k + 1)), s"bucket $k range [$lo,$hi] escapes")
+    }
+  }
+
+  test("graph_2hop_reach: expansion equals a collected reference over the edge asset") {
+    import graft.operators.Similarity
+    val edges = Similarity.knnGraphQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq // (src, nbr)
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = out.toSeq.map { case (src, nbrs) =>
+      val two = nbrs.flatMap(m => out.getOrElse(m, Set.empty)) - src -- nbrs
+      (src, nbrs.size.toLong, two.size.toLong, 10000L * two.size / nbrs.size)
+    }.sortBy(_._1)
+    val got = Similarity.twoHopReach(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    assert(got.nonEmpty && got.exists(_._3 > 0), "some node must expand at 2 hops")
+    spark.catalog.clearCache()
+  }
+
+  test("ann_range_search: pairs equal a collected band+grid reference; symmetric and thresholded") {
+    import graft.operators.Similarity
+    val bands = Similarity.corpusBandedEmbeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .toMap
+    val byBucket = bands.groupBy(t => (t._2, t._3)).values
+    val cand = byBucket.flatMap { vs =>
+      val ids = vs.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val R = 1280000L
+    val want = cand.toSeq.map { case (a, b) =>
+      val d = q(a).zip(q(b)).map { case (x, y) => val v = x - y; v * v }.sum
+      (a, b, d)
+    }.filter(_._3 <= R).sorted
+    val got = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want, s"got ${got.size} pairs want ${want.size}")
+    assert(got.nonEmpty, "radius must admit some pairs at sf0.001")
+    assert(got.forall(t => t._1 < t._2 && t._3 <= R))
+  }
+
   test("pairwise-matrix cardinality contract: overlap operators fail fast past the key cap") {
     import graft.operators.{Relational, TextAnalysis}
     import graft.engine.Skew
