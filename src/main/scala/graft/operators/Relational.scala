@@ -1244,6 +1244,73 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** CONVERSION FUNNEL — strictly-ordered view → click → purchase
+    * steps per user: a user counts at step 2 only with a click AFTER
+    * their first view, and at step 3 only with a purchase after that
+    * qualifying click (first-touch semantics at every step — the
+    * funnel every product dashboard means by "conversion", as opposed
+    * to [[qConversionWindow]]'s single-pair window count). Per step:
+    * converting users and the total gap-to-previous-step in exact
+    * microseconds (ties excluded by the STRICT inequality, mirrored in
+    * the oracle — an equal-timestamp pair is not an ordered funnel
+    * transition).
+    *
+    * Scale shape: three user-keyed min-aggregations chained by
+    * user-keyed joins — every exchange is keyed on user_id, so AQE
+    * reuses one partitioning; the step rollups are 1-row aggregates.
+    * No windows, no event×event join.
+    */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .select(col("user_id"), col("event_type"), col("tus"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min(col("tus")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select(col("user_id"), col("t2")), Seq("user_id"))
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min(col("tus")).as("t3"), min(col("t2")).as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), col("n_users"), lit(0L).as("total_gap_us"))
+    val r2 = s2.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("t2") - col("t1")), lit(0L)).as("total_gap_us"))
+      .select(lit(2L).as("step"), col("n_users"), col("total_gap_us"))
+    val r3 = s3.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("t3") - col("t2")), lit(0L)).as("total_gap_us"))
+      .select(lit(3L).as("step"), col("n_users"), col("total_gap_us"))
+    graft.engine.Caching.handoff(
+      r1.unionByName(r2).unionByName(r3).orderBy("step"), ev)
+  }
+
+  /** VALUE HISTOGRAM — event values bucketed by cent-DOUBLING ranges
+    * (`k = floor(log2(cents))` via the BIGINT's binary width — the
+    * [[graft.operators.TextAnalysis.vocabZipfProfile]] integer-log
+    * trick on the money axis) per event type: the spend-distribution
+    * report behind pricing and fraud dashboards, with no float `log`
+    * or boundary anywhere. Sub-cent values (cents < 1) are excluded —
+    * they have no doubling bucket.
+    *
+    * Scale shape: one narrow scan projection, one map-side-combined
+    * rollup on (type, bucket) — at most types × 64 output rows.
+    */
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .filter(col("vc") >= 1)
+      .groupBy(col("event_type"), (length(bin(col("vc"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("total_cents"),
+        min(col("vc")).as("min_cents"),
+        max(col("vc")).as("max_cents"))
+      .orderBy("event_type", "k")
+
   /** AUDIENCE OVERLAP — pairwise Jaccard of the USER SETS behind each
     * event type (who clicks vs who purchases vs who churns): the
     * audience-similarity matrix behind funnel design and feature

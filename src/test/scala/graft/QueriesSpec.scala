@@ -1456,6 +1456,54 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum == emb.length.toLong, "members must conserve the corpus")
   }
 
+  test("q_funnel_steps: strictly-ordered funnel equals a collected reference; monotone counts") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "CAST(ts_ns AS LONG) AS ns")
+      .collect().map(r => (r.getLong(0), r.getString(1), Math.floorDiv(r.getLong(2), 1000L)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(xs: Array[(Long, String, Long)], tpe: String, after: Long): Option[Long] = {
+      val c = xs.filter(t => t._2 == tpe && t._3 > after).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val t1 = byUser.flatMap { case (u, xs) =>
+      val v = xs.filter(_._2 == "view").map(_._3)
+      if (v.isEmpty) None else Some(u -> v.min)
+    }
+    val t2 = t1.flatMap { case (u, a) => firstAfter(byUser(u), "click", a).map(b => u -> ((a, b))) }
+    val t3 = t2.flatMap { case (u, (_, b)) => firstAfter(byUser(u), "purchase", b).map(c => u -> ((b, c))) }
+    val want = Seq(
+      (1L, t1.size.toLong, 0L),
+      (2L, t2.size.toLong, t2.values.map { case (a, b) => b - a }.sum),
+      (3L, t3.size.toLong, t3.values.map { case (b, c) => c - b }.sum))
+    val got = Relational.qFunnelSteps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    // the funnel narrows and is non-vacuous at each step
+    assert(got(0)._2 >= got(1)._2 && got(1)._2 >= got(2)._2)
+    assert(got(2)._2 > 0, "fixture must carry full-funnel users")
+    spark.catalog.clearCache()
+  }
+
+  test("q_value_histogram: cent-doubling buckets equal a collected reference; masses conserve") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf).selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .filter(_._2 >= 1)
+    val want = ev.groupBy { case (t, vc) => (t, (63 - java.lang.Long.numberOfLeadingZeros(vc)).toLong) }
+      .map { case ((t, k), xs) =>
+        val vs = xs.map(_._2)
+        (t, k, vs.size.toLong, vs.sum, vs.min, vs.max)
+      }.toSeq.sortBy(x => (x._1, x._2))
+    val got = Relational.qValueHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got ${got.take(4)}... want ${want.take(4)}...")
+    assert(got.map(_._3).sum == ev.length.toLong, "bucket counts must conserve the events")
+    got.foreach { case (_, k, _, _, lo, hi) =>
+      assert(lo >= (1L << k) && hi < (1L << (k + 1)))
+    }
+  }
+
   test("vocab_zipf_profile: doubling buckets equal a collected reference; masses conserve") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf).select("text").collect()
