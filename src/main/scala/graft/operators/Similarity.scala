@@ -147,17 +147,17 @@ object Similarity {
     * N/nlist-th vector) — a k-means refinement would drop in without
     * changing any of the dataflow.
     */
-  def annIvf(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4
-  ): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The deterministic IVF coarse-centroid seed set shared by
+    * [[annIvf]] and [[ivfCellStats]]: every (n/nlist)-th vector by id —
+    * a reproducible, engine-independent choice the oracle replicates
+    * verbatim (a trained codebook would diverge between engines at the
+    * float level; the ivfpq family layers the Lloyd refinement on the
+    * integer grid instead).
+    */
+  private def ivfCoarseCentroids(corpus: DataFrame, nlist: Int): Array[(Int, Array[Float])] = {
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
-    val centroids: Array[(Int, Array[Float])] = corpus
+    corpus
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id")
       .limit(nlist)
@@ -165,24 +165,33 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+  }
 
+  /** struct-array argmax over the centroid literals: array_sort picks
+    * the lexicographically largest struct, i.e. the centroid with the
+    * highest cosine (ties to the larger cid, mirrored in the oracle).
+    */
+  private def ivfNearest(centroids: Array[(Int, Array[Float])], v: Column, take: Int): Column = {
     def centroidLit(c: Array[Float]): Column = array(c.toIndexedSeq.map(lit(_)): _*)
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(vec.cosine(v, centroidLit(cv)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+    slice(sort_array(scored, asc = false), 1, take)
+  }
 
-    /** struct-array argmax: array_max picks the lexicographically largest
-      * struct, i.e. the centroid with the highest cosine.
-      */
-    def nearest(v: Column, take: Int): Column = {
-      val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
-        struct(vec.cosine(v, centroidLit(cv)).as("cos"), lit(cid).as("cid"))
-      }: _*)
-      slice(sort_array(scored, asc = false), 1, take)
-    }
-
+  def annIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = ivfCoarseCentroids(corpus, nlist)
     val assigned = corpus.withColumn(
-      "cluster", element_at(nearest(col("embedding"), 1), 1).getField("cid")
+      "cluster", element_at(ivfNearest(centroids, col("embedding"), 1), 1).getField("cid")
     )
     val probed = queries.withColumn(
-      "cluster", explode(nearest(col("q_vec"), nprobe).getField("cid"))
+      "cluster", explode(ivfNearest(centroids, col("q_vec"), nprobe).getField("cid"))
     )
     val joined = assigned
       .join(broadcast(probed), Seq("cluster"))
@@ -1539,6 +1548,40 @@ object Similarity {
     annIvf(queries, emb, k = 5, nlist = 16, nprobe = 4)
       .select("query_id", "rank", "vec_id")
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF CELL OCCUPANCY AUDIT — per coarse cell of the [[annIvf]]
+    * index: vector count, id range, and the cell's corpus share in
+    * basis points. Cell skew is THE health metric of an IVF index:
+    * a cell holding 30% of the corpus makes every probe that touches
+    * it pay a near-scan, and empty cells waste probe budget — this is
+    * the report that says "re-train the coarse quantizer" before a
+    * production rollout, the ANN analog of
+    * [[graft.engine.Skew.keyHistogram]]. All columns integer-exact
+    * once assignment matches, and assignment is the SAME centroid
+    * literals + argmax expression ann_ivf runs (shared helpers).
+    *
+    * Scale shape: centroids are driver-collected literals (nlist-bounded),
+    * so assignment is a narrow per-row expression — one corpus scan
+    * into an nlist-row rollup; the share denominator is one driver
+    * scalar.
+    */
+  def ivfCellStats(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val centroids = ivfCoarseCentroids(corpus, nlist)
+    val emb = corpus.filter(col("embedding").isNotNull)
+    val n = emb.count()
+    emb
+      .withColumn("cluster",
+        element_at(ivfNearest(centroids, col("embedding"), 1), 1)
+          .getField("cid").cast("long"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+      .withColumn("share_bp", expr(s"(10000 * n_vectors) DIV ${n}L"))
+      .orderBy("cluster")
   }
 
   /** LSH-bucketed ANN for the same query set (the scale path). */

@@ -1025,6 +1025,37 @@ object TextAnalysis {
   def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), topK = 100).orderBy("rank")
 
+  /** TERM CONCENTRATION — per term: how many sources use it, its total
+    * corpus frequency, and the share of that mass held by its heaviest
+    * source (basis points, integer-exact). A term at ~10000 bp lives
+    * in ONE source — the signature of boilerplate, templates and
+    * site-specific artifacts that survive per-document quality gates
+    * because each instance looks fine alone; a low-bp term is
+    * corpus-universal vocabulary. The report curation reads before
+    * writing source-specific scrub rules ([[stripMarkup]]'s targeting
+    * question answered from data).
+    *
+    * Scale shape: one (source, term) aggregation with map-side
+    * partials — the exchange carries sources × vocabulary, not the
+    * corpus — then a vocabulary-keyed rollup. Output is IDF-table
+    * sized, the standing artifact size every tokenizer build already
+    * carries.
+    */
+  def vocabConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("source"), explode(text.tokens(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("freq")).as("total_freq"),
+        max(col("freq")).as("max_source_freq"))
+      .withColumn("concentration_bp",
+        expr("(10000 * max_source_freq) DIV total_freq"))
+      .orderBy("term")
+
   /** ZIPF PROFILE — the vocabulary's rank-frequency power law read off
     * a frequency-DOUBLING histogram: terms are bucketed by
     * `k = floor(log2(freq))` and each bucket reports term count, token

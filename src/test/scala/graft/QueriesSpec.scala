@@ -1456,6 +1456,40 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sum == emb.length.toLong, "members must conserve the corpus")
   }
 
+  test("vocab_concentration: per-term source concentration equals a collected reference") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getString(0), t.trim)).filter(_._2.nonEmpty))
+    val sf_ = docs.flatMap { case (s, t) => t.split("\\s+").map(w => (s, w)) }
+      .groupBy(identity).map { case ((s, w), xs) => (s, w, xs.length.toLong) }
+    val want = sf_.groupBy(_._2).map { case (w, xs) =>
+      val fs = xs.map(_._3)
+      (w, fs.size.toLong, fs.sum, fs.max, 10000L * fs.max / fs.sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.vocabConcentration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // non-vacuous: the report separates universal from concentrated terms
+    assert(got.exists(_._2 > 1), "some term must span sources")
+    assert(got.forall(t => t._4 <= t._3 && t._5 >= 1L && t._5 <= 10000L))
+  }
+
+  test("ivf_cell_stats: occupancy audit conserves the corpus and matches the index's shape") {
+    import graft.operators.Similarity
+    val got = Similarity.ivfCellStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val n = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull).count()
+    assert(got.map(_._2).sum == n, "cells must conserve the assignable corpus")
+    assert(got.forall(t => t._1 >= 0 && t._1 < 16), "cluster ids within nlist")
+    assert(got.forall(t => t._3 <= t._4), "id range sane")
+    assert(got.forall(t => t._5 == 10000L * t._2 / n), "share is the exact floor")
+    assert(got.size > 1, "a one-cell index means the seed selection degenerated")
+    // deterministic: a second run reproduces the audit exactly
+    val again = Similarity.ivfCellStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(again == got)
+  }
+
   test("q_funnel_steps: strictly-ordered funnel equals a collected reference; monotone counts") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
