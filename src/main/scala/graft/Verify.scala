@@ -68,9 +68,14 @@ object Verify {
             QueryResult(name, "ok", rows, (System.nanoTime() - t0) / 1000000L)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            val status =
-              if (e.getMessage != null && e.getMessage.contains("cancelled")) "timeout"
-              else "failed"
+            // classification is BY TYPE, not message sniffing: only the
+            // watchdog throws VerifyTimeout, so a genuine failure whose
+            // message happens to contain "cancelled" (or a localized
+            // Spark cancellation string) can never be misfiled
+            val status = e match {
+              case _: VerifyTimeout => "timeout"
+              case _                => "failed"
+            }
             QueryResult(name, status, -1L, (System.nanoTime() - t0) / 1000000L)
           }
         // one line per query, appended AS IT COMPLETES — the artifact
@@ -86,29 +91,50 @@ object Verify {
     out
   }
 
+  /** Thrown ONLY by the watchdog path of [[withTimeout]] — the typed
+    * signal `run` classifies as status "timeout" (no message sniffing).
+    */
+  private[graft] final class VerifyTimeout(name: String, s: Long)
+    extends RuntimeException(s"verify query '$name' exceeded ${s}s budget")
+
   /** Test seam: the timeout plumbing alone, without the parquet dump. */
   private[graft] def testTimeoutHook[T](spark: SparkSession, timeoutS: Long)(body: => T): T =
     withTimeout(spark, "spec", timeoutS)(body)
 
-  /** Run `body` under a named job group and cancel the group if it
-    * exceeds `timeoutS` — bounds every query's wall-time so the suite's
+  /** Run `body` in its OWN interruptible thread under a named job
+    * group; past `timeoutS` the watchdog cancels the job group (stops
+    * executor-side work) AND interrupts the worker thread (stops
+    * driver-side work — collect-heavy builders, top-K literal prep,
+    * driver loops before any job submits), then throws
+    * [[VerifyTimeout]]. Bounds every query's wall-time so the suite's
     * total is ≤ queries × timeout even when a plan degenerates.
+    *
+    * A body that swallows the interrupt can leave its worker thread
+    * running as a daemon zombie past the 10 s grace join; the job
+    * group is cancelled regardless, so the zombie holds no executor
+    * resources — documented residual, same as the pre-r16 behavior.
     */
   private def withTimeout[T](spark: SparkSession, name: String, timeoutS: Long)(body: => T): T = {
     val sc = spark.sparkContext
     val group = s"verify-$name"
-    sc.setJobGroup(group, s"verify $name", interruptOnCancel = true)
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val watchdog = new Thread(() => {
-      val deadline = System.nanoTime() + timeoutS * 1000000000L
-      while (!done.get() && System.nanoTime() < deadline)
-        Thread.sleep(200)
-      if (!done.get()) sc.cancelJobGroup(group)
-    })
-    watchdog.setDaemon(true)
-    watchdog.start()
-    try body
-    finally { done.set(true); sc.clearJobGroup() }
+    val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, T]](1)
+    val worker = new Thread(() => {
+      // job group is thread-local: set it in the thread that submits
+      sc.setJobGroup(group, s"verify $name", interruptOnCancel = true)
+      try done.put(Right(body))
+      catch { case t: Throwable => done.put(Left(t)) }
+      finally sc.clearJobGroup()
+    }, s"verify-worker-$name")
+    worker.setDaemon(true)
+    worker.start()
+    val r = done.poll(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+    if (r == null) {
+      sc.cancelJobGroup(group)
+      worker.interrupt()
+      worker.join(10000L)
+      throw new VerifyTimeout(name, timeoutS)
+    }
+    r.fold(t => throw t, identity)
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

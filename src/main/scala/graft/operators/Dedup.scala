@@ -198,8 +198,16 @@ object Dedup {
             // racing a retry must never interleave bytes inside a committed
             // .bf file (a torn filter would silently break the tier's
             // no-false-negative contract). Each attempt writes its own
-            // temp file (attempt id in the name) and renames atomically;
-            // whichever rename lands last wins with a COMPLETE filter.
+            // temp file (attempt id in the name); the FIRST attempt to
+            // rename into the final name wins and later attempts discard
+            // their temp — every attempt aggregates identical bytes
+            // (filters sized from the same exact counts over the same
+            // shard rows), so first-wins == any-wins. There is no
+            // delete-before-rename, so the final path, once present, is
+            // never transiently absent — a racing reader can only ever
+            // observe "complete filter" or "not yet committed" (and the
+            // outer AssetStore marker means consumers don't address the
+            // dir until every shard landed anyway).
             val attempt = Option(org.apache.spark.TaskContext.get())
               .map(_.taskAttemptId()).getOrElse(0L)
             rows.foreach { r =>
@@ -207,13 +215,17 @@ object Dedup {
               val tmp = new org.apache.hadoop.fs.Path(
                 outDir, s".${r.getString(0)}.bf.tmp-$attempt")
               val fs = fin.getFileSystem(conf)
-              val out = fs.create(tmp, true)
-              try out.write(r.getAs[Array[Byte]](1)) finally out.close()
-              fs.delete(fin, false)
-              if (!fs.rename(tmp, fin)) {
-                fs.delete(tmp, false)
-                if (!fs.exists(fin))
-                  throw new java.io.IOException(s"bloom shard commit failed: $fin")
+              if (!fs.exists(fin)) {
+                val out = fs.create(tmp, true)
+                try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+                if (!fs.rename(tmp, fin)) {
+                  // lost the race (or a non-atomic store refused): the
+                  // winner's complete filter must be there — else fail
+                  // the task so the retry re-commits
+                  fs.delete(tmp, false)
+                  if (!fs.exists(fin))
+                    throw new java.io.IOException(s"bloom shard commit failed: $fin")
+                }
               }
             }
           }

@@ -1562,24 +1562,33 @@ object Similarity {
     * literals + argmax expression ann_ivf runs (shared helpers).
     *
     * Scale shape: centroids are driver-collected literals (nlist-bounded),
-    * so assignment is a narrow per-row expression — one corpus scan
-    * into an nlist-row rollup; the share denominator is one driver
-    * scalar.
+    * so assignment is a narrow per-row expression — ONE corpus scan
+    * into an nlist-row rollup (persisted: ≤nlist rows), and the share
+    * denominator is derived FROM the rollup (`n = Σ n_vectors` exactly,
+    * since every non-null vector lands in exactly one cell) — the
+    * r16 fix for the avoidable `emb.count()` pre-pass, which at 100 TB
+    * was a second full corpus read per audit run. The only remaining
+    * corpus passes are the centroid seeding's (amortized into index
+    * builds and shared with ann_ivf).
     */
   def ivfCellStats(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
     val centroids = ivfCoarseCentroids(corpus, nlist)
     val emb = corpus.filter(col("embedding").isNotNull)
-    val n = emb.count()
-    emb
-      .withColumn("cluster",
-        element_at(ivfNearest(centroids, col("embedding"), 1), 1)
-          .getField("cid").cast("long"))
-      .groupBy("cluster")
-      .agg(
-        count(lit(1)).as("n_vectors"),
-        min(col("vec_id")).as("min_vec_id"),
-        max(col("vec_id")).as("max_vec_id"))
+    val cells = graft.engine.Caching.handoff(
+      emb
+        .withColumn("cluster",
+          element_at(ivfNearest(centroids, col("embedding"), 1), 1)
+            .getField("cid").cast("long"))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id")))
+    // nlist-row input: this aggregate reads the persisted rollup, not
+    // the corpus (driver collect bounded by one scalar)
+    val n = cells.agg(sum(col("n_vectors"))).head().getLong(0)
+    cells
       .withColumn("share_bp", expr(s"(10000 * n_vectors) DIV ${n}L"))
       .orderBy("cluster")
   }

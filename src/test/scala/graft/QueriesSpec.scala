@@ -1488,6 +1488,27 @@ class QueriesSpec extends SparkSpec {
     val again = Similarity.ivfCellStats(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(again == got)
+    // r16 single-pass pin: the share denominator is derived from the
+    // persisted nlist-row rollup, NOT a second corpus scan — the final
+    // plan must read the in-memory rollup and contain ZERO embeddings
+    // file scans (the only corpus passes left are the centroid
+    // seeding's, which run before this plan and are amortized into
+    // index builds)
+    val df = Similarity.ivfCellStats(spark, sf)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    val corpusScans = plan.collect { case lr: LogicalRelation => lr }.count(_.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("embeddings"))
+      case _ => false
+    })
+    assert(corpusScans == 0,
+      s"share computation must not rescan the corpus: $corpusScans embeddings scans in\n$plan")
+    val cachedRollups = plan.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation => im
+    }
+    assert(cachedRollups.nonEmpty, "expected the persisted rollup in the final plan")
+    spark.catalog.clearCache()
   }
 
   test("q_funnel_steps: strictly-ordered funnel equals a collected reference; monotone counts") {

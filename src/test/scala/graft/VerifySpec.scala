@@ -61,6 +61,24 @@ class VerifySpec extends SparkSpec {
     }
     val elapsedS = (System.nanoTime() - t0) / 1e9
     assert(elapsedS < 30, s"watchdog did not bound the query: ${elapsedS}s")
-    assert(e != null)
+    // the timeout signal is TYPED (round 16): classification can never
+    // be confused by a genuine failure whose message says "cancelled"
+    assert(e.isInstanceOf[Verify.VerifyTimeout], s"expected VerifyTimeout, got $e")
+  }
+
+  test("watchdog bounds DRIVER-side stalls, not just Spark jobs") {
+    // a body that sleeps on the driver before submitting any job — the
+    // collect-heavy-builder shape cancelJobGroup alone cannot reach.
+    // The r16 worker-thread watchdog interrupts it.
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable] {
+      Verify.testTimeoutHook(spark, timeoutS = 2L) {
+        Thread.sleep(120000L)
+        42
+      }
+    }
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(elapsedS < 30, s"watchdog did not bound the driver stall: ${elapsedS}s")
+    assert(e.isInstanceOf[Verify.VerifyTimeout], s"expected VerifyTimeout, got $e")
   }
 }
