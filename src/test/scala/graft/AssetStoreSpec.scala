@@ -183,6 +183,110 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("knn increment publish: untouched pt ranges are file-copied forward, O(affected) ranges rewritten") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_knncp_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_knncp_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      // a 10% append (the deployment shape) over narrow ranges, so
+      // bucket-untouched ranges exist to copy forward
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        val B = 12; val W = 16L
+        val oldPath = Similarity.corpusKnnEdgesPath(spark, oldDir, bits = B, partWidth = W)
+        Similarity.corpusBandedEmbeddings(spark, oldDir, bits = B).count()
+        // the affected pt ranges, recomputed the way the publisher
+        // derives them: bucket-sharing standing sources plus the batch
+        val affectedPts = Similarity.corpusBandedEmbeddings(spark, oldDir, bits = B)
+          .join(Similarity.corpusBandedEmbeddings(spark, newDir, bits = B)
+            .filter(col("vec_id") >= cut).select("t", "b").distinct(), Seq("t", "b"))
+          .select("vec_id")
+          .unionByName(emb.filter(col("vec_id") >= cut).select("vec_id"))
+          .selectExpr(s"vec_id div $W AS pt").distinct()
+          .collect().map(_.getLong(0)).toSet
+        def ptFiles(dir: String): Map[Long, Set[(String, Long)]] =
+          new java.io.File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+            .map(d => d.getName.stripPrefix("pt=").toLong ->
+              d.listFiles().filter(_.getName.endsWith(".parquet"))
+                .map(f => (f.getName, f.length())).toSet)
+            .toMap
+        val oldFiles = ptFiles(oldPath)
+        val untouchedPts = oldFiles.keySet.diff(affectedPts)
+        assert(untouchedPts.nonEmpty,
+          s"degenerate fixture: every old range affected (${oldFiles.keySet} vs $affectedPts)")
+        val inc = Similarity.corpusKnnEdgesIncrement(spark, oldDir, newDir,
+            bits = B, partWidth = W)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        val newPath = Similarity.corpusKnnEdgesPath(spark, newDir, bits = B, partWidth = W)
+        val newFiles = ptFiles(newPath)
+        // 1. every untouched range's data files moved by COPY: same
+        //    names, same bytes — never re-serialized by Spark (a fresh
+        //    write generates fresh part-file names)
+        untouchedPts.foreach { pt =>
+          assert(newFiles.get(pt).contains(oldFiles(pt)),
+            s"untouched range pt=$pt must be copied forward verbatim: " +
+              s"${oldFiles(pt)} vs ${newFiles.get(pt)}")
+        }
+        // 2. freshly-written ranges are exactly the affected ones that
+        //    hold rows — O(affected), not O(corpus)
+        val rewritten = newFiles.keySet.diff(untouchedPts)
+        assert(rewritten.subsetOf(affectedPts),
+          s"rewrote ranges outside the affected set: ${rewritten.diff(affectedPts)}")
+        // 3. and the published table is row-identical to the full
+        //    rebuild on the merged corpus
+        val full = Similarity.knnGraph(Tables.embeddings(spark, newDir), bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(inc == full, s"increment diverged: ${inc.size} vs ${full.size} rows")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("knn increment precondition: a non-append delta falls back to the full rebuild") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_knnpre_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_knnpre_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      // NOT a pure append: one standing vector's embedding is replaced
+      // under its reused vec_id (the silent-poison case the r16
+      // precondition exists to catch)
+      emb.withColumn("embedding",
+          when(col("vec_id") === 3L, reverse(col("embedding"))).otherwise(col("embedding")))
+        .write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        val B = 12
+        Similarity.corpusKnnEdgesPath(spark, oldDir, bits = B)
+        Similarity.corpusBandedEmbeddings(spark, oldDir, bits = B).count()
+        val inc0 = Similarity.knnIncrementBuilds.get()
+        val fb0 = Similarity.knnIncrementFallbacks.get()
+        val got = Similarity.corpusKnnEdgesIncrement(spark, oldDir, newDir, bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(Similarity.knnIncrementFallbacks.get() == fb0 + 1,
+          "the mutated corpus must trip the pure-append precondition")
+        assert(Similarity.knnIncrementBuilds.get() == inc0,
+          "the increment path must NOT run on a non-append delta")
+        val full = Similarity.knnGraph(Tables.embeddings(spark, newDir), bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(got == full, "the fallback must serve the correct rebuilt edges")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("mid-session corpus rebuild: every asset family serves the NEW address, same JVM") {
     // The content address was always honest ACROSS JVMs; this pins the
     // same-JVM contract — the handle caches are keyed by fingerprint,
