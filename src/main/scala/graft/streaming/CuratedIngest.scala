@@ -13,12 +13,14 @@ import org.apache.spark.sql.streaming.Trigger
   *      run FIRST because it is pure row-local projection: every
   *      downstream join, digest write and chunk store shrinks to the
   *      kept slice;
-  *   1b. NOVELTY GATE ([[NoveltyGate]], optional, round 15) — admits
-  *      only docs whose shingle novelty against the standing gram
-  *      asset clears `minNoveltyBp`; runs AFTER the row-local gate
-  *      (its membership join sees only quality-kept docs) and BEFORE
-  *      dedup (redundant-by-construction material never reaches the
-  *      digest table);
+  *   1b. NOVELTY GATE ([[NoveltyGate]], optional, round 15; accreting
+  *      round 16) — admits only docs whose shingle novelty against the
+  *      standing gram asset clears `minNoveltyBp`; runs AFTER the
+  *      row-local gate (its membership join sees only quality-kept
+  *      docs) and BEFORE dedup (redundant-by-construction material
+  *      never reaches the digest table). With `noveltyGramDir` set the
+  *      tier ACCRETES: admitted docs' novel grams raise the standing
+  *      set against later batches ([[NoveltyGate.processBatch]]);
   *   2. EXACT INGEST DEDUP ([[IngestDedup.processBatch]]) — first-seen
   *      content lands, later copies are dropped against the standing
   *      digest table (prefix-pruned scan, replay-safe partitions);
@@ -59,16 +61,24 @@ object CuratedIngest {
       k: Int = 8,
       divisor: Int = 64,
       noveltyStanding: Option[DataFrame] = None,
-      minNoveltyBp: Long = 0L
+      minNoveltyBp: Long = 0L,
+      noveltyGramDir: Option[String] = None
   ): (Long, Long, Long) = {
     val spark = batch.sparkSession
     val qualityKept = QualityGate.gate(batch, weights, threshold)
       .filter(col("kept"))
       .select(col("doc_id"), col("text"))
-    val gated = noveltyStanding
-      .map(sg => NoveltyGate.gate(qualityKept, sg, minNoveltyBp)
-        .filter(col("admitted"))
-        .select(col("doc_id"), col("text")))
+    // with a gram dir the novelty tier ACCRETES (r16): admitted docs
+    // raise the standing grams against later batches; without one it
+    // screens against the static standing set only (the r15 form)
+    val noveltyVerdicts = noveltyStanding.map { sg =>
+      noveltyGramDir match {
+        case Some(gd) => NoveltyGate.processBatch(qualityKept, batchId, gd, sg, minNoveltyBp)
+        case None     => NoveltyGate.gate(qualityKept, sg, minNoveltyBp)
+      }
+    }
+    val gated = noveltyVerdicts
+      .map(_.filter(col("admitted")).select(col("doc_id"), col("text")))
       .getOrElse(qualityKept)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -84,7 +94,13 @@ object CuratedIngest {
             landed, batchId, storeDir, manifestDir, k, divisor)._2
         }
       (gatedIn, landedCount, stored)
-    } finally { gated.unpersist(false); () }
+    } finally {
+      gated.unpersist(false)
+      // release the accreting gate's persisted verdict frame (its
+      // documented caller-release contract)
+      noveltyVerdicts.foreach(_.unpersist(false))
+      ()
+    }
   }
 
   /** Drain a doc stream (columns `doc_id`, `text`) through the full
@@ -102,13 +118,14 @@ object CuratedIngest {
       k: Int = 8,
       divisor: Int = 64,
       noveltyStanding: Option[DataFrame] = None,
-      minNoveltyBp: Long = 0L
+      minNoveltyBp: Long = 0L,
+      noveltyGramDir: Option[String] = None
   ): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, weights, threshold,
           destDir, digestDir, storeDir, manifestDir, k, divisor,
-          noveltyStanding, minNoveltyBp); ()
+          noveltyStanding, minNoveltyBp, noveltyGramDir); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1125,6 +1125,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 12L).exists(t => t._2 == 10000L && t._3))
   }
 
+  test("accreting novelty gate: batch-1 admissions raise grams against batch-2; rejections do not") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val standingDocs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6"), (2L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val standingGrams = Dedup.gramDf(standingDocs, 3)
+    val gramDir = Files.createTempDirectory("graft_novacc").toString + "/grams"
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "novelty_bp", "admitted")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    // batch 1: doc 20 fully novel (admitted, accretes); doc 21 mixed
+    // below threshold (rejected, must NOT accrete its novel gram)
+    val b1 = Seq((20L, "a1 a2 a3 a4 a5"), (21L, "s1 s2 s3 s4 c1")).toDF("doc_id", "text")
+    val v1 = canon(NoveltyGate.processBatch(b1, 0L, gramDir, standingGrams, minNoveltyBp = 5000L))
+    assert(v1 == Seq((20L, 10000L, true), (21L, 3333L, false)), s"batch-1 verdicts: $v1")
+    // batch 2: doc 30 redundant ONLY against batch-1's admitted doc —
+    // the case the static gate waves through and this tier must stop
+    val b2 = Seq(
+      (30L, "a1 a2 a3 a4 a5"), // all grams from doc 20's admission
+      (31L, "s3 s4 c1"),       // doc 21's novel gram — 21 was REJECTED
+      (32L, "b1 b2 b3 b4"))    // genuinely new
+      .toDF("doc_id", "text")
+    val v2 = canon(NoveltyGate.processBatch(b2, 1L, gramDir, standingGrams, minNoveltyBp = 5000L))
+    assert(v2.find(_._1 == 30L).exists(t => t._2 == 0L && !t._3),
+      s"doc 30 is redundant against batch-1 admissions and must be rejected: $v2")
+    assert(v2.find(_._1 == 31L).exists(t => t._2 == 10000L && t._3),
+      s"a REJECTED doc's grams must not have accreted: $v2")
+    assert(v2.find(_._1 == 32L).exists(t => t._2 == 10000L && t._3), s"$v2")
+    // the static (r15) gate on the same batch waves doc 30 through —
+    // the accretion is what changed the verdict, nothing else
+    val static2 = canon(NoveltyGate.gate(b2, standingGrams, 5000L))
+    assert(static2.find(_._1 == 30L).exists(_._3), "pin is vacuous: static gate also rejects")
+    // parity: sequentially-applied incremental novelty — batch 2
+    // against standing ∪ grams(batch-1 admissions) — same numbers
+    val seqStanding = standingGrams.select("g").unionByName(
+      Seq((20L, "a1 a2 a3 a4 a5")).toDF("doc_id", "text")
+        .select(explode(graft.functions.sketch.tokenShingles(col("text"), 3)).as("g"))
+        .distinct())
+    val want = TextAnalysis.noveltyAgainst(b2, seqStanding)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    v2.filter(_._2 >= 0).foreach { case (id, bp, _) =>
+      assert(want(id) == bp, s"doc $id: accreted gate bp $bp != sequential operator ${want(id)}")
+    }
+    // crash-replay of the LAST batch: self-excluding its own partition
+    // reproduces the same verdicts and rewrites the same accreted grams
+    val replay = canon(NoveltyGate.processBatch(b2, 1L, gramDir, standingGrams, 5000L))
+    assert(replay == v2, s"replay diverged: $replay vs $v2")
+    val accreted = spark.read.parquet(gramDir).select("g").distinct().count()
+    // batch 0: doc 20's 3 novel shingles; batch 1: doc 31's 1 + doc
+    // 32's 2 — rejected docs contribute 0
+    assert(accreted == 6L, s"accreted gram count: $accreted")
+    spark.catalog.clearCache()
+  }
+
   test("curated ingest with novelty tier: landed set equals the batch gate→novelty→dedup composition") {
     import graft.streaming.CuratedIngest
     import graft.operators.{Dedup, TextAnalysis}
