@@ -67,11 +67,12 @@ object Bounds {
       e
     }
 
-    val stats = df
-      .select(explicitBucket.as("__bucket"), col(sizeCol).cast("double").as("__size"))
-      .groupBy("__bucket")
-      .agg(count(lit(1)).as("cnt"), max(col("__size")).as("maxSize"))
-      .collect()
+    // one row per size bucket (cuts + 1)
+    val stats = DriverBudget.collect("Bounds.bucketStats", cuts.length + 1L)(
+        df
+          .select(explicitBucket.as("__bucket"), col(sizeCol).cast("double").as("__size"))
+          .groupBy("__bucket")
+          .agg(count(lit(1)).as("cnt"), max(col("__size")).as("maxSize")))
       // a bucket of only null sizes has a null max (bucket 0 owns nulls
       // by the when-chain's otherwise): flush-size from 0.0, not an NPE
       .map(r => (r.getInt(0), (r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))))

@@ -41,9 +41,8 @@ object GlobalRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // tiny: one (pid, count) row per partition
-    val counts = ranged
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .collect()
+    val counts = DriverBudget.collect("GlobalRank.partitionCounts", parts.toLong)(
+        ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt")))
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val total = counts.map(_._2).sum
@@ -90,9 +89,8 @@ object GlobalRank {
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .collect()
+    val counts = DriverBudget.collect("GlobalRank.partitionCounts", parts.toLong)(
+        ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt")))
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val total = counts.map(_._2).sum

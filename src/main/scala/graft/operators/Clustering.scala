@@ -180,7 +180,10 @@ object Clustering {
       // Tuple2$mcJJ$sp instances (~48 B/edge with headers), not
       // GenericRows (~100 B/edge + field boxing) — the driver's
       // transient footprint at the threshold is ~25 MB, not hundreds
-      val pairs = canon0.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val pairs = graft.engine.DriverBudget.collect(
+          "Clustering.localEdges", localThreshold)(
+          canon0.select(col("u"), col("v")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       // union-find, always attaching the larger root under the smaller:
       // every component's final root is its minimum id — the same label
       // the star fixpoint converges to
@@ -200,8 +203,11 @@ object Clustering {
       }
       // every distinct endpoint of the RAW input (self-loop-only nodes
       // included) labels with its component min — itself if unpaired
-      val nodeRows = raw0.select(col("u")).union(raw0.select(col("v").as("u")))
-        .distinct().as[Long].collect()
+      // endpoints of ≤ localThreshold edges: ≤ 2x the edge bound
+      val nodeRows = graft.engine.DriverBudget.collect(
+          "Clustering.localNodes", 2L * localThreshold)(
+          raw0.select(col("u")).union(raw0.select(col("v").as("u"))).distinct())
+        .map(_.getLong(0))
       val labels = nodeRows.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       labels.count()

@@ -151,9 +151,10 @@ object Dedup {
     if (maxShard.isNullAt(0)) Seq.empty
     else {
       val est = math.max(maxShard.getLong(0), 16L)
-      standing.groupBy("hp")
-        .agg(bloomAgg(xxhash64(col(keyCol)), est, est * bitsPerItem).as("bf"))
-        .collect()
+      // hp is a 2-hex-char prefix: at most 256 shard rows ever
+      graft.engine.DriverBudget.collect("Dedup.buildShardBlooms", 256L)(
+        standing.groupBy("hp")
+          .agg(bloomAgg(xxhash64(col(keyCol)), est, est * bitsPerItem).as("bf")))
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
         .sortBy(_._1).toSeq
     }

@@ -233,8 +233,10 @@ object Relational {
       sortCols,
       t => cuts(t).flatMap { case (_, s, e) => Seq(s, e) }
     )
-    val priceAt = picked.select(col("__grank"), col("l_extendedprice"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one picked row per requested rank: 2 per bucket, 3 buckets
+    val priceAt = graft.engine.DriverBudget.collect("Relational.p2BoundsPicked", 6L)(
+        picked.select(col("__grank"), col("l_extendedprice")))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val rows = cuts(total).filter { case (_, s, e) => e >= s }
       .map { case (b, s, e) => (b, e - s + 1, priceAt(s), priceAt(e)) }
     spark.createDataFrame(rows).toDF("bucket", "cnt", "lo", "hi").orderBy("bucket")
@@ -1130,8 +1132,9 @@ object Relational {
       .agg(slots.head, slots.tail: _*)
       .select(concat_ws(">", (1 to depth).map(i => col(s"e$i")): _*).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
-    val top = paths.orderBy(desc("n_users"), asc("path")).limit(topK)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = graft.engine.DriverBudget.collect("Relational.topPaths", topK.toLong)(
+        paths.orderBy(desc("n_users"), asc("path")).limit(topK))
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (path, n) => (-n, path) }
     import spark.implicits._
     top.zipWithIndex

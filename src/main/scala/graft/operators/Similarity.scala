@@ -157,12 +157,12 @@ object Similarity {
   private def ivfCoarseCentroids(corpus: DataFrame, nlist: Int): Array[(Int, Array[Float])] = {
     val n = corpus.count()
     val stride = math.max(1L, n / nlist)
-    corpus
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id")
-      .limit(nlist)
-      .select("embedding")
-      .collect()
+    graft.engine.DriverBudget.collect("Similarity.ivfCoarseCentroids", nlist.toLong)(
+      corpus
+        .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy("vec_id")
+        .limit(nlist)
+        .select("embedding"))
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
   }
@@ -711,9 +711,10 @@ object Similarity {
               // an affected source. Bounded by |affected| (and in the
               // append convention mostly the batch's contiguous tail),
               // so the collect is O(affected/W) longs.
-              val affectedPts = affected
-                .select(ptCol(partWidth)).distinct()
-                .collect().map(_.getLong(0)).toSet
+              val affectedPts = graft.engine.DriverBudget.collect(
+                  "Similarity.corpusKnnEdgesIncrement.affectedPts", 1L << 20)(
+                  affected.select(ptCol(partWidth)).distinct())
+                .map(_.getLong(0)).toSet
               val fs = new org.apache.hadoop.fs.Path(staging)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
               val oldPts = fs.listStatus(new org.apache.hadoop.fs.Path(oldPath))
@@ -1295,6 +1296,66 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** RANGE-SEARCH RECALL SCORECARD (round 16) — pair-recall of the
+    * LSH-banded candidate generation at each hyperplane width, against
+    * exact ground truth on a query slice: `n_true` pairs within the
+    * radius (smaller id in the slice), `n_found` of them surfaced by
+    * the banding at that width, recall in basis points. This is the
+    * number that sizes `bits` for deployment: the ann_range_search
+    * ORACLE pins bits=4 (saturated buckets — recall high by
+    * occupancy), but at the measured deployment width (bits=12)
+    * collisions are sparser and pairs inside the radius CAN be missed
+    * (sf0.01 at the default radius: 7254 bp at bits=4 vs 196 bp at
+    * bits=12 — the trade the deployment buys its increment win with,
+    * now measured instead of assumed); [[annRecall]] plays this role
+    * for the top-k family.
+    *
+    * Scale shape: ground truth is a bounded slice × corpus
+    * broadcast-nested-loop (|slice| rows broadcast, never
+    * corpus×corpus); each width's candidates come from one banding
+    * pass self-joined per bucket (occupancy-bounded); the verdict is a
+    * pair-keyed left join rolled into one row per width.
+    */
+  def rangeRecall(spark: SparkSession, dir: String, radius: Long = 1280000L,
+      bitsSettings: Seq[Int] = Seq(4, 12), tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000, sliceMax: Long = 64L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val qs = emb.filter(col("vec_id") < sliceMax)
+      .select(col("vec_id").as("id_a"), quantizedCol(col("embedding"), scale).as("q_a"))
+    val cs = emb.select(col("vec_id").as("id_b"), quantizedCol(col("embedding"), scale).as("q_b"))
+    val truth = broadcast(qs).join(cs, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
+      .filter(col("dist") <= radius)
+      .select("id_a", "id_b")
+    val truthC = graft.engine.Caching.handoff(truth)
+    val perBits = bitsSettings.map { b =>
+      val bands = bandsOf(emb, b, tables, dim, seedBase)
+      val cand = bands.select(col("t"), col("b"), col("vec_id").as("id_a"))
+        .filter(col("id_a") < sliceMax)
+        .join(bands.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("__f", lit(1L))
+      truthC.join(cand, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_true"),
+          // coalesce AFTER the sum too: an empty truth slice must
+          // report 0 found, not null (the oracle's count() contract)
+          coalesce(sum(coalesce(col("__f"), lit(0L))), lit(0L)).as("n_found"))
+        .select(lit(b.toLong).as("bits"), col("n_true"), col("n_found"))
+    }
+    perBits.reduce(_.unionByName(_))
+      .withColumn("recall_bp",
+        when(col("n_true") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(10000 * n_found) DIV n_true")))
+      .orderBy("bits")
+  }
+
+  def rangeRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    rangeRecall(spark, dir)
+
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.
     */
@@ -1352,16 +1413,17 @@ object Similarity {
     * centroid back onto the grid via floor(qsum/n + 0.5), collected to
     * the driver (clusters are tiny by contract — the annIvf precedent).
     */
-  private def gridCentroids(df: DataFrame, by: String): Array[(Int, Seq[Long])] = {
+  private def gridCentroids(df: DataFrame, by: String,
+      bound: Long = 4096L): Array[(Int, Seq[Long])] = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-    df
-      .groupBy(col(by).cast(IntegerType).as("c_label"))
-      .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n"))
-      .select(
-        col("c_label"),
-        transform(col("qsum"), s => floor(s.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
-          .as("qc"))
-      .collect()
+    graft.engine.DriverBudget.collect(s"Similarity.gridCentroids.$by", bound)(
+      df
+        .groupBy(col(by).cast(IntegerType).as("c_label"))
+        .agg(graft.functions.vecagg.vecSumLong(col("qe")).as("qsum"), count(lit(1)).as("n"))
+        .select(
+          col("c_label"),
+          transform(col("qsum"), s => floor(s.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
+            .as("qc")))
       .map(r => (r.getInt(0), r.getSeq[Long](1)))
       .sortBy(_._1)
   }
@@ -1811,7 +1873,7 @@ object Similarity {
       val seed = gridCentroids(base.select(col("qe"), col("c0")), "c0")
       val seedSub = (0 until m).map(s =>
         seed.toIndexedSeq.map { case (c, qc) => (c, qc.slice(s * dsub, (s + 1) * dsub)) })
-      val refit = base
+      val refitDf = base
         .select(explode(array((0 until m).map(s =>
           struct(
             lit(s).as("s"),
@@ -1823,7 +1885,8 @@ object Similarity {
           col("s"), col("c"),
           transform(col("qsum"), x => floor(x.cast(DoubleType) / col("n") + lit(0.5)).cast(LongType))
             .as("qc"))
-        .collect()
+      val refit = graft.engine.DriverBudget.collect(
+        "Similarity.pqRefit", m.toLong * k)(refitDf)
       val model = (0 until m).map(s =>
         refit.filter(_.getInt(0) == s)
           .map(r => (r.getInt(1), r.getSeq[Long](2)))
@@ -1992,14 +2055,15 @@ object Similarity {
     // random vectors are PQ's documented worst case; clustered real
     // corpora recover much more). Tiny driver-side model either way,
     // embedded as plan literals.
-    val seedCents: IndexedSeq[Seq[Long]] = emb
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id")
-      .limit(nlist)
-      .select(quantized(scale).as("qe"))
-      .collect()
-      .map(_.getSeq[Long](0))
-      .toIndexedSeq
+    val seedCents: IndexedSeq[Seq[Long]] =
+      graft.engine.DriverBudget.collect("Similarity.ivfPqSeedCentroids", nlist.toLong)(
+        emb
+          .filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .orderBy("vec_id")
+          .limit(nlist)
+          .select(quantized(scale).as("qe")))
+        .map(_.getSeq[Long](0))
+        .toIndexedSeq
     val seeded = emb
       .select(col("vec_id"), quantized(scale).as("__qv"),
         pmod(col("vec_id"), lit(k.toLong)).cast("int").as("c0"))
@@ -2109,8 +2173,9 @@ object Similarity {
     */
   private def loadIndex(spark: SparkSession, assetDir: String,
       m: Int, k: Int, scale: Int): PqIndexModel = {
-    val rows = spark.read.parquet(s"$assetDir/model")
-      .select("part", "s", "c", "v").collect()
+    val rows = graft.engine.DriverBudget.collect(
+      "Similarity.pqLoadIndex", 2L * m * k + 16L)(
+      spark.read.parquet(s"$assetDir/model").select("part", "s", "c", "v"))
     val cb = rows.filter(_.getString(0) == "codebook")
     val codebooks = (0 until m).map(s =>
       cb.filter(_.getInt(1) == s)
@@ -2167,8 +2232,10 @@ object Similarity {
     * degrade to "no rows for that query", not an NPE in the driver loop.
     */
   private def collectQueries(queries: DataFrame, scale: Int): IndexedSeq[(Long, Seq[Long])] =
-    quantizedQueries(queries, scale)
-      .collect()
+    // query sets are driver literals BY DESIGN (the ann query contract);
+    // 4096 is the repo's enum-dimension cap (Skew.requirePairwiseKeyBound)
+    graft.engine.DriverBudget.collect("Similarity.collectQueries", 4096L)(
+      quantizedQueries(queries, scale))
       .toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
 

@@ -764,14 +764,15 @@ object TextAnalysis {
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val top = dict.filter(size(col("syms")) >= 2)
+      val topDf = dict.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(desc("pf"), asc("l"), asc("r"))
-        .limit(1).collect()
+        .limit(1)
+      val top = graft.engine.DriverBudget.collect("TextAnalysis.bpeTopPair", 1L)(topDf)
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
@@ -890,8 +891,11 @@ object TextAnalysis {
     * training paid ONCE per corpus, not once per consumer.
     */
   def bpeApplyFromMerges(wordFreq: DataFrame, merges: DataFrame, topK: Int = 20): DataFrame = {
-    val ms = merges.select(col("round"), col("left_sym"), col("right_sym"))
-      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // merge tables are rounds-sized model state (one row per training
+    // round); 65536 covers any real tokenizer build, never a corpus
+    val ms = graft.engine.DriverBudget.collect("TextAnalysis.bpeApplyFromMerges", 65536L)(
+        merges.select(col("round"), col("left_sym"), col("right_sym")))
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     segmentationReport(bpeSegment(wordFreq, ms), topK)
   }
 
@@ -1012,8 +1016,9 @@ object TextAnalysis {
         .toDF("rank", "term", "freq", "cum_share")
     }
     val tot = totRow.getDouble(0)
-    val top = freqs.orderBy(desc("freq"), asc("term")).limit(topK)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = graft.engine.DriverBudget.collect("TextAnalysis.vocabCoverageTop", topK.toLong)(
+        freqs.orderBy(desc("freq"), asc("term")).limit(topK))
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (term, freq) => (-freq, term) }
     val ranked = top.zipWithIndex.scanLeft((0L, "", 0L, 0L)) {
       case ((_, _, _, cum), ((term, freq), i)) =>
@@ -1326,8 +1331,11 @@ object TextAnalysis {
 
   /** One tiny row per source. */
   private def sourceCounts(docs: DataFrame): Seq[(String, Long)] =
-    docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // sources are an enum dimension — 4096 is the repo-wide cap
+    // (Skew.requirePairwiseKeyBound's constant)
+    graft.engine.DriverBudget.collect("TextAnalysis.sourceCounts", 4096L)(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** The per-source quota SELECTION kernel shared by [[mixSources]] and
     * [[mixTemperature]]: keep each source's first `quotaOf(source)` docs
@@ -2174,11 +2182,12 @@ object TextAnalysis {
     // and rank on the driver (the vocabCoverage pattern; no
     // partition-less WindowExec)
     val spark = docs.sparkSession
-    val top = scored
-      .orderBy(desc("logw_q"), asc("doc_id"))
-      .limit(topK)
-      .select(col("doc_id"), col("n_tokens"), col("logw_q"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top = graft.engine.DriverBudget.collect("TextAnalysis.perplexityTop", topK.toLong)(
+        scored
+          .orderBy(desc("logw_q"), asc("doc_id"))
+          .limit(topK)
+          .select(col("doc_id"), col("n_tokens"), col("logw_q")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy { case (id, _, lw) => (-lw, id) }
     import spark.implicits._
     top.zipWithIndex
@@ -2218,11 +2227,13 @@ object TextAnalysis {
     // (the vocabCoverage pattern): the K-row vocabulary is model state,
     // ranked on the driver and broadcast back, no partition-less window
     val spark = docs.sparkSession
-    val vocabRows = toks
-      .groupBy("term").agg(count(lit(1)).as("freq"))
-      .orderBy(desc("freq"), asc("term"))
-      .limit(vocabK)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocabRows = graft.engine.DriverBudget.collect(
+        "TextAnalysis.vocabEncodeVocab", vocabK.toLong)(
+        toks
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("term"))
+          .limit(vocabK))
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (term, freq) => (-freq, term) }
     import spark.implicits._
     val vocab = vocabRows.zipWithIndex

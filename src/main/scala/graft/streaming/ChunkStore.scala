@@ -139,11 +139,15 @@ object ChunkStoreIngest {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path) || prefixes.isEmpty) return Seq.empty
-    spark.read.parquet(dir)
-      .filter(col("batch") =!= lit(batchId))
-      .filter(col("hp").isin(prefixes: _*))
-      .select(col("hp"), col("bf"))
-      .collect()
+    // one filter row per (touched prefix, prior batch): ≤ 256 prefixes
+    // × batch history — 1<<20 covers years of batches and still trips
+    // on any corpus-proportional drift (compaction is the lever when a
+    // deployment approaches it)
+    graft.engine.DriverBudget.collect("ChunkStore.standingBlooms", 1L << 20)(
+      spark.read.parquet(dir)
+        .filter(col("batch") =!= lit(batchId))
+        .filter(col("hp").isin(prefixes: _*))
+        .select(col("hp"), col("bf")))
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .toSeq
   }
@@ -269,8 +273,10 @@ object ChunkStoreIngest {
       try {
         // tier 1+2: prefix spread (drives partition pruning) and the
         // sharded Bloom screen over the standing sidecars
-        val prefixes = batchDistinct.select(col("hp")).distinct()
-          .collect().map(_.getString(0)).toSeq
+        val prefixes = graft.engine.DriverBudget.collect(
+            "ChunkStore.batchPrefixes", 256L)(
+            batchDistinct.select(col("hp")).distinct())
+          .map(_.getString(0)).toSeq
         val blooms = standingBlooms(spark, storeDir, batchId, prefixes)
         val probed = batchDistinct.withColumn("__cand",
           if (blooms.isEmpty) lit(false) else bloomCandidate(blooms))

@@ -97,8 +97,10 @@ object IngestDedup {
       // values) that prunes the digest scan to matching partitions —
       // one cheap job over the (persisted) batch survivors, traded for
       // not scanning the full digest history
-      val prefixes = kept0.select(col("hp")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      val prefixes = graft.engine.DriverBudget.collect(
+          "IngestDedup.batchPrefixes", 256L)(
+          kept0.select(col("hp")).distinct())
+        .map(_.getString(0)).toSeq
       val kept = kept0.join(priorDigests(spark, digestDir, batchId, prefixes), Seq("h"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -23,9 +23,14 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *     overflow) from silent interpreted fallbacks into hard errors
   *     while each query EXECUTES at sf0.001.
   *
-  * Driver-side collects inside query builders stay under the manual
-  * audit (their boundedness is a per-operator contract — centroid
-  * models, shard Blooms, top-K — not a plan signature).
+  * Round 16 adds the fourth invariant: driver-side collects. Every
+  * `.collect()` in the operator library now runs through
+  * [[graft.engine.DriverBudget]], which throws the moment a site
+  * exceeds its declared row bound — so executing every query here
+  * ALSO audits that no builder pulls corpus-proportional state to the
+  * driver, and the budget audit below asserts the instrumentation
+  * actually fired (an uninstrumented new collect site shows up as a
+  * coverage drop in review; an over-budget one fails the run).
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -55,5 +60,33 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
     assert(bad.isEmpty, s"plan-audit violations (${bad.size}):\n${bad.mkString("\n")}")
+
+    // ---- driver-collect budget audit (r16): the queries above drove
+    // every instrumented collect site; each observation must sit under
+    // its declared bound (an excess already threw into `bad`), and the
+    // hot model-state sites must actually have been exercised — a
+    // refactor that silently drops the instrumentation fails here
+    import scala.jdk.CollectionConverters._
+    val obs = graft.engine.DriverBudget.observed.asScala.toMap
+    assert(obs.nonEmpty, "no driver-collect observations: instrumentation lost")
+    obs.foreach { case (site, o) =>
+      assert(o.rows <= o.bound, s"$site observed ${o.rows} > bound ${o.bound}")
+    }
+    Seq(
+      "Similarity.ivfCoarseCentroids", "Similarity.collectQueries",
+      "Dedup.buildShardBlooms", "TextAnalysis.vocabCoverageTop",
+      "GlobalRank.partitionCounts", "TextAnalysis.sourceCounts"
+    ).foreach { site =>
+      assert(obs.contains(site), s"expected budgeted site $site to fire; saw ${obs.keys}")
+    }
+  }
+
+  test("an over-budget driver collect throws with the site name") {
+    import spark.implicits._
+    val e = intercept[IllegalStateException] {
+      graft.engine.DriverBudget.collect("spec.overBudget", 3L)(
+        (1 to 10).toDF("x"))
+    }
+    assert(e.getMessage.contains("spec.overBudget") && e.getMessage.contains("10 rows > bound 3"))
   }
 }

@@ -1511,6 +1511,28 @@ class QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("range_recall: per-width pair recall against exact slice ground truth") {
+    import graft.operators.Similarity
+    val got = Similarity.rangeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == Seq(4L, 12L))
+    // one shared ground truth: both rows count the same n_true, and
+    // found can never exceed it
+    assert(got.map(_._2).distinct.size == 1)
+    assert(got.forall(t => t._3 <= t._2 && t._4 == 10000L * t._3 / t._2))
+    assert(got.head._2 > 0, "degenerate fixture: no true pairs in the slice")
+    // more hyperplanes = sparser buckets = recall can only drop
+    val byBits = got.map(t => t._1 -> t._4).toMap
+    assert(byBits(4L) >= byBits(12L), s"recall must not rise with bits: $byBits")
+    assert(byBits(12L) < 10000L, "pin is vacuous if deployment width misses nothing")
+    // cross-operator consistency: found@4 is exactly the slice rows of
+    // ann_range_search (same bands, same radius, same grid)
+    val viaRange = Similarity.rangeSearch(spark, sf).filter(col("id_a") < 64).count()
+    assert(got.find(_._1 == 4L).exists(_._3 == viaRange),
+      s"found@4 ${got.find(_._1 == 4L)} != range-search slice $viaRange")
+    spark.catalog.clearCache()
+  }
+
   test("q_funnel_steps: strictly-ordered funnel equals a collected reference; monotone counts") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
@@ -1574,6 +1596,60 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._3).sum == freq.sum, "token mass must conserve the corpus")
     // buckets partition the frequency axis: ranges nest inside [2^k, 2^(k+1))
     got.foreach { case (k, _, _, lo, hi) =>
+      assert(lo >= (1L << k) && hi < (1L << (k + 1)), s"bucket $k range [$lo,$hi] escapes")
+    }
+  }
+
+  test("vocab family, wide fixtures: ≥6 zipf buckets and a multi-hundred-term concentration table") {
+    // The sf0.01 oracle corpus has a 31-word vocabulary spanning TWO
+    // frequency-doubling buckets — too narrow to catch a bucketing
+    // off-by-one above bucket 1 or a concentration tie-rule slip in a
+    // big vocabulary (the r15 judge's finding). This pins both
+    // operators on corpora built for width: ScaleGen's disjoint-vocab
+    // replicas for term COUNT, and a geometric frequency ladder for
+    // bucket SPREAD.
+    import graft.operators.TextAnalysis
+    import graft.tools.ScaleGen
+
+    // --- concentration over an 8x disjoint-vocab replica corpus
+    val wideDir = java.nio.file.Files.createTempDirectory("graft_vocab_wide").toString
+    ScaleGen.scaleDocuments(Tables.documents(spark, sf), 8)
+      .write.parquet(s"$wideDir/documents.parquet")
+    val wdocs = Tables.documents(spark, wideDir).select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getString(0), t.trim)))
+      .filter(_._2.nonEmpty)
+    val perSource = wdocs.flatMap { case (s, t) => t.split("\\s+").map(w => (s, w)) }
+      .groupBy(identity).map { case ((s, w), xs) => (s, w, xs.length.toLong) }
+    val wantConc = perSource.groupBy(_._2).map { case (w, xs) =>
+      val tot = xs.map(_._3).sum; val mx = xs.map(_._3).max
+      (w, xs.size.toLong, tot, mx, 10000L * mx / tot)
+    }.toSeq.sortBy(_._1)
+    val gotConc = TextAnalysis.vocabConcentration(spark, wideDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotConc == wantConc,
+      s"wide concentration diverged: got ${gotConc.take(3)}... want ${wantConc.take(3)}...")
+    assert(gotConc.size >= 200, s"fixture must span hundreds of terms: ${gotConc.size}")
+
+    // --- zipf over a geometric frequency ladder: term z_j has
+    // frequency 2^j and y_j frequency 3·2^j, so bucket k holds z_k and
+    // y_(k-1) — every bucket boundary above 1 is exercised
+    val zipfDir = java.nio.file.Files.createTempDirectory("graft_vocab_zipf").toString
+    val zdocs = (0 until 9).map { j => (j.toLong, ("z" + j + " ") * (1 << j)) } ++
+      (0 until 8).map { j => (100L + j, ("y" + j + " ") * (3 << j)) }
+    zdocs.map { case (id, t) => (id, t.trim, "und", "s0", t.trim.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$zipfDir/documents.parquet")
+    val zfreq = zdocs.map(_._2.trim).flatMap(_.split("\\s+"))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val wantZipf = zfreq.groupBy(f => 63 - java.lang.Long.numberOfLeadingZeros(f))
+      .map { case (k, fs) => (k.toLong, fs.size.toLong, fs.sum, fs.min, fs.max) }
+      .toSeq.sortBy(_._1)
+    val gotZipf = TextAnalysis.vocabZipfProfile(spark, zipfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotZipf == wantZipf, s"ladder zipf diverged: got $gotZipf want $wantZipf")
+    assert(gotZipf.size >= 6, s"ladder must span ≥6 doubling buckets: $gotZipf")
+    assert(gotZipf.count(_._2 >= 2) >= 6, "upper buckets must hold multiple terms (z_k and y_(k-1))")
+    gotZipf.foreach { case (k, _, _, lo, hi) =>
       assert(lo >= (1L << k) && hi < (1L << (k + 1)), s"bucket $k range [$lo,$hi] escapes")
     }
   }
