@@ -331,6 +331,90 @@ object EventStream {
         (unix_micros(col("window.start")) / lit(3600000000L)).cast("long").as("win_start"),
         col("event_type"), col("n_events"), col("n_users"), col("sum_v"))
 
+  /** VALUE-HISTOGRAM STREAM (round 16) — the incremental form of
+    * [[graft.operators.Relational.qValueHistogram]]: the cent-doubling
+    * rollup as a Complete-mode streaming aggregation. Identical
+    * expression tree (floor(value·100+0.5) cents, integer-log2 bucket
+    * via binary width), so stream-vs-batch parity is structural.
+    * State is the OUTPUT table itself — event types × ≤64 doubling
+    * buckets, a bounded dimension² rollup, which is exactly when
+    * Complete mode is the honest choice (no watermark to reason
+    * about, no per-event state).
+    */
+  def valueHistogramStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      .filter(col("vc") >= 1)
+      .groupBy(col("event_type"), (length(bin(col("vc"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("total_cents"),
+        min(col("vc")).as("min_cents"),
+        max(col("vc")).as("max_cents"))
+
+  /** One user's funnel progress — the BOUNDED sufficient statistic of
+    * the strictly-ordered view→click→purchase funnel under in-order
+    * arrival: three optional first-transition times, 24 bytes per
+    * user, never an event list.
+    */
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], seq: Long)
+
+  /** Per-update emission of [[funnelStepsStream]]: the user's current
+    * funnel times plus a monotone `seq` so a consumer (or the parity
+    * spec) can pick each user's LATEST row from an Update-mode sink.
+    */
+  case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long], seq: Long)
+
+  /** FUNNEL-STEPS STREAM (round 16) — the stateful twin of
+    * [[graft.operators.Relational.qFunnelSteps]]: per user, the first
+    * view time, the first click strictly after it, and the first
+    * purchase strictly after that, maintained in
+    * `mapGroupsWithState` with O(1) state per user.
+    *
+    * ORDERING CONTRACT: exact when each user's events arrive in
+    * event-time order ACROSS micro-batches (the per-key ordered-log
+    * deployment shape — a user-keyed Kafka topic or time-windowed file
+    * drops); WITHIN a batch order is free (the group's new events are
+    * sorted by time here before folding). Under that contract the
+    * greedy fold IS the batch semantics: the first view seen is the
+    * min view, the first qualifying click is the min click after it,
+    * and so on — which is what makes 3 longs a sufficient statistic
+    * (out-of-order history replay would need the full event list; the
+    * batch query answers that case). StreamingSpec pins equality with
+    * the oracle-checked batch query on a time-split source.
+    */
+  def funnelStepsStream(events: DataFrame): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        col("event_type"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val s0 = state.getOption.getOrElse(FunnelState(None, None, None, 0L))
+          var t1 = s0.t1; var t2 = s0.t2; var t3 = s0.t3
+          // batch-local sort: iterator order is shuffle order, the
+          // contract's ordering is only across batches
+          it.toArray.sortBy(_._3).foreach { case (_, tpe, t) =>
+            tpe match {
+              case "view" if t1.isEmpty                                  => t1 = Some(t)
+              case "click" if t1.nonEmpty && t2.isEmpty && t > t1.get    => t2 = Some(t)
+              case "purchase" if t2.nonEmpty && t3.isEmpty && t > t2.get => t3 = Some(t)
+              case _                                                     =>
+            }
+          }
+          val ns = FunnelState(t1, t2, t3, s0.seq + 1)
+          state.update(ns)
+          FunnelUpdate(user, t1, t2, t3, ns.seq)
+      }
+  }
+
   /** Watermarked per-window bounded top-k: the highest-`value` events of
     * each tumbling hour, ranked by the custom [[graft.functions.TopKOrdTie]]
     * aggregate INSIDE Structured Streaming state. This is the aggregate's

@@ -92,6 +92,69 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.exists(_._4 > 1), "distinct-user path must be exercised")
   }
 
+  test("value-histogram stream converges to the oracle-checked batch twin") {
+    val ckpt = Files.createTempDirectory("graft_vhist_ckpt").toString
+    EventStream.runAvailableNow(
+      EventStream.valueHistogramStream(EventStream.readEvents(spark, sf)),
+      "vhist_test", ckpt, OutputMode.Complete)
+    val streamed = spark.table("vhist_test")
+      .select("event_type", "k", "n_events", "total_cents", "min_cents", "max_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Relational.qValueHistogram(spark, sf)
+      .select("event_type", "k", "n_events", "total_cents", "min_cents", "max_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; batch-only: ${batch.diff(streamed).take(3)}")
+    assert(streamed.map(_._2).size > 1, "a one-bucket fixture is vacuous")
+  }
+
+  test("funnel-steps stream (mapGroupsWithState) equals the batch funnel on a time-ordered source") {
+    // per-user in-order arrival across micro-batches is the operator's
+    // documented contract: feed the corpus as three sequential
+    // time-range files (distinct names AND write times, so the file
+    // source triggers them oldest-first), with users spanning file
+    // boundaries — the cross-batch state handoff is exercised, not
+    // vacuous
+    val src = Files.createTempDirectory("graft_funnel_src").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ns").cast("long").as("ts_ns"))
+      .persist()
+    val times = ev.select("ts_ns").orderBy("ts_ns").as[Long].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    ev.filter(col("ts_ns") < c1).coalesce(1).write.parquet(s"$src/a_part")
+    ev.filter(col("ts_ns") >= c1 && col("ts_ns") < c2).coalesce(1).write.parquet(s"$src/b_part")
+    ev.filter(col("ts_ns") >= c2).coalesce(1).write.parquet(s"$src/c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.funnelStepsStream(stream).toDF(), "funnel_state_test", ckpt, OutputMode.Update)
+    val updates = spark.table("funnel_state_test").collect()
+    // an Update-mode sink appends every emission: the user's final
+    // funnel is their max-seq row (seq monotone by construction)
+    val finals = updates.groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(4))).toSeq
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val s2 = finals.flatMap(r => for (a <- opt(r, 1); b <- opt(r, 2)) yield b - a)
+    val s3 = finals.flatMap(r => for (b <- opt(r, 2); c <- opt(r, 3)) yield c - b)
+    val got = Set(
+      (1L, finals.count(r => opt(r, 1).nonEmpty).toLong, 0L),
+      (2L, s2.size.toLong, s2.sum),
+      (3L, s3.size.toLong, s3.sum))
+    val want = graft.operators.Relational.qFunnelSteps(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"funnel stream $got != batch $want")
+    assert(got.exists(t => t._1 == 3L && t._2 > 0), "no user completed the funnel: vacuous fixture")
+    // cross-batch handoff really happened: some user appears in more
+    // than one micro-batch's emissions
+    assert(updates.groupBy(_.getLong(0)).values.exists(_.size > 1),
+      "every user fit in one batch: boundary handoff not exercised")
+    spark.catalog.clearCache()
+  }
+
   test("windowed top-k stream (TypedImperativeAggregate state) converges to the batch twin") {
     val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
     // maxFilesPerTrigger=1 with a multi-file source would be ideal; the
