@@ -38,6 +38,33 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .orderBy("h")
 
+  /** DEDUP RATE BY SOURCE (round 16) — per source: document count,
+    * exact duplicates (any doc whose digest was first seen under a
+    * smaller doc_id, the first-seen-kept rule every exact tier here
+    * uses), and the duplication rate in basis points. This is the
+    * acquisition report a curation run reads before renegotiating a
+    * feed: a source at 4000 bp is mostly re-crawl, and cutting it at
+    * INGEST is 100 TB of scan the funnel never pays. The per-source
+    * attribution is what the corpus-wide funnel (dedup_funnel) can't
+    * say.
+    *
+    * Scale shape: one digest aggregation (the dedup_exact shuffle,
+    * keyed on content hash), one digest-keyed join back, then a
+    * sources-sized map-side-combined rollup — no new shuffle class.
+    */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(coalesce(col("text"), lit(""))).as("h"))
+    val first = h.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    h.join(first, Seq("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_bp", expr("(10000 * n_dups) DIV n_docs"))
+      .orderBy("source")
+  }
+
   /** The deduplicated table itself: keep the min-id row per digest.
     * Aggregate+semi-join rather than a row_number window so the heavy
     * side shuffles once on the digest and no single partition must hold

@@ -1290,6 +1290,32 @@ object Relational {
       r1.unionByName(r2).unionByName(r3).orderBy("step"), ev)
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX (round 16) — consecutive-event
+    * (from → to) counts per user stream, the first-order Markov table
+    * behind journey analysis and anomaly scoring (a spike in
+    * purchase→purchase is a replay bug; a missing view→click edge is a
+    * broken surface). Consecutiveness is per user in (time, event_id)
+    * order — the sessionize ordering rule — with null-typed events
+    * excluded up front on BOTH engines so the lag chain and the null
+    * sort order can't diverge.
+    *
+    * Scale shape: one user-partitioned window (the q_sessionize
+    * exchange, AQE-shared), then a types²-bounded map-side-combined
+    * rollup.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("tus"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    ev.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** VALUE HISTOGRAM — event values bucketed by cent-DOUBLING ranges
     * (`k = floor(log2(cents))` via the BIGINT's binary width — the
     * [[graft.operators.TextAnalysis.vocabZipfProfile]] integer-log

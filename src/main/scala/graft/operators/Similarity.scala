@@ -1356,6 +1356,79 @@ object Similarity {
   def rangeRecallQuery(spark: SparkSession, dir: String): DataFrame =
     rangeRecall(spark, dir)
 
+  /** LSH BUCKET OCCUPANCY AUDIT (round 16) — per hash table: bucket
+    * count in use, vector mass, occupancy range, and the heaviest
+    * bucket's share in basis points. The [[ivfCellStats]] health
+    * report for the OTHER index family: every similarity path here
+    * (near-dup, k-NN edges, range search, semantic ingest) pays
+    * occupancy² inside each bucket, so a spiked `top_share_bp` is the
+    * first warning that `bits` is undersized for the corpus — read
+    * before every deployment resize, the way ivf_cell_stats gates the
+    * coarse quantizer retrain.
+    *
+    * Scale shape: one scan of the skinny materialized band asset,
+    * (tables × buckets)-keyed map-side-combined rollup, then a
+    * tables-row report. Nothing corpus-wide shuffles.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String, bits: Int = 4,
+      tables: Int = 8, dim: Int = 64, seedBase: Long = 42L): DataFrame =
+    corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase)
+      .groupBy("t", "b").agg(count(lit(1)).as("occ"))
+      .groupBy(col("t").cast("long").as("t"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("occ")).as("n_vectors"),
+        min(col("occ")).as("min_occupancy"),
+        max(col("occ")).as("max_occupancy"))
+      .withColumn("top_share_bp", expr("(10000 * max_occupancy) DIV n_vectors"))
+      .orderBy("t")
+
+  /** EMBEDDING NORM HISTOGRAM (round 16) — squared grid-norm mass in
+    * doubling buckets (`k = floor(log2(‖q‖²))` off the BIGINT's binary
+    * width — the repo's float-free log axis): the first chart read
+    * when an embedding model ships or a corpus merges. A normalized
+    * model concentrates in one or two buckets; mass in distant buckets
+    * flags unnormalized batches, truncated vectors or dead inputs
+    * BEFORE they poison cosine thresholds downstream (semantic dedup's
+    * threshold assumes a norm regime; this is the report that checks
+    * it).
+    *
+    * Scale shape: one corpus scan, a per-row array fold to one int64,
+    * map-side-combined ≤64-row rollup.
+    */
+  def embedNormHist(spark: SparkSession, dir: String, scale: Int = 1000): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(aggregate(quantized(scale), lit(0L), (acc, x) => acc + x * x).as("sqn"))
+      .filter(col("sqn") >= 1)
+      .groupBy((length(bin(col("sqn"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("sqn")).as("min_sq"),
+        max(col("sqn")).as("max_sq"))
+      .orderBy("k")
+
+  /** COMPONENT SIZE HISTOGRAM (round 16) — the semantic-cluster report
+    * rolled one level up: how many components exist at each size. The
+    * eleventh consumer of the durable edge asset, and the number a
+    * dedup rollout reads FIRST: total removable mass is
+    * Σ (size−1)·n_components, and a giant component at the top of this
+    * table means the distance ceiling is merging unrelated material
+    * (the transitive-closure failure mode every clustering dedup has).
+    *
+    * Scale shape: [[semanticComponents]]' label table rolled to one
+    * row per (cluster, size) then a sizes-keyed rollup — both
+    * exchanges bounded by component count, not corpus.
+    */
+  def componentSizeHistogram(spark: SparkSession, dir: String,
+      maxDist: Long = 1280000L): DataFrame =
+    semanticComponents(spark, dir, maxDist)
+      .select("cluster_id", "cluster_size").distinct()
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("n_vectors", col("cluster_size") * col("n_components"))
+      .orderBy("cluster_size")
+
   /** Driver query: two damped integer iterations over the 5-NN graph,
     * edges served from the materialized asset.
     */

@@ -1696,6 +1696,107 @@ class QueriesSpec extends SparkSpec {
     assert(got.forall(t => t._1 < t._2 && t._3 <= R))
   }
 
+  test("lsh_bucket_stats: per-table occupancy equals a collected band-asset reference") {
+    import graft.operators.Similarity
+    val bands = Similarity.corpusBandedEmbeddings(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val occ = bands.groupBy(identity).toSeq.map { case ((t, _), xs) => (t, xs.length.toLong) }
+    val want = occ.groupBy(_._1).map { case (t, tb) =>
+      val os = tb.map(_._2)
+      (t.toLong, os.size.toLong, os.sum, os.min, os.max, 10000L * os.max / os.sum)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.lshBucketStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 8, "one row per hash table")
+    assert(got.forall(t => t._3 == got.head._3), "every table bands the same vector mass")
+    assert(got.exists(_._6 > 625), "flat-occupancy fixture would make the skew signal vacuous")
+  }
+
+  test("embed_norm_hist: doubling buckets equal a collected grid-norm reference") {
+    import graft.operators.Similarity
+    val sq = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+        .map(q => q * q).sum)
+      .filter(_ >= 1)
+    val want = sq.groupBy(s => 63 - java.lang.Long.numberOfLeadingZeros(s))
+      .map { case (k, xs) => (k.toLong, xs.length.toLong, xs.min, xs.max) }
+      .toSeq.sortBy(_._1)
+    val got = Similarity.embedNormHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._2).sum == sq.length.toLong, "histogram must conserve the corpus")
+    got.foreach { case (k, _, lo, hi) =>
+      assert(lo >= (1L << k) && hi < (1L << (k + 1)), s"bucket $k range [$lo,$hi] escapes")
+    }
+    // the synthetic corpus has near-uniform norms (one bucket) — too
+    // narrow to catch a bucket-boundary slip, the same gap the zipf
+    // ladder closes. Pin the operator on a geometric NORM ladder too:
+    // vector j = (2^j / 1000, 0, 0, ...) has sqn = 4^j exactly on the
+    // grid, two vectors per norm → buckets 2j, each n_vectors = 2
+    val normDir = java.nio.file.Files.createTempDirectory("graft_norm_ladder").toString
+    val ladder = (0 until 8).flatMap { j =>
+      val v = Array.fill(64)(0.0f); v(0) = (1L << j).toFloat / 1000f
+      Seq((2L * j, v.toSeq), (2L * j + 1, v.toSeq))
+    }
+    ladder.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), lit(0).as("label"))
+      .write.parquet(s"$normDir/embeddings.parquet")
+    val lgot = Similarity.embedNormHist(spark, normDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val lwant = (0 until 8).map(j => (2L * j, 2L, 1L << (2 * j), 1L << (2 * j))).toSeq
+    assert(lgot == lwant, s"norm ladder diverged: $lgot vs $lwant")
+  }
+
+  test("graph_component_sizes: histogram conserves the component table") {
+    import graft.operators.Similarity
+    val comps = Similarity.semanticComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct // (cluster_id, size)
+    val want = comps.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.length.toLong, s * xs.length) }.toSeq.sortBy(_._1)
+    val got = Similarity.componentSizeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._2).sum == comps.length.toLong)
+    assert(got.nonEmpty && got.forall(_._1 >= 1))
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_rate_by_source: per-source rates equal a collected first-seen reference") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val firstByText = docs.groupBy(_._3).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val want = docs.groupBy(_._2).map { case (src, xs) =>
+      val dups = xs.count(d => !firstByText.contains(d._1))
+      (src, xs.length.toLong, dups.toLong, 10000L * dups / xs.length)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.dedupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._2).sum == docs.length.toLong, "sources must conserve the corpus")
+  }
+
+  test("q_event_transitions: transition matrix equals a collected per-user lag reference") {
+    import graft.operators.Relational
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "CAST(ts_ns AS LONG) AS ns")
+      .collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Math.floorDiv(r.getLong(3), 1000L)))
+    val want = ev.groupBy(_._1).values.flatMap { xs =>
+      xs.sortBy(e => (e._4, e._2)).sliding(2).collect { case Array(a, b) => (a._3, b._3) }
+    }.toSeq.groupBy(identity).map { case ((f, t), xs) => (f, t, xs.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = Relational.qEventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
+    assert(got.map(_._3).sum == want.map(_._3).sum && got.nonEmpty)
+    assert(got.map(_._1).distinct.size > 1, "single-type fixture is vacuous")
+  }
+
   test("pairwise-matrix cardinality contract: overlap operators fail fast past the key cap") {
     import graft.operators.{Relational, TextAnalysis}
     import graft.engine.Skew
