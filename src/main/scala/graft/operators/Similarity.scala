@@ -351,14 +351,23 @@ object Similarity {
     * longs per (vector, table) row — `tables` × corpus rows on disk,
     * scanned with vec_id pruning by consumers.
     */
-  def corpusBandedEmbeddings(spark: SparkSession, dir: String,
-      bits: Int = 4, tables: Int = 8, dim: Int = 64,
-      seedBase: Long = 42L): DataFrame = {
+  private def bandedAssetId(spark: SparkSession, dir: String, bits: Int,
+      tables: Int, dim: Int, seedBase: Long, partWidth: Long): String = {
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
-    val assetId =
-      s"embbands_b${bits}_t${tables}_d${dim}_sd${seedBase}" +
-        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
-    val path = bandedTables.computeIfAbsent(assetId, _ =>
+    s"embbands_b${bits}_t${tables}_d${dim}_sd${seedBase}" +
+      s"_w${partWidth}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  /** Band-asset path: resolve (load or build) `dir`'s LSH band table.
+    * Written `partitionBy(pt)` with the SAME id-range bucketing as the
+    * edge asset (round 16) so the incremental publisher can move
+    * untouched ranges by file copy.
+    */
+  private[graft] def corpusBandedEmbeddingsPath(spark: SparkSession, dir: String,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, partWidth: Long = 1024L): String = {
+    val assetId = bandedAssetId(spark, dir, bits, tables, dim, seedBase, partWidth)
+    bandedTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           bandedAssetBuilds.incrementAndGet()
@@ -366,9 +375,99 @@ object Similarity {
           emb.select(col("vec_id"),
               explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
             .select(col("vec_id"), col("bk.t"), col("bk.b"))
-            .write.mode("overwrite").parquet(staging)
+            .withColumn("pt", ptCol(partWidth))
+            .write.partitionBy("pt").mode("overwrite").parquet(staging)
         }))
-    spark.read.parquet(path)
+  }
+
+  def corpusBandedEmbeddings(spark: SparkSession, dir: String,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, partWidth: Long = 1024L): DataFrame =
+    spark.read
+      .parquet(corpusBandedEmbeddingsPath(spark, dir, bits, tables, dim, seedBase, partWidth))
+      .drop("pt")
+
+  /** Band-asset increments ran this JVM — spec seam. */
+  private[graft] val bandedIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Publish `dir`'s band asset by INCREMENT from `oldDir`'s
+    * (round 16): bands are PER-VECTOR deterministic under the seeded
+    * plane constants, so an append never changes a standing vector's
+    * rows — the merged table is literally (old asset ∪ batch bands).
+    * Every old id range is therefore moved by FILE COPY and only the
+    * batch's ranges are computed and written: a 10% append pays ~10%
+    * of the banding scan and ~10% of the write, with NO affected-set
+    * computation at all (the edge asset's harder problem does not
+    * exist here).
+    *
+    * Same pure-append precondition as the edge increment — a removed
+    * or mutated vector falls back to the full rebuild, because a
+    * stale band row would poison every candidate join served from
+    * this address. Publishes under the exact address
+    * [[corpusBandedEmbeddings]] resolves; spec-pinned row-identical.
+    */
+  def corpusBandedEmbeddingsIncrement(spark: SparkSession, oldDir: String, dir: String,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, partWidth: Long = 1024L): DataFrame = {
+    if (pureAppendViolated(spark, oldDir, dir)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"band increment $oldDir -> $dir is not a pure append; rebuilding")
+      corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase, partWidth)
+    } else {
+      publishBandIncrementUnchecked(spark, oldDir, dir, bits, tables, dim, seedBase, partWidth)
+      corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase, partWidth)
+    }
+  }
+
+  /** The increment publishers' shared pure-append validation: every
+    * old vec_id present in `dir` with a null-safe-equal embedding.
+    * One corpus-keyed equi-join — no banding, no distances.
+    */
+  private def pureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean =
+    !Tables.embeddings(spark, oldDir)
+      .select(col("vec_id"), col("embedding").as("__old"))
+      .join(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").as("__new"), lit(1).as("__p")),
+        Seq("vec_id"), "left")
+      .filter(col("__p").isNull || !(col("__old") <=> col("__new")))
+      .isEmpty
+
+  /** Copy-forward band publish WITHOUT the precondition check — the
+    * caller has already validated the append (shared with the edge
+    * increment, which co-publishes the band asset so the NEXT append's
+    * standing side is also served incrementally). Appends never change
+    * a standing vector's bands, so EVERY old range moves by file copy
+    * and a boundary range simply gains the batch's extra part files —
+    * mixing copied and appended files inside one `pt` directory is
+    * row-correct because no copied row is ever superseded.
+    */
+  private def publishBandIncrementUnchecked(spark: SparkSession, oldDir: String, dir: String,
+      bits: Int, tables: Int, dim: Int, seedBase: Long, partWidth: Long): Unit = {
+    val assetId = bandedAssetId(spark, dir, bits, tables, dim, seedBase, partWidth)
+    bandedTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          bandedIncrementBuilds.incrementAndGet()
+          val fs = new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val oldPath = corpusBandedEmbeddingsPath(spark, oldDir,
+            bits, tables, dim, seedBase, partWidth)
+          fs.listStatus(new org.apache.hadoop.fs.Path(oldPath))
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("pt="))
+            .foreach { st =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+                fs, new org.apache.hadoop.fs.Path(staging, st.getPath.getName),
+                false, spark.sparkContext.hadoopConfiguration)
+            }
+          val newVecs = Tables.embeddings(spark, dir)
+            .join(Tables.embeddings(spark, oldDir).select("vec_id"), Seq("vec_id"), "left_anti")
+            .filter(col("embedding").isNotNull)
+          bandsOf(newVecs, bits, tables, dim, seedBase)
+            .withColumn("pt", ptCol(partWidth))
+            .write.partitionBy("pt").mode("append").parquet(staging)
+        }))
+    ()
   }
 
   /** Driver query: id-midpoint cut, same LSH constants as
@@ -677,18 +776,11 @@ object Similarity {
         staging => {
           val merged = Tables.embeddings(spark, dir)
           val oldEmb = Tables.embeddings(spark, oldDir)
-          // pure-append precondition: every old id present with an
-          // unchanged embedding (<=> is null-safe, so a null embedding
-          // row must still be PRESENT — presence is checked via the
-          // join marker, not the embedding column)
-          val appendViolated = !oldEmb
-            .select(col("vec_id"), col("embedding").as("__old"))
-            .join(
-              merged.select(col("vec_id"), col("embedding").as("__new"), lit(1).as("__p")),
-              Seq("vec_id"), "left")
-            .filter(col("__p").isNull || !(col("__old") <=> col("__new")))
-            .isEmpty
-          if (appendViolated) {
+          // pure-append precondition (shared helper): every old id
+          // present with an unchanged embedding (<=> is null-safe, so
+          // a null embedding row must still be PRESENT — presence is
+          // checked via the join marker, not the embedding column)
+          if (pureAppendViolated(spark, oldDir, dir)) {
             knnIncrementFallbacks.incrementAndGet()
             knnAssetBuilds.incrementAndGet()
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -699,10 +791,17 @@ object Similarity {
               .write.partitionBy("pt").mode("overwrite").parquet(staging)
           } else {
             knnIncrementBuilds.incrementAndGet()
+            // co-publish dir's BAND asset by the same copy-forward
+            // increment (append already validated): the next append's
+            // standing side then loads instead of re-banding the
+            // merged corpus
+            publishBandIncrementUnchecked(spark, oldDir, dir,
+              bits, tables, dim, seedBase, partWidth)
             val oldPath = corpusKnnEdgesPath(spark, oldDir,
               kTop, bits, tables, dim, seedBase, scale, partWidth)
             val oldEdges = spark.read.parquet(oldPath).drop("pt")
-            val oldBands = corpusBandedEmbeddings(spark, oldDir, bits, tables, dim, seedBase)
+            val oldBands = corpusBandedEmbeddings(spark, oldDir,
+              bits, tables, dim, seedBase, partWidth)
             val newVecs = merged.join(oldEmb.select("vec_id"), Seq("vec_id"), "left_anti")
             val (refreshed, affected, stages) = knnIncrementPieces(
               oldBands, merged, newVecs, kTop, bits, tables, dim, seedBase, scale)

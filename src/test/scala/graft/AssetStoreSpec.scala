@@ -249,6 +249,118 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("band increment: every old range copied forward, only batch ranges computed; edge increment co-publishes") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_bandinc_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_bandinc_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        val B = 12; val W = 16L
+        val oldPath = Similarity.corpusBandedEmbeddingsPath(spark, oldDir, bits = B, partWidth = W)
+        def ptFiles(dir: String): Map[Long, Set[(String, Long)]] =
+          new java.io.File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+            .map(d => d.getName.stripPrefix("pt=").toLong ->
+              d.listFiles().filter(_.getName.endsWith(".parquet"))
+                .map(f => (f.getName, f.length())).toSet)
+            .toMap
+        val oldFiles = ptFiles(oldPath)
+        val full0 = Similarity.bandedAssetBuilds.get()
+        val inc0 = Similarity.bandedIncrementBuilds.get()
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        val inc = canon(
+          Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, newDir, bits = B, partWidth = W))
+        assert(Similarity.bandedIncrementBuilds.get() == inc0 + 1)
+        assert(Similarity.bandedAssetBuilds.get() == full0,
+          "a pure append must never trigger a full band rebuild")
+        val newPath = Similarity.corpusBandedEmbeddingsPath(spark, newDir, bits = B, partWidth = W)
+        val newFiles = ptFiles(newPath)
+        // EVERY old range's files ride along verbatim (a boundary range
+        // may gain the batch's extra part files — old rows are never
+        // superseded, so mixing is row-correct)
+        oldFiles.foreach { case (pt, files) =>
+          assert(files.subsetOf(newFiles.getOrElse(pt, Set.empty)),
+            s"old range pt=$pt must be copied forward verbatim")
+        }
+        // the batch only wrote its own ranges: strictly-below-boundary
+        // old ranges are EXACTLY equal, nothing recomputed there
+        val boundary = (cut - 1) / W
+        oldFiles.filter(_._1 < boundary).foreach { case (pt, files) =>
+          assert(newFiles(pt) == files, s"pre-boundary range pt=$pt was rewritten")
+        }
+        // row-identity with the full banding of the merged corpus
+        Similarity.dropInMemoryIndexes()
+        val fullBuilds1 = Similarity.bandedAssetBuilds.get()
+        val served = canon(Similarity.corpusBandedEmbeddings(spark, newDir, bits = B, partWidth = W))
+        assert(Similarity.bandedAssetBuilds.get() == fullBuilds1,
+          "consumers must LOAD the incremented band asset")
+        assert(served == inc)
+        val fullDir = java.nio.file.Files.createTempDirectory("graft_bandinc_chk").toString
+        emb.write.parquet(s"$fullDir/embeddings.parquet")
+        val want = canon(Similarity.corpusBandedEmbeddings(spark, fullDir, bits = B, partWidth = W))
+        assert(inc == want, s"band increment diverged: ${inc.size} vs ${want.size} rows")
+
+        // --- edge increment co-publishes the band asset: with BOTH
+        // asset caches dropped and only the edge increment run, a band
+        // load must hit the co-published asset, not rebuild
+        val edgeOld = java.nio.file.Files.createTempDirectory("graft_bandinc_eo").toString
+        val edgeNew = java.nio.file.Files.createTempDirectory("graft_bandinc_en").toString
+        emb.filter(col("vec_id") < cut).write.parquet(s"$edgeOld/embeddings.parquet")
+        emb.write.parquet(s"$edgeNew/embeddings.parquet")
+        Similarity.corpusKnnEdgesPath(spark, edgeOld, bits = B, partWidth = W)
+        Similarity.corpusBandedEmbeddings(spark, edgeOld, bits = B, partWidth = W).count()
+        val full2 = Similarity.bandedAssetBuilds.get()
+        Similarity.corpusKnnEdgesIncrement(spark, edgeOld, edgeNew, bits = B, partWidth = W).count()
+        Similarity.dropInMemoryIndexes()
+        Similarity.corpusBandedEmbeddings(spark, edgeNew, bits = B, partWidth = W).count()
+        assert(Similarity.bandedAssetBuilds.get() == full2,
+          "the edge increment must co-publish the merged band asset")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("band increment precondition: a mutated vector falls back to the full banding") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_bandpre_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_bandpre_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.withColumn("embedding",
+          when(col("vec_id") === 3L, reverse(col("embedding"))).otherwise(col("embedding")))
+        .write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      try {
+        val B = 12
+        Similarity.corpusBandedEmbeddingsPath(spark, oldDir, bits = B)
+        val inc0 = Similarity.bandedIncrementBuilds.get()
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        val got = canon(Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, newDir, bits = B))
+        assert(Similarity.bandedIncrementBuilds.get() == inc0,
+          "the band increment path must NOT run on a non-append delta")
+        val chk = java.nio.file.Files.createTempDirectory("graft_bandpre_chk").toString
+        Tables.embeddings(spark, newDir).write.parquet(s"$chk/embeddings.parquet")
+        val want = canon(Similarity.corpusBandedEmbeddings(spark, chk, bits = B))
+        assert(got == want, "the fallback must serve the correct rebuilt bands")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("knn increment precondition: a non-append delta falls back to the full rebuild") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
