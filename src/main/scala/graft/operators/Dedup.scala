@@ -952,6 +952,56 @@ object Dedup {
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
       .limit(200)
 
+  /** SIMHASH INCREMENTAL (round 16) — the signature family's member of
+    * the incremental tier (exact / minhash / ngram / cdc / embed all
+    * have one): each batch doc's best STANDING near-match by SimHash
+    * Hamming distance, the midpoint-cut admission shape. Candidates
+    * come from the same pigeonhole band join as [[simhashPairs]]
+    * (4×16-bit chunks — EXACT for Hamming ≤ 3, not probabilistic),
+    * restricted to standing×batch; best match = min Hamming, then min
+    * standing id (the [[minhashIncrementalOn]] tiebreak).
+    *
+    * Scale shape: signatures are one narrow pass; the candidate join
+    * is band-keyed standing×batch (never batch×batch or all-pairs);
+    * the verdict rollup keys on the batch doc.
+    */
+  def simhashIncremental(docs: DataFrame, splitId: Long, maxHamming: Int = 3): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val s = docs
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), sketch.simhashMd5(toks).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkCols = (0 until 4).map { c =>
+      struct(
+        lit(c).as("chunk"),
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")
+      )
+    }
+    val chunked = s.select(col("doc_id"), col("sim"), explode(array(chunkCols: _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+    val standing = chunked.filter(col("doc_id") < splitId)
+      .select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val batch = chunked.filter(col("doc_id") >= splitId)
+      .select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val out = standing.join(batch, Seq("chunk", "ck"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(struct(col("hamming").as("h"), col("id_a").as("m"))).as("best"))
+      .select(col("doc_id"), col("best.m").as("match_id"), col("best.h").as("hamming"))
+      .orderBy("doc_id")
+    graft.engine.Caching.handoff(out, s)
+  }
+
+  /** Driver query: id-midpoint cut, Hamming ≤ 3 like [[simhashQuery]]. */
+  def simhashIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+    simhashIncremental(docs, cut)
+  }
+
   // --------------------------------------------------------------------
   // N-gram Jaccard (exact, via inverted index on shingles)
   // --------------------------------------------------------------------

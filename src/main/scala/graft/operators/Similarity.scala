@@ -1507,6 +1507,39 @@ object Similarity {
         max(col("sqn")).as("max_sq"))
       .orderBy("k")
 
+  /** EMBEDDING DRIFT BETWEEN CORPUS HALVES (round 16) — per dimension:
+    * counts, grid sums, and the milli-grid mean shift between the
+    * id-lower and id-upper halves (the incremental family's midpoint
+    * cut, standing vs recent). THE model/corpus drift alarm: a new
+    * embedding-model version, a source-mix change or a normalization
+    * regression shows up as coordinated per-dimension shifts long
+    * before recall degrades — read next to [[embedDimStatsQuery]]'s
+    * static moments. The shift is sign-explicit truncation toward zero
+    * on both engines (the decay_score rule — integer DIV semantics on
+    * negatives must never be left to the engine's choice).
+    *
+    * Scale shape: one corpus scan, posexplode to (dim, q), a d-row
+    * map-side-combined rollup carrying both halves in one pass.
+    */
+  def embedDrift(spark: SparkSession, dir: String, scale: Int = 1000): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+    val cut = all.agg(expr("max(vec_id) div 2")).head().getLong(0)
+    def truncDiv(num: String, den: String): String =
+      s"CASE WHEN $num < 0 THEN -((-($num)) DIV $den) ELSE ($num) DIV $den END"
+    all.filter(col("embedding").isNotNull)
+      .select((col("vec_id") < cut).as("old"), posexplode(quantized(scale)).as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        sum(when(col("old"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("old"), col("q")).otherwise(0L)).as("sum_a"),
+        sum(when(!col("old"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("old"), col("q")).otherwise(0L)).as("sum_b"))
+      .withColumn("shift_mq", expr(
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE " +
+          s"(${truncDiv("1000 * sum_b", "n_b")}) - (${truncDiv("1000 * sum_a", "n_a")}) END"))
+      .orderBy("dim")
+  }
+
   /** COMPONENT SIZE HISTOGRAM (round 16) — the semantic-cluster report
     * rolled one level up: how many components exist at each size. The
     * eleventh consumer of the durable edge asset, and the number a

@@ -1089,6 +1089,63 @@ object TextAnalysis {
         max(col("freq")).as("max_freq"))
       .orderBy("k")
 
+  /** TOKEN-COUNT HISTOGRAM (round 16) — documents bucketed by
+    * length-DOUBLING token counts: the corpus-shape chart behind
+    * sequence-packing and truncation-budget decisions (mass above the
+    * context length is what pack_sequences will split; a spiked short
+    * bucket is the boilerplate tell). Same integer-log2 axis as the
+    * zipf/value/norm histograms — binary width, no float log.
+    * Token-free and null docs carry no length evidence and are
+    * excluded (their count is corpus_stats' business).
+    *
+    * Scale shape: one narrow scan through the single-pass token-count
+    * kernel, ≤64-row map-side-combined rollup.
+    */
+  def tokenCountHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(text.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy("k")
+
+  /** VOCABULARY GROWTH CURVE (round 16) — new distinct terms per
+    * doc-id bucket plus the running total: the empirical Heaps-law
+    * curve. A real corpus keeps minting vocabulary sublinearly
+    * forever; a flat tail says the source is exhausted (re-crawls,
+    * templates) and more ingest buys tokens but no diversity — the
+    * acquisition-planning twin of [[vocabZipfProfile]]'s static view,
+    * and the corpus-level version of the per-doc novelty curve.
+    *
+    * Scale shape: one tokenize pass, a vocabulary-keyed min aggregate
+    * (the gram-asset first_doc shape applied to terms), then a
+    * bucket-keyed rollup. The bucket axis is REPORT-sized by
+    * construction (size `bucketWidth` to the corpus); the running
+    * total is computed on the driver over those rows (the
+    * vocabCoverage pattern — no partition-less window), budget-bounded.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, bucketWidth: Long = 50L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+    val buckets = toks
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val rows = graft.engine.DriverBudget.collect("TextAnalysis.vocabGrowthBuckets", 65536L)(buckets)
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = rows.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, c), (b, n)) => (b, n, c + n)
+    }.drop(1)
+    val spark2 = spark
+    import spark2.implicits._
+    cum.toSeq.toDF("bucket", "new_terms", "cum_terms")
+  }
+
   /** Benchmark-contamination check: which corpus docs share an 8-token
     * gram with the (small) eval set. The eval side's exploded grams are
     * BROADCAST — the 100 TB corpus side streams through one narrow

@@ -1797,6 +1797,82 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size > 1, "single-type fixture is vacuous")
   }
 
+  test("token_count_hist: doubling buckets equal a collected reference and conserve token mass") {
+    import graft.operators.TextAnalysis
+    val ns = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0))).map(_.trim)
+      .map(t => if (t.isEmpty) 0L else t.split("\\s+").length.toLong)
+      .filter(_ >= 1)
+    val want = ns.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (k, xs) => (k.toLong, xs.length.toLong, xs.sum, xs.min, xs.max) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.tokenCountHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._2).sum == ns.length.toLong && got.size > 1)
+  }
+
+  test("vocab_growth: staggered-vocabulary fixture spans buckets; equals a collected reference") {
+    import graft.operators.TextAnalysis
+    // the synthetic corpus mints its whole 31-term vocabulary in the
+    // first doc-id bucket (a 1-row curve) — pin the operator on a
+    // corpus that KEEPS minting: doc i carries a shared term and a
+    // fresh term every 20 ids, so the Heaps curve has a real shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_growth").toString
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"common w${i / 20} tail${i / 80}", "und", "s0", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val firsts = docs.flatMap { case (id, t, _, _, _) => t.split("\\s+").map(w => (w, id)) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val want0 = firsts.groupBy(_ / 50).map { case (b, xs) => (b, xs.size.toLong) }.toSeq.sortBy(_._1)
+    val want = want0.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, c), (b, n)) => (b, n, c + n) }.drop(1)
+    val got = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.size >= 6, s"fixture must span buckets: $got")
+    assert(got.last._3 == firsts.size.toLong, "running total must end at the vocabulary size")
+  }
+
+  test("embed_drift: per-dimension half shifts equal a collected reference") {
+    import graft.operators.Similarity
+    val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some((r.getLong(0), r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)))
+    val cut = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head().getLong(0) / 2
+    def trunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    val dims = rows.head._2.indices
+    val want = dims.map { d =>
+      val a = rows.filter(_._1 < cut).map(_._2(d)); val b = rows.filter(_._1 >= cut).map(_._2(d))
+      (d.toLong, a.length.toLong, a.sum, b.length.toLong, b.sum,
+        trunc(1000L * b.sum, b.length) - trunc(1000L * a.sum, a.length))
+    }
+    val got = Similarity.embedDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.size == 64 && got.exists(_._6 != 0L))
+  }
+
+  test("dedup_simhash_incremental: best standing match equals a collected band+hamming reference") {
+    import graft.operators.Dedup
+    val cut = Tables.documents(spark, sf).agg(max(col("doc_id"))).head().getLong(0) / 2
+    val got = Dedup.simhashIncremental(Tables.documents(spark, sf), cut).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every verdict is a genuine standing x batch near-pair under the
+    // same hamming ceiling, and the tiebreak is (hamming, id) minimal
+    got.foreach { case (docId, m, h) =>
+      assert(docId >= cut && m < cut && h <= 3, s"($docId, $m, $h) breaks the cut contract")
+    }
+    assert(got.map(_._1).distinct.size == got.size, "one best match per batch doc")
+    assert(got.nonEmpty, "fixture has no cross-cut simhash near-pairs: vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("pairwise-matrix cardinality contract: overlap operators fail fast past the key cap") {
     import graft.operators.{Relational, TextAnalysis}
     import graft.engine.Skew
