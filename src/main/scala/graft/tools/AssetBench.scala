@@ -70,6 +70,13 @@ object AssetBench {
         () => Similarity.corpusKnnEdges(spark, sfDir, bits = 12).count()),
       ("knnedges_k5b12_increment", incSetup(12),
         () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir, bits = 12).count()),
+      // band asset alone: full banding vs the r16 copy-forward
+      // increment (appends never change standing bands, so the
+      // increment pays ~batch-fraction of the scan and write)
+      ("embbands_b12", noSetup,
+        () => Similarity.corpusBandedEmbeddings(spark, sfDir, bits = 12).count()),
+      ("embbands_b12_increment", incSetup(12),
+        () => Similarity.corpusBandedEmbeddingsIncrement(spark, incOldDir, sfDir, bits = 12).count()),
       ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
     )
     val timed = builds.map { case (name, setup, run) =>
