@@ -375,7 +375,7 @@ object Similarity {
           emb.select(col("vec_id"),
               explode(tableBuckets(col("embedding"), bits, tables, dim, seedBase)).as("bk"))
             .select(col("vec_id"), col("bk.t"), col("bk.b"))
-            .withColumn("pt", ptCol(partWidth))
+            .transform(writeByPt(_, partWidth))
             .write.partitionBy("pt").mode("overwrite").parquet(staging)
         }))
   }
@@ -463,8 +463,7 @@ object Similarity {
           val newVecs = Tables.embeddings(spark, dir)
             .join(Tables.embeddings(spark, oldDir).select("vec_id"), Seq("vec_id"), "left_anti")
             .filter(col("embedding").isNotNull)
-          bandsOf(newVecs, bits, tables, dim, seedBase)
-            .withColumn("pt", ptCol(partWidth))
+          writeByPt(bandsOf(newVecs, bits, tables, dim, seedBase), partWidth)
             .write.partitionBy("pt").mode("append").parquet(staging)
         }))
     ()
@@ -692,6 +691,17 @@ object Similarity {
   private def ptCol(partWidth: Long): Column =
     expr(s"vec_id div ${partWidth}L").as("pt")
 
+  /** Cluster rows by `pt` before a partitionBy write: without this,
+    * EVERY write task holds rows of every range and the store gets
+    * tasks × ranges small files — the difference between ~1 file and
+    * ~32 files per range directory, which is also what keeps the
+    * increment's copy-forward a handful of file moves per range
+    * (measured: the sf1 band build dropped ~4× with the clustering).
+    * One narrow shuffle of the skinny table buys it.
+    */
+  private def writeByPt(df: DataFrame, partWidth: Long): DataFrame =
+    df.withColumn("pt", ptCol(partWidth)).repartition(col("pt"))
+
   /** The published asset path for `dir`'s edge table — resolve (load
     * or build) and return the directory; `corpusKnnEdges` reads it.
     * Split out so the incremental publisher can file-copy from the old
@@ -705,8 +715,9 @@ object Similarity {
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           knnAssetBuilds.incrementAndGet()
-          knnGraph(Tables.embeddings(spark, dir), kTop, bits, tables, dim, seedBase, scale)
-            .withColumn("pt", ptCol(partWidth))
+          writeByPt(
+              knnGraph(Tables.embeddings(spark, dir), kTop, bits, tables, dim, seedBase, scale),
+              partWidth)
             .write.partitionBy("pt").mode("overwrite").parquet(staging)
         }))
   }
@@ -786,8 +797,7 @@ object Similarity {
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"knn edge increment $oldDir -> $dir is not a pure append; " +
                 "falling back to the full rebuild")
-            knnGraph(merged, kTop, bits, tables, dim, seedBase, scale)
-              .withColumn("pt", ptCol(partWidth))
+            writeByPt(knnGraph(merged, kTop, bits, tables, dim, seedBase, scale), partWidth)
               .write.partitionBy("pt").mode("overwrite").parquet(staging)
           } else {
             knnIncrementBuilds.incrementAndGet()
@@ -825,10 +835,10 @@ object Similarity {
                 // saturated delta (every range holds an affected
                 // source — the bits=4 regime): copying buys nothing,
                 // write it all in one job
-                oldEdges.join(affected, Seq("vec_id"), "left_anti")
-                  .unionByName(refreshed)
-                  .orderBy("vec_id", "rank")
-                  .withColumn("pt", ptCol(partWidth))
+                writeByPt(
+                    oldEdges.join(affected, Seq("vec_id"), "left_anti")
+                      .unionByName(refreshed),
+                    partWidth)
                   .write.partitionBy("pt").mode("overwrite").parquet(staging)
               } else {
                 untouched.foreach { case (pt, src) =>
@@ -840,11 +850,13 @@ object Similarity {
                 // refreshed row (all affected sources live here, and the
                 // batch's fresh ranges exist only here)
                 val ptValues = affectedPts.toSeq.sorted
-                oldEdges.withColumn("pt", ptCol(partWidth))
-                  .filter(col("pt").isin(ptValues: _*))
-                  .join(affected, Seq("vec_id"), "left_anti")
-                  .unionByName(refreshed.withColumn("pt", ptCol(partWidth)))
-                  .orderBy("vec_id", "rank")
+                writeByPt(
+                    oldEdges.withColumn("__pt0", ptCol(partWidth))
+                      .filter(col("__pt0").isin(ptValues: _*))
+                      .drop("__pt0")
+                      .join(affected, Seq("vec_id"), "left_anti")
+                      .unionByName(refreshed),
+                    partWidth)
                   .write.partitionBy("pt").mode("append").parquet(staging)
               }
             } finally stages.foreach(_.unpersist(blocking = false))
