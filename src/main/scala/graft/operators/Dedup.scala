@@ -917,26 +917,52 @@ object Dedup {
     * cluster (the same failure mode exact-dup pre-collapse avoids in
     * [[minhashPairs]]); blank-dedup belongs to the exact operator.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, md5Hash: Boolean = true): DataFrame = {
+  /** (doc_id, sim) SimHash signatures of token-bearing docs — the one
+    * expression both pair queries and the durable asset build share.
+    */
+  private def simhashSignatures(docs: DataFrame, md5Hash: Boolean): DataFrame = {
     val toks = text.tokens(col("text"))
-    val s = docs
+    docs
       .filter(size(toks) > 0)
       .select(
         col("doc_id"),
-        (if (md5Hash) sketch.simhashMd5(toks) else sketch.simhash(toks)).as("sim")
-      )
-    val chunkCols = (0 until 4).map { c =>
-      struct(
-        lit(c).as("chunk"),
-        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")
-      )
-    }
-    val chunked = s.select(
-      col("doc_id"),
-      col("sim"),
-      explode(array(chunkCols: _*)).as("b")
-    ).select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+        (if (md5Hash) sketch.simhashMd5(toks) else sketch.simhash(toks)).as("sim"))
+  }
 
+  // asset-id -> path handle cache + build counter, the minhashsig contract
+  private val simhashSigTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val simhashAssetBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The corpus's SimHash signature table as a DURABLE content-addressed
+    * asset (round 16 — the [[corpusMinhashSignatures]] pattern applied
+    * to the signature family): the per-token md5 voting is the
+    * expensive half of every SimHash query, paid ONCE per corpus here
+    * and never again — dedup_simhash and dedup_simhash_incremental
+    * both serve from the skinny (doc_id, sim) scan, and a midpoint cut
+    * is an id slice of the one standing table (the banded-asset
+    * convention). The signature kernel has no tunable parameters
+    * beyond the layout version, so the address is just version +
+    * corpus fingerprint.
+    */
+  def corpusSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId = s"simhashsig_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = simhashSigTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          simhashAssetBuilds.incrementAndGet()
+          simhashSignatures(Tables.documents(spark, dir), md5Hash = true)
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
+  /** [[simhashPairs]]' tail over a prebuilt (doc_id, sim) signature
+    * table — the asset entry point.
+    */
+  def simhashPairsOn(s: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = simhashChunked(s)
     val a = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk", "ck"))
@@ -947,8 +973,23 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** The 4×16-bit pigeonhole band projection of a signature table. */
+  private def simhashChunked(s: DataFrame): DataFrame = {
+    val chunkCols = (0 until 4).map { c =>
+      struct(
+        lit(c).as("chunk"),
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")
+      )
+    }
+    s.select(col("doc_id"), col("sim"), explode(array(chunkCols: _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, md5Hash: Boolean = true): DataFrame =
+    simhashPairsOn(simhashSignatures(docs, md5Hash), maxHamming)
+
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+    simhashPairsOn(corpusSimhashSignatures(spark, dir))
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
       .limit(200)
 
@@ -966,24 +1007,22 @@ object Dedup {
     * the verdict rollup keys on the batch doc.
     */
   def simhashIncremental(docs: DataFrame, splitId: Long, maxHamming: Int = 3): DataFrame = {
-    val toks = text.tokens(col("text"))
-    val s = docs
-      .filter(size(toks) > 0)
-      .select(col("doc_id"), sketch.simhashMd5(toks).as("sim"))
+    val s = simhashSignatures(docs, md5Hash = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkCols = (0 until 4).map { c =>
-      struct(
-        lit(c).as("chunk"),
-        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")
-      )
-    }
-    val chunked = s.select(col("doc_id"), col("sim"), explode(array(chunkCols: _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.chunk"), col("b.ck"))
+    graft.engine.Caching.handoff(simhashIncrementalOn(s, splitId, maxHamming), s)
+  }
+
+  /** [[simhashIncremental]]'s tail over a prebuilt (doc_id, sim)
+    * signature table (no persist needed for a parquet-backed `s` —
+    * the [[minhashPairsOn]] argument).
+    */
+  def simhashIncrementalOn(s: DataFrame, splitId: Long, maxHamming: Int = 3): DataFrame = {
+    val chunked = simhashChunked(s)
     val standing = chunked.filter(col("doc_id") < splitId)
       .select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val batch = chunked.filter(col("doc_id") >= splitId)
       .select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    val out = standing.join(batch, Seq("chunk", "ck"))
+    standing.join(batch, Seq("chunk", "ck"))
       .select("id_a", "id_b", "sim_a", "sim_b")
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
@@ -992,14 +1031,17 @@ object Dedup {
       .agg(min(struct(col("hamming").as("h"), col("id_a").as("m"))).as("best"))
       .select(col("doc_id"), col("best.m").as("match_id"), col("best.h").as("hamming"))
       .orderBy("doc_id")
-    graft.engine.Caching.handoff(out, s)
   }
 
-  /** Driver query: id-midpoint cut, Hamming ≤ 3 like [[simhashQuery]]. */
+  /** Driver query: id-midpoint cut, Hamming ≤ 3 like [[simhashQuery]],
+    * served from the materialized signature asset (both sides of the
+    * cut slice the one standing table — nothing re-signs at query
+    * time).
+    */
   def simhashIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
-    simhashIncremental(docs, cut)
+    simhashIncrementalOn(corpusSimhashSignatures(spark, dir), cut)
   }
 
   // --------------------------------------------------------------------
@@ -1135,7 +1177,7 @@ object Dedup {
   /** Test seam: forget the in-JVM asset paths (simulates a fresh JVM). */
   private[graft] def dropInMemoryNgramTables(): Unit = {
     ngramIndexTables.clear(); gramDfTables.clear(); chunkDigestTables.clear()
-    minhashSigTables.clear(); minhashPairTables.clear()
+    minhashSigTables.clear(); minhashPairTables.clear(); simhashSigTables.clear()
   }
 
   /** The materialized [[ngramIndex]] for `dir`'s documents, built ONCE

@@ -415,6 +415,54 @@ object EventStream {
       }
   }
 
+  /** Last seen event type per user — the O(1) state behind
+    * [[eventTransitionsStream]].
+    */
+  case class LastType(tpe: String)
+
+  /** One observed consecutive-event transition. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** EVENT-TRANSITION STREAM (round 16) — the stateful twin of
+    * [[graft.operators.Relational.qEventTransitions]]: each user's
+    * consecutive-event (from → to) pairs emitted AS THEY HAPPEN from
+    * `flatMapGroupsWithState` holding only the user's last event type.
+    * Every transition is emitted exactly once (the predecessor is
+    * either batch-local or the carried state), so the accumulated
+    * emissions rolled up by (from, to) ARE the batch matrix — no
+    * latest-row bookkeeping needed downstream.
+    *
+    * Same ordering contract as [[funnelStepsStream]]: exact under
+    * per-key event-time-ordered arrival across micro-batches;
+    * within-batch order is sorted locally by (time, event_id). A lost
+    * cross-batch handoff would DROP boundary transitions, which is
+    * exactly what the parity spec's time-split source would expose.
+    */
+  def eventTransitionsStream(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastType, Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val sorted = it.toArray.sortBy(e => (e._4, e._2))
+          var last = state.getOption.map(_.tpe)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          sorted.foreach { case (_, _, tpe, _) =>
+            last.foreach(f => out += Transition(user, f, tpe))
+            last = Some(tpe)
+          }
+          last.foreach(t => state.update(LastType(t)))
+          out.iterator
+      }
+  }
+
   /** Watermarked per-window bounded top-k: the highest-`value` events of
     * each tumbling hour, ranked by the custom [[graft.functions.TopKOrdTie]]
     * aggregate INSIDE Structured Streaming state. This is the aggregate's

@@ -63,6 +63,7 @@ object AssetBench {
       ("gramdf_k3", noSetup, () => Dedup.corpusGramDf(spark, sfDir).count()),
       ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
       ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
+      ("simhashsig", noSetup, () => Dedup.corpusSimhashSignatures(spark, sfDir).count()),
       ("knnedges_k5", noSetup, () => Similarity.corpusKnnEdges(spark, sfDir).count()),
       ("knnedges_k5_increment", incSetup(4),
         () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir).count()),

@@ -328,6 +328,34 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("simhash signature asset: built once, loaded by every consumer, bit-identical to the raw path") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      Dedup.dropInMemoryNgramTables()
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+      def canon3(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val b0 = Dedup.simhashAssetBuilds.get()
+      val pairsViaAsset = canon3(Dedup.simhashQuery(spark, sf))
+      assert(Dedup.simhashAssetBuilds.get() == b0 + 1, "first consumer builds the asset")
+      val incViaAsset = canon3(Dedup.simhashIncrementalQuery(spark, sf))
+      assert(Dedup.simhashAssetBuilds.get() == b0 + 1, "second consumer must load, not rebuild")
+      // bit-identical to the raw (no-asset) formulations
+      val pairsRaw = canon3(Dedup.simhashPairs(docs)
+        .orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(200))
+      assert(pairsViaAsset == pairsRaw, "asset-served pairs diverged from the raw path")
+      val incRaw = canon3(Dedup.simhashIncremental(docs, cut))
+      assert(incViaAsset == incRaw, "asset-served increment diverged from the raw path")
+      // fresh JVM simulation: handle caches dropped, still no rebuild
+      Dedup.dropInMemoryNgramTables()
+      assert(canon3(Dedup.simhashQuery(spark, sf)) == pairsViaAsset)
+      assert(Dedup.simhashAssetBuilds.get() == b0 + 1, "fresh handles must load the asset")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("band increment precondition: a mutated vector falls back to the full banding") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._

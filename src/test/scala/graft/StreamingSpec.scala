@@ -155,6 +155,42 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("event-transition stream (flatMapGroupsWithState) equals the batch matrix on a time-ordered source") {
+    // same contract and fixture shape as the funnel twin: three
+    // sequential time-range files; a user whose consecutive events
+    // straddle a file boundary gets that transition ONLY via the
+    // carried last-type state — losing the handoff loses the row and
+    // fails the matrix equality below
+    val src = Files.createTempDirectory("graft_trans_src").toString
+    val ckpt = Files.createTempDirectory("graft_trans_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").cast("long").as("ts_ns"))
+      .persist()
+    val times = ev.select("ts_ns").orderBy("ts_ns").as[Long].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    ev.filter(col("ts_ns") < c1).coalesce(1).write.parquet(s"$src/a_part")
+    ev.filter(col("ts_ns") >= c1 && col("ts_ns") < c2).coalesce(1).write.parquet(s"$src/b_part")
+    ev.filter(col("ts_ns") >= c2).coalesce(1).write.parquet(s"$src/c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, event_type STRING, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.eventTransitionsStream(stream).toDF(), "trans_test", ckpt, OutputMode.Append)
+    val got = spark.table("trans_test")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .as[(String, String, Long)].collect().toSet
+    val want = graft.operators.Relational.qEventTransitions(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(got.map(_._3).sum > spark.table("trans_test").select("user_id").distinct().count(),
+      "fixture too sparse: most users have a single transition")
+    spark.catalog.clearCache()
+  }
+
   test("windowed top-k stream (TypedImperativeAggregate state) converges to the batch twin") {
     val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
     // maxFilesPerTrigger=1 with a multi-file source would be ideal; the
