@@ -1249,6 +1249,65 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** Gram-stats increments ran this JVM — spec seam. */
+  private[graft] val gramDfIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Documents-side pure-append validation (the embeddings-side twin
+    * lives in Similarity): every old doc_id present in `dir` with
+    * null-safe-equal text.
+    */
+  private def docsPureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean =
+    !Tables.documents(spark, oldDir)
+      .select(col("doc_id"), col("text").as("__old"))
+      .join(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text").as("__new"), lit(1).as("__p")),
+        Seq("doc_id"), "left")
+      .filter(col("__p").isNull || !(col("__old") <=> col("__new")))
+      .isEmpty
+
+  /** Publish `dir`'s gram-stats asset by INCREMENT from `oldDir`'s
+    * (round 16): `__df` is a sum and `first_doc` a min over disjoint
+    * doc sets, so the merged table is EXACTLY (old asset ∪ batch
+    * grams) re-aggregated — the batch is shingled, the standing corpus
+    * is NOT re-read, and the merge is a vocabulary-sized exchange.
+    * At 100 TB that replaces the asset family's one remaining
+    * corpus-proportional append cost (re-shingling every standing
+    * document) with batch-sized text work; every consumer — both
+    * novelty queries, the accreting novelty gate, the prefix-index df
+    * side — loads the incremented table at the same content address
+    * with no code change.
+    *
+    * Same precondition discipline as the embedding-side increments: a
+    * removed or edited document falls back to the full rebuild (an
+    * edited doc would leave phantom df mass under the honest-looking
+    * address). Spec-pinned row-identical to the full rebuild.
+    */
+  def corpusGramDfIncrement(spark: SparkSession, oldDir: String, dir: String,
+      k: Int = 3): DataFrame = {
+    if (docsPureAppendViolated(spark, oldDir, dir)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"gram-stats increment $oldDir -> $dir is not a pure append; rebuilding")
+      return corpusGramDf(spark, dir, k)
+    }
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val assetId = s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = gramDfTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          gramDfIncrementBuilds.incrementAndGet()
+          val old = corpusGramDf(spark, oldDir, k)
+          val batch = Tables.documents(spark, dir)
+            .join(Tables.documents(spark, oldDir).select("doc_id"), Seq("doc_id"), "left_anti")
+          gramDf(batch, k)
+            .unionByName(old)
+            .groupBy("g")
+            .agg(sum(col("__df")).as("__df"), min(col("first_doc")).as("first_doc"))
+            .write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
   /** Candidate (id_a, id_b) pairs from the rarest-first prefix index of
     * `sh` = (doc_id, s: array<shingle>). Exposed for the spec that
     * demonstrates the candidate bound under a corpus-common shingle.

@@ -61,6 +61,14 @@ object AssetBench {
     val builds = Seq[(String, () => Unit, () => Long)](
       ("ngramidx_k3", noSetup, () => Dedup.corpusNgramIndex(spark, sfDir).count()),
       ("gramdf_k3", noSetup, () => Dedup.corpusGramDf(spark, sfDir).count()),
+      ("gramdf_k3_increment", () => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val docs = graft.Tables.documents(spark, sfDir)
+        val cut = docs.agg((expr("max(doc_id)") * 9 / 10).cast("long")).head().getLong(0)
+        docs.filter(col("doc_id") < cut)
+          .write.mode("overwrite").parquet(s"$incOldDir/documents.parquet")
+        Dedup.corpusGramDf(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusGramDfIncrement(spark, incOldDir, sfDir).count()),
       ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
       ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
       ("simhashsig", noSetup, () => Dedup.corpusSimhashSignatures(spark, sfDir).count()),

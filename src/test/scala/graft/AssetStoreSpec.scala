@@ -356,6 +356,54 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("gram-stats increment: batch-only shingling merges exactly; edits fall back") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_gdinc_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_gdinc_new").toString
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
+      docs.write.parquet(s"$newDir/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      try {
+        Dedup.corpusGramDf(spark, oldDir).count()
+        val full0 = Dedup.ngramAssetBuilds.get()
+        val inc0 = Dedup.gramDfIncrementBuilds.get()
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        val inc = canon(Dedup.corpusGramDfIncrement(spark, oldDir, newDir))
+        assert(Dedup.gramDfIncrementBuilds.get() == inc0 + 1)
+        assert(Dedup.ngramAssetBuilds.get() == full0,
+          "a pure append must not re-shingle the standing corpus")
+        // row-identical to the full rebuild on the merged corpus
+        val want = canon(Dedup.gramDf(Tables.documents(spark, newDir)))
+        assert(inc == want, s"gram merge diverged: ${inc.size} vs ${want.size} rows")
+        // consumers load the published address, builds stay flat
+        Dedup.dropInMemoryNgramTables()
+        assert(canon(Dedup.corpusGramDf(spark, newDir)) == inc)
+        assert(Dedup.ngramAssetBuilds.get() == full0)
+
+        // an EDITED standing doc must trip the fallback (phantom df
+        // mass otherwise)
+        val edDir = java.nio.file.Files.createTempDirectory("graft_gdinc_ed").toString
+        docs.withColumn("text",
+            when(col("doc_id") === 1L, lit("edited body text here")).otherwise(col("text")))
+          .write.parquet(s"$edDir/documents.parquet")
+        val inc1 = Dedup.gramDfIncrementBuilds.get()
+        val got = canon(Dedup.corpusGramDfIncrement(spark, oldDir, edDir))
+        assert(Dedup.gramDfIncrementBuilds.get() == inc1,
+          "the increment path must NOT run on an edited corpus")
+        assert(got == canon(Dedup.gramDf(Tables.documents(spark, edDir))),
+          "the fallback must serve the correct rebuilt stats")
+      } finally {
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("band increment precondition: a mutated vector falls back to the full banding") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
