@@ -1254,16 +1254,22 @@ object Dedup {
 
   /** Documents-side pure-append validation (the embeddings-side twin
     * lives in Similarity): every old doc_id present in `dir` with
-    * null-safe-equal text.
+    * unchanged text, compared by DIGEST so the validation join
+    * shuffles 16-byte hashes instead of document bodies — the check
+    * stays scan-bound at any corpus size. Equality is modulo md5
+    * collisions (~2⁻¹²⁸), the engine's standing text-grouping
+    * contract; null and empty text share a digest deliberately (both
+    * shingle to nothing, so the guarded asset cannot tell them apart
+    * either).
     */
   private def docsPureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean =
     !Tables.documents(spark, oldDir)
-      .select(col("doc_id"), col("text").as("__old"))
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__old"))
       .join(
         Tables.documents(spark, dir)
-          .select(col("doc_id"), col("text").as("__new"), lit(1).as("__p")),
+          .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__new")),
         Seq("doc_id"), "left")
-      .filter(col("__p").isNull || !(col("__old") <=> col("__new")))
+      .filter(col("__new").isNull || col("__old") =!= col("__new"))
       .isEmpty
 
   /** Publish `dir`'s gram-stats asset by INCREMENT from `oldDir`'s

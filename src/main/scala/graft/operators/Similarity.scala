@@ -420,18 +420,21 @@ object Similarity {
   }
 
   /** The increment publishers' shared pure-append validation: every
-    * old vec_id present in `dir` with a null-safe-equal embedding.
-    * One corpus-keyed equi-join — no banding, no distances.
+    * old vec_id present in `dir` with an unchanged embedding, compared
+    * by DIGEST (xxhash64 over the array plus an explicit null flag, so
+    * null and value-bearing rows can never collide) — the join
+    * shuffles 8-byte hashes instead of 64-float vectors and stays
+    * scan-bound at any corpus size. Equality is modulo xxhash64
+    * collisions (~2⁻⁶⁴), the engine's standing digest contract.
     */
-  private def pureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean =
-    !Tables.embeddings(spark, oldDir)
-      .select(col("vec_id"), col("embedding").as("__old"))
-      .join(
-        Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding").as("__new"), lit(1).as("__p")),
-        Seq("vec_id"), "left")
-      .filter(col("__p").isNull || !(col("__old") <=> col("__new")))
+  private def pureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean = {
+    def dig(df: DataFrame, as: String) = df.select(col("vec_id"),
+      xxhash64(col("embedding"), col("embedding").isNull).as(as))
+    !dig(Tables.embeddings(spark, oldDir), "__old")
+      .join(dig(Tables.embeddings(spark, dir), "__new"), Seq("vec_id"), "left")
+      .filter(col("__new").isNull || col("__old") =!= col("__new"))
       .isEmpty
+  }
 
   /** Copy-forward band publish WITHOUT the precondition check — the
     * caller has already validated the append (shared with the edge
