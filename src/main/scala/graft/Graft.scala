@@ -271,6 +271,32 @@ final class Graft(
   ): Seq[String] =
     graft.engine.AssetStore.gcStale(spark, corpora, graceMs, sweepOlderFormats, dryRun)
 
+  /** POST /maintenance/assets_increment — the append workflow's ONE
+    * call, made ops-reachable (round 16): after a batch lands under
+    * `dir` (a pure append of `oldDir`), publish the requested durable
+    * asset families at `dir`'s content addresses by INCREMENT —
+    * `knn_edges` (copy-forward partition publish, co-publishes the
+    * band asset), `bands` (standalone copy-forward), `gram_stats`
+    * (exact vocabulary-sized merge). Each family carries its own
+    * pure-append precondition and falls back to the full rebuild on a
+    * removed/edited row, so the call is safe to run unconditionally
+    * after every append. Returns rows per published family — the
+    * smoke number an orchestration step logs.
+    */
+  def incrementAssets(oldDir: String, dir: String,
+      families: Seq[String] = Seq("knn_edges", "gram_stats")): Map[String, Long] =
+    families.map {
+      case "knn_edges" =>
+        "knn_edges" -> graft.operators.Similarity.corpusKnnEdgesIncrement(spark, oldDir, dir).count()
+      case "bands" =>
+        "bands" -> graft.operators.Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, dir).count()
+      case "gram_stats" =>
+        "gram_stats" -> graft.operators.Dedup.corpusGramDfIncrement(spark, oldDir, dir).count()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown asset family '$other' (expected knn_edges | bands | gram_stats)")
+    }.toMap
+
   /** DELETE /tasks/:id — removes the task and its namespaced transforms
     * (both stores, `tasks.js:89-97`).
     */

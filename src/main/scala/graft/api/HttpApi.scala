@@ -33,6 +33,7 @@ import graft.transform.ExprMutators
   *   POST   /mutators/{ns}/{id}          register a SQL-expr mutator
   *   DELETE /mutators/{ns}/{id}          remove a mutator
   *   POST   /maintenance/assets_gc       sweep the asset warehouse (dry-run default)
+  *   POST   /maintenance/assets_increment publish a corpus append's assets by increment
   *   GET    /filters/{ns}                {ids} in a namespace
   *   GET    /filters/{ns}/{id}           read back one stored filter
   *   POST   /filters/{ns}/{id}           store a metadata filter
@@ -149,6 +150,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
         case ("DELETE", List("mutators", ns, id)) =>
           g.mutators.remove(ObjectId(ns, id)); json(ex, 204, null)
         case ("POST", List("maintenance", "assets_gc")) => gcAssets(ex)
+        case ("POST", List("maintenance", "assets_increment")) => incrementAssets(ex)
         case ("GET", List("filters", ns))          => listFilters(ex, ns)
         case ("GET", List("filters", ns, id))      => getFilter(ex, ns, id)
         case ("POST", List("filters", ns, id))     => addFilter(ex, ns, id)
@@ -379,6 +381,25 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
       sweepOlderFormats = Option(body.get("sweepOlderFormats")).exists(_.asBoolean(false)),
       dryRun = dryRun)
     json(ex, 200, Map("dryRun" -> dryRun, "swept" -> swept))
+  }
+
+  /** POST /maintenance/assets_increment — publish `dir`'s durable
+    * assets by increment from `oldDir`'s after an append lands. Body:
+    * `{"oldDir": "...", "dir": "...", "families": ["knn_edges", ...]}`
+    * (families optional — defaults to knn_edges + gram_stats). Every
+    * family validates the pure-append precondition itself and falls
+    * back to a full rebuild, so the route is safe to call
+    * unconditionally; runs synchronously and returns rows per family.
+    */
+  private def incrementAssets(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val families = Option(body.get("families"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(Seq("knn_edges", "gram_stats"))
+    val rows = g.incrementAssets(reqText(body, "oldDir"), reqText(body, "dir"), families)
+    json(ex, 200, Map("published" -> rows.map { case (k, v) =>
+      k -> java.lang.Long.valueOf(v) }.asJava))
   }
 
   private def listMutators(ex: HttpExchange, ns: String): Unit =

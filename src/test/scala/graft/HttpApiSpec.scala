@@ -416,6 +416,55 @@ class HttpApiSpec extends SparkSpec {
     } finally api.close()
   }
 
+  test("POST /maintenance/assets_increment: publishes the append's assets by increment; bad family is a 400") {
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_api").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_inc_api_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_inc_api_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val docs = Tables.documents(spark, sf)
+      val cutV = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      val cutD = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cutV).write.parquet(s"$oldDir/embeddings.parquet")
+      docs.filter(col("doc_id") < cutD).write.parquet(s"$oldDir/documents.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      docs.write.parquet(s"$newDir/documents.parquet")
+      Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+      // standing assets exist (the pre-append state)
+      Similarity.corpusKnnEdgesPath(spark, oldDir)
+      Similarity.corpusBandedEmbeddings(spark, oldDir).count()
+      Dedup.corpusGramDf(spark, oldDir).count()
+      val inc0 = Similarity.knnIncrementBuilds.get()
+      val ginc0 = Dedup.gramDfIncrementBuilds.get()
+      val r = send("POST", s"$base/maintenance/assets_increment",
+        s"""{"oldDir": "$oldDir", "dir": "$newDir"}""")
+      assert(r.statusCode() == 200, r.body())
+      val pub = mapper.readTree(r.body()).get("published")
+      assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, r.body())
+      assert(Similarity.knnIncrementBuilds.get() == inc0 + 1, "edges must publish by increment")
+      assert(Dedup.gramDfIncrementBuilds.get() == ginc0 + 1, "gram stats must publish by increment")
+      // the published addresses now serve loads with no further builds
+      Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+      val kb0 = Similarity.knnAssetBuilds.get()
+      Similarity.corpusKnnEdges(spark, newDir).count()
+      Dedup.corpusGramDf(spark, newDir).count()
+      assert(Similarity.knnAssetBuilds.get() == kb0, "consumers must LOAD the published assets")
+      assert(send("POST", s"$base/maintenance/assets_increment",
+        s"""{"oldDir": "$oldDir", "dir": "$newDir", "families": ["nope"]}""").statusCode() == 400)
+    } finally {
+      api.close()
+      Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+      spark.conf.unset("spark.graft.index.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("POST /maintenance/assets_gc: dry-run previews, explicit dryRun=false sweeps, empty corpora is a 400") {
     import graft.engine.AssetStore
     val root = java.nio.file.Files.createTempDirectory("graft_gc_api").toString
