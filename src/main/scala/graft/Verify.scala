@@ -55,6 +55,9 @@ object Verify {
     val out = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // attribution for driver-collect budget failures (r17): a
+        // budget excess inside this query names it in the error
+        graft.engine.DriverBudget.setContext(name)
         val t0 = System.nanoTime()
         val r =
           try {

@@ -13,6 +13,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   * executes every registered query) and fails identically in
   * production instead of silently OOMing the driver at 100 TB.
   *
+  * Round 17: the fetch itself is BOUNDED. `take(bound + 1)` pulls at
+  * most bound+1 rows to the driver, so an over-budget site is
+  * detected with O(bound) driver memory — the r16 form ran the full
+  * `collect()` first and could OOM on a corpus-proportional pull
+  * before the guard fired, which defeated the guard exactly where it
+  * mattered. `take` returns rows in the same partition-major order
+  * `collect` does (and respects any sort in the plan), and when the
+  * result fits the bound it IS the complete result, so call sites are
+  * unchanged. Observations additionally carry the active CONTEXT
+  * label (set by the serial plan audit / Verify per query) so a
+  * budget failure names the query, not just the site.
+  *
   * What is NOT instrumented, deliberately:
   *   - `.head()` on an aggregate — intrinsically one row;
   *   - result dumps owned by the harness (Verify writes parquet,
@@ -28,26 +40,49 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object DriverBudget {
 
-  final case class Observation(rows: Long, bound: Long)
+  final case class Observation(rows: Long, bound: Long, context: String)
 
-  /** Max observed rows per site this JVM — the audit's coverage view. */
+  /** Max observed rows per site this JVM — the audit's coverage view.
+    * `context` records which query drove the max, so an audit failure
+    * is self-locating without a re-run.
+    */
   private[graft] val observed =
     new java.util.concurrent.ConcurrentHashMap[String, Observation]()
 
-  /** Collect `df` under `site`'s declared row bound. */
+  /** Active query label for attribution. The audit and Verify run
+    * queries serially on the driver thread, so a plain volatile is
+    * the right granularity; concurrent streaming collects inherit
+    * whatever batch context is active, which is the honest answer.
+    */
+  @volatile private var activeContext: String = ""
+
+  /** Set the attribution label for subsequent collects (query name). */
+  def setContext(label: String): Unit = activeContext = label
+
+  def clearContext(): Unit = activeContext = ""
+
+  /** Collect `df` under `site`'s declared row bound, fetching at most
+    * bound+1 rows so driver memory stays O(bound) even when the site
+    * is over budget.
+    */
   def collect(site: String, bound: Long)(df: DataFrame): Array[Row] = {
-    val rows = df.collect()
+    val fetch = math.min(bound + 1L, Int.MaxValue.toLong).toInt
+    val rows = df.take(fetch)
     record(site, rows.length.toLong, bound)
     rows
   }
 
   private def record(site: String, n: Long, bound: Long): Unit = {
-    observed.merge(site, Observation(n, bound),
+    val ctx = activeContext
+    observed.merge(site, Observation(n, bound, ctx),
       (a, b) => if (b.rows > a.rows) b else a)
     if (n > bound)
       throw new IllegalStateException(
-        s"driver-collect budget exceeded at $site: $n rows > bound $bound " +
+        s"driver-collect budget exceeded at $site" +
+          (if (ctx.nonEmpty) s" (query: $ctx)" else "") +
+          s": fetched $n rows > bound $bound " +
           "(a corpus-proportional pull reached the driver; the operator's " +
-          "plan no longer matches its documented scale contract)")
+          "plan no longer matches its documented scale contract; fetch was " +
+          "truncated at bound+1 rows, so the true size may be larger)")
   }
 }

@@ -159,7 +159,10 @@ object Similarity {
     val stride = math.max(1L, n / nlist)
     graft.engine.DriverBudget.collect("Similarity.ivfCoarseCentroids", nlist.toLong)(
       corpus
-        .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        // a null vector can never be a centroid (r17 degenerate-corpus
+        // hardening; identical selection on null-free corpora, where
+        // the oracle replicates the stride verbatim)
+        .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("embedding").isNotNull)
         .orderBy("vec_id")
         .limit(nlist)
         .select("embedding"))
@@ -172,6 +175,12 @@ object Similarity {
     * highest cosine (ties to the larger cid, mirrored in the oracle).
     */
   private def ivfNearest(centroids: Array[(Int, Array[Float])], v: Column, take: Int): Column = {
+    // zero centroids (a corpus with no usable vectors): a typed null
+    // array keeps the plan analyzable; downstream element_at/getField
+    // yield null and the caller's non-null corpus filter makes the
+    // result honestly empty (r17 degenerate-corpus hardening)
+    if (centroids.isEmpty)
+      return lit(null).cast("array<struct<cos:double,cid:int>>")
     def centroidLit(c: Array[Float]): Column = array(c.toIndexedSeq.map(lit(_)): _*)
     val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
       struct(vec.cosine(v, centroidLit(cv)).as("cos"), lit(cid).as("cid"))
@@ -740,6 +749,20 @@ object Similarity {
     */
   private[graft] val knnIncrementFallbacks = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Ceiling on the affected-range set the increment will track
+    * individually; above it the publisher degrades to the one-job
+    * merged write instead of collecting the range list (r17 — the
+    * saturation pre-check runs as a COUNT, so the over-budget case
+    * never pulls rows to the driver). 2²⁰ ranges ≈ 10⁹ vectors at the
+    * default width. `var` is a spec seam only.
+    */
+  private[graft] var knnAffectedPtBudget: Long = 1L << 20
+
+  /** Times the saturation pre-check chose the degraded merged write —
+    * spec seam.
+    */
+  private[graft] val knnIncrementSaturatedWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Publish `dir`'s k-NN edge asset by INCREMENT from `oldDir`'s
     * (round 15; partition-level publish round 16): the standing edge
     * and band assets are loaded, the vectors `dir` added are detected
@@ -819,13 +842,30 @@ object Similarity {
             val (refreshed, affected, stages) = knnIncrementPieces(
               oldBands, merged, newVecs, kTop, bits, tables, dim, seedBase, scale)
             try {
+              def fullMergedWrite(): Unit =
+                writeByPt(
+                    oldEdges.join(affected, Seq("vec_id"), "left_anti")
+                      .unionByName(refreshed),
+                    partWidth)
+                  .write.partitionBy("pt").mode("overwrite").parquet(staging)
               // the ranges that must be (re)written: every range holding
               // an affected source. Bounded by |affected| (and in the
-              // append convention mostly the batch's contiguous tail),
-              // so the collect is O(affected/W) longs.
+              // append convention mostly the batch's contiguous tail).
+              // SATURATION PRE-CHECK (r17): count the distinct ranges
+              // BEFORE collecting them — on a corpus big enough that the
+              // affected-range set itself exceeds the driver budget
+              // (>2²⁰ ranges ≈ >10⁹ vectors at the default width, the
+              // saturated bits=4 regime), copy-forward bookkeeping is
+              // pointless and the publisher degrades to the documented
+              // one-job merged write instead of aborting on the budget.
+              val affectedPtsDf = affected.select(ptCol(partWidth).as("pt")).distinct()
+              if (affectedPtsDf.count() > knnAffectedPtBudget) {
+                knnIncrementSaturatedWrites.incrementAndGet()
+                fullMergedWrite()
+              } else {
               val affectedPts = graft.engine.DriverBudget.collect(
-                  "Similarity.corpusKnnEdgesIncrement.affectedPts", 1L << 20)(
-                  affected.select(ptCol(partWidth)).distinct())
+                  "Similarity.corpusKnnEdgesIncrement.affectedPts", knnAffectedPtBudget)(
+                  affectedPtsDf)
                 .map(_.getLong(0)).toSet
               val fs = new org.apache.hadoop.fs.Path(staging)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -838,11 +878,7 @@ object Similarity {
                 // saturated delta (every range holds an affected
                 // source — the bits=4 regime): copying buys nothing,
                 // write it all in one job
-                writeByPt(
-                    oldEdges.join(affected, Seq("vec_id"), "left_anti")
-                      .unionByName(refreshed),
-                    partWidth)
-                  .write.partitionBy("pt").mode("overwrite").parquet(staging)
+                fullMergedWrite()
               } else {
                 untouched.foreach { case (pt, src) =>
                   org.apache.hadoop.fs.FileUtil.copy(fs, src,
@@ -861,6 +897,7 @@ object Similarity {
                       .unionByName(refreshed),
                     partWidth)
                   .write.partitionBy("pt").mode("append").parquet(staging)
+              }
               }
             } finally stages.foreach(_.unpersist(blocking = false))
           }
@@ -2013,8 +2050,12 @@ object Similarity {
           min(col("vec_id")).as("min_vec_id"),
           max(col("vec_id")).as("max_vec_id")))
     // nlist-row input: this aggregate reads the persisted rollup, not
-    // the corpus (driver collect bounded by one scalar)
-    val n = cells.agg(sum(col("n_vectors"))).head().getLong(0)
+    // the corpus (driver collect bounded by one scalar). The sum is
+    // null on an all-null-embedding corpus (empty rollup) — coalesce
+    // so the audit returns its honest empty frame instead of an NPE
+    // (r17, ADVICE fix); the DIV never runs because `cells` is empty.
+    val nRow = cells.agg(coalesce(sum(col("n_vectors")), lit(0L))).head()
+    val n = math.max(nRow.getLong(0), 1L)
     cells
       .withColumn("share_bp", expr(s"(10000 * n_vectors) DIV ${n}L"))
       .orderBy("cluster")

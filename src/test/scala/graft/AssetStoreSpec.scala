@@ -249,6 +249,44 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("knn increment: an over-budget affected-range set degrades to the merged write, never aborts (r17)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_knnsat_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_knnsat_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      val budget0 = Similarity.knnAffectedPtBudget
+      try {
+        val B = 12
+        Similarity.corpusKnnEdges(spark, oldDir, bits = B).count()
+        // force the saturation pre-check: with a zero budget the range
+        // COUNT exceeds it, so the publisher must take the one-job
+        // merged write — no driver collect, no budget exception
+        Similarity.knnAffectedPtBudget = 0L
+        val sat0 = Similarity.knnIncrementSaturatedWrites.get()
+        val inc0 = Similarity.knnIncrementBuilds.get()
+        val inc = Similarity.corpusKnnEdgesIncrement(spark, oldDir, newDir, bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(Similarity.knnIncrementSaturatedWrites.get() == sat0 + 1,
+          "the over-budget range set must route through the degraded merged write")
+        assert(Similarity.knnIncrementBuilds.get() == inc0 + 1,
+          "still the increment path (precondition validated), just the degraded write")
+        val full = Similarity.knnGraph(Tables.embeddings(spark, newDir), bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(inc == full, s"degraded write diverged: ${inc.size} vs ${full.size} rows")
+      } finally {
+        Similarity.knnAffectedPtBudget = budget0
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("band increment: every old range copied forward, only batch ranges computed; edge increment co-publishes") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._

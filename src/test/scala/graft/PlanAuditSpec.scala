@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        graft.engine.DriverBudget.setContext(name)
         try {
           val df = fn(spark, sf)
           val plan = df.queryExecution.sparkPlan
@@ -58,7 +59,10 @@ class PlanAuditSpec extends SparkSpec {
         }
         spark.catalog.clearCache()
       }
-    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    } finally {
+      graft.engine.DriverBudget.clearContext()
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
     assert(bad.isEmpty, s"plan-audit violations (${bad.size}):\n${bad.mkString("\n")}")
 
     // ---- driver-collect budget audit (r16): the queries above drove
@@ -81,12 +85,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("an over-budget driver collect throws with the site name") {
+  test("an over-budget driver collect throws with site + query, fetching only bound+1 rows") {
     import spark.implicits._
+    graft.engine.DriverBudget.setContext("spec_query_ctx")
     val e = intercept[IllegalStateException] {
       graft.engine.DriverBudget.collect("spec.overBudget", 3L)(
         (1 to 10).toDF("x"))
     }
-    assert(e.getMessage.contains("spec.overBudget") && e.getMessage.contains("10 rows > bound 3"))
+    graft.engine.DriverBudget.clearContext()
+    // the fetch is truncated at bound+1 (= 4), so the driver never held
+    // the 10-row result — the r17 bounded-fetch contract
+    assert(e.getMessage.contains("spec.overBudget"))
+    assert(e.getMessage.contains("query: spec_query_ctx"))
+    assert(e.getMessage.contains("4 rows > bound 3"))
+    val obs = graft.engine.DriverBudget.observed.get("spec.overBudget")
+    assert(obs.rows == 4L && obs.context == "spec_query_ctx")
   }
 }

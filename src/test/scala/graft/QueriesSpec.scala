@@ -1511,6 +1511,23 @@ class QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf_cell_stats: a corpus with zero usable embeddings returns empty, not an NPE (r17)") {
+    import graft.operators.Similarity
+    // all-null embeddings: the rollup is empty, the share denominator's
+    // sum aggregate is NULL — the r17 guard coalesces it instead of
+    // NPE-ing on getLong, and the centroid machinery tolerates the
+    // zero-centroid regime (typed-null scored array)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    spark.sql("SELECT CAST(id AS LONG) AS vec_id, CAST(NULL AS ARRAY<FLOAT>) AS embedding " +
+        "FROM range(8)")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ivfCellStats(spark, dir)
+    assert(got.columns.toSeq ==
+      Seq("cluster", "n_vectors", "min_vec_id", "max_vec_id", "share_bp"))
+    assert(got.count() == 0L, "no assignable vectors => empty audit")
+    spark.catalog.clearCache()
+  }
+
   test("range_recall: per-width pair recall against exact slice ground truth") {
     import graft.operators.Similarity
     val got = Similarity.rangeRecall(spark, sf).collect()
