@@ -98,6 +98,150 @@ object AssetStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Metadata-proven appends this JVM / ambiguous listings that fell
+    * through to the digest join — spec seams for the r17 fast path.
+    */
+  private[graft] val metadataAppendProofs =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val metadataAppendAmbiguous =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** METADATA-ONLY PURE-APPEND PROOF (round 17). The increment
+    * publishers' precondition ("every old row present, unchanged, in
+    * the new corpus") previously cost a corpus-keyed digest join on
+    * EVERY append publish — a full standing-corpus read per append,
+    * the one recurring O(corpus) term left in the append workflow.
+    * Under the SAME trust model [[corpusFingerprint]] already commits
+    * to (a file is the same bytes iff name|length|mtime are unchanged),
+    * a pure append is provable with ZERO Spark jobs:
+    *
+    *   1. every file of `oldDir/table` appears in `dir/table` at the
+    *      same relative path with identical length and mtime — so every
+    *      standing ROW is present, unchanged (no removal, no edit);
+    *   2. the batch files (new-listing minus old-listing) carry id
+    *      ranges strictly ABOVE the standing corpus's max id, read from
+    *      parquet FOOTER statistics on the driver — so no batch row
+    *      reuses a standing id (the one violation a listing alone
+    *      cannot see: an appended file redefining id 17 would make the
+    *      increment's "new rows" anti-join silently drop it).
+    *
+    * Returns Some(batch file paths) when both hold (possibly empty —
+    * an unchanged listing is trivially a pure append), None when the
+    * listing is ambiguous (compaction, rewrite, missing footer stats,
+    * overlapping id ranges) — the caller then falls back to the digest
+    * join, which remains the ground-truth validator.
+    *
+    * Driver cost: one recursive listing per side plus one FOOTER read
+    * per file (a few KB each, row groups never touched), parallelized
+    * below; at 100 TB with ~10⁵ data files that is seconds of metadata
+    * I/O in place of a full corpus scan + shuffle.
+    */
+  def pureAppendByMetadata(spark: SparkSession, oldDir: String, dir: String,
+      table: String, idCol: String): Option[Seq[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def listing(d: String): Option[Map[String, (Long, Long, org.apache.hadoop.fs.Path)]] = {
+      val p = new org.apache.hadoop.fs.Path(d, table)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val base = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+      val b = Map.newBuilder[String, (Long, Long, org.apache.hadoop.fs.Path)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        // markers/CRCs are not data: same exclusions Spark's scan applies
+        if (!name.startsWith("_") && !name.startsWith("."))
+          b += f.getPath.toString.stripPrefix(base) ->
+            ((f.getLen, f.getModificationTime, f.getPath))
+      }
+      Some(b.result())
+    }
+    val proof = for {
+      old <- listing(oldDir)
+      nw  <- listing(dir)
+      if old.forall { case (rel, (len, mtime, _)) =>
+        nw.get(rel).exists { case (l, m, _) => l == len && m == mtime } }
+      batch = nw.collect { case (rel, (_, _, p)) if !old.contains(rel) => p }.toSeq
+      if batch.isEmpty || {
+        (footerIdRange(conf, old.values.map(_._3).toSeq, idCol),
+          footerIdRange(conf, batch, idCol)) match {
+          case (Some((_, oldMax)), Some((batchMin, _))) => batchMin > oldMax
+          case _ => false // stats missing somewhere: ambiguous
+        }
+      }
+    } yield batch.map(_.toString)
+    (if (proof.isDefined) metadataAppendProofs else metadataAppendAmbiguous)
+      .incrementAndGet()
+    proof
+  }
+
+  /** Total data bytes of one corpus table from its file listing —
+    * metadata-only, zero jobs (the size signal crossover heuristics
+    * gate on, r17).
+    */
+  def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** (min, max) of `idCol` across `files` from parquet footer column
+    * statistics only — None if any file lacks usable stats (null ids,
+    * non-long type, stats dropped by the writer). Footers are read on
+    * a small driver pool; no Spark job is submitted.
+    */
+  private def footerIdRange(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.Path], idCol: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    // an unreadable/corrupt footer is AMBIGUOUS (the digest join will
+    // surface whatever is actually wrong), never a thrown error here
+    def one(f: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+      try oneUnsafe(f) catch { case scala.util.control.NonFatal(_) => None }
+    def oneUnsafe(f: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) return Some((Long.MaxValue, Long.MinValue)) // no rows: neutral
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        blocks.foreach { blk =>
+          blk.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
+            case Some(c) => c.getStatistics match {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                  if s.hasNonNullValue && s.getNumNulls == 0 =>
+                mn = math.min(mn, s.getMin); mx = math.max(mx, s.getMax)
+              case _ => return None
+            }
+            case None => return None
+          }
+        }
+        Some((mn, mx))
+      } finally reader.close()
+    }
+    if (files.isEmpty) return Some((Long.MaxValue, Long.MinValue))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futures = files.map(f => pool.submit(
+        new java.util.concurrent.Callable[Option[(Long, Long)]] {
+          def call(): Option[(Long, Long)] = one(f)
+        }))
+      futures.foldLeft(Option((Long.MaxValue, Long.MinValue))) {
+        case (Some((mn, mx)), fut) => fut.get().map { case (a, b) =>
+          (math.min(mn, a), math.max(mx, b)) }
+        case (None, fut) => fut.get(); None // drain so the pool shuts down clean
+      }
+    } finally pool.shutdown()
+  }
+
   /** Is a published, fully-committed asset present at `path`? */
   def committed(spark: SparkSession, path: String): Boolean = {
     val fs = fsFor(spark, path)

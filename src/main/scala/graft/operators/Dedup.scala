@@ -1252,6 +1252,25 @@ object Dedup {
   /** Gram-stats increments ran this JVM — spec seam. */
   private[graft] val gramDfIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** CROSSOVER GATE for the gram-stats increment (r17): below this
+    * standing-corpus byte size [[corpusGramDfIncrement]] auto-selects
+    * the full rebuild. Measured basis (SCALING.md r16/r17): at every
+    * locally reachable scale the increment's standing-asset read +
+    * merged-vocabulary exchange costs MORE than the corpus re-shingle
+    * it avoids — the increment wins only when corpus gram VOLUME
+    * dwarfs distinct-gram vocabulary (high document frequency), which
+    * a few-hundred-MB corpus never exhibits (and the disjoint-vocab
+    * scale generator exhibits by design only far above local sizes).
+    * 1 GiB is deliberately conservative: past it the rebuild's
+    * corpus×grams exchange grows linearly while the increment's
+    * standing-side cost tracks vocabulary. The size signal comes from
+    * the FILE LISTING — zero jobs. `var` is a spec/bench seam.
+    */
+  private[graft] var gramIncrementMinStandingBytes: Long = 1L << 30
+
+  /** Times the crossover gate chose the rebuild — spec seam. */
+  private[graft] val gramIncrementRebuildSelections = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Documents-side pure-append validation (the embeddings-side twin
     * lives in Similarity): every old doc_id present in `dir` with
     * unchanged text, compared by DIGEST so the validation join
@@ -1291,7 +1310,20 @@ object Dedup {
     */
   def corpusGramDfIncrement(spark: SparkSession, oldDir: String, dir: String,
       k: Int = 3): DataFrame = {
-    if (docsPureAppendViolated(spark, oldDir, dir)) {
+    // crossover gate (r17): a small standing corpus re-shingles faster
+    // than the increment merges — auto-select the rebuild below the
+    // measured threshold (byte size from the listing, zero jobs)
+    if (graft.engine.AssetStore.tableBytes(spark, oldDir, "documents.parquet")
+        < gramIncrementMinStandingBytes) {
+      gramIncrementRebuildSelections.incrementAndGet()
+      return corpusGramDf(spark, dir, k)
+    }
+    // metadata-first (r17): listing subset + footer doc_id disjointness
+    // prove the append with zero data jobs; the digest join runs only
+    // on an ambiguous listing and stays the ground-truth validator
+    val meta = graft.engine.AssetStore.pureAppendByMetadata(
+      spark, oldDir, dir, "documents.parquet", "doc_id")
+    if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"gram-stats increment $oldDir -> $dir is not a pure append; rebuilding")
       return corpusGramDf(spark, dir, k)
@@ -1303,8 +1335,14 @@ object Dedup {
         staging => {
           gramDfIncrementBuilds.incrementAndGet()
           val old = corpusGramDf(spark, oldDir, k)
-          val batch = Tables.documents(spark, dir)
-            .join(Tables.documents(spark, oldDir).select("doc_id"), Seq("doc_id"), "left_anti")
+          // metadata-proven appends read the batch files directly; the
+          // anti-join (both corpora's doc_id columns) only runs for
+          // digest-validated appends (r17)
+          val batch = meta match {
+            case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+            case _ => Tables.documents(spark, dir)
+              .join(Tables.documents(spark, oldDir).select("doc_id"), Seq("doc_id"), "left_anti")
+          }
           gramDf(batch, k)
             .unionByName(old)
             .groupBy("g")

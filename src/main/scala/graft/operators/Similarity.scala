@@ -418,15 +418,30 @@ object Similarity {
   def corpusBandedEmbeddingsIncrement(spark: SparkSession, oldDir: String, dir: String,
       bits: Int = 4, tables: Int = 8, dim: Int = 64,
       seedBase: Long = 42L, partWidth: Long = 1024L): DataFrame = {
-    if (pureAppendViolated(spark, oldDir, dir)) {
+    val meta = embAppendByMetadata(spark, oldDir, dir)
+    if (meta.isEmpty && pureAppendViolated(spark, oldDir, dir)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"band increment $oldDir -> $dir is not a pure append; rebuilding")
       corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase, partWidth)
     } else {
-      publishBandIncrementUnchecked(spark, oldDir, dir, bits, tables, dim, seedBase, partWidth)
+      publishBandIncrementUnchecked(spark, oldDir, dir, bits, tables, dim, seedBase, partWidth, meta)
       corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase, partWidth)
     }
   }
+
+  /** Metadata-first append validation for the embeddings table (r17):
+    * Some(batch files) = proven pure append with ZERO data jobs
+    * ([[graft.engine.AssetStore.pureAppendByMetadata]] — listing
+    * subset + footer id-range disjointness under the fingerprint
+    * trust model); None = ambiguous, run [[pureAppendViolated]]'s
+    * digest join as ground truth. The proven batch file list also
+    * replaces the new-rows anti-join (a standing-corpus id scan) with
+    * a direct read of just the appended files.
+    */
+  private def embAppendByMetadata(
+      spark: SparkSession, oldDir: String, dir: String): Option[Seq[String]] =
+    graft.engine.AssetStore.pureAppendByMetadata(
+      spark, oldDir, dir, "embeddings.parquet", "vec_id")
 
   /** The increment publishers' shared pure-append validation: every
     * old vec_id present in `dir` with an unchanged embedding, compared
@@ -455,7 +470,8 @@ object Similarity {
     * row-correct because no copied row is ever superseded.
     */
   private def publishBandIncrementUnchecked(spark: SparkSession, oldDir: String, dir: String,
-      bits: Int, tables: Int, dim: Int, seedBase: Long, partWidth: Long): Unit = {
+      bits: Int, tables: Int, dim: Int, seedBase: Long, partWidth: Long,
+      batchFiles: Option[Seq[String]] = None): Unit = {
     val assetId = bandedAssetId(spark, dir, bits, tables, dim, seedBase, partWidth)
     bandedTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
@@ -472,9 +488,14 @@ object Similarity {
                 fs, new org.apache.hadoop.fs.Path(staging, st.getPath.getName),
                 false, spark.sparkContext.hadoopConfiguration)
             }
-          val newVecs = Tables.embeddings(spark, dir)
-            .join(Tables.embeddings(spark, oldDir).select("vec_id"), Seq("vec_id"), "left_anti")
-            .filter(col("embedding").isNotNull)
+          // metadata-proven appends read the batch files directly —
+          // the anti-join below scans both corpora's id columns and is
+          // only needed when the batch membership wasn't proven (r17)
+          val newVecs = (batchFiles match {
+            case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+            case _ => Tables.embeddings(spark, dir)
+              .join(Tables.embeddings(spark, oldDir).select("vec_id"), Seq("vec_id"), "left_anti")
+          }).filter(col("embedding").isNotNull)
           writeByPt(bandsOf(newVecs, bits, tables, dim, seedBase), partWidth)
             .write.partitionBy("pt").mode("append").parquet(staging)
         }))
@@ -813,11 +834,15 @@ object Similarity {
         staging => {
           val merged = Tables.embeddings(spark, dir)
           val oldEmb = Tables.embeddings(spark, oldDir)
-          // pure-append precondition (shared helper): every old id
-          // present with an unchanged embedding (<=> is null-safe, so
-          // a null embedding row must still be PRESENT — presence is
-          // checked via the join marker, not the embedding column)
-          if (pureAppendViolated(spark, oldDir, dir)) {
+          // pure-append precondition, metadata-first (r17): the file
+          // listing + footer id stats prove the append with zero data
+          // jobs; only an ambiguous listing (compaction, rewrite,
+          // missing stats) pays the digest join, which stays the
+          // ground-truth validator (<=> is null-safe, so a null
+          // embedding row must still be PRESENT — presence is checked
+          // via the join marker, not the embedding column)
+          val meta = embAppendByMetadata(spark, oldDir, dir)
+          if (meta.isEmpty && pureAppendViolated(spark, oldDir, dir)) {
             knnIncrementFallbacks.incrementAndGet()
             knnAssetBuilds.incrementAndGet()
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -832,13 +857,19 @@ object Similarity {
             // standing side then loads instead of re-banding the
             // merged corpus
             publishBandIncrementUnchecked(spark, oldDir, dir,
-              bits, tables, dim, seedBase, partWidth)
+              bits, tables, dim, seedBase, partWidth, meta)
             val oldPath = corpusKnnEdgesPath(spark, oldDir,
               kTop, bits, tables, dim, seedBase, scale, partWidth)
             val oldEdges = spark.read.parquet(oldPath).drop("pt")
             val oldBands = corpusBandedEmbeddings(spark, oldDir,
               bits, tables, dim, seedBase, partWidth)
-            val newVecs = merged.join(oldEmb.select("vec_id"), Seq("vec_id"), "left_anti")
+            // metadata-proven appends read the batch files directly;
+            // the anti-join (both corpora's id columns) only runs for
+            // digest-validated appends (r17)
+            val newVecs = meta match {
+              case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+              case _ => merged.join(oldEmb.select("vec_id"), Seq("vec_id"), "left_anti")
+            }
             val (refreshed, affected, stages) = knnIncrementPieces(
               oldBands, merged, newVecs, kTop, bits, tables, dim, seedBase, scale)
             try {
@@ -1463,9 +1494,14 @@ object Similarity {
     *
     * Scale shape: ground truth is a bounded slice × corpus
     * broadcast-nested-loop (|slice| rows broadcast, never
-    * corpus×corpus); each width's candidates come from one banding
-    * pass self-joined per bucket (occupancy-bounded); the verdict is a
-    * pair-keyed left join rolled into one row per width.
+    * corpus×corpus); each width's candidates come from the
+    * MATERIALIZED band asset at that width (r17 — previously the
+    * corpus was re-banded per width at query time; now the default
+    * width loads the standing `embbands` table every bucketed query
+    * serves from, and the deployment width publishes its band table
+    * ONCE, which the append increment then maintains), self-joined per
+    * bucket (occupancy-bounded); the verdict is a pair-keyed left join
+    * rolled into one row per width. The audit is a two-asset scan.
     */
   def rangeRecall(spark: SparkSession, dir: String, radius: Long = 1280000L,
       bitsSettings: Seq[Int] = Seq(4, 12), tables: Int = 8, dim: Int = 64,
@@ -1481,7 +1517,7 @@ object Similarity {
       .select("id_a", "id_b")
     val truthC = graft.engine.Caching.handoff(truth)
     val perBits = bitsSettings.map { b =>
-      val bands = bandsOf(emb, b, tables, dim, seedBase)
+      val bands = corpusBandedEmbeddings(spark, dir, b, tables, dim, seedBase)
       val cand = bands.select(col("t"), col("b"), col("vec_id").as("id_a"))
         .filter(col("id_a") < sliceMax)
         .join(bands.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))

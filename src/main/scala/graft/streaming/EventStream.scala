@@ -216,6 +216,46 @@ object EventStream {
       }
   }
 
+  /** SESSION-STATS STREAM (round 17) — the incremental form of
+    * [[graft.operators.Relational.qSessionStats]]: the session-length
+    * histogram maintained OVER THE CLOSED-SESSIONS STREAM
+    * ([[sessionizeStreamTimeout]]'s output — a session enters the
+    * histogram exactly once, when the watermark closes it). Identical
+    * expression tree to the batch rollup (count / total duration / max
+    * duration per event-count bucket), so parity is structural once
+    * every session has closed.
+    *
+    * Composable stage by design: takes the closed-sessions frame, so a
+    * deployment can sessionize once and fan out to this rollup, the
+    * raw session sink, and any other consumer. State shape: the
+    * upstream sessionizer holds O(open sessions); this aggregation's
+    * state is the histogram itself — ≤ longest-session buckets, each a
+    * 3-long sufficient statistic, every column monotone under
+    * accretion (counts and sums grow, max never falls), which is what
+    * lets an Update-mode consumer take the per-bucket max as the final
+    * answer. StreamingSpec pins equality with the oracle-checked batch
+    * query on a time-split source.
+    *
+    * Deployment note: Spark's static checker flags ANY stateful op
+    * downstream of flatMapGroupsWithState, because a time-windowed
+    * consumer could discard the emitted rows as late (their event
+    * times sit behind the watermark by construction — a session closes
+    * only after the watermark passes it). This rollup is
+    * WATERMARK-FREE: a global Update-mode aggregate has no late-row
+    * discard path, every closed session is folded exactly once
+    * regardless of its event time. Run the composed query with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * — the documented escape hatch for exactly this
+    * provably-unaffected shape.
+    */
+  def sessionStatsStream(closedSessions: DataFrame): DataFrame =
+    closedSessions
+      .groupBy(col("n_events"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("session_end_us") - col("session_start_us")).as("total_duration_us"),
+        max(col("session_end_us") - col("session_start_us")).as("max_duration_us"))
+
   /** Streaming dedup: drop re-deliveries of the same key while it can
     * still legally arrive (the watermark bounds the dedup state — the
     * reference's at-least-once bulk retries made idempotent, but with
@@ -358,14 +398,19 @@ object EventStream {
     * arrival: three optional first-transition times, 24 bytes per
     * user, never an event list.
     */
-  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], seq: Long)
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], seq: Long,
+      lastT: Long = Long.MinValue, ooo: Long = 0L)
 
   /** Per-update emission of [[funnelStepsStream]]: the user's current
     * funnel times plus a monotone `seq` so a consumer (or the parity
     * spec) can pick each user's LATEST row from an Update-mode sink.
+    * `ooo` counts the micro-batches whose earliest event for this user
+    * PRECEDED the carried fold frontier — the ordering contract's
+    * violation counter (r17): a non-zero value says this user's funnel
+    * may differ from the batch answer, instead of being silently wrong.
     */
   case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
-      t3: Option[Long], seq: Long)
+      t3: Option[Long], seq: Long, ooo: Long)
 
   /** FUNNEL-STEPS STREAM (round 16) — the stateful twin of
     * [[graft.operators.Relational.qFunnelSteps]]: per user, the first
@@ -384,6 +429,15 @@ object EventStream {
     * (out-of-order history replay would need the full event list; the
     * batch query answers that case). StreamingSpec pins equality with
     * the oracle-checked batch query on a time-split source.
+    *
+    * VIOLATION DETECTION (r17): the contract is no longer assumed
+    * silently — the state carries the fold frontier (the latest event
+    * time already folded), and a batch whose earliest event for the
+    * user precedes it increments the emitted `ooo` counter. Production
+    * alerts on `max(ooo) > 0` instead of discovering a mis-ordered
+    * source from wrong funnels; the in-order parity spec pins
+    * `ooo == 0` everywhere, and a cross-batch out-of-order case pins
+    * the counter firing.
     */
   def funnelStepsStream(events: DataFrame): Dataset[FunnelUpdate] = {
     val spark = events.sparkSession
@@ -401,7 +455,9 @@ object EventStream {
           var t1 = s0.t1; var t2 = s0.t2; var t3 = s0.t3
           // batch-local sort: iterator order is shuffle order, the
           // contract's ordering is only across batches
-          it.toArray.sortBy(_._3).foreach { case (_, tpe, t) =>
+          val sorted = it.toArray.sortBy(_._3)
+          val violated = sorted.nonEmpty && sorted.head._3 < s0.lastT
+          sorted.foreach { case (_, tpe, t) =>
             tpe match {
               case "view" if t1.isEmpty                                  => t1 = Some(t)
               case "click" if t1.nonEmpty && t2.isEmpty && t > t1.get    => t2 = Some(t)
@@ -409,19 +465,28 @@ object EventStream {
               case _                                                     =>
             }
           }
-          val ns = FunnelState(t1, t2, t3, s0.seq + 1)
+          val ns = FunnelState(t1, t2, t3, s0.seq + 1,
+            sorted.lastOption.fold(s0.lastT)(e => math.max(s0.lastT, e._3)),
+            s0.ooo + (if (violated) 1L else 0L))
           state.update(ns)
-          FunnelUpdate(user, t1, t2, t3, ns.seq)
+          FunnelUpdate(user, t1, t2, t3, ns.seq, ns.ooo)
       }
   }
 
   /** Last seen event type per user — the O(1) state behind
     * [[eventTransitionsStream]].
     */
-  case class LastType(tpe: String)
+  case class LastType(tpe: String, lastT: Long = Long.MinValue)
 
-  /** One observed consecutive-event transition. */
-  case class Transition(user_id: Long, from_type: String, to_type: String)
+  /** One observed consecutive-event transition. `ooo` marks rows
+    * emitted from a micro-batch that violated the per-key ordering
+    * contract (an event preceding the carried frontier) — the
+    * transition may then differ from the batch matrix, and a consumer
+    * can count/route flagged rows instead of trusting them blindly
+    * (r17).
+    */
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      ooo: Boolean = false)
 
   /** EVENT-TRANSITION STREAM (round 16) — the stateful twin of
     * [[graft.operators.Relational.qEventTransitions]]: each user's
@@ -452,13 +517,20 @@ object EventStream {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         (user, it, state) =>
           val sorted = it.toArray.sortBy(e => (e._4, e._2))
-          var last = state.getOption.map(_.tpe)
+          val s0 = state.getOption
+          // ordering-contract check (r17): an event before the carried
+          // frontier means the carried last-type is not this batch's
+          // true predecessor — flag every row this batch emits
+          val violated = sorted.nonEmpty && s0.exists(s => sorted.head._4 < s.lastT)
+          var last = s0.map(_.tpe)
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           sorted.foreach { case (_, _, tpe, _) =>
-            last.foreach(f => out += Transition(user, f, tpe))
+            last.foreach(f => out += Transition(user, f, tpe, violated))
             last = Some(tpe)
           }
-          last.foreach(t => state.update(LastType(t)))
+          sorted.lastOption.foreach { e =>
+            state.update(LastType(e._3, math.max(s0.fold(Long.MinValue)(_.lastT), e._4)))
+          }
           out.iterator
       }
   }

@@ -47,13 +47,45 @@ object AssetBench {
     // measures ≈ a rebuild) and the deployment width bits=12 (4096
     // buckets — the affected set shrinks to the batch's bucket
     // neighborhood, which is where the increment pays).
+    //
+    // r17: the new corpus is laid out the way a log-structured append
+    // actually lands — the standing files byte-identical (copied with
+    // attributes) plus fresh batch part files in the same directory —
+    // so the metadata-only pure-append proof applies and the timed
+    // number includes the REAL precondition cost (a listing + footer
+    // reads, no corpus digest join). The r16 fixture rewrote the new
+    // corpus into fresh files, which forced every increment through
+    // the digest fallback and charged it a full standing-corpus scan
+    // the production append shape never pays.
     val incOldDir = java.nio.file.Files.createTempDirectory("graft_assetbench_old").toString
-    def incSetup(bits: Int): () => Unit = () => {
+    val incNewDir = java.nio.file.Files.createTempDirectory("graft_assetbench_new").toString
+    def rmrf(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    // cut the corpus at 90% by id; old = standing files, new = those
+    // same files + the batch's part files moved alongside
+    def appendLayout(table: String, idCol: String): Unit = {
       import org.apache.spark.sql.functions.{col, expr}
-      val emb = graft.Tables.embeddings(spark, sfDir)
-      val cut = emb.agg((expr("max(vec_id)") * 9 / 10).cast("long")).head().getLong(0)
-      emb.filter(col("vec_id") < cut)
-        .write.mode("overwrite").parquet(s"$incOldDir/embeddings.parquet")
+      import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+      val df =
+        if (table.startsWith("embeddings")) graft.Tables.embeddings(spark, sfDir)
+        else graft.Tables.documents(spark, sfDir)
+      val cut = df.agg((expr(s"max($idCol)") * 9 / 10).cast("long")).head().getLong(0)
+      rmrf(Paths.get(s"$incOldDir/$table")); rmrf(Paths.get(s"$incNewDir/$table"))
+      df.filter(col(idCol) < cut).write.parquet(s"$incOldDir/$table")
+      val newTable = Paths.get(s"$incNewDir/$table")
+      JF.createDirectories(newTable)
+      JF.list(Paths.get(s"$incOldDir/$table")).forEach(p =>
+        JF.copy(p, newTable.resolve(p.getFileName.toString), StandardCopyOption.COPY_ATTRIBUTES))
+      val batchTmp = JF.createTempDirectory("graft_assetbench_batch").toString
+      df.filter(col(idCol) >= cut).write.parquet(s"$batchTmp/b.parquet")
+      JF.list(Paths.get(s"$batchTmp/b.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => JF.move(p, newTable.resolve(s"part-batch-${p.getFileName}")))
+    }
+    def incSetup(bits: Int): () => Unit = () => {
+      appendLayout("embeddings.parquet", "vec_id")
       Similarity.corpusKnnEdges(spark, incOldDir, bits = bits).count()
       Similarity.corpusBandedEmbeddings(spark, incOldDir, bits = bits).count()
     }
@@ -62,30 +94,30 @@ object AssetBench {
       ("ngramidx_k3", noSetup, () => Dedup.corpusNgramIndex(spark, sfDir).count()),
       ("gramdf_k3", noSetup, () => Dedup.corpusGramDf(spark, sfDir).count()),
       ("gramdf_k3_increment", () => {
-        import org.apache.spark.sql.functions.{col, expr}
-        val docs = graft.Tables.documents(spark, sfDir)
-        val cut = docs.agg((expr("max(doc_id)") * 9 / 10).cast("long")).head().getLong(0)
-        docs.filter(col("doc_id") < cut)
-          .write.mode("overwrite").parquet(s"$incOldDir/documents.parquet")
+        appendLayout("documents.parquet", "doc_id")
+        // measure the increment MACHINERY (comparable across rounds):
+        // the shipped r17 crossover gate would route every local-sized
+        // corpus to the rebuild, which the gramdf_k3 row already times
+        Dedup.gramIncrementMinStandingBytes = 0L
         Dedup.corpusGramDf(spark, incOldDir).count(); ()
-      }, () => Dedup.corpusGramDfIncrement(spark, incOldDir, sfDir).count()),
+      }, () => Dedup.corpusGramDfIncrement(spark, incOldDir, incNewDir).count()),
       ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
       ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
       ("simhashsig", noSetup, () => Dedup.corpusSimhashSignatures(spark, sfDir).count()),
       ("knnedges_k5", noSetup, () => Similarity.corpusKnnEdges(spark, sfDir).count()),
       ("knnedges_k5_increment", incSetup(4),
-        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir).count()),
+        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir).count()),
       ("knnedges_k5b12", noSetup,
         () => Similarity.corpusKnnEdges(spark, sfDir, bits = 12).count()),
       ("knnedges_k5b12_increment", incSetup(12),
-        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, sfDir, bits = 12).count()),
+        () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
       // band asset alone: full banding vs the r16 copy-forward
       // increment (appends never change standing bands, so the
       // increment pays ~batch-fraction of the scan and write)
       ("embbands_b12", noSetup,
         () => Similarity.corpusBandedEmbeddings(spark, sfDir, bits = 12).count()),
       ("embbands_b12_increment", incSetup(12),
-        () => Similarity.corpusBandedEmbeddingsIncrement(spark, incOldDir, sfDir, bits = 12).count()),
+        () => Similarity.corpusBandedEmbeddingsIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
       ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
     )
     val timed = builds.map { case (name, setup, run) =>

@@ -249,6 +249,98 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("pure-append metadata proof: a true append validates with ZERO Spark jobs; mutation stays ambiguous (r17)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { _ =>
+      val oldDir = Files.createTempDirectory("graft_meta_old").toString
+      val newDir = Files.createTempDirectory("graft_meta_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      // the append shape a log-structured ingest produces: standing
+      // files byte-identical (copied with attributes, so the
+      // name|len|mtime trust model sees THE SAME files), batch rows
+      // landing in NEW files with strictly higher ids
+      Files.createDirectories(Paths.get(s"$newDir/embeddings.parquet"))
+      Files.list(Paths.get(s"$oldDir/embeddings.parquet")).forEach { p =>
+        Files.copy(p, Paths.get(s"$newDir/embeddings.parquet/${p.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      val batchTmp = Files.createTempDirectory("graft_meta_batch").toString
+      emb.filter(col("vec_id") >= cut).coalesce(1).write.parquet(s"$batchTmp/b.parquet")
+      val batchPart = Files.list(Paths.get(s"$batchTmp/b.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val batchName = s"part-batch-${batchPart.getFileName}"
+      Files.move(batchPart, Paths.get(s"$newDir/embeddings.parquet/$batchName"))
+
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def stableJobCount(): Int = {
+        var last = -1; var stable = 0
+        val deadline = System.nanoTime() + 5000000000L
+        while (stable < 3 && System.nanoTime() < deadline) {
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          Thread.sleep(100)
+        }
+        jobs.get()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val before = stableJobCount() // drain any in-flight events first
+        val meta = AssetStore.pureAppendByMetadata(
+          spark, oldDir, newDir, "embeddings.parquet", "vec_id")
+        assert(meta.isDefined, "a byte-identical-standing + higher-id batch must be proven")
+        assert(meta.get.size == 1 && meta.get.head.endsWith(batchName),
+          s"the proof must name exactly the batch file: ${meta.get}")
+        assert(stableJobCount() == before,
+          "the metadata proof must submit ZERO Spark jobs (listing + footers only)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+      // and the increment built over the proven append (batch rows read
+      // straight from the proven files, no anti-join) still equals the
+      // full rebuild on the merged corpus
+      import graft.operators.Similarity
+      Similarity.dropInMemoryIndexes()
+      try {
+        val B = 12
+        Similarity.corpusKnnEdges(spark, oldDir, bits = B).count()
+        val fb0 = Similarity.knnIncrementFallbacks.get()
+        val inc = Similarity.corpusKnnEdgesIncrement(spark, oldDir, newDir, bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(Similarity.knnIncrementFallbacks.get() == fb0)
+        val full = Similarity.knnGraph(Tables.embeddings(spark, newDir), bits = B)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+        assert(inc == full, s"metadata-proven increment diverged: ${inc.size} vs ${full.size} rows")
+      } finally {
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+
+      // a mutated standing file (same name, fresh bytes => new mtime/len)
+      // must NOT be provable from metadata — the digest join then runs
+      // as ground truth (and the existing precondition specs pin that
+      // an actual mutation falls back to the full rebuild)
+      val mutDir = Files.createTempDirectory("graft_meta_mut").toString
+      Files.createDirectories(Paths.get(s"$mutDir/embeddings.parquet"))
+      Files.list(Paths.get(s"$newDir/embeddings.parquet")).forEach { p =>
+        Files.copy(p, Paths.get(s"$mutDir/embeddings.parquet/${p.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      val victim = Files.list(Paths.get(s"$mutDir/embeddings.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.writeString(victim, "not parquet anymore")
+      assert(AssetStore.pureAppendByMetadata(
+          spark, oldDir, mutDir, "embeddings.parquet", "vec_id").isEmpty,
+        "a rewritten standing file must be ambiguous, never proven")
+    }
+  }
+
   test("knn increment: an over-budget affected-range set degrades to the merged write, never aborts (r17)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
@@ -405,6 +497,11 @@ class AssetStoreSpec extends SparkSpec {
       docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
       docs.write.parquet(s"$newDir/documents.parquet")
       Dedup.dropInMemoryNgramTables()
+      val gate0 = Dedup.gramIncrementMinStandingBytes
+      // force the increment MACHINERY on the small fixture (the r17
+      // crossover gate would honestly pick the rebuild here — pinned
+      // in its own spec below)
+      Dedup.gramIncrementMinStandingBytes = 0L
       try {
         Dedup.corpusGramDf(spark, oldDir).count()
         val full0 = Dedup.ngramAssetBuilds.get()
@@ -436,6 +533,54 @@ class AssetStoreSpec extends SparkSpec {
         assert(got == canon(Dedup.gramDf(Tables.documents(spark, edDir))),
           "the fallback must serve the correct rebuilt stats")
       } finally {
+        Dedup.gramIncrementMinStandingBytes = gate0
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("gram-stats crossover gate: small standing corpus auto-selects rebuild; past the threshold the increment runs (r17)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_ggate_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_ggate_new").toString
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
+      docs.write.parquet(s"$newDir/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      val gate0 = Dedup.gramIncrementMinStandingBytes
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      try {
+        Dedup.corpusGramDf(spark, oldDir).count()
+        // DEFAULT threshold: this fixture is far below 1 GiB — the gate
+        // must pick the rebuild (correct answer, no increment build)
+        val inc0 = Dedup.gramDfIncrementBuilds.get()
+        val sel0 = Dedup.gramIncrementRebuildSelections.get()
+        val viaGate = canon(Dedup.corpusGramDfIncrement(spark, oldDir, newDir))
+        assert(Dedup.gramIncrementRebuildSelections.get() == sel0 + 1,
+          "a sub-threshold standing corpus must route to the rebuild")
+        assert(Dedup.gramDfIncrementBuilds.get() == inc0,
+          "the increment machinery must not run below the crossover")
+        assert(viaGate == canon(Dedup.gramDf(Tables.documents(spark, newDir))))
+        // PAST the threshold (forced to 0): the increment path runs —
+        // both sides of the heuristic pinned
+        Dedup.dropInMemoryNgramTables()
+        // fresh stores so the gated result above doesn't serve the call
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_ggate_root2").toString)
+        Dedup.corpusGramDf(spark, oldDir).count()
+        Dedup.gramIncrementMinStandingBytes = 0L
+        val inc1 = Dedup.gramDfIncrementBuilds.get()
+        val viaInc = canon(Dedup.corpusGramDfIncrement(spark, oldDir, newDir))
+        assert(Dedup.gramDfIncrementBuilds.get() == inc1 + 1,
+          "past the crossover the increment path must run")
+        assert(viaInc == viaGate, "both routes must publish identical stats")
+      } finally {
+        Dedup.gramIncrementMinStandingBytes = gate0
         Dedup.dropInMemoryNgramTables()
         spark.catalog.clearCache()
       }

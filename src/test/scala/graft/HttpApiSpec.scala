@@ -442,11 +442,17 @@ class HttpApiSpec extends SparkSpec {
       Dedup.corpusGramDf(spark, oldDir).count()
       val inc0 = Similarity.knnIncrementBuilds.get()
       val ginc0 = Dedup.gramDfIncrementBuilds.get()
+      // force the gram increment machinery on the small fixture (the
+      // r17 crossover gate would route this sub-GiB corpus to the
+      // rebuild; the gate has its own both-sides spec in AssetStoreSpec)
+      val gate0 = Dedup.gramIncrementMinStandingBytes
+      Dedup.gramIncrementMinStandingBytes = 0L
       val r = send("POST", s"$base/maintenance/assets_increment",
         s"""{"oldDir": "$oldDir", "dir": "$newDir"}""")
       assert(r.statusCode() == 200, r.body())
       val pub = mapper.readTree(r.body()).get("published")
       assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, r.body())
+      Dedup.gramIncrementMinStandingBytes = gate0
       assert(Similarity.knnIncrementBuilds.get() == inc0 + 1, "edges must publish by increment")
       assert(Dedup.gramDfIncrementBuilds.get() == ginc0 + 1, "gram stats must publish by increment")
       // the published addresses now serve loads with no further builds

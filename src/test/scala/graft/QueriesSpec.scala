@@ -1547,6 +1547,15 @@ class QueriesSpec extends SparkSpec {
     val viaRange = Similarity.rangeSearch(spark, sf).filter(col("id_a") < 64).count()
     assert(got.find(_._1 == 4L).exists(_._3 == viaRange),
       s"found@4 ${got.find(_._1 == 4L)} != range-search slice $viaRange")
+    // r17: both widths serve from the MATERIALIZED band assets — a
+    // second audit run re-bands nothing (the bits=12 table published
+    // once above, bits=4 shared with every bucketed query)
+    val builds0 = Similarity.bandedAssetBuilds.get()
+    val again = Similarity.rangeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+    assert(Similarity.bandedAssetBuilds.get() == builds0,
+      "range_recall must LOAD standing band assets, not re-band the corpus")
     spark.catalog.clearCache()
   }
 

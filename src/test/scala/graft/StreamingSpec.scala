@@ -152,6 +152,37 @@ class StreamingSpec extends SparkSpec {
     // than one micro-batch's emissions
     assert(updates.groupBy(_.getLong(0)).values.exists(_.size > 1),
       "every user fit in one batch: boundary handoff not exercised")
+    // r17: an in-order source must report ZERO ordering violations
+    assert(updates.forall(_.getLong(5) == 0L),
+      "in-order arrival flagged as out-of-order: frontier bookkeeping broken")
+    spark.catalog.clearCache()
+  }
+
+  test("funnel-steps stream: a cross-batch out-of-order event surfaces in the ooo counter (r17)") {
+    // user 7's view lands in a LATER micro-batch with an EARLIER
+    // event-time than the already-folded click — under per-key
+    // in-order arrival this cannot happen, and the r16 fold silently
+    // produced a funnel the batch query would not; now the violation
+    // is counted on the emitted row
+    val src = Files.createTempDirectory("graft_funnel_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ooo_ckpt").toString
+    Seq((7L, "view", 2000000L), (7L, "click", 3000000L))
+      .toDF("user_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((7L, "view", 1000000L), (8L, "view", 4000000L))
+      .toDF("user_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.funnelStepsStream(stream).toDF(), "funnel_ooo_test", ckpt, OutputMode.Update)
+    val finals = spark.table("funnel_ooo_test").collect()
+      .groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(4))).toSeq
+    val u7 = finals.find(_.getLong(0) == 7L).get
+    assert(u7.getLong(5) >= 1L, s"out-of-order batch must be counted: $u7")
+    // the in-order user in the same run stays clean
+    val u8 = finals.find(_.getLong(0) == 8L).get
+    assert(u8.getLong(5) == 0L, s"in-order user wrongly flagged: $u8")
     spark.catalog.clearCache()
   }
 
@@ -188,6 +219,36 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
     assert(got.map(_._3).sum > spark.table("trans_test").select("user_id").distinct().count(),
       "fixture too sparse: most users have a single transition")
+    // r17: an in-order source must emit no flagged rows
+    assert(spark.table("trans_test").filter(col("ooo")).isEmpty,
+      "in-order arrival flagged as out-of-order: frontier bookkeeping broken")
+    spark.catalog.clearCache()
+  }
+
+  test("event-transition stream: a cross-batch out-of-order event flags its batch's rows (r17)") {
+    // user 9's third event arrives in a later batch with a time BETWEEN
+    // the two already-seen events: the emitted (B -> C) transition is
+    // not the batch matrix's answer (which orders C between A and B),
+    // and must carry the ooo flag instead of passing as exact
+    val src = Files.createTempDirectory("graft_trans_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_trans_ooo_ckpt").toString
+    Seq((9L, 1L, "view", 1000000L), (9L, 2L, "purchase", 3000000L))
+      .toDF("user_id", "event_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((9L, 3L, "click", 2000000L), (10L, 4L, "view", 4000000L), (10L, 5L, "click", 5000000L))
+      .toDF("user_id", "event_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, event_type STRING, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.eventTransitionsStream(stream).toDF(), "trans_ooo_test", ckpt, OutputMode.Append)
+    val rows = spark.table("trans_ooo_test")
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(rows.contains((9L, "purchase", "click", true)),
+      s"the out-of-order batch's transition must be flagged: $rows")
+    assert(rows.contains((9L, "view", "purchase", false)), s"the in-order first batch stays clean: $rows")
+    assert(rows.contains((10L, "view", "click", false)),
+      s"the concurrent in-order user stays clean: $rows")
     spark.catalog.clearCache()
   }
 
@@ -438,6 +499,57 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
     assert(got.toSeq == Seq((1L, 1000000000L, 1010000000L, 2L)),
       s"expected user 1's closed session, got ${got.toSeq}")
+  }
+
+  test("session-stats stream (histogram off closed sessions) equals q_session_stats on a time-split source") {
+    // the sessionizer's reporting family gets its streaming twin (r17):
+    // closed sessions from the timeout sessionizer feed the same
+    // count/total/max rollup the oracle-checked batch query runs. Two
+    // far-future sentinel files push the watermark so EVERY real
+    // session closes; the sentinel user is filtered between the stages
+    // (it only exists to advance the watermark). Finals from the
+    // Update-mode sink are the per-bucket column maxima — every
+    // histogram column is monotone under accretion.
+    val src = Files.createTempDirectory("graft_sstats_src").toString
+    val ckpt = Files.createTempDirectory("graft_sstats_ckpt").toString
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    val maxTs = times.last
+    ev.filter(col("ts") < lit(c1)).coalesce(1).write.parquet(s"$src/a_part")
+    ev.filter(col("ts") >= lit(c1) && col("ts") < lit(c2)).coalesce(1).write.parquet(s"$src/b_part")
+    ev.filter(col("ts") >= lit(c2)).coalesce(1).write.parquet(s"$src/c_part")
+    ev.unpersist()
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$src/z1_sentinel")
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 20L * 3600 * 1000)))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$src/z2_sentinel")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    // the downstream rollup is watermark-free (no late-row discard
+    // path) — the checker's flagged scenario cannot occur; see the
+    // operator's deployment note
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      EventStream.runAvailableNow(
+        EventStream.sessionStatsStream(
+          EventStream.sessionizeStreamTimeout(stream).toDF().filter(col("user_id") >= 0)),
+        "sstats_test", ckpt, OutputMode.Update)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+    val got = spark.table("sstats_test").collect()
+      .groupBy(_.getLong(0)).map { case (k, rows) =>
+        (k, rows.map(_.getLong(1)).max, rows.map(_.getLong(2)).max, rows.map(_.getLong(3)).max)
+      }.toSet
+    val want = graft.operators.Relational.qSessionStats(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(want.size > 1 && want.exists(_._1 > 1), "one-bucket fixture is vacuous")
+    spark.catalog.clearCache()
   }
 
   test("upsert sink recovers when a crash left only the .old copy") {
