@@ -513,6 +513,85 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("append runbook end-to-end: land parquet -> POST assets_increment -> POST assets_gc (r17)") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.engine.AssetStore
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft_runbook_root").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    val oldDir = Files.createTempDirectory("graft_runbook_old").toString
+    val newDir = Files.createTempDirectory("graft_runbook_new").toString
+    Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+    try {
+      // STEP 0 (ingest, outside the runbook): the batch lands as new
+      // part files NEXT TO the standing ones — the log-structured shape
+      // the metadata append proof recognizes
+      def landAppend(table: String, idCol: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val cut = df.agg(max(col(idCol))).head().getLong(0) * 9 / 10
+        df.filter(col(idCol) < cut).write.parquet(s"$oldDir/$table")
+        Files.createDirectories(Paths.get(s"$newDir/$table"))
+        Files.list(Paths.get(s"$oldDir/$table")).forEach(p =>
+          Files.copy(p, Paths.get(s"$newDir/$table/${p.getFileName}"),
+            StandardCopyOption.COPY_ATTRIBUTES))
+        val tmp = Files.createTempDirectory("graft_runbook_batch").toString
+        df.filter(col(idCol) >= cut).write.parquet(s"$tmp/b.parquet")
+        Files.list(Paths.get(s"$tmp/b.parquet"))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.move(p, Paths.get(s"$newDir/$table/part-batch-${p.getFileName}")))
+      }
+      landAppend("embeddings.parquet", "vec_id", Tables.embeddings(spark, sf))
+      landAppend("documents.parquet", "doc_id", Tables.documents(spark, sf))
+      // standing assets exist from the previous corpus generation
+      Similarity.corpusKnnEdges(spark, oldDir).count()
+      Dedup.corpusGramDf(spark, oldDir).count()
+
+      // STEP 1: the ONE call an append workflow makes — publish the new
+      // corpus's assets by increment; the pure-append precondition is
+      // validated from METADATA here (zero data jobs), with the digest
+      // join only on ambiguous listings and full rebuild on violation
+      val proofs0 = AssetStore.metadataAppendProofs.get()
+      val inc = send("POST", s"$base/maintenance/assets_increment",
+        s"""{"oldDir": "$oldDir", "dir": "$newDir"}""")
+      assert(inc.statusCode() == 200, inc.body())
+      val pub = mapper.readTree(inc.body()).get("published")
+      assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, inc.body())
+      assert(AssetStore.metadataAppendProofs.get() > proofs0,
+        "the append-shaped landing must validate via the metadata proof")
+
+      // STEP 2: retire the previous generation's assets — gc against
+      // the corpora the deployment still queries (dry-run previews,
+      // then the explicit sweep)
+      val corporaJson =
+        s"""{"corpora": [{"dir": "$newDir", "table": "embeddings.parquet"},
+           | {"dir": "$newDir", "table": "documents.parquet"}]}""".stripMargin
+      val dry = mapper.readTree(send("POST", s"$base/maintenance/assets_gc", corporaJson).body())
+      assert(dry.get("dryRun").asBoolean() && dry.get("swept").size() > 0,
+        s"old-generation assets must be sweepable: ${dry.toString.take(300)}")
+      val wet = mapper.readTree(send("POST", s"$base/maintenance/assets_gc",
+        corporaJson.dropRight(1) + """, "dryRun": false}""").body())
+      assert(wet.get("swept").size() == dry.get("swept").size())
+
+      // the runbook leaves the system serving: every consumer loads the
+      // published new-corpus assets with zero builds
+      Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+      val kb0 = Similarity.knnAssetBuilds.get()
+      val gb0 = Dedup.ngramAssetBuilds.get()
+      assert(Similarity.corpusKnnEdges(spark, newDir).count() > 0)
+      assert(Dedup.corpusGramDf(spark, newDir).count() > 0)
+      assert(Similarity.knnAssetBuilds.get() == kb0 && Dedup.ngramAssetBuilds.get() == gb0,
+        "post-runbook consumers must LOAD, not rebuild")
+    } finally {
+      api.close()
+      Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
+      spark.conf.unset("spark.graft.index.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("api key gate: absent key is 400, wrong key is 401, right key passes") {
     val g = new Graft(spark)
     val api = new HttpApi(g, apiKey = Some("sekrit")).start()
