@@ -1860,6 +1860,97 @@ object Dedup {
   def cdcQuery(spark: SparkSession, dir: String): DataFrame =
     cdcDedupOn(corpusChunkDigests(spark, dir, k = 8, divisor = 64))
 
+  /** CDC CHUNK OCCUPANCY PROFILE (round 17) — per occurrence-count
+    * doubling bucket (`k = floor(log2(chunk_df))`, the repo's
+    * float-free log axis): how many DISTINCT chunks occur in that many
+    * documents, their byte mass, and the bytes a content-addressed
+    * store SAVES by holding each chunk once (`len·(df−1)` summed).
+    * This is the capacity-planning report behind the chunk store and
+    * every `dedup_cdc*` tier: the k=0 bucket is the unique tail
+    * (stored but never deduplicating), the high-k buckets are
+    * boilerplate — a spike there says "CDC is carrying this corpus"
+    * before anyone commits storage budget.
+    *
+    * Scale shape: one scan of the skinny materialized
+    * [[corpusChunkDigests]] asset (digest, len rows — no text), a
+    * digest-keyed count (map-side combined, the same exchange every
+    * CDC tier already pays), then a ≤64-row doubling rollup.
+    */
+  def cdcChunkStats(spark: SparkSession, dir: String,
+      k: Int = 8, divisor: Int = 64): DataFrame =
+    corpusChunkDigests(spark, dir, k, divisor)
+      .groupBy(col("digest"))
+      // len is digest-determined (mod the md5 collision contract);
+      // max() is the engine-independent way to say "any"
+      .agg(countDistinct(col("doc_id")).as("chunk_df"), max(col("len")).as("len"))
+      .groupBy((length(bin(col("chunk_df"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("total_chars"),
+        sum(col("len") * (col("chunk_df") - 1)).as("dedup_saved_chars"),
+        max(col("chunk_df")).as("max_df"))
+      .orderBy("k")
+
+  /** GRAM DOCUMENT-FREQUENCY PROFILE (round 17) — doubling histogram
+    * of the shingle df table: grams per df bucket, their posting mass,
+    * and the bucket's share of all postings in basis points. This is
+    * the sizing audit for EVERY gram-keyed path here — the n-gram
+    * prefix index's candidate bound is Σ df² over prefix grams, the
+    * novelty queries' join cost tracks posting mass, and the
+    * [[corpusGramDfIncrement]] crossover (vocabulary vs gram volume)
+    * is literally this table's shape — so it is the chart a deployment
+    * reads before sizing any of them.
+    *
+    * Scale shape: one scan of the skinny materialized gram-stats asset
+    * (`gramdffd`, built once per corpus); the rollup keys on ≤64
+    * doubling buckets, map-side combined; the share denominator comes
+    * from a 1-row broadcast over the same ≤64-row rollup.
+    */
+  def gramDfHist(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val buckets = corpusGramDf(spark, dir, k)
+      .groupBy((length(bin(col("__df"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("__df")).as("total_postings"),
+        max(col("__df")).as("max_df"))
+    val total = buckets.agg(sum(col("total_postings")).as("__t"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("posting_share_bp", expr("(10000 * total_postings) DIV __t"))
+      .drop("__t")
+      .orderBy("k")
+  }
+
+  /** NEAR-DUP RATE BY SOURCE (round 17) — the [[dedupRateBySource]]
+    * attribution for the MINHASH tier: per source, how many of its
+    * distinct-text representatives sit in at least one cross-document
+    * near-dup pair at Jaccard ≥ `threshold`. Exact dups answer "who
+    * re-posts verbatim"; this answers "who paraphrases/templates" —
+    * the two rates together are the per-source curation scorecard.
+    *
+    * Scale shape: a consumer of the materialized minhash PAIR asset
+    * (near-dup rate × corpus rows — broadcastable by construction);
+    * the representative set is the one md5-keyed exchange every exact
+    * tier already pays; the rollup is sources-sized.
+    */
+  def neardupRateBySource(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.groupBy(md5(col("text")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val pairs = corpusMinhashPairs(spark, dir, threshold = threshold)
+    val hit = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    reps.join(broadcast(hit), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_reps"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_neardup"))
+      .withColumn("neardup_bp", expr("(10000 * n_neardup) DIV n_reps"))
+      .orderBy("source")
+  }
+
   /** Ingest-batch CDC accounting — "how much of this delivery is
     * content we already store?", the transfer-suppression question a
     * chunk store answers before accepting a batch (rsync's premise at

@@ -1302,6 +1302,74 @@ object Similarity {
     graft.engine.Caching.handoff(out, und, oriented)
   }
 
+  /** CLUSTERING COEFFICIENT BY DEGREE (round 17) — [[triangleStats]]'
+    * per-node report rolled up to the grain a deployment actually
+    * reads: per undirected degree, node count, triangle mass, and the
+    * mean local clustering coefficient in basis points. The
+    * degree-conditioned curve is the standard graph-health fingerprint
+    * (real similarity graphs show lcc falling with degree; a FLAT high
+    * curve at high degree is the near-duplicate-clump signature, and a
+    * collapsed curve says the LSH width is shredding neighborhoods).
+    * Twelfth consumer of the durable edge asset.
+    *
+    * Scale shape: exactly [[triangleStats]]' audited plan (degree-
+    * ordered wedges, arboricity-bounded) plus a degree-keyed map-side-
+    * combined rollup — degrees are bounded by the k-NN fan-in, so the
+    * final exchange is tiny. The mean is `Σ lcc_bp DIV n` on int64
+    * (engine- and order-independent).
+    */
+  def ccByDegree(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(spark, dir)
+      .groupBy("degree")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("n_triangles")).as("total_triangles"),
+        sum(col("lcc_bp")).as("__s"))
+      .withColumn("avg_lcc_bp", expr("__s DIV n_nodes"))
+      .drop("__s")
+      .orderBy("degree")
+
+  /** DIMENSION CORRELATION AUDIT (round 17) — the `topK` most
+    * correlated embedding-dimension PAIRS by |n·Σxy − Σx·Σy| (the
+    * covariance numerator on the exact integer grid — no float
+    * variance, no ulp lottery). [[embedDimStatsQuery]] reads each
+    * dimension alone; this is the off-diagonal: strongly coupled
+    * dimensions mean the model wastes capacity (PCA would fold them)
+    * and — the curation angle — that a PQ subspace split straddling
+    * them loses accuracy, so this table is read when choosing the
+    * pq/ivfpq subspace layout.
+    *
+    * Scale shape: ONE corpus scan emitting d(d−1)/2 products per row
+    * (d=64 → 2016 int64s — a fused array comprehension, no self-join
+    * of the exploded corpus), map-side combined into a 2016-row
+    * rollup; per-dim sums ride a 64-row broadcast. The head cut is a
+    * bounded TakeOrderedAndProject. At 10⁹ rows the int64 bound holds
+    * through Σxy (≤ n·scale²·max²) — past ~10¹² rows the sums need
+    * decimal(38), noted here because the audit is corpus-wide by
+    * design.
+    */
+  def embedDimCorr(spark: SparkSession, dir: String,
+      scale: Int = 1000, topK: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
+    val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val pairs = q.select(explode(expr(
+        "flatten(transform(sequence(0, size(q) - 2), i -> " +
+          "transform(sequence(i + 1, size(q) - 1), j -> " +
+          "named_struct('i', i, 'j', j, 'xy', q[i] * q[j]))))")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+    pairs
+      .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("sxy"), col("cov_num"))
+      .orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
+      .limit(topK)
+  }
+
   /** SHARED-NEAREST-NEIGHBOR similarity — for every adjacent pair of
     * the symmetrized k-NN graph, the Jaccard overlap of the two
     * endpoints' neighbor sets (each excluding the other endpoint): the

@@ -1365,6 +1365,96 @@ object TextAnalysis {
   def packSequencesQuery(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** PACKING EFFICIENCY (round 17) — per packing group of
+    * [[packSequences]]: sequences produced, documents and tokens
+    * packed, and the group's fill rate against `capacity` in basis
+    * points. Packing efficiency IS the pretraining cost model — a
+    * fill of 8000 bp means one GPU-hour in five computes padding — and
+    * the per-group view catches hash-skewed groups before a training
+    * run does.
+    *
+    * Scale shape: [[packSequences]]' own shuffle (ranged cum-sum, no
+    * single-partition sort) plus a groups-sized rollup; `n_seqs` is
+    * `max(seq_id)+1` because seq ids are dense from 0 within a group
+    * by construction.
+    */
+  def packEfficiency(spark: SparkSession, dir: String,
+      capacity: Long = 256, groups: Int = 8): DataFrame =
+    packSequences(Tables.documents(spark, dir), capacity, groups)
+      .groupBy(col("grp").cast("long").as("grp"))
+      .agg(
+        (max(col("seq_id")) + 1L).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("fill_bp", expr(s"(10000 * total_tokens) DIV (n_seqs * ${capacity}L)"))
+      .orderBy("grp")
+
+  /** QUALITY PROFILE BY SOURCE (round 17) — the [[textQuality]]
+    * per-document signals rolled up to the mix-design grain: per
+    * source, document/char/token mass plus punctuation, uppercase and
+    * stopword totals, with integer-bp ratios. Sources are bought,
+    * weighted, and cut at THIS grain — per-doc scores gate documents,
+    * this table gates sources (a crawl whose stopword rate sits far
+    * from the corpus band is machine-generated or non-target-language
+    * long before per-doc filters see it).
+    *
+    * Scale shape: one corpus pass (all five counting kernels fused in
+    * one narrow projection), map-side-combined rollup to sources rows;
+    * ratios are single divisions of exact longs.
+    */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("__c"),
+        text.tokenCount(col("text")).cast("long").as("__t"),
+        text.punctCount(col("text")).cast("long").as("__p"),
+        text.upperCount(col("text")).cast("long").as("__u"),
+        text.stopwordCount(col("text")).cast("long").as("__s"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__c")).as("n_chars"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__p")).as("punct_n"),
+        sum(col("__u")).as("upper_n"),
+        sum(col("__s")).as("stop_n"))
+      .withColumn("stop_bp", expr("(10000 * stop_n) DIV n_tokens"))
+      .withColumn("punct_bp", expr("(10000 * punct_n) DIV n_chars"))
+      .orderBy("source")
+
+  /** VOCABULARY DRIFT (round 17) — the [[graft.operators.Similarity]]
+    * `embed_drift` report for TEXT: for the corpus's top-`topK` terms,
+    * frequency in the first id half vs the second, and the second
+    * half's share in basis points. A head term collapsing (or
+    * erupting) between halves is how topic drift, crawler breakage and
+    * template churn show up FIRST — before any distribution test: the
+    * head carries most of the mass, so drift there moves every
+    * downstream statistic.
+    *
+    * Scale shape: one corpus scan into a term-keyed conditional-sum
+    * aggregate (map-side combined — the vocabulary exchange every
+    * vocab_* query pays); the head cut is a bounded
+    * TakeOrderedAndProject (total order: freq desc, term asc — never a
+    * single-partition window); the split point is one broadcast
+    * scalar.
+    */
+  def vocabDrift(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(col("doc_id") < split, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("doc_id") >= split, 1L).otherwise(0L)).as("n_second"))
+      .withColumn("freq", col("n_first") + col("n_second"))
+      .withColumn("second_share_bp", expr("(10000 * n_second) DIV freq"))
+      .orderBy(desc("freq"), asc("term"))
+      .limit(topK)
+  }
+
   /** Balanced source MIX: every source contributes exactly the size of
     * the smallest source, members chosen by content-hash rank — the
     * "equal mixing weights" training-mix primitive as a deterministic,

@@ -2056,6 +2056,161 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must exercise the operator")
   }
 
+  test("gram_df_hist + cdc_chunk_stats: geometric-df ladders spread the buckets; conservation on the corpus (r17)") {
+    import graft.operators.Dedup
+    // --- gram df ladder: gram family g_j lives in exactly 2^j docs, so
+    // bucket k holds ONE gram with df = 2^k — every boundary 0..5 hit
+    val gDir = java.nio.file.Files.createTempDirectory("graft_gdfh").toString
+    val gdocs = (0 until 6).flatMap { j =>
+      (0 until (1 << j)).map { r =>
+        ((j * 100 + r).toLong, s"a$j b$j c$j")
+      }
+    }
+    gdocs.map { case (id, t) => (id, t, "und", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$gDir/documents.parquet")
+    val gotG = Dedup.gramDfHist(spark, gDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val totalPost = (0 until 6).map(1L << _).sum // 63
+    val wantG = (0 until 6).map { k =>
+      (k.toLong, 1L, 1L << k, 1L << k, 10000L * (1L << k) / totalPost)
+    }
+    assert(gotG == wantG, s"got $gotG\nwant $wantG")
+    // conservation at sf: bucket gram counts add to the distinct-gram
+    // vocabulary; shares are a <=10000 partition of the posting mass
+    val hist = Dedup.gramDfHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    val vocab = Dedup.corpusGramDf(spark, sf).count()
+    assert(hist.map(_._2).sum == vocab, "buckets must conserve the vocabulary")
+    val shareSum = hist.map(_._4).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - hist.size * 2L, s"share sum $shareSum")
+
+    // --- cdc occurrence ladder: short texts (< the k=8 window) chunk
+    // as whole docs, so a text repeated 2^j times is one chunk with
+    // df = 2^j; unique suffixes spread ids
+    val cDir = java.nio.file.Files.createTempDirectory("graft_cdch").toString
+    val cdocs = (0 until 4).flatMap { j =>
+      (0 until (1 << j)).map { r => ((j * 100 + r).toLong, s"dup$j!") }
+    }
+    cdocs.map { case (id, t) => (id, t, "und", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$cDir/documents.parquet")
+    val gotC = Dedup.cdcChunkStats(spark, cDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val wantC = (0 until 4).map { k =>
+      (k.toLong, 1L, 5L, 5L * ((1L << k) - 1L), 1L << k)
+    }
+    assert(gotC == wantC, s"got $gotC\nwant $wantC")
+    // conservation at sf against the digest asset: distinct chunks and
+    // the stored-vs-replicated byte split must add up exactly
+    val asset = Dedup.corpusChunkDigests(spark, sf)
+    val distinctChunks = asset.select("digest").distinct().count()
+    val totalMass = asset.agg(sum(col("len"))).head().getLong(0)
+    val stats = Dedup.cdcChunkStats(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stats.map(_._1).sum == distinctChunks, "buckets must conserve distinct chunks")
+    assert(stats.map(t => t._2 + t._3).sum == totalMass,
+      "stored + saved bytes must equal the corpus chunk mass")
+    spark.catalog.clearCache()
+  }
+
+  test("vocab_drift / quality_by_source / pack_efficiency: collected references; drift endpoints (r17)") {
+    import graft.operators.TextAnalysis
+    // vocab_drift endpoints: a term only in the first half reads 0 bp,
+    // only-second reads 10000, balanced reads 5000; the head cut keeps
+    // exactly topK of a wider ladder
+    val vDir = java.nio.file.Files.createTempDirectory("graft_vdrift").toString
+    val vdocs =
+      (0 until 10).map(i => (i.toLong, "onlyfirst " * 6 + s"filler$i")) ++
+      (100 until 110).map(i => (i.toLong, "onlysecond " * 6 + "balanced " * 3 + s"tail$i")) ++
+      (0 until 10).map(i => (i.toLong + 10L, "balanced " * 3))
+    // split = max(doc_id) div 2 = 54: ids 0..19 are "first", 100.. "second"
+    vdocs.map { case (id, t) => (id, t.trim, "und", "s0", t.trim.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$vDir/documents.parquet")
+    val drift = TextAnalysis.vocabDrift(spark, vDir, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // all three head terms tie at freq 60: term-asc is the tiebreak
+    assert(drift == Seq(
+      ("balanced", 30L, 30L, 60L, 5000L),
+      ("onlyfirst", 60L, 0L, 60L, 0L),
+      ("onlysecond", 0L, 60L, 60L, 10000L)),
+      s"drift endpoints wrong: $drift")
+    // quality_by_source equals the per-doc operator rolled up by hand
+    val perDoc = graft.operators.TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantQ = perDoc.groupBy(t => srcOf(t._1)).map { case (s, xs) =>
+      val (c, t, p, u, st) =
+        (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum, xs.map(_._5).sum, xs.map(_._6).sum)
+      (s, xs.length.toLong, c, t, p, u, st, 10000L * st / t, 10000L * p / c)
+    }.toSeq.sortBy(_._1)
+    val gotQ = TextAnalysis.qualityBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(gotQ == wantQ, s"got ${gotQ.take(2)}...\nwant ${wantQ.take(2)}...")
+    // pack_efficiency equals the packing table rolled up by hand (fill
+    // may exceed 10000 bp: a sequence overflows by at most its last doc)
+    val packed = TextAnalysis.packSequencesQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    val wantP = packed.groupBy(_._2).map { case (g, xs) =>
+      val seqs = xs.map(_._3).max + 1
+      val toks = xs.map(_._4).sum
+      (g, seqs, xs.length.toLong, toks, 10000L * toks / (seqs * 256L))
+    }.toSeq.sortBy(_._1)
+    val gotP = TextAnalysis.packEfficiency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotP == wantP, s"got $gotP\nwant $wantP")
+    assert(gotP.size == 8, "all 8 packing groups must report")
+    spark.catalog.clearCache()
+  }
+
+  test("graph_cc_by_degree / embed_dim_corr / neardup_rate_by_source: rollup + brute-force references (r17)") {
+    import graft.operators.{Dedup, Similarity}
+    // cc-by-degree equals the per-node triangle table rolled up by hand
+    val nodes = Similarity.triangleStats(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wantCc = nodes.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum / xs.length)
+    }.toSeq.sortBy(_._1)
+    val gotCc = Similarity.ccByDegree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotCc == wantCc, s"got $gotCc\nwant $wantCc")
+    assert(gotCc.forall(t => t._4 >= 0L && t._4 <= 10000L), "mean lcc must sit in [0, 10000] bp")
+
+    // dim-corr equals a driver brute force over the quantized corpus
+    val vecs = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    val d = vecs.head.length
+    val n = vecs.length.toLong
+    val sx = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    val ref = (for { i <- 0 until d; j <- i + 1 until d } yield {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      (i.toLong, j.toLong, n, sxy, n * sxy - sx(i) * sx(j))
+    }).sortBy(t => (-math.abs(t._5), t._1, t._2)).take(20)
+    val gotCorr = Similarity.embedDimCorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotCorr == ref, s"got ${gotCorr.take(3)}...\nwant ${ref.take(3)}...")
+
+    // near-dup attribution equals the pair table + rep map rolled up
+    val pairIds = Dedup.minhashQuery(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val docsC = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val reps = docsC.groupBy(_._3).map { case (_, xs) => xs.minBy(_._1) }
+    val wantN = reps.groupBy(_._2).map { case (s, xs) =>
+      val hit = xs.count(x => pairIds.contains(x._1)).toLong
+      (s, xs.size.toLong, hit, 10000L * hit / xs.size)
+    }.toSeq.sortBy(_._1)
+    val gotN = Dedup.neardupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotN == wantN, s"got ${gotN.take(4)}...\nwant ${wantN.take(4)}...")
+    assert(gotN.map(_._3).sum > 0, "corpus must exercise the near-dup attribution")
+    spark.catalog.clearCache()
+  }
+
   test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
