@@ -338,4 +338,29 @@ object Clustering {
         (col("doc_id") === col("keep_id")).as("keep"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** NEAR-DUP CLUSTER SIZE PROFILE (round 17) — doubling histogram of
+    * [[dedupClustersQuery]]'s cluster sizes: clusters per size bucket,
+    * member mass, and the largest cluster. The size distribution IS
+    * the dedup policy input — a long tail of pairs dedups cheaply and
+    * safely, while a giant cluster (templated boilerplate, a mirrored
+    * site) means canonical-selection policy suddenly governs a visible
+    * corpus fraction, and is also the structure every
+    * transitive-closure cost estimate keys on.
+    *
+    * Scale shape: the component labels come from the same bounded
+    * large-star/small-star fixpoint (pair-graph-sized, never corpus);
+    * the histogram is a clusters-keyed count folded into ≤64 doubling
+    * buckets, map-side combined.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersQuery(spark, dir)
+      .select(col("cluster_id"), col("cluster_size"))
+      .dropDuplicates("cluster_id")
+      .groupBy((length(bin(col("cluster_size"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("total_members"),
+        max(col("cluster_size")).as("max_size"))
+      .orderBy("k")
 }

@@ -1208,6 +1208,87 @@ object Relational {
         max(col("end_us") - col("start_us")).as("max_duration_us"))
       .orderBy("n_events")
 
+  /** USER LIFESPAN HISTOGRAM (round 17) — users bucketed by the
+    * doubling of their active span (first to last event, whole
+    * seconds; the +1 puts single-event users in bucket 0 instead of a
+    * degenerate log(0)): user count, their event mass, and the
+    * longest span per bucket. Lifespan shape is the churn chart every
+    * retention model starts from — and the state-sizing input for the
+    * streaming sessionizer (state horizon tracks how long users stay
+    * active).
+    *
+    * Scale shape: one user-keyed min/max/count aggregate (map-side
+    * combined — the exchange q_retention already pays), folded into
+    * ≤64 doubling buckets.
+    */
+  def qUserLifespan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        expr("(max(tus) - min(tus)) DIV 1000000").as("span_s"))
+      .groupBy((length(bin(col("span_s") + 1)) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).as("total_events"),
+        max(col("span_s")).as("max_span_s"))
+      .orderBy("k")
+
+  /** INTER-EVENT GAP HISTOGRAM (round 17) — consecutive same-user
+    * event gaps in doubling whole-second buckets: the distribution the
+    * session GAP CONSTANT is calibrated from (the sessionizer's 30 min
+    * cut should sit in this histogram's valley between within-session
+    * and between-session mass — this is the chart that proves it) and
+    * the arrival-process fingerprint behind any burstiness model.
+    *
+    * Scale shape: ONE user-partitioned window (ordered by time then
+    * event id — the q_sessionize exchange, shared shape), a narrow lag
+    * projection, then a ≤64-bucket map-side-combined rollup.
+    */
+  def qGapHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .withColumn("gap_s", expr("(tus - lag(tus, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id)) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("total_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy("k")
+  }
+
+  /** HOURLY TRAFFIC PROFILE (round 17) — events by UTC hour-of-day ×
+    * type, with distinct users, exact cent mass, and each cell's share
+    * of its type's daily traffic in basis points: the load-shape table
+    * behind capacity planning (when to schedule compactions/GC) and
+    * the per-type diurnal fingerprint (purchases peaking off the view
+    * peak is a funnel-latency signal).
+    *
+    * Scale shape: one scan into a (24 × |types|)-keyed aggregate
+    * (map-side combined; distinct users exact via the same grouped
+    * pass), type totals re-aggregated from the tiny cell table and
+    * joined back — the corpus is read once.
+    */
+  def qHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_cents"))
+    val totals = cells.groupBy("event_type").agg(sum(col("n_events")).as("__tot"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("share_bp", expr("(10000 * n_events) DIV __tot"))
+      .select("hr", "event_type", "n_events", "n_users", "total_cents", "share_bp")
+      .orderBy("hr", "event_type")
+  }
+
   /** TIME-DECAYED ENGAGEMENT — per-user value sum under half-life-
     * per-day decay, computed EXACTLY: cents are right-shifted by the
     * event's age in whole days (`vc DIV 2^age`), so the "recency-

@@ -216,6 +216,66 @@ object EventStream {
       }
   }
 
+  /** One user's entry-path prefix — the bounded state behind
+    * [[pathPrefixStream]]: at most `k` event types plus the ordering
+    * frontier.
+    */
+  case class PathState(path: String, depth: Int, seq: Long, lastT: Long, ooo: Long)
+
+  /** Per-update emission of [[pathPrefixStream]]; `seq` is monotone so
+    * a consumer picks each user's latest row, `ooo` is the r17
+    * ordering-violation counter.
+    */
+  case class PathUpdate(user_id: Long, path: String, depth: Long, seq: Long, ooo: Long)
+
+  /** ENTRY-PATH STREAM (round 17) — the stateful twin of
+    * [[graft.operators.Relational.qTopPaths]]' per-user half: each
+    * user's first-`k`-event-type path maintained in
+    * `mapGroupsWithState` with O(k) state (the joined prefix plus the
+    * fold frontier — never an event list). The top-20 rollup stays a
+    * batch/report concern (a global top-k over accreting counts is
+    * Complete-mode territory); what streams is the expensive part, the
+    * per-user path fold over the event firehose.
+    *
+    * Same ordering contract and violation counter as
+    * [[funnelStepsStream]]: exact under per-key in-order arrival
+    * across micro-batches (within a batch events are sorted by
+    * (time, event_id), the batch query's key); a batch arriving behind
+    * the frontier increments `ooo` on the emitted row. StreamingSpec
+    * pins the finals' path counts equal to the oracle-checked batch
+    * top-20 on a time-split source.
+    */
+  def pathPrefixStream(events: DataFrame, k: Int = 4): Dataset[PathUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[PathState, PathUpdate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val s0 = state.getOption.getOrElse(PathState("", 0, 0L, Long.MinValue, 0L))
+          val sorted = it.toArray.sortBy(e => (e._4, e._2))
+          val violated = sorted.nonEmpty && sorted.head._4 < s0.lastT
+          var path = s0.path
+          var depth = s0.depth
+          sorted.foreach { case (_, _, tpe, _) =>
+            if (depth < k) {
+              path = if (depth == 0) tpe else s"$path>$tpe"
+              depth += 1
+            }
+          }
+          val ns = PathState(path, depth, s0.seq + 1,
+            sorted.lastOption.fold(s0.lastT)(e => math.max(s0.lastT, e._4)),
+            s0.ooo + (if (violated) 1L else 0L))
+          state.update(ns)
+          PathUpdate(user, ns.path, ns.depth.toLong, ns.seq, ns.ooo)
+      }
+  }
+
   /** SESSION-STATS STREAM (round 17) — the incremental form of
     * [[graft.operators.Relational.qSessionStats]]: the session-length
     * histogram maintained OVER THE CLOSED-SESSIONS STREAM

@@ -2211,6 +2211,54 @@ class QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup_cluster_size_hist + q_user_lifespan: size ladders spread the buckets; gap/hourly conservation (r17)") {
+    import graft.operators.{Clustering, Relational}
+    // --- cluster ladder: two pairs, one 4-cluster, one 8-cluster, each
+    // on disjoint vocabulary; within a cluster every doc shares a long
+    // base with a distinct final token (near-dup, never exact-dup)
+    val cDir = java.nio.file.Files.createTempDirectory("graft_cshist").toString
+    def cluster(tag: String, size: Int, idBase: Long) = {
+      val base = (0 until 20).map(w => s"${tag}w$w").mkString(" ")
+      (0 until size).map(r => (idBase + r, s"$base ${tag}tail$r"))
+    }
+    val cdocs = cluster("a", 2, 0L) ++ cluster("b", 2, 100L) ++
+      cluster("c", 4, 200L) ++ cluster("d", 8, 300L)
+    cdocs.map { case (id, t) => (id, t, "und", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$cDir/documents.parquet")
+    val gotH = Clustering.clusterSizeHist(spark, cDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotH == Seq((1L, 2L, 4L, 2L), (2L, 1L, 4L, 4L), (3L, 1L, 8L, 8L)),
+      s"cluster ladder wrong: $gotH")
+    // --- lifespan ladder: spans 0/1/3/7 s (+1 => buckets 0..3), user
+    // event counts 1/2/2/2
+    val eDir = java.nio.file.Files.createTempDirectory("graft_lifespan").toString
+    val evs = Seq(
+      (1L, 10L, "view", 0.0, 1000L), // single event: span 0
+      (2L, 11L, "view", 0.0, 2000L), (2L, 12L, "view", 0.0, 2001L),
+      (3L, 13L, "view", 0.0, 3000L), (3L, 14L, "view", 0.0, 3003L),
+      (4L, 15L, "view", 0.0, 4000L), (4L, 16L, "view", 0.0, 4007L))
+    evs.map { case (u, e, t, v, s) => (e, u, t, v, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.parquet(s"$eDir/events.parquet")
+    val gotL = Relational.qUserLifespan(spark, eDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotL == Seq((0L, 1L, 1L, 0L), (1L, 1L, 2L, 1L), (2L, 1L, 2L, 3L), (3L, 1L, 2L, 7L)),
+      s"lifespan ladder wrong: $gotL")
+    // --- conservation at sf: gaps = events - users; hourly shares
+    // partition each type's mass
+    val ev = Tables.events(spark, sf)
+    val nGaps = Relational.qGapHist(spark, sf).agg(sum(col("n_gaps"))).head().getLong(0)
+    assert(nGaps == ev.count() - ev.select("user_id").distinct().count(),
+      "gap count must be events minus users")
+    val shares = Relational.qHourlyProfile(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(5)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+    assert(shares.forall(s => s <= 10000L && s > 10000L - 48L),
+      s"per-type hourly shares must partition the mass: $shares")
+    spark.catalog.clearCache()
+  }
+
   test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)

@@ -225,6 +225,58 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("entry-path stream (mapGroupsWithState) equals q_top_paths on a time-ordered source; OOO counted (r17)") {
+    // per-user first-4 path folded with O(k) state; the top-20 rollup
+    // over the finals must equal the oracle-checked batch query
+    val src = Files.createTempDirectory("graft_paths_src").toString
+    val ckpt = Files.createTempDirectory("graft_paths_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns").cast("long").as("ts_ns"))
+      .persist()
+    val times = ev.select("ts_ns").orderBy("ts_ns").as[Long].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    ev.filter(col("ts_ns") < c1).coalesce(1).write.parquet(s"$src/a_part")
+    ev.filter(col("ts_ns") >= c1 && col("ts_ns") < c2).coalesce(1).write.parquet(s"$src/b_part")
+    ev.filter(col("ts_ns") >= c2).coalesce(1).write.parquet(s"$src/c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, event_type STRING, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.pathPrefixStream(stream).toDF(), "paths_test", ckpt, OutputMode.Update)
+    val updates = spark.table("paths_test").collect()
+    val finals = updates.groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(3))).toSeq
+    assert(finals.forall(_.getLong(4) == 0L), "in-order source must report zero violations")
+    val counts = finals.groupBy(_.getString(1)).map { case (p, xs) => (p, xs.size.toLong) }
+    val got = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => ((i + 1).toLong, p, n) }
+    val want = graft.operators.Relational.qTopPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"stream top paths $got\nbatch $want")
+    // cross-batch handoff exercised: some user emits in more than one
+    // micro-batch (the carried state served those later rows; at this
+    // SF most users' first 4 events land inside one time-third, so
+    // path GROWTH across batches is not guaranteed — presence is)
+    assert(updates.groupBy(_.getLong(0)).values.exists(_.size > 1),
+      "every user fit in one batch: boundary handoff not exercised")
+    // and an out-of-order follow-up batch flags the affected user
+    val ooSrc = Files.createTempDirectory("graft_paths_ooo_src").toString
+    val ooCkpt = Files.createTempDirectory("graft_paths_ooo_ckpt").toString
+    Seq((7L, 1L, "view", 2000000L)).toDF("user_id", "event_id", "event_type", "ts_ns")
+      .coalesce(1).write.parquet(s"$ooSrc/a_part")
+    Seq((7L, 2L, "click", 1000000L)).toDF("user_id", "event_id", "event_type", "ts_ns")
+      .coalesce(1).write.parquet(s"$ooSrc/b_part")
+    EventStream.runAvailableNow(
+      EventStream.pathPrefixStream(spark.readStream
+        .schema("user_id LONG, event_id LONG, event_type STRING, ts_ns LONG")
+        .option("maxFilesPerTrigger", 1).parquet(ooSrc + "/*")).toDF(),
+      "paths_ooo_test", ooCkpt, OutputMode.Update)
+    val f7 = spark.table("paths_ooo_test").collect().maxBy(_.getLong(3))
+    assert(f7.getLong(4) >= 1L, s"out-of-order batch must be counted: $f7")
+    spark.catalog.clearCache()
+  }
+
   test("event-transition stream: a cross-batch out-of-order event flags its batch's rows (r17)") {
     // user 9's third event arrives in a later batch with a time BETWEEN
     // the two already-seen events: the emitted (B -> C) transition is
