@@ -284,7 +284,7 @@ final class Graft(
     * smoke number an orchestration step logs.
     */
   def incrementAssets(oldDir: String, dir: String,
-      families: Seq[String] = Seq("knn_edges", "gram_stats")): Map[String, Long] =
+      families: Seq[String] = Graft.DefaultIncrementFamilies): Map[String, Long] =
     families.map {
       case "knn_edges" =>
         "knn_edges" -> graft.operators.Similarity.corpusKnnEdgesIncrement(spark, oldDir, dir).count()
@@ -292,9 +292,16 @@ final class Graft(
         "bands" -> graft.operators.Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, dir).count()
       case "gram_stats" =>
         "gram_stats" -> graft.operators.Dedup.corpusGramDfIncrement(spark, oldDir, dir).count()
+      case "minhash_sigs" =>
+        "minhash_sigs" -> graft.operators.Dedup.corpusMinhashSignaturesIncrement(spark, oldDir, dir).count()
+      case "simhash_sigs" =>
+        "simhash_sigs" -> graft.operators.Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, dir).count()
+      case "cdc_digests" =>
+        "cdc_digests" -> graft.operators.Dedup.corpusChunkDigestsIncrement(spark, oldDir, dir).count()
       case other =>
         throw new IllegalArgumentException(
-          s"unknown asset family '$other' (expected knn_edges | bands | gram_stats)")
+          s"unknown asset family '$other' (expected knn_edges | bands | gram_stats | " +
+            "minhash_sigs | simhash_sigs | cdc_digests)")
     }.toMap
 
   /** DELETE /tasks/:id — removes the task and its namespaced transforms
@@ -315,6 +322,15 @@ final class Graft(
 }
 
 object Graft {
+  /** The asset families an unconditional append publish covers (r17):
+    * the graph pair (edges + co-published bands), the gram stats, and
+    * the three per-document signature/digest assets — everything whose
+    * rebuild would otherwise cost a full corpus scan per append.
+    * `bands` alone stays opt-in (the edge increment co-publishes it).
+    */
+  val DefaultIncrementFamilies: Seq[String] =
+    Seq("knn_edges", "gram_stats", "minhash_sigs", "simhash_sigs", "cdc_digests")
+
   /** Default connector pair: scheme-dispatched from the task's
     * source/dest roots — `http(s)://` roots get the over-the-wire
     * scroll/bulk connector ([[graft.sources.HttpScrollConnector]]),

@@ -396,7 +396,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     val families = Option(body.get("families"))
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .filter(_.nonEmpty)
-      .getOrElse(Seq("knn_edges", "gram_stats"))
+      .getOrElse(Graft.DefaultIncrementFamilies)
     val rows = g.incrementAssets(reqText(body, "oldDir"), reqText(body, "dir"), families)
     json(ex, 200, Map("published" -> rows.map { case (k, v) =>
       k -> java.lang.Long.valueOf(v) }.asJava))

@@ -631,11 +631,15 @@ object Dedup {
     * the stored bytes (shingle k, signature width, corpus content)
     * address the asset.
     */
+  private def minhashSigAssetId(spark: SparkSession, dir: String,
+      shingleK: Int, numHashes: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    s"minhashsig_k${shingleK}_h${numHashes}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
   def corpusMinhashSignatures(spark: SparkSession, dir: String,
       shingleK: Int = 3, numHashes: Int = 128): DataFrame = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val assetId =
-      s"minhashsig_k${shingleK}_h${numHashes}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = minhashSigAssetId(spark, dir, shingleK, numHashes)
     val path = minhashSigTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
@@ -645,6 +649,85 @@ object Dedup {
         }))
     spark.read.parquet(path)
   }
+
+  /** Per-doc-asset increments ran this JVM, by family — spec seams. */
+  private[graft] val minhashSigIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val simhashSigIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val cdcDigestIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** COPY-FORWARD INCREMENT for per-document derived assets (round 17)
+    * — minhash signatures, simhash signatures, CDC chunk digests. The
+    * derivation is PER-ROW deterministic (a doc's signature/digest set
+    * depends only on its own text), so under a pure append the merged
+    * asset is literally (old asset ∪ derive(batch)): every old part
+    * file moves by byte-level FILE COPY (no decode, no shuffle) and
+    * only the batch is shingled/signed/chunked. Before this, every
+    * corpus append re-derived all three assets from the FULL corpus —
+    * at 100 TB, three extra full-text scans per append. Same
+    * precondition discipline as the band/edge/gram increments:
+    * metadata-proven appends skip even the digest join
+    * ([[graft.engine.AssetStore.pureAppendByMetadata]]); ambiguous
+    * listings run the digest join; an actual edit falls back to the
+    * full rebuild (a stale signature row would poison every pair join
+    * served from the address).
+    */
+  private def perDocAssetIncrement(
+      spark: SparkSession, oldDir: String, dir: String,
+      tables: java.util.concurrent.ConcurrentHashMap[String, String],
+      assetId: String,
+      oldAssetPath: () => String,
+      incrementCounter: java.util.concurrent.atomic.AtomicInteger,
+      fullBuild: () => DataFrame,
+      derive: DataFrame => DataFrame,
+      family: String): DataFrame = {
+    val meta = graft.engine.AssetStore.pureAppendByMetadata(
+      spark, oldDir, dir, "documents.parquet", "doc_id")
+    if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$family increment $oldDir -> $dir is not a pure append; rebuilding")
+      return fullBuild()
+    }
+    val path = tables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          incrementCounter.incrementAndGet()
+          val conf = spark.sparkContext.hadoopConfiguration
+          val src = new org.apache.hadoop.fs.Path(oldAssetPath())
+          val fs = src.getFileSystem(conf)
+          fs.listStatus(src).foreach { st =>
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith("."))
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+                new org.apache.hadoop.fs.Path(staging, n), false, conf)
+          }
+          val batch = meta match {
+            case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+            case _ => Tables.documents(spark, dir)
+              .join(Tables.documents(spark, oldDir).select("doc_id"),
+                Seq("doc_id"), "left_anti")
+          }
+          val derived = derive(batch)
+          try derived.write.mode("append").parquet(staging)
+          finally { derived.unpersist(blocking = false); () }
+        }))
+    spark.read.parquet(path)
+  }
+
+  /** Publish `dir`'s minhash signature asset by increment from
+    * `oldDir`'s (see [[perDocAssetIncrement]]).
+    */
+  def corpusMinhashSignaturesIncrement(spark: SparkSession, oldDir: String, dir: String,
+      shingleK: Int = 3, numHashes: Int = 128): DataFrame =
+    perDocAssetIncrement(spark, oldDir, dir, minhashSigTables,
+      minhashSigAssetId(spark, dir, shingleK, numHashes),
+      () => {
+        corpusMinhashSignatures(spark, oldDir, shingleK, numHashes)
+        minhashSigTables.get(minhashSigAssetId(spark, oldDir, shingleK, numHashes))
+      },
+      minhashSigIncrementBuilds,
+      () => corpusMinhashSignatures(spark, dir, shingleK, numHashes),
+      b => signedHashed(b, shingleK, numHashes),
+      "minhash signature")
 
   /** Candidate pairs via banding: signature split into `bands` bands of
     * `numHashes/bands` rows; docs agreeing on any band's hash co-locate
@@ -946,8 +1029,7 @@ object Dedup {
     * corpus fingerprint.
     */
   def corpusSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val assetId = s"simhashsig_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = simhashSigAssetId(spark, dir)
     val path = simhashSigTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
@@ -957,6 +1039,26 @@ object Dedup {
         }))
     spark.read.parquet(path)
   }
+
+  private def simhashSigAssetId(spark: SparkSession, dir: String): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    s"simhashsig_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  /** Publish `dir`'s simhash signature asset by increment from
+    * `oldDir`'s (see [[perDocAssetIncrement]]).
+    */
+  def corpusSimhashSignaturesIncrement(spark: SparkSession, oldDir: String, dir: String): DataFrame =
+    perDocAssetIncrement(spark, oldDir, dir, simhashSigTables,
+      simhashSigAssetId(spark, dir),
+      () => {
+        corpusSimhashSignatures(spark, oldDir)
+        simhashSigTables.get(simhashSigAssetId(spark, oldDir))
+      },
+      simhashSigIncrementBuilds,
+      () => corpusSimhashSignatures(spark, dir),
+      b => simhashSignatures(b, md5Hash = true),
+      "simhash signature")
 
   /** [[simhashPairs]]' tail over a prebuilt (doc_id, sim) signature
     * table — the asset entry point.
@@ -1817,9 +1919,7 @@ object Dedup {
     */
   def corpusChunkDigests(spark: SparkSession, dir: String,
       k: Int = 8, divisor: Int = 64): DataFrame = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val assetId =
-      s"cdcdigests_k${k}_w${divisor}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = cdcDigestAssetId(spark, dir, k, divisor)
     val path = chunkDigestTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
@@ -1830,6 +1930,28 @@ object Dedup {
         }))
     spark.read.parquet(path)
   }
+
+  private def cdcDigestAssetId(spark: SparkSession, dir: String,
+      k: Int, divisor: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    s"cdcdigests_k${k}_w${divisor}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  /** Publish `dir`'s CDC chunk-digest asset by increment from
+    * `oldDir`'s (see [[perDocAssetIncrement]]).
+    */
+  def corpusChunkDigestsIncrement(spark: SparkSession, oldDir: String, dir: String,
+      k: Int = 8, divisor: Int = 64): DataFrame =
+    perDocAssetIncrement(spark, oldDir, dir, chunkDigestTables,
+      cdcDigestAssetId(spark, dir, k, divisor),
+      () => {
+        corpusChunkDigests(spark, oldDir, k, divisor)
+        chunkDigestTables.get(cdcDigestAssetId(spark, oldDir, k, divisor))
+      },
+      cdcDigestIncrementBuilds,
+      () => corpusChunkDigests(spark, dir, k, divisor),
+      b => chunkDigests(b, k, divisor),
+      "cdc chunk-digest")
 
   /** The accounting half over any (doc_id, digest, len) frame — fed by
     * the in-plan chunking pass (batch API) or a slice of the

@@ -540,6 +540,101 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("per-doc signature/digest assets publish appends by copy-forward increment; edits fall back (r17)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { root =>
+      val oldDir = Files.createTempDirectory("graft_sig_old").toString
+      val newDir = Files.createTempDirectory("graft_sig_new").toString
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
+      // append layout: standing files byte-copied, batch part files in
+      Files.createDirectories(Paths.get(s"$newDir/documents.parquet"))
+      Files.list(Paths.get(s"$oldDir/documents.parquet")).forEach(p =>
+        Files.copy(p, Paths.get(s"$newDir/documents.parquet/${p.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES))
+      val bTmp = Files.createTempDirectory("graft_sig_batch").toString
+      docs.filter(col("doc_id") >= cut).write.parquet(s"$bTmp/b.parquet")
+      Files.list(Paths.get(s"$bTmp/b.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, Paths.get(s"$newDir/documents.parquet/part-batch-${p.getFileName}")))
+      Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+      def files(dir: String): Set[(String, Long)] =
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      try {
+        // one case per family: (prebuild-old, increment, counter, canon)
+        val cases = Seq[(String, () => Unit, () => org.apache.spark.sql.DataFrame,
+            java.util.concurrent.atomic.AtomicInteger,
+            org.apache.spark.sql.DataFrame => Seq[String])](
+          ("minhashsig",
+            () => { Dedup.corpusMinhashSignatures(spark, oldDir).count(); () },
+            () => Dedup.corpusMinhashSignaturesIncrement(spark, oldDir, newDir),
+            Dedup.minhashSigIncrementBuilds,
+            df => df.select(col("doc_id"), col("hs").cast("string"), col("sig").cast("string"))
+              .collect().map(_.mkString("|")).sorted.toSeq),
+          ("simhashsig",
+            () => { Dedup.corpusSimhashSignatures(spark, oldDir).count(); () },
+            () => Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, newDir),
+            Dedup.simhashSigIncrementBuilds,
+            df => df.collect().map(_.mkString("|")).sorted.toSeq),
+          ("cdcdigests",
+            () => { Dedup.corpusChunkDigests(spark, oldDir).count(); () },
+            () => Dedup.corpusChunkDigestsIncrement(spark, oldDir, newDir),
+            Dedup.cdcDigestIncrementBuilds,
+            df => df.collect().map(_.mkString("|")).sorted.toSeq))
+        cases.foreach { case (family, prebuild, increment, counter, canon) =>
+          prebuild()
+          val c0 = counter.get()
+          val inc = canon(increment())
+          assert(counter.get() == c0 + 1, s"$family must publish via the increment path")
+          // the standing asset's data files were byte-copied forward
+          val oldAsset = new java.io.File(root).listFiles()
+            .filter(f => f.getName.startsWith(family)).map(_.toString)
+          assert(oldAsset.length == 2, s"$family: expected old+new assets, saw ${oldAsset.toSeq}")
+          val (a, b) = (files(oldAsset(0)), files(oldAsset(1)))
+          val (oldFiles, newFiles) = if (a.size <= b.size) (a, b) else (b, a)
+          assert(oldFiles.subsetOf(newFiles),
+            s"$family: standing part files must be copied verbatim: ${oldFiles.diff(newFiles)}")
+          // and the published table equals the from-scratch rebuild
+          val root2 = java.nio.file.Files.createTempDirectory("graft_sig_root2").toString
+          spark.conf.set("spark.graft.index.dir", root2)
+          Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+          val full = family match {
+            case "minhashsig" => canon(Dedup.corpusMinhashSignatures(spark, newDir))
+            case "simhashsig" => canon(Dedup.corpusSimhashSignatures(spark, newDir))
+            case _            => canon(Dedup.corpusChunkDigests(spark, newDir))
+          }
+          assert(inc == full, s"$family increment diverged: ${inc.size} vs ${full.size} rows")
+          spark.conf.set("spark.graft.index.dir", root)
+          Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        }
+        // an edited corpus must fall back to the full rebuild
+        val edDir = java.nio.file.Files.createTempDirectory("graft_sig_ed").toString
+        docs.withColumn("text",
+            when(col("doc_id") === 1L, lit("edited body text")).otherwise(col("text")))
+          .write.parquet(s"$edDir/documents.parquet")
+        val c1 = Dedup.simhashSigIncrementBuilds.get()
+        val viaFb = Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, edDir)
+          .collect().map(_.mkString("|")).sorted.toSeq
+        assert(Dedup.simhashSigIncrementBuilds.get() == c1,
+          "an edited corpus must not take the increment path")
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_sig_root3").toString)
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        val fullEd = Dedup.corpusSimhashSignatures(spark, edDir)
+          .collect().map(_.mkString("|")).sorted.toSeq
+        assert(viaFb == fullEd, "the fallback must serve the rebuilt signatures")
+      } finally {
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("gram-stats crossover gate: small standing corpus auto-selects rebuild; past the threshold the increment runs (r17)") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions._
