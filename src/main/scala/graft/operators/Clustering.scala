@@ -339,6 +339,42 @@ object Clustering {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** EFFECTIVE SOURCE SIZES (round 17) — the number every mix weight
+    * should actually be computed from: per source, raw documents,
+    * exact-dedup survivors (distinct-text representatives, attributed
+    * to the min-id doc's source) and near-dup-dedup survivors (reps in
+    * no cluster plus each cluster's kept canonical), with the kept
+    * fraction in basis points. A source that is 40% self-duplicated
+    * contributes 40% less signal than its raw size claims — weighting
+    * on raw counts over-trains on its boilerplate; this is the table
+    * that corrects it, composing the exact and near tiers the repo
+    * already prices separately (dedup_rate_by_source /
+    * neardup_rate_by_source).
+    *
+    * Scale shape: one md5-keyed exchange for the rep set (already paid
+    * by every exact tier); cluster labels from the bounded
+    * large-star/small-star closure over the broadcastable pair asset;
+    * rollups are sources-sized.
+    */
+  def mixEffectiveSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val reps = docs.groupBy(md5(col("text")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val keep = dedupClustersQuery(spark, dir).select(col("doc_id"), col("keep"))
+    val agg = reps.join(keep, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_reps"),
+        sum(when(col("keep").isNull || col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    nd.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("kept_bp", expr("(10000 * n_kept) DIV n_docs"))
+      .orderBy("source")
+  }
+
   /** NEAR-DUP CLUSTER SIZE PROFILE (round 17) — doubling histogram of
     * [[dedupClustersQuery]]'s cluster sizes: clusters per size bucket,
     * member mass, and the largest cluster. The size distribution IS

@@ -655,6 +655,20 @@ object Dedup {
   private[graft] val simhashSigIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] val cdcDigestIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Crossover gate for the per-doc asset increments — same shape as
+    * [[gramIncrementMinStandingBytes]] and measured the same way
+    * (SCALING.md r17): below ~1 GiB the signature/digest rebuilds are
+    * a 1–2 s corpus pass and the increment's fixed costs (listing
+    * proof, file copies, a second write) measure level or above them
+    * (sf1: cdc 0.93×, minhash 1.07×, simhash 1.9× of rebuild); past it
+    * the rebuild's full-text scan grows linearly while the increment
+    * tracks the batch. `var` is a spec/bench seam.
+    */
+  private[graft] var perDocIncrementMinStandingBytes: Long = 1L << 30
+
+  /** Times the per-doc gate chose the rebuild — spec seam. */
+  private[graft] val perDocIncrementRebuildSelections = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** COPY-FORWARD INCREMENT for per-document derived assets (round 17)
     * — minhash signatures, simhash signatures, CDC chunk digests. The
     * derivation is PER-ROW deterministic (a doc's signature/digest set
@@ -680,6 +694,13 @@ object Dedup {
       fullBuild: () => DataFrame,
       derive: DataFrame => DataFrame,
       family: String): DataFrame = {
+    // crossover gate (r17): below the measured threshold the rebuild's
+    // corpus pass is cheaper than the increment's fixed costs
+    if (graft.engine.AssetStore.tableBytes(spark, oldDir, "documents.parquet")
+        < perDocIncrementMinStandingBytes) {
+      perDocIncrementRebuildSelections.incrementAndGet()
+      return fullBuild()
+    }
     val meta = graft.engine.AssetStore.pureAppendByMetadata(
       spark, oldDir, dir, "documents.parquet", "doc_id")
     if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {

@@ -537,6 +537,36 @@ object TextAnalysis {
   def oovQuery(spark: SparkSession, dir: String): DataFrame =
     oovScore(Tables.documents(spark, dir), vocabSize = 16)
 
+  /** OOV RATE BY SOURCE (round 17) — [[oovScore]]'s verdict at the
+    * mix-design grain: per source, token mass and the share falling
+    * outside the corpus-global top-`vocabSize` vocabulary, in basis
+    * points. A source whose OOV rate sits far above the corpus band is
+    * the tokenizer-mismatch alarm (different language, markup, code)
+    * read BEFORE per-doc filters — and after a tokenizer retrain, the
+    * first table checked for coverage regressions.
+    *
+    * Scale shape: one tokenize pass; the vocabulary head is a bounded
+    * TakeOrderedAndProject broadcast back onto the token stream; the
+    * rollup is sources-sized, map-side combined.
+    */
+  def oovRateBySource(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(text.tokens(col("text"))).as("term"))
+    val vocab = toks
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) DIV n_tokens"))
+      .orderBy("source")
+  }
+
   /** Type-token ratio (lexical diversity): n_types / n_tokens per doc —
     * the "fraction of unique words" quality rule; low TTR flags the
     * boilerplate/keyword-stuffing documents a curation pass drops.

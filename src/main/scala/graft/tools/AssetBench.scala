@@ -102,8 +102,26 @@ object AssetBench {
         Dedup.corpusGramDf(spark, incOldDir).count(); ()
       }, () => Dedup.corpusGramDfIncrement(spark, incOldDir, incNewDir).count()),
       ("cdcdigests", noSetup, () => Dedup.corpusChunkDigests(spark, sfDir).count()),
+      ("cdcdigests_increment", () => {
+        appendLayout("documents.parquet", "doc_id")
+        // machinery row: the shipped gate routes local sizes to rebuild
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusChunkDigests(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusChunkDigestsIncrement(spark, incOldDir, incNewDir).count()),
       ("minhashsig_k3_h128", noSetup, () => Dedup.corpusMinhashSignatures(spark, sfDir).count()),
+      ("minhashsig_k3_h128_increment", () => {
+        appendLayout("documents.parquet", "doc_id")
+        // machinery row: the shipped gate routes local sizes to rebuild
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusMinhashSignatures(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusMinhashSignaturesIncrement(spark, incOldDir, incNewDir).count()),
       ("simhashsig", noSetup, () => Dedup.corpusSimhashSignatures(spark, sfDir).count()),
+      ("simhashsig_increment", () => {
+        appendLayout("documents.parquet", "doc_id")
+        // machinery row: the shipped gate routes local sizes to rebuild
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusSimhashSignatures(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusSimhashSignaturesIncrement(spark, incOldDir, incNewDir).count()),
       ("knnedges_k5", noSetup, () => Similarity.corpusKnnEdges(spark, sfDir).count()),
       ("knnedges_k5_increment", incSetup(4),
         () => Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir).count()),

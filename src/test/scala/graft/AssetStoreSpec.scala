@@ -565,7 +565,22 @@ class AssetStoreSpec extends SparkSpec {
         new java.io.File(dir).listFiles()
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(f => (f.getName, f.length())).toSet
+      val gate0 = Dedup.perDocIncrementMinStandingBytes
       try {
+        // the r17 crossover gate honestly routes this sub-GiB fixture
+        // to the rebuild — pin that against a throwaway warehouse so
+        // the gated rebuild doesn't pre-publish the increment's address
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_sig_root0").toString)
+        val sel0 = Dedup.perDocIncrementRebuildSelections.get()
+        val mi0 = Dedup.minhashSigIncrementBuilds.get()
+        Dedup.corpusMinhashSignaturesIncrement(spark, oldDir, newDir).count()
+        assert(Dedup.perDocIncrementRebuildSelections.get() == sel0 + 1,
+          "a sub-threshold standing corpus must route to the rebuild")
+        assert(Dedup.minhashSigIncrementBuilds.get() == mi0)
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.conf.set("spark.graft.index.dir", root)
+        Dedup.perDocIncrementMinStandingBytes = 0L
         // one case per family: (prebuild-old, increment, counter, canon)
         val cases = Seq[(String, () => Unit, () => org.apache.spark.sql.DataFrame,
             java.util.concurrent.atomic.AtomicInteger,
@@ -629,6 +644,7 @@ class AssetStoreSpec extends SparkSpec {
           .collect().map(_.mkString("|")).sorted.toSeq
         assert(viaFb == fullEd, "the fallback must serve the rebuilt signatures")
       } finally {
+        Dedup.perDocIncrementMinStandingBytes = gate0
         Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
         spark.catalog.clearCache()
       }

@@ -2259,6 +2259,47 @@ class QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mix_effective_sizes + oov_rate_by_source: tier composition and collected references (r17)") {
+    import graft.operators.{Clustering, Dedup, TextAnalysis}
+    // effective sizes compose the tiers the repo prices separately:
+    // n_docs - n_reps = exact dups (dedup_rate_by_source's n_dups), and
+    // n_reps - n_kept = near-dup non-canonical members per source
+    val got = Clustering.mixEffectiveSizes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val exact = Dedup.dedupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == exact.map(t => (t._1, t._2)), "raw doc counts must agree")
+    assert(got.zip(exact).forall { case (g, e) => g._2 - g._3 == e._3 },
+      "docs minus reps must equal the exact-tier dup count per source")
+    assert(got.forall(t => t._4 <= t._3 && t._3 <= t._2), "kept <= reps <= docs")
+    assert(got.exists(t => t._4 < t._3), "fixture must exercise the near-dup tier")
+    assert(got.forall(t => t._5 == 10000L * t._4 / t._2))
+    // cross-check n_kept against the cluster table + rep map directly
+    val docsC = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val reps = docsC.groupBy(_._3).map { case (_, xs) => xs.minBy(_._1) }
+    val keepMap = Clustering.dedupClustersQuery(spark, sf).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val wantKept = reps.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.count(x => keepMap.getOrElse(x._1, true)).toLong
+    }
+    assert(got.forall(t => wantKept(t._1) == t._4),
+      s"kept counts diverge from the collected reference")
+
+    // oov-by-source equals the per-doc operator rolled up by hand
+    val perDoc = TextAnalysis.oovQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcOf = docsC.map(t => t._1 -> t._2).toMap
+    val wantO = perDoc.groupBy(t => srcOf(t._1)).map { case (s, xs) =>
+      val (nt, no) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      (s, nt, no, 10000L * no / nt)
+    }.toSeq.sortBy(_._1)
+    val gotO = TextAnalysis.oovRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotO == wantO, s"got ${gotO.take(3)}\nwant ${wantO.take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("q_top_paths: top-20 first-4-event paths equal a collected reference; ranks pinned") {
     import graft.operators.Relational
     val ev = Tables.events(spark, sf)
