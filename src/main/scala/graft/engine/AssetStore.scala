@@ -136,7 +136,24 @@ object AssetStore {
     * below; at 100 TB with ~10⁵ data files that is seconds of metadata
     * I/O in place of a full corpus scan + shuffle.
     */
+  // proof memo keyed by (dirs, table, BOTH fingerprints): one default
+  // append publish consults the proof once per derived family (four
+  // times for documents.parquet) — the fingerprints re-list cheaply
+  // and content-address the expensive footer sweep, so a changed
+  // directory can never serve a stale verdict. Bounded by corpus
+  // generations per JVM, same growth contract as the asset handle maps.
+  private val appendProofMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
+
   def pureAppendByMetadata(spark: SparkSession, oldDir: String, dir: String,
+      table: String, idCol: String): Option[Seq[String]] = {
+    val memoKey = s"$oldDir|$dir|$table|${corpusFingerprint(spark, oldDir, table)}|" +
+      corpusFingerprint(spark, dir, table)
+    appendProofMemo.computeIfAbsent(memoKey,
+      _ => pureAppendByMetadataUncached(spark, oldDir, dir, table, idCol))
+  }
+
+  private def pureAppendByMetadataUncached(spark: SparkSession, oldDir: String, dir: String,
       table: String, idCol: String): Option[Seq[String]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def listing(d: String): Option[Map[String, (Long, Long, org.apache.hadoop.fs.Path)]] = {

@@ -40,6 +40,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object DriverBudget {
 
+  /** Typed over-budget signal (r17) — callers that can DEGRADE instead
+    * of failing (the knn increment's saturated-delta write) catch this
+    * by type, never by message sniffing. Extends IllegalStateException
+    * so existing handlers and specs keep working.
+    */
+  final class BudgetExceeded(msg: String) extends IllegalStateException(msg)
+
   final case class Observation(rows: Long, bound: Long, context: String)
 
   /** Max observed rows per site this JVM — the audit's coverage view.
@@ -77,7 +84,7 @@ object DriverBudget {
     observed.merge(site, Observation(n, bound, ctx),
       (a, b) => if (b.rows > a.rows) b else a)
     if (n > bound)
-      throw new IllegalStateException(
+      throw new BudgetExceeded(
         s"driver-collect budget exceeded at $site" +
           (if (ctx.nonEmpty) s" (query: $ctx)" else "") +
           s": fetched $n rows > bound $bound " +

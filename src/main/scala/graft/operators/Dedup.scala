@@ -708,12 +708,19 @@ object Dedup {
         s"$family increment $oldDir -> $dir is not a pure append; rebuilding")
       return fullBuild()
     }
+    // resolve the STANDING asset before entering the handle map:
+    // oldAssetPath() itself runs computeIfAbsent on the same map, and
+    // ConcurrentHashMap forbids recursive mapping-function updates
+    // (IllegalStateException when the two keys share a bin) — a fresh
+    // JVM whose old asset is committed on disk but not yet in the map
+    // would crash nondeterministically otherwise (r17 review fix)
+    val oldPath = oldAssetPath()
     val path = tables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           incrementCounter.incrementAndGet()
           val conf = spark.sparkContext.hadoopConfiguration
-          val src = new org.apache.hadoop.fs.Path(oldAssetPath())
+          val src = new org.apache.hadoop.fs.Path(oldPath)
           val fs = src.getFileSystem(conf)
           fs.listStatus(src).foreach { st =>
             val n = st.getPath.getName
@@ -1404,15 +1411,27 @@ object Dedup {
     * shingle to nothing, so the guarded asset cannot tell them apart
     * either).
     */
-  private def docsPureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean =
-    !Tables.documents(spark, oldDir)
-      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__old"))
-      .join(
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__new")),
-        Seq("doc_id"), "left")
-      .filter(col("__new").isNull || col("__old") =!= col("__new"))
-      .isEmpty
+  // verdict memo keyed by both fingerprints (r17): four derived-asset
+  // families validate the same documents pair per append publish —
+  // the corpus digest join runs once, not once per family; the
+  // fingerprints content-address the verdict (same contract as
+  // AssetStore's proof memo)
+  private val docsAppendVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def docsPureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean = {
+    def fp(d: String) =
+      graft.engine.AssetStore.corpusFingerprint(spark, d, "documents.parquet")
+    docsAppendVerdicts.computeIfAbsent(s"$oldDir|$dir|${fp(oldDir)}|${fp(dir)}", _ =>
+      !Tables.documents(spark, oldDir)
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__old"))
+        .join(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("__new")),
+          Seq("doc_id"), "left")
+        .filter(col("__new").isNull || col("__old") =!= col("__new"))
+        .isEmpty)
+  }
 
   /** Publish `dir`'s gram-stats asset by INCREMENT from `oldDir`'s
     * (round 16): `__df` is a sum and `first_doc` a min over disjoint
@@ -1453,11 +1472,14 @@ object Dedup {
     }
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
     val assetId = s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    // resolve the standing asset BEFORE computeIfAbsent: the builder
+    // would otherwise recursively update gramDfTables (same fix as
+    // perDocAssetIncrement — CHM forbids recursive mapping updates)
+    val old = corpusGramDf(spark, oldDir, k)
     val path = gramDfTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           gramDfIncrementBuilds.incrementAndGet()
-          val old = corpusGramDf(spark, oldDir, k)
           // metadata-proven appends read the batch files directly; the
           // anti-join (both corpora's doc_id columns) only runs for
           // digest-validated appends (r17)

@@ -1246,9 +1246,7 @@ object Relational {
     * event id — the q_sessionize exchange, shared shape), a narrow lag
     * projection, then a ≤64-bucket map-side-combined rollup.
     */
-  def qGapHist(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+  def qGapHist(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
@@ -1261,7 +1259,6 @@ object Relational {
         sum(col("gap_s")).as("total_gap_s"),
         max(col("gap_s")).as("max_gap_s"))
       .orderBy("k")
-  }
 
   /** HOURLY TRAFFIC PROFILE (round 17) — events by UTC hour-of-day ×
     * type, with distinct users, exact cent mass, and each cell's share

@@ -473,14 +473,19 @@ object Similarity {
       bits: Int, tables: Int, dim: Int, seedBase: Long, partWidth: Long,
       batchFiles: Option[Seq[String]] = None): Unit = {
     val assetId = bandedAssetId(spark, dir, bits, tables, dim, seedBase, partWidth)
+    // resolve the standing asset BEFORE computeIfAbsent — the builder
+    // would otherwise recursively update bandedTables, which
+    // ConcurrentHashMap forbids (a fresh JVM with the old asset
+    // committed on disk but not yet in the map could crash with
+    // "Recursive update" when the two keys share a bin; r17 review fix)
+    val oldPath = corpusBandedEmbeddingsPath(spark, oldDir,
+      bits, tables, dim, seedBase, partWidth)
     bandedTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           bandedIncrementBuilds.incrementAndGet()
           val fs = new org.apache.hadoop.fs.Path(staging)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val oldPath = corpusBandedEmbeddingsPath(spark, oldDir,
-            bits, tables, dim, seedBase, partWidth)
           fs.listStatus(new org.apache.hadoop.fs.Path(oldPath))
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("pt="))
             .foreach { st =>
@@ -829,6 +834,13 @@ object Similarity {
       kTop: Int = 5, bits: Int = 4, tables: Int = 8, dim: Int = 64,
       seedBase: Long = 42L, scale: Int = 1000, partWidth: Long = 1024L): DataFrame = {
     val assetId = knnEdgesAssetId(spark, dir, kTop, bits, tables, dim, seedBase, scale, partWidth)
+    // resolve the STANDING edge asset before entering the handle map:
+    // corpusKnnEdgesPath(oldDir) runs computeIfAbsent on this same map,
+    // and ConcurrentHashMap forbids recursive mapping-function updates
+    // (r17 review fix — a fresh JVM whose old asset is committed on
+    // disk but absent from the map could crash "Recursive update")
+    val oldPath = corpusKnnEdgesPath(spark, oldDir,
+      kTop, bits, tables, dim, seedBase, scale, partWidth)
     val path = knnEdgeTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
@@ -858,8 +870,6 @@ object Similarity {
             // merged corpus
             publishBandIncrementUnchecked(spark, oldDir, dir,
               bits, tables, dim, seedBase, partWidth, meta)
-            val oldPath = corpusKnnEdgesPath(spark, oldDir,
-              kTop, bits, tables, dim, seedBase, scale, partWidth)
             val oldEdges = spark.read.parquet(oldPath).drop("pt")
             val oldBands = corpusBandedEmbeddings(spark, oldDir,
               bits, tables, dim, seedBase, partWidth)
@@ -882,22 +892,27 @@ object Similarity {
               // the ranges that must be (re)written: every range holding
               // an affected source. Bounded by |affected| (and in the
               // append convention mostly the batch's contiguous tail).
-              // SATURATION PRE-CHECK (r17): count the distinct ranges
-              // BEFORE collecting them — on a corpus big enough that the
-              // affected-range set itself exceeds the driver budget
-              // (>2²⁰ ranges ≈ >10⁹ vectors at the default width, the
-              // saturated bits=4 regime), copy-forward bookkeeping is
-              // pointless and the publisher degrades to the documented
-              // one-job merged write instead of aborting on the budget.
+              // SATURATION GUARD (r17): DriverBudget fetches at most
+              // budget+1 rows, so a corpus whose affected-range set
+              // exceeds the budget (>2²⁰ ranges ≈ >10⁹ vectors at the
+              // default width — the saturated bits=4 regime at scale)
+              // throws the TYPED BudgetExceeded with O(budget) driver
+              // memory; the publisher then degrades to the documented
+              // one-job merged write instead of aborting — one Spark
+              // job either way, never a count + re-collect pass.
               val affectedPtsDf = affected.select(ptCol(partWidth).as("pt")).distinct()
-              if (affectedPtsDf.count() > knnAffectedPtBudget) {
-                knnIncrementSaturatedWrites.incrementAndGet()
-                fullMergedWrite()
-              } else {
-              val affectedPts = graft.engine.DriverBudget.collect(
-                  "Similarity.corpusKnnEdgesIncrement.affectedPts", knnAffectedPtBudget)(
-                  affectedPtsDf)
-                .map(_.getLong(0)).toSet
+              val affectedPtsOpt =
+                try Some(graft.engine.DriverBudget.collect(
+                    "Similarity.corpusKnnEdgesIncrement.affectedPts", knnAffectedPtBudget)(
+                    affectedPtsDf)
+                  .map(_.getLong(0)).toSet)
+                catch { case _: graft.engine.DriverBudget.BudgetExceeded =>
+                  knnIncrementSaturatedWrites.incrementAndGet()
+                  None
+                }
+              affectedPtsOpt match {
+                case None => fullMergedWrite()
+                case Some(affectedPts) =>
               val fs = new org.apache.hadoop.fs.Path(staging)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
               val oldPts = fs.listStatus(new org.apache.hadoop.fs.Path(oldPath))

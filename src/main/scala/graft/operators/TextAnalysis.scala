@@ -1471,7 +1471,10 @@ object TextAnalysis {
     */
   def vocabDrift(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val split = docs.agg(expr("max(doc_id) div 2").cast("long")).head().getLong(0)
+    // coalesce: an empty corpus aggregates max() to null — return the
+    // honest empty frame instead of an NPE (same guard as ivfCellStats)
+    val split = docs.agg(coalesce(expr("max(doc_id) div 2"), lit(0L)).cast("long"))
+      .head().getLong(0)
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))

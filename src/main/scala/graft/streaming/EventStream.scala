@@ -458,6 +458,14 @@ object EventStream {
     * arrival: three optional first-transition times, 24 bytes per
     * user, never an event list.
     */
+  /** MIGRATION NOTE (r17): `lastT`/`ooo` widened this state schema
+    * (and [[LastType]]'s / added [[PathState]]) — a checkpoint written
+    * by the r16 operators fails state-store schema compatibility on
+    * restart. Upgrading deployments restart these queries from a fresh
+    * checkpoint (replaying the source or accepting a state rebuild);
+    * there is no in-place migration, by design — the defaults keep new
+    * checkpoints self-describing.
+    */
   case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], seq: Long,
       lastT: Long = Long.MinValue, ooo: Long = 0L)
 
@@ -536,14 +544,15 @@ object EventStream {
   /** Last seen event type per user — the O(1) state behind
     * [[eventTransitionsStream]].
     */
-  case class LastType(tpe: String, lastT: Long = Long.MinValue)
+  case class LastType(tpe: String, lastT: Long = Long.MinValue, ooo: Long = 0L)
 
-  /** One observed consecutive-event transition. `ooo` marks rows
-    * emitted from a micro-batch that violated the per-key ordering
-    * contract (an event preceding the carried frontier) — the
-    * transition may then differ from the batch matrix, and a consumer
-    * can count/route flagged rows instead of trusting them blindly
-    * (r17).
+  /** One observed consecutive-event transition. `ooo` marks rows whose
+    * user's ordering contract has been violated — STICKY from the
+    * first violating micro-batch on (r17 review fix): once an
+    * out-of-order event corrupted the carried last-type, every LATER
+    * transition's predecessor is suspect too, not just the violating
+    * batch's rows, so the flag rides the state, and a consumer can
+    * count/route flagged rows instead of trusting them blindly.
     */
   case class Transition(user_id: Long, from_type: String, to_type: String,
       ooo: Boolean = false)
@@ -580,16 +589,21 @@ object EventStream {
           val s0 = state.getOption
           // ordering-contract check (r17): an event before the carried
           // frontier means the carried last-type is not this batch's
-          // true predecessor — flag every row this batch emits
-          val violated = sorted.nonEmpty && s0.exists(s => sorted.head._4 < s.lastT)
+          // true predecessor. The violation count rides the STATE, so
+          // every transition after the corruption stays flagged — the
+          // carried from-type is suspect from then on, not just in the
+          // violating batch
+          val oooCount = s0.fold(0L)(_.ooo) +
+            (if (sorted.nonEmpty && s0.exists(s => sorted.head._4 < s.lastT)) 1L else 0L)
           var last = s0.map(_.tpe)
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           sorted.foreach { case (_, _, tpe, _) =>
-            last.foreach(f => out += Transition(user, f, tpe, violated))
+            last.foreach(f => out += Transition(user, f, tpe, oooCount > 0L))
             last = Some(tpe)
           }
           sorted.lastOption.foreach { e =>
-            state.update(LastType(e._3, math.max(s0.fold(Long.MinValue)(_.lastT), e._4)))
+            state.update(LastType(e._3,
+              math.max(s0.fold(Long.MinValue)(_.lastT), e._4), oooCount))
           }
           out.iterator
       }

@@ -59,10 +59,14 @@ object AssetBench {
     // the production append shape never pays.
     val incOldDir = java.nio.file.Files.createTempDirectory("graft_assetbench_old").toString
     val incNewDir = java.nio.file.Files.createTempDirectory("graft_assetbench_new").toString
+    // directory streams must be CLOSED (they hold an fd until then)
+    def withStream[A](s: java.util.stream.Stream[A])(f: java.util.stream.Stream[A] => Unit): Unit =
+      try f(s) finally s.close()
     def rmrf(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(java.nio.file.Files.delete(_))
+        withStream(java.nio.file.Files.walk(p))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .forEach(java.nio.file.Files.delete(_)))
     // cut the corpus at 90% by id; old = standing files, new = those
     // same files + the batch's part files moved alongside
     def appendLayout(table: String, idCol: String): Unit = {
@@ -76,13 +80,13 @@ object AssetBench {
       df.filter(col(idCol) < cut).write.parquet(s"$incOldDir/$table")
       val newTable = Paths.get(s"$incNewDir/$table")
       JF.createDirectories(newTable)
-      JF.list(Paths.get(s"$incOldDir/$table")).forEach(p =>
-        JF.copy(p, newTable.resolve(p.getFileName.toString), StandardCopyOption.COPY_ATTRIBUTES))
+      withStream(JF.list(Paths.get(s"$incOldDir/$table")))(_.forEach(p =>
+        JF.copy(p, newTable.resolve(p.getFileName.toString), StandardCopyOption.COPY_ATTRIBUTES)))
       val batchTmp = JF.createTempDirectory("graft_assetbench_batch").toString
       df.filter(col(idCol) >= cut).write.parquet(s"$batchTmp/b.parquet")
-      JF.list(Paths.get(s"$batchTmp/b.parquet"))
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .forEach(p => JF.move(p, newTable.resolve(s"part-batch-${p.getFileName}")))
+      withStream(JF.list(Paths.get(s"$batchTmp/b.parquet")))(
+        _.filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => JF.move(p, newTable.resolve(s"part-batch-${p.getFileName}"))))
     }
     def incSetup(bits: Int): () => Unit = () => {
       appendLayout("embeddings.parquet", "vec_id")

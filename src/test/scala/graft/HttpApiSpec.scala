@@ -424,6 +424,7 @@ class HttpApiSpec extends SparkSpec {
     val g = new Graft(spark)
     val api = new HttpApi(g).start()
     val base = s"http://127.0.0.1:${api.boundPort}"
+    val gateOuter = Dedup.gramIncrementMinStandingBytes
     try {
       val oldDir = java.nio.file.Files.createTempDirectory("graft_inc_api_old").toString
       val newDir = java.nio.file.Files.createTempDirectory("graft_inc_api_new").toString
@@ -444,15 +445,15 @@ class HttpApiSpec extends SparkSpec {
       val ginc0 = Dedup.gramDfIncrementBuilds.get()
       // force the gram increment machinery on the small fixture (the
       // r17 crossover gate would route this sub-GiB corpus to the
-      // rebuild; the gate has its own both-sides spec in AssetStoreSpec)
-      val gate0 = Dedup.gramIncrementMinStandingBytes
+      // rebuild; the gate has its own both-sides spec in AssetStoreSpec);
+      // restored in the outer finally so an assertion failure cannot
+      // leak a zeroed gate into later tests
       Dedup.gramIncrementMinStandingBytes = 0L
       val r = send("POST", s"$base/maintenance/assets_increment",
         s"""{"oldDir": "$oldDir", "dir": "$newDir"}""")
       assert(r.statusCode() == 200, r.body())
       val pub = mapper.readTree(r.body()).get("published")
       assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, r.body())
-      Dedup.gramIncrementMinStandingBytes = gate0
       assert(Similarity.knnIncrementBuilds.get() == inc0 + 1, "edges must publish by increment")
       assert(Dedup.gramDfIncrementBuilds.get() == ginc0 + 1, "gram stats must publish by increment")
       // the published addresses now serve loads with no further builds
@@ -464,6 +465,7 @@ class HttpApiSpec extends SparkSpec {
       assert(send("POST", s"$base/maintenance/assets_increment",
         s"""{"oldDir": "$oldDir", "dir": "$newDir", "families": ["nope"]}""").statusCode() == 400)
     } finally {
+      Dedup.gramIncrementMinStandingBytes = gateOuter
       api.close()
       Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
       spark.conf.unset("spark.graft.index.dir")

@@ -288,6 +288,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "event_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
     Seq((9L, 3L, "click", 2000000L), (10L, 4L, "view", 4000000L), (10L, 5L, "click", 5000000L))
       .toDF("user_id", "event_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    // a LATER in-order batch for user 9: its carried from-type is
+    // still corrupted, so the flag must be STICKY (r17 review fix)
+    Seq((9L, 6L, "buy", 9000000L))
+      .toDF("user_id", "event_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/c_part")
     val stream = spark.readStream
       .schema("user_id LONG, event_id LONG, event_type STRING, ts_ns LONG")
       .option("maxFilesPerTrigger", 1)
@@ -298,6 +302,8 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, String, Boolean)].collect().toSet
     assert(rows.contains((9L, "purchase", "click", true)),
       s"the out-of-order batch's transition must be flagged: $rows")
+    assert(rows.contains((9L, "click", "buy", true)),
+      s"post-corruption transitions must STAY flagged (sticky): $rows")
     assert(rows.contains((9L, "view", "purchase", false)), s"the in-order first batch stays clean: $rows")
     assert(rows.contains((10L, "view", "click", false)),
       s"the concurrent in-order user stays clean: $rows")
