@@ -265,6 +265,18 @@ object AssetStore {
     fs.exists(new org.apache.hadoop.fs.Path(path, Marker))
   }
 
+  /** The asset's directory iff it is already published — the
+    * zero-build short-circuit increment publishers consult BEFORE
+    * resolving their standing inputs (r17: the recursion fix hoists
+    * the old-asset resolution out of the builder; without this check
+    * that hoist would build the standing asset even when the target
+    * address is already live).
+    */
+  def resolveIfCommitted(spark: SparkSession, assetId: String): Option[String] = {
+    val dir = s"${warehouse(spark)}/$assetId"
+    if (committed(spark, dir)) Some(dir) else None
+  }
+
   /** Garbage-collect the warehouse: delete (a) committed assets of the
     * CURRENT `FormatVersion` whose trailing content fingerprint matches
     * none of the given corpora's current fingerprints (their corpus was

@@ -708,6 +708,12 @@ object Dedup {
         s"$family increment $oldDir -> $dir is not a pure append; rebuilding")
       return fullBuild()
     }
+    // already published? serve it with zero builds — neither the new
+    // nor the STANDING asset needs resolving
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { dir =>
+      tables.putIfAbsent(assetId, dir)
+      return spark.read.parquet(dir)
+    }
     // resolve the STANDING asset before entering the handle map:
     // oldAssetPath() itself runs computeIfAbsent on the same map, and
     // ConcurrentHashMap forbids recursive mapping-function updates
@@ -1472,6 +1478,11 @@ object Dedup {
     }
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
     val assetId = s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    // already published? serve with zero builds
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
+      gramDfTables.putIfAbsent(assetId, d)
+      return spark.read.parquet(d)
+    }
     // resolve the standing asset BEFORE computeIfAbsent: the builder
     // would otherwise recursively update gramDfTables (same fix as
     // perDocAssetIncrement — CHM forbids recursive mapping updates)

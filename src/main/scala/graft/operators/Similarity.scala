@@ -451,13 +451,24 @@ object Similarity {
     * scan-bound at any corpus size. Equality is modulo xxhash64
     * collisions (~2⁻⁶⁴), the engine's standing digest contract.
     */
+  // verdict memo keyed by both fingerprints (r17): the edge and band
+  // publishers validate the same embeddings pair per append — the
+  // digest join runs once per corpus pair, content-addressed so a
+  // changed directory can never serve a stale verdict
+  private val embAppendVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def pureAppendViolated(spark: SparkSession, oldDir: String, dir: String): Boolean = {
-    def dig(df: DataFrame, as: String) = df.select(col("vec_id"),
-      xxhash64(col("embedding"), col("embedding").isNull).as(as))
-    !dig(Tables.embeddings(spark, oldDir), "__old")
-      .join(dig(Tables.embeddings(spark, dir), "__new"), Seq("vec_id"), "left")
-      .filter(col("__new").isNull || col("__old") =!= col("__new"))
-      .isEmpty
+    def fp(d: String) =
+      graft.engine.AssetStore.corpusFingerprint(spark, d, "embeddings.parquet")
+    embAppendVerdicts.computeIfAbsent(s"$oldDir|$dir|${fp(oldDir)}|${fp(dir)}", _ => {
+      def dig(df: DataFrame, as: String) = df.select(col("vec_id"),
+        xxhash64(col("embedding"), col("embedding").isNull).as(as))
+      !dig(Tables.embeddings(spark, oldDir), "__old")
+        .join(dig(Tables.embeddings(spark, dir), "__new"), Seq("vec_id"), "left")
+        .filter(col("__new").isNull || col("__old") =!= col("__new"))
+        .isEmpty
+    })
   }
 
   /** Copy-forward band publish WITHOUT the precondition check — the
@@ -473,6 +484,11 @@ object Similarity {
       bits: Int, tables: Int, dim: Int, seedBase: Long, partWidth: Long,
       batchFiles: Option[Seq[String]] = None): Unit = {
     val assetId = bandedAssetId(spark, dir, bits, tables, dim, seedBase, partWidth)
+    // already published? nothing to do — neither asset needs resolving
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
+      bandedTables.putIfAbsent(assetId, d)
+      return
+    }
     // resolve the standing asset BEFORE computeIfAbsent — the builder
     // would otherwise recursively update bandedTables, which
     // ConcurrentHashMap forbids (a fresh JVM with the old asset
@@ -834,6 +850,11 @@ object Similarity {
       kTop: Int = 5, bits: Int = 4, tables: Int = 8, dim: Int = 64,
       seedBase: Long = 42L, scale: Int = 1000, partWidth: Long = 1024L): DataFrame = {
     val assetId = knnEdgesAssetId(spark, dir, kTop, bits, tables, dim, seedBase, scale, partWidth)
+    // already published? serve it with zero builds
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
+      knnEdgeTables.putIfAbsent(assetId, d)
+      return spark.read.parquet(d).drop("pt")
+    }
     // resolve the STANDING edge asset before entering the handle map:
     // corpusKnnEdgesPath(oldDir) runs computeIfAbsent on this same map,
     // and ConcurrentHashMap forbids recursive mapping-function updates
