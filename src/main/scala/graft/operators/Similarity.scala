@@ -1355,7 +1355,7 @@ object Similarity {
     * (engine- and order-independent).
     */
   def ccByDegree(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(spark, dir)
+    corpusTriangleStats(spark, dir)
       .groupBy("degree")
       .agg(
         count(lit(1)).as("n_nodes"),
@@ -1504,8 +1504,47 @@ object Similarity {
   /** Driver queries for the edge-asset graph diagnostics. */
   def mutualKnnQuery(spark: SparkSession, dir: String): DataFrame =
     mutualKnn(spark, dir)
+  // (asset id) -> parquet path of the materialized triangle table —
+  // the same "derive once per corpus, consume many" contract as the
+  // signature/edge assets. Triangle counting is the bench's most
+  // expensive standing computation (the wedge join), consumed by TWO
+  // queries (per-node report + degree rollup) and re-derived by every
+  // JVM before r17.
+  private val triangleTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val triangleAssetBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The materialized [[triangleStats]] table for `dir` (round 17) —
+    * per-node (vec_id, degree, n_triangles, lcc_bp), derived from the
+    * durable k-NN edge asset under the same parameter vector and
+    * published next to it. The wedge join runs once per corpus
+    * generation; graph_triangles and graph_cc_by_degree (and any
+    * future neighborhood-redundancy consumer) load the skinny
+    * four-long table. Address = edge-asset parameters + corpus
+    * fingerprint, so a corpus rebuild or an LSH-constant change
+    * retires it automatically; an APPEND currently re-derives it (the
+    * affected-set argument for triangles spans 2-hop neighborhoods —
+    * a copy-forward increment would need the edge delta's closure, a
+    * deliberate non-goal while the full derivation is one bounded
+    * wedge join over the already-incremental edge asset).
+    */
+  def corpusTriangleStats(spark: SparkSession, dir: String, kTop: Int = 5,
+      bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "embeddings.parquet")
+    val assetId = s"tristats_k${kTop}_b${bits}_t${tables}_d${dim}_sd${seedBase}" +
+      s"_s${scale}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = triangleTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          triangleAssetBuilds.incrementAndGet()
+          triangleStats(spark, dir).write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
   def triangleStatsQuery(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(spark, dir)
+    corpusTriangleStats(spark, dir).orderBy("vec_id")
   def neighborJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     neighborJaccard(spark, dir)
   def degreeHistogramQuery(spark: SparkSession, dir: String): DataFrame =
@@ -2369,6 +2408,7 @@ object Similarity {
     pqIndexCache.clear()
     knnEdgeTables.clear()
     bandedTables.clear()
+    triangleTables.clear()
   }
 
   /** Number of codebook trainings this JVM has run — the test seam for

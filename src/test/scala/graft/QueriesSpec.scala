@@ -2178,6 +2178,13 @@ class QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(gotCc == wantCc, s"got $gotCc\nwant $wantCc")
     assert(gotCc.forall(t => t._4 >= 0L && t._4 <= 10000L), "mean lcc must sit in [0, 10000] bp")
+    // r17: the triangle table is a durable asset — both consumers LOAD
+    // it after the one build above (the wedge join runs once per corpus)
+    val tb0 = Similarity.triangleAssetBuilds.get()
+    Similarity.triangleStatsQuery(spark, sf).count()
+    Similarity.ccByDegree(spark, sf).count()
+    assert(Similarity.triangleAssetBuilds.get() == tb0,
+      "triangle consumers must LOAD the materialized asset, not re-derive")
 
     // dim-corr equals a driver brute force over the quantized corpus
     val vecs = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
