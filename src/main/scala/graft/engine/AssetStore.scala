@@ -196,8 +196,16 @@ object AssetStore {
     * metadata-only, zero jobs (the size signal crossover heuristics
     * gate on, r17).
     */
-  def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir, table)
+  def tableBytes(spark: SparkSession, dir: String, table: String): Long =
+    pathBytes(spark, new org.apache.hadoop.fs.Path(dir, table).toString)
+
+  /** Listing bytes of an arbitrary directory (an already-resolved asset
+    * path) — the metadata-only size signal the broadcast gates read
+    * (r18). Same semantics as [[tableBytes]]: recursive, data files
+    * only, 0 for a missing path, zero Spark jobs.
+    */
+  def pathBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
     var total = 0L

@@ -65,4 +65,36 @@ object Skew {
         s"(the operator emits keys² pairs) — bucket or shard '$keyCol' first, " +
         "or raise the cap deliberately for a dimension you know is bounded")
   }
+
+  /** SIZE-GATED broadcast hint (round 18) — for frames whose size is a
+    * CORPUS PROPERTY, not a constant. A forced `broadcast()` overrides
+    * `autoBroadcastJoinThreshold` AND AQE's runtime re-plan: past
+    * driver memory it fails with an OOM the plan audit cannot see (no
+    * collect appears in the plan). Near-dup-mass-proportional frames
+    * (verified pair tables, cluster labels, hit sets) are tiny on a
+    * curated corpus but reach billions of rows at 20–40% near-dup rates
+    * on a raw crawl — the 100 TB target. So the hint is earned, not
+    * assumed: callers pass the LISTING BYTES of the materialized asset
+    * the frame derives from ([[AssetStore.pathBytes]], metadata-only,
+    * zero jobs); under the gate the hint keeps the corpus scan
+    * partition-local, past it the hint is dropped and the (AQE-planned)
+    * shuffled join runs — slower, but it completes.
+    *
+    * The threshold reads `spark.graft.broadcast.gateBytes` at call time
+    * (default 100 MB of on-disk parquet; broadcast in-memory inflation
+    * is bounded by a small constant at these row shapes and driver
+    * heaps are GBs). Tests force it to 0 to pin the ungated plan;
+    * PlanAuditSpec sweeps every query at gate 0 and pins the exact set
+    * of queries still carrying a forced hint — so the next UNGATED
+    * broadcast of a non-constant-bounded frame fails review
+    * mechanically.
+    */
+  val BroadcastGateBytesKey = "spark.graft.broadcast.gateBytes"
+  val DefaultBroadcastGateBytes: Long = 100L << 20
+
+  def gatedBroadcast(df: DataFrame, assetBytes: Long): DataFrame = {
+    val gate = df.sparkSession.conf
+      .get(BroadcastGateBytesKey, DefaultBroadcastGateBytes.toString).toLong
+    if (assetBytes <= gate) broadcast(df) else df
+  }
 }

@@ -315,15 +315,19 @@ object Clustering {
   def dedupCanonicalQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.text
     val docs = Tables.documents(spark, dir)
+    val pairBytes = graft.engine.AssetStore.pathBytes(spark,
+      Dedup.minhashPairAssetPath(spark, dir, threshold = 0.7))
     val pairs = Dedup
       .corpusMinhashPairs(spark, dir, threshold = 0.7)
       .select("id_a", "id_b")
     val labels = connectedComponents(pairs)
-    // token kernel AFTER the join, labels BROADCAST: near-dup labels
-    // are a tiny fraction of the corpus, so the corpus scan stays
-    // partition-local (no text ever shuffles) and the per-row tokenizer
-    // runs only on the matched slice
-    val lab = broadcast(labels).join(docs.select(col("doc_id"), col("text")), "doc_id")
+    // token kernel AFTER the join, labels SIZE-GATED broadcast (labels
+    // are near-dup-mass-sized — a corpus property): under the gate the
+    // corpus scan stays partition-local (no text ever shuffles) and the
+    // per-row tokenizer runs only on the matched slice; past it AQE
+    // plans the shuffled join
+    val lab = graft.engine.Skew.gatedBroadcast(labels, pairBytes)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
       .drop("text")
     val best = lab.groupBy("cluster_id")

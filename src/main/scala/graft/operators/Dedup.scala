@@ -864,13 +864,24 @@ object Dedup {
     */
   def corpusMinhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32): DataFrame =
+    spark.read.parquet(
+      minhashPairAssetPath(spark, dir, threshold, shingleK, numHashes, bands))
+
+  /** Resolved (materialized) path of the verified pair asset — exposed
+    * so pair-consumer queries can read its LISTING bytes as the
+    * broadcast-gate signal ([[graft.engine.Skew.gatedBroadcast]], r18)
+    * without touching the data.
+    */
+  private[graft] def minhashPairAssetPath(spark: SparkSession, dir: String,
+      threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): String = {
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
     val tPermille = math.round(threshold * 1000)
     val assetId =
       s"minhashpairs_k${shingleK}_h${numHashes}_b${bands}_t${tPermille}" +
         s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
-    val path = minhashPairTables.computeIfAbsent(assetId, _ =>
+    minhashPairTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           minhashPairBuilds.incrementAndGet()
@@ -878,7 +889,6 @@ object Dedup {
             numHashes, bands, threshold)
             .write.mode("overwrite").parquet(staging)
         }))
-    spark.read.parquet(path)
   }
 
   /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold
@@ -910,22 +920,26 @@ object Dedup {
     *
     * Scale shape: a consumer of the materialized
     * [[corpusMinhashSignatures]] asset — no re-shingling; the verified
-    * pair table is tiny (near-dup rate x corpus), so it BROADCASTS
-    * onto the two (doc_id, source) lookups and the final exchange is
-    * source-pairs-sized. The corpus never shuffles.
+    * pair table is near-dup-mass-sized, so its broadcast onto the two
+    * (doc_id, source) lookups is SIZE-GATED on the pair asset's listing
+    * bytes ([[graft.engine.Skew.gatedBroadcast]]): under the gate the
+    * corpus-side scans stay partition-local and pairs-sized rows are
+    * all that ever moves; past it (a raw crawl at 20–40% near-dup
+    * rates) the hints drop and AQE plans shuffled joins. The final
+    * exchange is source-pairs-sized either way.
     */
   def crossSourceDupQuery(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
+    val pairBytes = graft.engine.AssetStore.pathBytes(spark,
+      minhashPairAssetPath(spark, dir, threshold = threshold))
     val pairs = corpusMinhashPairs(spark, dir, threshold = threshold)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    // both lookups keep the pair side broadcast: the corpus-side scans
-    // stay partition-local, pairs-sized rows are all that ever moves
     val withA = src.select(col("doc_id").as("id_a"), col("source").as("sa"))
-      .join(broadcast(pairs), Seq("id_a"))
+      .join(graft.engine.Skew.gatedBroadcast(pairs, pairBytes), Seq("id_a"))
     src.select(col("doc_id").as("id_b"), col("source").as("sb"))
-      .join(broadcast(withA), Seq("id_b"))
+      .join(graft.engine.Skew.gatedBroadcast(withA, pairBytes), Seq("id_b"))
       .select(
         least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
@@ -2103,8 +2117,10 @@ object Dedup {
     * re-posts verbatim"; this answers "who paraphrases/templates" —
     * the two rates together are the per-source curation scorecard.
     *
-    * Scale shape: a consumer of the materialized minhash PAIR asset
-    * (near-dup rate × corpus rows — broadcastable by construction);
+    * Scale shape: a consumer of the materialized minhash PAIR asset;
+    * the hit-set broadcast is SIZE-GATED on the pair asset's listing
+    * bytes ([[graft.engine.Skew.gatedBroadcast]] — near-dup mass is a
+    * corpus property, so the hint is earned per corpus, not assumed);
     * the representative set is the one md5-keyed exchange every exact
     * tier already pays; the rollup is sources-sized.
     */
@@ -2113,12 +2129,14 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val reps = docs.groupBy(md5(col("text")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val pairBytes = graft.engine.AssetStore.pathBytes(spark,
+      minhashPairAssetPath(spark, dir, threshold = threshold))
     val pairs = corpusMinhashPairs(spark, dir, threshold = threshold)
     val hit = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id")))
       .distinct()
       .withColumn("__hit", lit(1L))
-    reps.join(broadcast(hit), Seq("doc_id"), "left")
+    reps.join(graft.engine.Skew.gatedBroadcast(hit, pairBytes), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_reps"),

@@ -36,12 +36,23 @@ class PlanAuditSpec extends SparkSpec {
 
   test("every registered query: no cartesian product, no unpartitioned window, codegen compiles") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hinted = scala.collection.mutable.SortedSet.empty[String]
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // r18 fifth invariant: the sweep runs with the broadcast gate
+    // FORCED CLOSED, so every size-gated hint drops and the audit both
+    // (a) executes the shuffled fallback path of every gated query and
+    // (b) sees exactly the hints that are NOT size-gated — pinned to
+    // the constant-bounded allowlist after the loop
+    spark.conf.set(graft.engine.Skew.BroadcastGateBytesKey, "0")
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         graft.engine.DriverBudget.setContext(name)
         try {
           val df = fn(spark, sf)
+          if (df.queryExecution.analyzed.collect {
+                case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+                case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+              }.nonEmpty) hinted += name
           val plan = df.queryExecution.sparkPlan
           plan.collect {
             case c: CartesianProductExec => c
@@ -62,8 +73,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally {
       graft.engine.DriverBudget.clearContext()
       spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset(graft.engine.Skew.BroadcastGateBytesKey)
     }
     assert(bad.isEmpty, s"plan-audit violations (${bad.size}):\n${bad.mkString("\n")}")
+
+    // ---- forced-broadcast allowlist (r18): with the gate closed, the
+    // only hints left must be over CONSTANT-BOUNDED frames (k
+    // centroids, d dim-sums, fixed query sets, df-capped vocabs,
+    // scalar totals). A new query whose hint survives gate 0 lands
+    // here and fails: either route the hint through
+    // Skew.gatedBroadcast on the frame's asset bytes, or add the name
+    // below WITH a constant bound argument in the query's scaladoc.
+    val constantBoundedHints = Set(
+      "ann_ivf", "ann_ivfpq_joined", "ann_lsh", "ann_pq_joined",
+      "ann_recall", "ann_recall_ivfpq", "ann_refine", "ann_topk",
+      "contamination", "dedup_ngram_incremental", "doc_annotate",
+      "embed_cluster_stats", "embed_dim_corr", "embed_medoids",
+      "embed_outliers", "gram_df_hist", "mix_curriculum", "mix_kl",
+      "mix_languages", "mix_sources", "mix_temperature",
+      "oov_rate_by_source", "pack_efficiency", "pack_sequences",
+      "perplexity_ref", "pipeline_mix", "pipeline_pretokenize",
+      "q3_join", "q_anomaly", "q_audience_overlap", "q_changepoint",
+      "q_decay_score", "q_gapfill", "q_histogram", "q_hourly_profile",
+      "q_percentiles", "q_rfm", "q_rollup", "range_recall",
+      "text_length_outliers", "text_oov", "text_perplexity",
+      "tfidf_top_terms", "token_budget", "vocab_encode")
+    val ungated = hinted.toSet -- constantBoundedHints
+    assert(ungated.isEmpty,
+      s"forced broadcast hints that survive a closed size gate (frames " +
+        s"must be constant-bounded or Skew.gatedBroadcast-ed): $ungated")
 
     // ---- driver-collect budget audit (r16): the queries above drove
     // every instrumented collect site; each observation must sit under
