@@ -268,8 +268,16 @@ final class Graft(
       graceMs: Long = 60L * 60 * 1000,
       sweepOlderFormats: Boolean = false,
       dryRun: Boolean = true
-  ): Seq[String] =
-    graft.engine.AssetStore.gcStale(spark, corpora, graceMs, sweepOlderFormats, dryRun)
+  ): Seq[String] = {
+    val removed =
+      graft.engine.AssetStore.gcStale(spark, corpora, graceMs, sweepOlderFormats, dryRun)
+    // a real sweep may delete paths the in-JVM handle maps still point
+    // at, and it marks a generation boundary anyway — drop every driver
+    // handle cache (r18); the next consumer re-resolves from disk
+    // (metadata-only) and the append-proof memo re-proves on demand
+    if (!dryRun) Graft.dropDriverHandleCaches()
+    removed
+  }
 
   /** POST /maintenance/assets_increment — the append workflow's ONE
     * call, made ops-reachable (round 16): after a batch lands under
@@ -330,6 +338,20 @@ object Graft {
     */
   val DefaultIncrementFamilies: Seq[String] =
     Seq("knn_edges", "gram_stats", "minhash_sigs", "simhash_sigs", "cdc_digests")
+
+  /** Forget every driver-side handle cache (asset-path maps, PQ model
+    * cache, append-proof memo). Called by a real (non-dry-run) asset
+    * gc — the one generation boundary a long-lived service driver
+    * crosses — so superseded fingerprints never accumulate; everything
+    * re-resolves from the durable store on next touch (metadata-only).
+    */
+  def dropDriverHandleCaches(): Unit = {
+    graft.operators.Similarity.dropInMemoryIndexes()
+    graft.operators.Dedup.dropInMemoryNgramTables()
+    graft.operators.Dedup.dropInMemoryShardBlooms()
+    graft.operators.TextAnalysis.dropInMemoryBpeTables()
+    graft.engine.AssetStore.dropAppendProofMemo()
+  }
 
   /** Default connector pair: scheme-dispatched from the task's
     * source/dest roots — `http(s)://` roots get the over-the-wire

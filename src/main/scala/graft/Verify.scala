@@ -52,7 +52,10 @@ object Verify {
     writeOracleJson(outDir)
     val resultsPath = Paths.get(s"$outDir/results.jsonl")
     Files.deleteIfExists(resultsPath)
-    val out = SparkEntry.queries
+    // context cleared when the sweep ENDS (r18): without the finally, a
+    // later instrumented collect in the same JVM would be misattributed
+    // to whichever query happened to run last
+    val out = try SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // attribution for driver-collect budget failures (r17): a
@@ -91,6 +94,7 @@ object Verify {
         spark.catalog.clearCache()
         r
       }.toSeq
+    finally graft.engine.DriverBudget.clearContext()
     out
   }
 

@@ -140,17 +140,27 @@ object AssetStore {
   // append publish consults the proof once per derived family (four
   // times for documents.parquet) — the fingerprints re-list cheaply
   // and content-address the expensive footer sweep, so a changed
-  // directory can never serve a stale verdict. Bounded by corpus
-  // generations per JVM, same growth contract as the asset handle maps.
+  // directory can never serve a stale verdict. LRU-capped (r18): keys
+  // change every append, so an unbounded map leaks one entry per corpus
+  // generation in a long-lived service driver; eviction just re-runs
+  // the footer sweep (metadata I/O) on the next consult.
+  private[graft] val AppendProofMemoCap = 64
   private val appendProofMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
+    new BoundedMemo[String, Option[Seq[String]]](AppendProofMemoCap)
+  private[graft] def appendProofMemoSize: Int = appendProofMemo.size
+  private[graft] def dropAppendProofMemo(): Unit = appendProofMemo.clear()
+  private[graft] def appendProofMemoHas(oldDir: String, dir: String, table: String,
+      spark: SparkSession): Boolean =
+    appendProofMemo.contains(
+      s"$oldDir|$dir|$table|${corpusFingerprint(spark, oldDir, table)}|" +
+        corpusFingerprint(spark, dir, table))
 
   def pureAppendByMetadata(spark: SparkSession, oldDir: String, dir: String,
       table: String, idCol: String): Option[Seq[String]] = {
     val memoKey = s"$oldDir|$dir|$table|${corpusFingerprint(spark, oldDir, table)}|" +
       corpusFingerprint(spark, dir, table)
-    appendProofMemo.computeIfAbsent(memoKey,
-      _ => pureAppendByMetadataUncached(spark, oldDir, dir, table, idCol))
+    appendProofMemo.getOrElseUpdate(memoKey)(
+      pureAppendByMetadataUncached(spark, oldDir, dir, table, idCol))
   }
 
   private def pureAppendByMetadataUncached(spark: SparkSession, oldDir: String, dir: String,

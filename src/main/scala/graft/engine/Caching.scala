@@ -45,3 +45,41 @@ object Caching {
     cached
   }
 }
+
+/** Tiny LRU memo (round 18) for driver-side caches keyed by corpus
+  * fingerprint / content address. Those keys change on every append or
+  * rebuild, so an UNBOUNDED map grows one entry per corpus generation —
+  * fine for a driver that restarts per job, a slow leak in a long-lived
+  * service driver crossing thousands of appends. Access-order LRU with
+  * a hard cap: eviction only costs a cheap re-compute (the memoized
+  * work is metadata I/O or an asset-path resolve, never a data scan).
+  *
+  * `compute` deliberately runs OUTSIDE the lock: two racing misses may
+  * both compute (the memoized operations are idempotent; the first
+  * result wins), but a builder that re-enters the memo can never
+  * deadlock — the failure mode CHM.computeIfAbsent hides until keys
+  * share a bin (the r17 "Recursive update" trap).
+  */
+final class BoundedMemo[K, V](maxEntries: Int) {
+  require(maxEntries >= 1, "maxEntries must be >= 1")
+  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size() > maxEntries
+  }
+
+  def getOrElseUpdate(k: K)(compute: => V): V = {
+    val cached = map.synchronized(map.get(k))
+    if (cached != null) cached
+    else {
+      val v = compute
+      map.synchronized {
+        val prior = map.get(k)
+        if (prior != null) prior else { map.put(k, v); v }
+      }
+    }
+  }
+
+  def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
+  def size: Int = map.synchronized(map.size())
+  def clear(): Unit = map.synchronized(map.clear())
+}

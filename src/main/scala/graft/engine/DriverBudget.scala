@@ -47,7 +47,13 @@ object DriverBudget {
     */
   final class BudgetExceeded(msg: String) extends IllegalStateException(msg)
 
-  final case class Observation(rows: Long, bound: Long, context: String)
+  /** `truncated` (r18): the bounded fetch stops at bound+1 rows, so an
+    * over-budget observation's `rows` is a floor, not a measurement —
+    * the audit view distinguishes "barely over" from "unknown, ≥
+    * bound+1" instead of silently printing the clamp as an exact count.
+    */
+  final case class Observation(rows: Long, bound: Long, context: String,
+      truncated: Boolean = false)
 
   /** Max observed rows per site this JVM — the audit's coverage view.
     * `context` records which query drove the max, so an audit failure
@@ -81,7 +87,7 @@ object DriverBudget {
 
   private def record(site: String, n: Long, bound: Long): Unit = {
     val ctx = activeContext
-    observed.merge(site, Observation(n, bound, ctx),
+    observed.merge(site, Observation(n, bound, ctx, truncated = n > bound),
       (a, b) => if (b.rows > a.rows) b else a)
     if (n > bound)
       throw new BudgetExceeded(

@@ -1383,10 +1383,36 @@ object Similarity {
     * through Σxy (≤ n·scale²·max²) — past ~10¹² rows the sums need
     * decimal(38), noted here because the audit is corpus-wide by
     * design.
+    *
+    * GUARDS (round 18): the per-row blowup is d(d−1)/2 — 2016 at d=64
+    * but ~8.4 M at d=4096, a 4000× expansion real embedding widths
+    * would hit silently. A bounded probe (first [[DimCorrProbeRows]]
+    * rows — embeddings are fixed-d by contract; the probe exists to
+    * catch a WIDE corpus, not a ragged one) fails fast past
+    * [[MaxDimCorrDims]] with the remedy: select a top-variance
+    * subspace via [[embedDimStatsQuery]] first, then audit pairs
+    * within it. Rows with fewer than 2 dimensions are dropped from
+    * BOTH the per-dim sums and the product rollup (one population —
+    * the covariance numerator stays consistent); under ANSI mode an
+    * unguarded `sequence(0, size−2)` on such a row is a runtime
+    * INVALID_ARRAY_INDEX, not a no-op.
     */
+  val MaxDimCorrDims = 256
+  val DimCorrProbeRows = 4096
+
   def embedDimCorr(spark: SparkSession, dir: String,
       scale: Int = 1000, topK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+      .filter(size(col("embedding")) >= 2)
+    val probed = graft.engine.DriverBudget.collect("Similarity.dimCorrProbe", 1L)(
+      emb.limit(DimCorrProbeRows)
+        .agg(coalesce(max(size(col("embedding"))), lit(0)).as("d")))
+      .head.getInt(0)
+    require(probed <= MaxDimCorrDims,
+      s"embedDimCorr: embedding width $probed exceeds the pairwise cap " +
+        s"$MaxDimCorrDims (the kernel emits d(d-1)/2 products PER ROW) — " +
+        "pick a top-variance subspace from embedDimStatsQuery first, or " +
+        "raise the cap deliberately for a width you know is bounded")
     val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
     val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("i").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))

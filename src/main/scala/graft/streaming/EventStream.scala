@@ -755,7 +755,7 @@ object EventStream {
       queryName: String,
       checkpoint: String,
       outputMode: OutputMode = OutputMode.Update
-  ): StreamingQuery = {
+  ): StreamingQuery = guardStateSchema(checkpoint) {
     val q = out.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -766,4 +766,77 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  /** RESTART-CAPABLE drain-everything runner — the production shape of
+    * [[runAvailableNow]] (the memory sink cannot recover from an
+    * existing checkpoint AT ALL, so only a foreachBatch/file sink ever
+    * reaches the state-store schema check on restart). The stateful
+    * twins deploy behind this; it is also the runner the migration
+    * guard is specified against.
+    */
+  def runAvailableNowForeach(
+      out: DataFrame,
+      checkpoint: String,
+      outputMode: OutputMode = OutputMode.Update
+  )(sink: DataFrame => Unit): StreamingQuery = guardStateSchema(checkpoint) {
+    val q = out.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(batch.toDF())
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** True when `e`'s cause chain is a state-store SCHEMA
+    * incompatibility — the error an r16 checkpoint produces under the
+    * r17 state widening (lastT/ooo frontier fields), surfaced by Spark
+    * as a generic schema-compat failure buried in a
+    * StreamingQueryException.
+    */
+  private[graft] def stateSchemaIncompatible(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 32) {
+      val cond = cur match {
+        case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+        case _ => ""
+      }
+      val msg = Option(cur.getMessage).getOrElse("")
+      if (cond.contains("SCHEMA_NOT_COMPATIBLE") ||
+          msg.contains("StateSchemaNotCompatible") ||
+          (msg.contains("schema") && msg.contains("incompatible") && msg.contains("state")))
+        return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** OPERATOR-FACING MIGRATION GUARD (round 18, r17 ADVICE): r17
+    * widened the carried state of every frontier-detecting twin
+    * ([[FunnelState]]/[[LastType]]/PathState gained `lastT`/`ooo`), so
+    * an r16 checkpoint fails state-store schema compatibility on
+    * restart — previously with nothing but Spark's internal
+    * schema-diff wall of text. This wrapper catches that failure AT
+    * QUERY START and rethrows with the actionable contract: there is
+    * no in-place migration BY DESIGN (the defaults keep new
+    * checkpoints self-describing); restart from a fresh checkpoint and
+    * replay the source, or accept a state rebuild. The old checkpoint
+    * is never touched.
+    */
+  def guardStateSchema[T](checkpoint: String)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable if stateSchemaIncompatible(e) =>
+        throw new IllegalStateException(
+          s"streaming state at checkpoint '$checkpoint' was written by an older release " +
+            "and is incompatible with this one (the state schema gained ordering-frontier " +
+            "fields; there is no in-place migration). Restart the query from a FRESH " +
+            "checkpoint and replay the source, or accept a state rebuild — the old " +
+            "checkpoint is left untouched.", e)
+    }
 }

@@ -302,6 +302,17 @@ class AssetStoreSpec extends SparkSpec {
           "the metadata proof must submit ZERO Spark jobs (listing + footers only)")
       } finally spark.sparkContext.removeSparkListener(listener)
 
+      // r18: the proof memo is LRU-capped — an evicted (or gc-dropped)
+      // entry just re-proves on the next consult, identically (the
+      // facade-level drop is what a real assets_gc sweep calls)
+      assert(AssetStore.appendProofMemoHas(oldDir, newDir, "embeddings.parquet", spark))
+      Graft.dropDriverHandleCaches()
+      assert(!AssetStore.appendProofMemoHas(oldDir, newDir, "embeddings.parquet", spark))
+      val reproved = AssetStore.pureAppendByMetadata(
+        spark, oldDir, newDir, "embeddings.parquet", "vec_id")
+      assert(reproved.isDefined && reproved.get.size == 1 &&
+        reproved.get.head.endsWith(batchName), "re-proof after eviction must be identical")
+
       // and the increment built over the proven append (batch rows read
       // straight from the proven files, no anti-join) still equals the
       // full rebuild on the merged corpus

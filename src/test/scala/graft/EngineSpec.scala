@@ -461,4 +461,22 @@ class EngineSpec extends SparkSpec {
       .orderBy("k").as[(String, Long, String)].collect()
     assert(out.toSeq == Seq(("k1", 2L, "new"), ("k2", 5L, "only"), ("k3", 7L, "b")))
   }
+
+  test("BoundedMemo: access-order LRU cap — insert N+1 evicts the least-recently-used; eviction only re-computes (r18)") {
+    val computes = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    val memo = new graft.engine.BoundedMemo[Int, String](3)
+    def get(k: Int): String = memo.getOrElseUpdate(k) { computes(k) += 1; s"v$k" }
+    (1 to 3).foreach(get)
+    assert(memo.size == 3)
+    get(1) // touch: LRU order now 2, 3, 1
+    get(4) // cap hit: evicts 2, the least recently used
+    assert(memo.size == 3 && !memo.contains(2) &&
+      memo.contains(1) && memo.contains(3) && memo.contains(4))
+    assert(get(2) == "v2" && computes(2) == 2, "an evicted key re-computes, identically")
+    assert(get(1) == "v1" && computes(1) == 1, "a cached key never re-computes")
+    // a builder that re-enters the memo must not deadlock (compute runs
+    // outside the lock — the CHM recursive-update trap, closed by design)
+    val reentrant = memo.getOrElseUpdate(10) { get(3); "outer" }
+    assert(reentrant == "outer")
+  }
 }

@@ -112,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
     val obs = graft.engine.DriverBudget.observed.asScala.toMap
     assert(obs.nonEmpty, "no driver-collect observations: instrumentation lost")
     obs.foreach { case (site, o) =>
-      assert(o.rows <= o.bound, s"$site observed ${o.rows} > bound ${o.bound}")
+      assert(o.rows <= o.bound && !o.truncated,
+        s"$site observed ${o.rows} > bound ${o.bound} (truncated=${o.truncated})")
     }
     Seq(
       "Similarity.ivfCoarseCentroids", "Similarity.collectQueries",
@@ -138,5 +139,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(e.getMessage.contains("4 rows > bound 3"))
     val obs = graft.engine.DriverBudget.observed.get("spec.overBudget")
     assert(obs.rows == 4L && obs.context == "spec_query_ctx")
+    // r18: the observation is MARKED truncated — rows is a floor, not a
+    // measurement, and the audit view must not print it as exact
+    assert(obs.truncated, "over-budget observation must carry truncated=true")
   }
 }

@@ -2324,4 +2324,41 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got.nonEmpty, "corpus must exercise the operator")
   }
+
+  test("embed_dim_corr guards: degenerate rows contribute nothing; width cap fails fast (r18)") {
+    import graft.operators.Similarity
+    // fixture: three clean d=3 rows plus a 1-dim and an empty row — the
+    // degenerate rows must vanish from BOTH the per-dim sums and the
+    // product rollup (one population), not ANSI-throw on q[size-1+1]
+    val dDir = java.nio.file.Files.createTempDirectory("graft_dimcorr").toString
+    Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq(2.0f, 1.0f, 5.0f), 0),
+      (2L, Seq(4.0f, 4.0f, 1.0f), 0),
+      (3L, Seq(9.0f), 0),
+      (4L, Seq.empty[Float], 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dDir/embeddings.parquet")
+    val vecs = Seq(Seq(1L, 2L, 3L), Seq(2L, 1L, 5L), Seq(4L, 4L, 1L))
+      .map(_.map(_ * 1000L))
+    val sx = Array.tabulate(3)(i => vecs.map(_(i)).sum)
+    val want = (for { i <- 0 until 3; j <- i + 1 until 3 } yield {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      (i.toLong, j.toLong, 3L, sxy, 3L * sxy - sx(i) * sx(j))
+    }).sortBy(t => (-math.abs(t._5), t._1, t._2))
+    val got = Similarity.embedDimCorr(spark, dDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+
+    // width cap: a d = MaxDimCorrDims + 1 row fails fast with the remedy
+    val wDir = java.nio.file.Files.createTempDirectory("graft_dimwide").toString
+    Seq((0L, Seq.fill(Similarity.MaxDimCorrDims + 1)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$wDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedDimCorr(spark, wDir).collect()
+    }
+    assert(e.getMessage.contains("pairwise cap") &&
+      e.getMessage.contains("embedDimStatsQuery"))
+  }
 }

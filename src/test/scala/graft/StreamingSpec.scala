@@ -1545,4 +1545,52 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(flagged == batch, "gate over the corpus must equal the batch outlier set")
   }
+
+  test("old-release checkpoint restart: state-schema incompatibility fails at query start with the migration contract (r18)") {
+    // an "r16-shaped" twin — the same single mapGroupsWithState over the
+    // same key, but with the state record MISSING the r17 frontier
+    // fields — writes a checkpoint; restarting the current funnel twin
+    // on it must fail with the operator-facing guidance, not Spark's
+    // raw schema diff
+    val src = Files.createTempDirectory("graft_mig_src").toString
+    val ckpt = Files.createTempDirectory("graft_mig_ckpt").toString
+    Seq((1L, "view", 1000000L), (2L, "view", 1500000L))
+      .toDF("user_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    def stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ns LONG")
+      .parquet(src + "/*")
+    val old = stream.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[OldFunnelState, Long](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) { (u, it, st) =>
+        st.update(OldFunnelState(None, None, None, it.size.toLong)); u
+      }
+    // foreachBatch sink: the memory sink cannot recover from an
+    // existing checkpoint at all, so only this (production) runner
+    // ever reaches the state schema check on restart; the sink must
+    // ACT on the batch or the stateful operator never commits
+    EventStream.runAvailableNowForeach(old.toDF(), ckpt, OutputMode.Update)(b => { b.count(); () })
+    // a new file so the restarted query plans a real micro-batch
+    Seq((1L, "click", 2000000L))
+      .toDF("user_id", "event_type", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    val e = intercept[IllegalStateException] {
+      EventStream.runAvailableNowForeach(
+        EventStream.funnelStepsStream(stream).toDF(), ckpt, OutputMode.Update)(b => { b.count(); () })
+    }
+    assert(e.getMessage.contains("FRESH checkpoint") && e.getMessage.contains(ckpt),
+      s"expected the migration contract, got: ${e.getMessage.take(300)}")
+    assert(EventStream.stateSchemaIncompatible(e.getCause),
+      "the original schema-compat failure must ride along as the cause")
+    // and a fresh checkpoint heals it — the guidance is executable
+    val fresh = Files.createTempDirectory("graft_mig_fresh").toString
+    EventStream.runAvailableNow(
+      EventStream.funnelStepsStream(stream).toDF(), "mig_fresh", fresh, OutputMode.Update)
+    assert(spark.table("mig_fresh").count() > 0)
+    spark.catalog.clearCache()
+  }
 }
+
+/** The r16 shape of [[graft.streaming.EventStream.FunnelState]] — kept
+  * ONLY to write an old-release checkpoint in the migration spec.
+  */
+case class OldFunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long], seq: Long)
