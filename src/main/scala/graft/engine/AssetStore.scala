@@ -118,7 +118,14 @@ object AssetStore {
     *   1. every file of `oldDir/table` appears in `dir/table` at the
     *      same relative path with identical length and mtime — so every
     *      standing ROW is present, unchanged (no removal, no edit);
-    *   2. the batch files (new-listing minus old-listing) carry id
+    *   2. (r18) every standing file's parquet FOOTER stats (row count +
+    *      id range) are identical between the old copy and the copy
+    *      under `dir` — closing the coarse-mtime hole where a
+    *      same-length in-place edit inside the mtime quantum passes
+    *      check 1 (a payload-only rewrite preserving row count AND id
+    *      stats remains; [[TrustListingKey]]=false forces the digest
+    *      join for stores where that residual matters);
+    *   3. the batch files (new-listing minus old-listing) carry id
     *      ranges strictly ABOVE the standing corpus's max id, read from
     *      parquet FOOTER statistics on the driver — so no batch row
     *      reuses a standing id (the one violation a listing alone
@@ -155,8 +162,24 @@ object AssetStore {
       s"$oldDir|$dir|$table|${corpusFingerprint(spark, oldDir, table)}|" +
         corpusFingerprint(spark, dir, table))
 
+  /** HARD OVERRIDE for the listing trust model (r18, r17 ADVICE): on
+    * stores with coarse mtime granularity (1 s on some object stores
+    * and archive mounts) a same-length in-place edit of a standing
+    * file within the mtime quantum is invisible to name|length|mtime.
+    * The per-file footer-stats equality below catches any such edit
+    * that moves row counts or id ranges; an edit that preserves BOTH
+    * (a payload-only rewrite) can only be caught by content — set this
+    * to false on coarse-mtime stores and every increment runs the
+    * digest-join ground truth instead of the metadata proof.
+    */
+  val TrustListingKey = "spark.graft.append.trustListing"
+
   def pureAppendByMetadata(spark: SparkSession, oldDir: String, dir: String,
       table: String, idCol: String): Option[Seq[String]] = {
+    if (!spark.conf.get(TrustListingKey, "true").toBoolean) {
+      metadataAppendAmbiguous.incrementAndGet()
+      return None
+    }
     val memoKey = s"$oldDir|$dir|$table|${corpusFingerprint(spark, oldDir, table)}|" +
       corpusFingerprint(spark, dir, table)
     appendProofMemo.getOrElseUpdate(memoKey)(
@@ -189,11 +212,26 @@ object AssetStore {
       if old.forall { case (rel, (len, mtime, _)) =>
         nw.get(rel).exists { case (l, m, _) => l == len && m == mtime } }
       batch = nw.collect { case (rel, (_, _, p)) if !old.contains(rel) => p }.toSeq
+      // r18 hardening: the listing match alone trusts mtime, which can
+      // be COARSE (1 s quanta) — a same-length in-place edit inside the
+      // quantum slips through it. So every standing file's parquet
+      // footer stats (row count + id range) must ALSO be identical
+      // between the old copy and the copy under `dir`; a moved id
+      // range, changed row count, or unreadable footer on either side
+      // is ambiguous and falls back to the digest-join ground truth.
+      // (A payload-only rewrite preserving both is the residual risk —
+      // [[TrustListingKey]]=false closes it by forcing the digest.)
+      oldStats <- pooledFooterStats(conf,
+        old.toSeq.map { case (rel, (_, _, p)) => rel -> p }, idCol)
+      newStats <- pooledFooterStats(conf,
+        old.keys.toSeq.map(rel => rel -> nw(rel)._3), idCol)
+      if old.keys.forall(rel => oldStats(rel) == newStats(rel))
       if batch.isEmpty || {
-        (footerIdRange(conf, old.values.map(_._3).toSeq, idCol),
-          footerIdRange(conf, batch, idCol)) match {
-          case (Some((_, oldMax)), Some((batchMin, _))) => batchMin > oldMax
-          case _ => false // stats missing somewhere: ambiguous
+        val oldMax =
+          if (oldStats.isEmpty) Long.MinValue else oldStats.values.map(_._3).max
+        footerIdRange(conf, batch, idCol) match {
+          case Some((batchMin, _)) => batchMin > oldMax
+          case None => false // stats missing somewhere: ambiguous
         }
       }
     } yield batch.map(_.toString)
@@ -233,21 +271,23 @@ object AssetStore {
     * non-long type, stats dropped by the writer). Footers are read on
     * a small driver pool; no Spark job is submitted.
     */
-  private def footerIdRange(conf: org.apache.hadoop.conf.Configuration,
-      files: Seq[org.apache.hadoop.fs.Path], idCol: String): Option[(Long, Long)] = {
+  /** Per-file (rowCount, idMin, idMax) from the parquet footer —
+    * driver-side, row groups never touched. None when the footer is
+    * unreadable or `idCol` lacks clean long statistics (AMBIGUOUS —
+    * the digest join will surface whatever is actually wrong); a
+    * zero-row file yields the neutral (0, MaxValue, MinValue).
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      f: org.apache.hadoop.fs.Path, idCol: String): Option[(Long, Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    // an unreadable/corrupt footer is AMBIGUOUS (the digest join will
-    // surface whatever is actually wrong), never a thrown error here
-    def one(f: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
-      try oneUnsafe(f) catch { case scala.util.control.NonFatal(_) => None }
-    def oneUnsafe(f: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
+    def unsafe(): Option[(Long, Long, Long)] = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        if (blocks.isEmpty) return Some((Long.MaxValue, Long.MinValue)) // no rows: neutral
-        var mn = Long.MaxValue; var mx = Long.MinValue
+        var rows = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
         blocks.foreach { blk =>
+          rows += blk.getRowCount
           blk.getColumns.asScala.find(_.getPath.toDotString == idCol) match {
             case Some(c) => c.getStatistics match {
               case s: org.apache.parquet.column.statistics.LongStatistics
@@ -258,24 +298,47 @@ object AssetStore {
             case None => return None
           }
         }
-        Some((mn, mx))
+        Some((rows, mn, mx))
       } finally reader.close()
     }
-    if (files.isEmpty) return Some((Long.MaxValue, Long.MinValue))
+    try unsafe() catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Footer stats for many files on a small driver pool; None the
+    * moment ANY file is ambiguous.
+    */
+  private def pooledFooterStats(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[(String, org.apache.hadoop.fs.Path)], idCol: String)
+      : Option[Map[String, (Long, Long, Long)]] = {
+    if (files.isEmpty) return Some(Map.empty)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, files.size)))
     try {
-      val futures = files.map(f => pool.submit(
-        new java.util.concurrent.Callable[Option[(Long, Long)]] {
-          def call(): Option[(Long, Long)] = one(f)
-        }))
-      futures.foldLeft(Option((Long.MaxValue, Long.MinValue))) {
-        case (Some((mn, mx)), fut) => fut.get().map { case (a, b) =>
-          (math.min(mn, a), math.max(mx, b)) }
-        case (None, fut) => fut.get(); None // drain so the pool shuts down clean
+      val futures = files.map { case (k, f) => k -> pool.submit(
+        new java.util.concurrent.Callable[Option[(Long, Long, Long)]] {
+          def call(): Option[(Long, Long, Long)] = footerStats(conf, f, idCol)
+        })
       }
+      val b = Map.newBuilder[String, (Long, Long, Long)]
+      var ok = true
+      futures.foreach { case (k, fut) =>
+        fut.get() match {
+          case Some(s) if ok => b += k -> s
+          case Some(_) => ()
+          case None => ok = false // keep draining so the pool shuts down clean
+        }
+      }
+      if (ok) Some(b.result()) else None
     } finally pool.shutdown()
   }
+
+  private def footerIdRange(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.Path], idCol: String): Option[(Long, Long)] =
+    pooledFooterStats(conf, files.map(f => f.toString -> f), idCol).map { stats =>
+      stats.values.foldLeft((Long.MaxValue, Long.MinValue)) {
+        case ((mn, mx), (_, a, b)) => (math.min(mn, a), math.max(mx, b))
+      }
+    }
 
   /** Is a published, fully-committed asset present at `path`? */
   def committed(spark: SparkSession, path: String): Boolean = {

@@ -352,6 +352,62 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("append proof hardening: same-length same-mtime in-place edit stays ambiguous; trustListing=false forces the digest path (r18)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { _ =>
+      // two single-file corpora with the SAME byte length but different
+      // id ranges: identical row count, fixed-width columns,
+      // uncompressed — only the stored values differ (the coarse-mtime
+      // attack: an object store quantizing mtime to 1 s can serve such
+      // an edit with an unchanged name|length|mtime triple)
+      def corpus(dir: String, idBase: Long): Unit =
+        spark.range(10).select((col("id") + idBase).as("vec_id"),
+            (col("id") * 2 + idBase).as("label"))
+          .coalesce(1).write.option("compression", "none")
+          .parquet(s"$dir/t.parquet")
+      val oldDir = Files.createTempDirectory("graft_hard_old").toString
+      val edited = Files.createTempDirectory("graft_hard_edit").toString
+      corpus(oldDir, 0L)
+      corpus(edited, 1000L)
+      def partFile(d: String) = Files.list(Paths.get(s"$d/t.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val oldPart = partFile(oldDir)
+      val editPart = partFile(edited)
+      assume(Files.size(oldPart) == Files.size(editPart),
+        "fixture requires byte-length-equal encodings")
+      // newDir = oldDir's listing with the edited bytes swapped in at
+      // the same name, length AND mtime — invisible to the r17 check
+      val newDir = Files.createTempDirectory("graft_hard_new").toString
+      Files.createDirectories(Paths.get(s"$newDir/t.parquet"))
+      Files.copy(editPart, Paths.get(s"$newDir/t.parquet/${oldPart.getFileName}"))
+      Files.setLastModifiedTime(Paths.get(s"$newDir/t.parquet/${oldPart.getFileName}"),
+        Files.getLastModifiedTime(oldPart))
+      assert(AssetStore.pureAppendByMetadata(
+          spark, oldDir, newDir, "t.parquet", "vec_id").isEmpty,
+        "a same-length same-mtime in-place edit must be caught by the footer-stats check")
+
+      // and an honest byte-identical copy at the same paths IS proven
+      val okDir = Files.createTempDirectory("graft_hard_ok").toString
+      Files.createDirectories(Paths.get(s"$okDir/t.parquet"))
+      Files.copy(oldPart, Paths.get(s"$okDir/t.parquet/${oldPart.getFileName}"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+      assert(AssetStore.pureAppendByMetadata(
+          spark, oldDir, okDir, "t.parquet", "vec_id").contains(Seq.empty),
+        "an unchanged listing with matching footer stats must still prove")
+
+      // the hard override: trustListing=false refuses the metadata
+      // proof outright (coarse-mtime stores run the digest ground truth)
+      spark.conf.set(AssetStore.TrustListingKey, "false")
+      try {
+        val amb0 = AssetStore.metadataAppendAmbiguous.get()
+        assert(AssetStore.pureAppendByMetadata(
+          spark, oldDir, okDir, "t.parquet", "vec_id").isEmpty)
+        assert(AssetStore.metadataAppendAmbiguous.get() == amb0 + 1)
+      } finally spark.conf.unset(AssetStore.TrustListingKey)
+    }
+  }
+
   test("knn increment: an over-budget affected-range set degrades to the merged write, never aborts (r17)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
