@@ -306,10 +306,14 @@ final class Graft(
         "simhash_sigs" -> graft.operators.Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, dir).count()
       case "cdc_digests" =>
         "cdc_digests" -> graft.operators.Dedup.corpusChunkDigestsIncrement(spark, oldDir, dir).count()
+      case "minhash_pairs" =>
+        "minhash_pairs" -> graft.operators.Dedup.corpusMinhashPairsIncrement(spark, oldDir, dir).count()
+      case "tristats" =>
+        "tristats" -> graft.operators.Similarity.corpusTriangleStatsIncrement(spark, oldDir, dir).count()
       case other =>
         throw new IllegalArgumentException(
           s"unknown asset family '$other' (expected knn_edges | bands | gram_stats | " +
-            "minhash_sigs | simhash_sigs | cdc_digests)")
+            "minhash_sigs | simhash_sigs | cdc_digests | minhash_pairs | tristats)")
     }.toMap
 
   /** DELETE /tasks/:id — removes the task and its namespaced transforms
@@ -330,14 +334,21 @@ final class Graft(
 }
 
 object Graft {
-  /** The asset families an unconditional append publish covers (r17):
-    * the graph pair (edges + co-published bands), the gram stats, and
-    * the three per-document signature/digest assets — everything whose
-    * rebuild would otherwise cost a full corpus scan per append.
-    * `bands` alone stays opt-in (the edge increment co-publishes it).
+  /** The asset families an unconditional append publish covers (r17,
+    * extended r18): the graph pair (edges + co-published bands), the
+    * gram stats, the three per-document signature/digest assets, and
+    * the two SECOND-TIER derivations — the verified minhash pair graph
+    * and the triangle stats — so every standing consumer serves with
+    * zero builds after one `assets_increment` call. `bands` alone stays
+    * opt-in (the edge increment co-publishes it). Order matters only
+    * for economy: `minhash_pairs` rides the signature asset published
+    * by `minhash_sigs`, `tristats` rides the edge asset published by
+    * `knn_edges` — each would publish its upstream itself if asked
+    * first.
     */
   val DefaultIncrementFamilies: Seq[String] =
-    Seq("knn_edges", "gram_stats", "minhash_sigs", "simhash_sigs", "cdc_digests")
+    Seq("knn_edges", "gram_stats", "minhash_sigs", "simhash_sigs", "cdc_digests",
+      "minhash_pairs", "tristats")
 
   /** Forget every driver-side handle cache (asset-path maps, PQ model
     * cache, append-proof memo). Called by a real (non-dry-run) asset

@@ -876,11 +876,7 @@ object Dedup {
   private[graft] def minhashPairAssetPath(spark: SparkSession, dir: String,
       threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 128,
       bands: Int = 32): String = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val tPermille = math.round(threshold * 1000)
-    val assetId =
-      s"minhashpairs_k${shingleK}_h${numHashes}_b${bands}_t${tPermille}" +
-        s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = minhashPairAssetId(spark, dir, threshold, shingleK, numHashes, bands)
     minhashPairTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
@@ -889,6 +885,103 @@ object Dedup {
             numHashes, bands, threshold)
             .write.mode("overwrite").parquet(staging)
         }))
+  }
+
+  private def minhashPairAssetId(spark: SparkSession, dir: String,
+      threshold: Double, shingleK: Int, numHashes: Int, bands: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    val tPermille = math.round(threshold * 1000)
+    s"minhashpairs_k${shingleK}_h${numHashes}_b${bands}_t${tPermille}" +
+      s"_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  /** Increment-path publishes / detected fallbacks of the verified
+    * pair asset — spec seams.
+    */
+  private[graft] val minhashPairIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val minhashPairIncrementFallbacks = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Publish `dir`'s VERIFIED PAIR asset by INCREMENT from `oldDir`'s
+    * (round 18 — closing the second-tier gap: before this, the first
+    * pair-consumer query after an append re-banded and re-verified the
+    * whole merged corpus). Under a pure append no standing signature
+    * row changes, so the merged pair graph is exactly
+    *
+    *   old pairs ∪ verify(band-candidates with ≥1 BATCH side)
+    *
+    * — standing×standing pairs are already in the old asset (moved by
+    * byte-level file copy, no decode), and every new pair has a batch
+    * doc on at least one side, so candidates come from banding ONLY the
+    * batch signatures against the full signature table (batch×batch
+    * collisions surface there too and the least/greatest normalization
+    * dedups the doubled orientation). Rides the already-incremented
+    * signature asset — the one corpus-shaped input is a column-pruned
+    * scan of it. Same precondition discipline as the signature
+    * increment (metadata proof, digest-join fallback, full rebuild on
+    * an edit); shares its residual too: exact-duplicate collapse is
+    * per-generation, so a batch doc byte-identical to standing text
+    * keeps its own signature row where a from-scratch rebuild would
+    * collapse it into the standing representative.
+    */
+  def corpusMinhashPairsIncrement(spark: SparkSession, oldDir: String, dir: String,
+      threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val assetId = minhashPairAssetId(spark, dir, threshold, shingleK, numHashes, bands)
+    // already published? serve it with zero builds
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
+      minhashPairTables.putIfAbsent(assetId, d)
+      return spark.read.parquet(d)
+    }
+    val meta = graft.engine.AssetStore.pureAppendByMetadata(
+      spark, oldDir, dir, "documents.parquet", "doc_id")
+    if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {
+      minhashPairIncrementFallbacks.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhash pair increment $oldDir -> $dir is not a pure append; rebuilding")
+      return corpusMinhashPairs(spark, dir, threshold, shingleK, numHashes, bands)
+    }
+    // the signature asset first, by increment (its own crossover gate
+    // may pick the rebuild below ~1 GiB standing bytes — either way the
+    // table below is the full merged signature set)
+    val allSigs = corpusMinhashSignaturesIncrement(spark, oldDir, dir, shingleK, numHashes)
+    // standing pair asset BEFORE entering the handle map
+    // (recursive-update guard, same as every other increment publisher)
+    val oldPath = minhashPairAssetPath(spark, oldDir, threshold, shingleK, numHashes, bands)
+    val path = minhashPairTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          minhashPairIncrementBuilds.incrementAndGet()
+          val conf = spark.sparkContext.hadoopConfiguration
+          val src = new org.apache.hadoop.fs.Path(oldPath)
+          val fs = src.getFileSystem(conf)
+          fs.listStatus(src).foreach { st =>
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith("."))
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+                new org.apache.hadoop.fs.Path(staging, n), false, conf)
+          }
+          val batchIds = meta match {
+            case Some(files) if files.nonEmpty =>
+              spark.read.parquet(files: _*).select("doc_id")
+            case _ => Tables.documents(spark, dir).select("doc_id")
+              .join(Tables.documents(spark, oldDir).select("doc_id"),
+                Seq("doc_id"), "left_anti")
+          }
+          val batchSigs = allSigs.join(batchIds, Seq("doc_id"), "left_semi")
+          val cands = mhBanded(batchSigs, numHashes, bands)
+            .select(col("band"), col("bh"), col("doc_id").as("id_x"))
+            .join(mhBanded(allSigs, numHashes, bands)
+              .select(col("band"), col("bh"), col("doc_id").as("id_y")), Seq("band", "bh"))
+            .filter(col("id_x") =!= col("id_y"))
+            .select(least(col("id_x"), col("id_y")).as("id_a"),
+              greatest(col("id_x"), col("id_y")).as("id_b"))
+            .dropDuplicates("id_a", "id_b")
+          verifiedJaccardIdx(cands, allSigs.select(col("doc_id"), col("hs")))
+            .filter(col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .write.mode("append").parquet(staging)
+        }))
+    spark.read.parquet(path)
   }
 
   /** Driver query: near-dup pairs at Jaccard >= 0.7. At this threshold

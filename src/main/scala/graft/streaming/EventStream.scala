@@ -453,6 +453,72 @@ object EventStream {
         min(col("vc")).as("min_cents"),
         max(col("vc")).as("max_cents"))
 
+  /** HOURLY-PROFILE STREAM (round 18) — the incremental form of
+    * [[graft.operators.Relational.qHourlyProfile]]'s cell table: the
+    * (UTC hour-of-day × type) rollup as a Complete-mode streaming
+    * aggregation, identical cent/hour expression trees so parity with
+    * the batch query is structural. State is the output itself — a
+    * bounded 24 × |types| table, the value-histogram template.
+    *
+    * Deliberately narrower than the batch query, honestly: `n_users`
+    * is an exact distinct, which in Complete mode would need a second
+    * stateful aggregation (unsupported), and a per-cell user SET in
+    * custom state grows with the user population — neither is a shape
+    * this engine ships; `share_bp` is a per-type division OVER the
+    * complete table, one client-side pass off this output. The twin
+    * pins the accretive columns (n_events, total_cents) exactly.
+    */
+  def hourlyProfileStream(events: DataFrame): DataFrame =
+    events
+      .select(hour(col("ts")).cast("long").as("hr"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("total_cents"))
+
+  /** One user's lifespan sufficient statistic: event count and the
+    * min/max whole-microsecond event times — 24 bytes per user,
+    * ORDER-FREE by construction (count/min/max are commutative
+    * monoids), which is why this twin carries no `lastT`/`ooo`
+    * frontier: an out-of-order batch folds to the same state.
+    */
+  case class LifespanState(n: Long, minTus: Long, maxTus: Long)
+  case class LifespanUpdate(user_id: Long, n: Long, span_s: Long)
+
+  /** USER-LIFESPAN STREAM (round 18) — the per-user stage of
+    * [[graft.operators.Relational.qUserLifespan]] as custom keyed
+    * state (`mapGroupsWithState`): each trigger emits the user's
+    * updated (event count, active span in whole seconds) under the
+    * batch query's exact time grid (ns → µs truncation, span DIV 10⁶).
+    * The ≤64-bucket doubling histogram is a bounded fold OVER the
+    * latest per-user rows — the session-stats layering, with the
+    * bucketing left to the consumer because a user's bucket moves as
+    * its span grows (the histogram is not accretive per cell, so the
+    * honest streaming surface is the per-user statistic).
+    *
+    * State at scale: O(active users) × 24 bytes, the same cardinality
+    * the batch exchange pays; no event list, no timeline.
+    */
+  def userLifespanStream(events: DataFrame): Dataset[LifespanUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[LifespanState, LifespanUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LifespanState]) =>
+          var s = state.getOption.getOrElse(LifespanState(0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, t) =>
+            s = LifespanState(s.n + 1, math.min(s.minTus, t), math.max(s.maxTus, t))
+          }
+          state.update(s)
+          LifespanUpdate(uid, s.n, (s.maxTus - s.minTus) / 1000000L)
+      }
+  }
+
   /** One user's funnel progress — the BOUNDED sufficient statistic of
     * the strictly-ordered view→click→purchase funnel under in-order
     * arrival: three optional first-transition times, 24 bytes per

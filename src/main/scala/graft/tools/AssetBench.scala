@@ -140,7 +140,29 @@ object AssetBench {
         () => Similarity.corpusBandedEmbeddings(spark, sfDir, bits = 12).count()),
       ("embbands_b12_increment", incSetup(12),
         () => Similarity.corpusBandedEmbeddingsIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
-      ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count())
+      ("bpemerges_r3", noSetup, () => TextAnalysis.corpusBpeMerges(spark, sfDir, 3).count()),
+      // SECOND-TIER assets (r18): the verified pair graph and the
+      // triangle stats, full derivation vs their closure/copy-forward
+      // increments riding the already-incremented upstream assets
+      ("minhashpairs_t700", noSetup, () => Dedup.corpusMinhashPairs(spark, sfDir).count()),
+      ("minhashpairs_t700_increment", () => {
+        appendLayout("documents.parquet", "doc_id")
+        // machinery row: the shipped per-doc gate routes local sizes
+        // to the sig rebuild — zero it so the pair increment rides the
+        // production-shaped incremented signature asset
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusMinhashPairs(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusMinhashPairsIncrement(spark, incOldDir, incNewDir).count()),
+      ("tristats_b12", noSetup,
+        () => Similarity.corpusTriangleStats(spark, sfDir, bits = 12).count()),
+      ("tristats_b12_increment", () => {
+        incSetup(12)()
+        // machinery row: ScaleGen fixtures touch more ranges than the
+        // deployment-shaped 50% ceiling — open the gate so the row
+        // times the closure recompute, not the gated full derivation
+        Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.corpusTriangleStats(spark, incOldDir, bits = 12).count(); ()
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count())
     )
     val timed = builds.map { case (name, setup, run) =>
       freshRoot()

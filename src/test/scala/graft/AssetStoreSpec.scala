@@ -1080,6 +1080,166 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("minhash pair increment: standing pairs file-copied, batch-only banding merges exactly; edits fall back (r18)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { root =>
+      val oldDir = Files.createTempDirectory("graft_mhp_old").toString
+      val newDir = Files.createTempDirectory("graft_mhp_new").toString
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
+      // append layout: standing files byte-copied, batch part files in
+      Files.createDirectories(Paths.get(s"$newDir/documents.parquet"))
+      Files.list(Paths.get(s"$oldDir/documents.parquet")).forEach(p =>
+        Files.copy(p, Paths.get(s"$newDir/documents.parquet/${p.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES))
+      val bTmp = Files.createTempDirectory("graft_mhp_batch").toString
+      docs.filter(col("doc_id") >= cut).write.parquet(s"$bTmp/b.parquet")
+      Files.list(Paths.get(s"$bTmp/b.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, Paths.get(s"$newDir/documents.parquet/part-batch-${p.getFileName}")))
+      Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .sorted.toSeq
+      def files(dir: String): Set[(String, Long)] =
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      try {
+        Dedup.corpusMinhashPairs(spark, oldDir).count()
+        val full0 = Dedup.minhashPairBuilds.get()
+        val inc0 = Dedup.minhashPairIncrementBuilds.get()
+        val inc = canon(Dedup.corpusMinhashPairsIncrement(spark, oldDir, newDir))
+        assert(Dedup.minhashPairIncrementBuilds.get() == inc0 + 1,
+          "a pure append must publish the pair asset via the increment path")
+        assert(Dedup.minhashPairBuilds.get() == full0,
+          "the increment must never re-band the standing corpus")
+        // standing pair files moved by byte copy (a fresh write
+        // generates fresh part-file names)
+        val pairAssets = new java.io.File(root).listFiles()
+          .filter(_.getName.startsWith("minhashpairs")).map(_.toString)
+        assert(pairAssets.length == 2, s"expected old+new pair assets, saw ${pairAssets.toSeq}")
+        val (a, b) = (files(pairAssets(0)), files(pairAssets(1)))
+        val (oldFiles, newFiles) = if (a.size <= b.size) (a, b) else (b, a)
+        assert(oldFiles.subsetOf(newFiles),
+          s"standing pair files must be copied verbatim: ${oldFiles.diff(newFiles)}")
+        // row-identical to the from-scratch rebuild on the merged corpus
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_mhp_root2").toString)
+        Dedup.dropInMemoryNgramTables()
+        val full = canon(Dedup.corpusMinhashPairs(spark, newDir))
+        assert(inc == full, s"pair increment diverged: ${inc.size} vs ${full.size} rows")
+        spark.conf.set("spark.graft.index.dir", root)
+        Dedup.dropInMemoryNgramTables()
+        // consumers LOAD the incremented address, zero builds
+        val full1 = Dedup.minhashPairBuilds.get()
+        val served = canon(Dedup.corpusMinhashPairs(spark, newDir))
+        assert(Dedup.minhashPairBuilds.get() == full1,
+          "consumers must load the incremented pair asset, not rebuild")
+        assert(served == inc)
+        // an edited corpus must fall back to the full rebuild
+        val edDir = java.nio.file.Files.createTempDirectory("graft_mhp_ed").toString
+        docs.withColumn("text",
+            when(col("doc_id") === 1L, lit("edited body text")).otherwise(col("text")))
+          .write.parquet(s"$edDir/documents.parquet")
+        val fb0 = Dedup.minhashPairIncrementFallbacks.get()
+        val inc1 = Dedup.minhashPairIncrementBuilds.get()
+        val viaFb = canon(Dedup.corpusMinhashPairsIncrement(spark, oldDir, edDir))
+        assert(Dedup.minhashPairIncrementFallbacks.get() == fb0 + 1,
+          "an edited corpus must not take the increment path")
+        assert(Dedup.minhashPairIncrementBuilds.get() == inc1)
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_mhp_root3").toString)
+        Dedup.dropInMemoryNgramTables()
+        assert(viaFb == canon(Dedup.corpusMinhashPairs(spark, edDir)),
+          "the fallback must serve the rebuilt pair graph")
+      } finally {
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("tristats increment: only the edge-delta closure is recomputed; equals the full derivation (r18)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_tri_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_tri_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      // a 10% append over narrow ranges so untouched edge ranges exist
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      val B = 12; val W = 16L
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      def und(dir: String) = Similarity.corpusKnnEdges(spark, dir, bits = B, partWidth = W)
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .dropDuplicates("a", "b")
+      val gateOuter = Similarity.triangleIncrementMaxTouchedPermille
+      try {
+        // ScaleGen at W=16 leaves only a handful of ranges, so the
+        // append touches more than the deployment-shaped 50% ceiling —
+        // open the gate for the increment-path half (the gate itself is
+        // pinned below)
+        Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        // standing assets: edges + tristats at the spec's parameters
+        Similarity.corpusTriangleStats(spark, oldDir, bits = B, partWidth = W).count()
+        val full0 = Similarity.triangleAssetBuilds.get()
+        val inc0 = Similarity.triangleIncrementBuilds.get()
+        val inc = canon(Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
+          bits = B, partWidth = W))
+        assert(Similarity.triangleIncrementBuilds.get() == inc0 + 1,
+          "a pure append must publish tristats via the closure increment")
+        assert(Similarity.triangleAssetBuilds.get() == full0,
+          "the increment must not re-run the corpus-wide wedge join")
+        // the recompute was RESTRICTED: closure strictly smaller than the graph
+        val total = emb.filter(col("embedding").isNotNull).count()
+        val recomputed = Similarity.triangleIncrementRecomputed.get()
+        assert(recomputed > 0 && recomputed < total,
+          s"closure must be a strict subset: $recomputed vs $total merged vectors")
+        // row-identical to the full derivation over the merged edge asset
+        val full = canon(Similarity.triangleStatsOn(und(newDir)))
+        assert(inc == full, s"tristats increment diverged: ${inc.size} vs ${full.size} rows")
+        // consumers LOAD the published address, zero builds
+        Similarity.dropInMemoryIndexes()
+        val full1 = Similarity.triangleAssetBuilds.get()
+        val served = canon(Similarity.corpusTriangleStats(spark, newDir,
+          bits = B, partWidth = W).orderBy("vec_id"))
+        assert(Similarity.triangleAssetBuilds.get() == full1,
+          "consumers must load the incremented tristats asset, not rebuild")
+        assert(served == inc)
+        // saturation gate: past the touched-range ceiling the publisher
+        // degrades to the full recompute (fresh store so the committed
+        // asset doesn't short-circuit)
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_tri_root2").toString)
+        Similarity.dropInMemoryIndexes()
+        Similarity.corpusTriangleStats(spark, oldDir, bits = B, partWidth = W).count()
+        val gate0 = Similarity.triangleIncrementMaxTouchedPermille
+        try {
+          Similarity.triangleIncrementMaxTouchedPermille = -1L
+          val fb0 = Similarity.triangleIncrementFallbacks.get()
+          val viaFb = canon(Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
+            bits = B, partWidth = W))
+          assert(Similarity.triangleIncrementFallbacks.get() == fb0 + 1,
+            "past the gate the publisher must degrade to the full recompute")
+          assert(viaFb == full, "the degraded path must publish the same rows")
+        } finally Similarity.triangleIncrementMaxTouchedPermille = gate0
+      } finally {
+        Similarity.triangleIncrementMaxTouchedPermille = gateOuter
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("corpusFingerprint changes with content and is stable under re-listing") {
     withRoot { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString

@@ -547,9 +547,13 @@ class HttpApiSpec extends SparkSpec {
       }
       landAppend("embeddings.parquet", "vec_id", Tables.embeddings(spark, sf))
       landAppend("documents.parquet", "doc_id", Tables.documents(spark, sf))
-      // standing assets exist from the previous corpus generation
+      // standing assets exist from the previous corpus generation —
+      // including the second-tier derivations (r18: verified pair
+      // graph, triangle stats)
       Similarity.corpusKnnEdges(spark, oldDir).count()
       Dedup.corpusGramDf(spark, oldDir).count()
+      Dedup.corpusMinhashPairs(spark, oldDir).count()
+      Similarity.corpusTriangleStats(spark, oldDir).count()
 
       // STEP 1: the ONE call an append workflow makes — publish the new
       // corpus's assets by increment; the pure-append precondition is
@@ -561,6 +565,8 @@ class HttpApiSpec extends SparkSpec {
       assert(inc.statusCode() == 200, inc.body())
       val pub = mapper.readTree(inc.body()).get("published")
       assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, inc.body())
+      // r18: the default families now cover the second tier too
+      assert(pub.has("minhash_pairs") && pub.get("tristats").asLong() > 0, inc.body())
       assert(AssetStore.metadataAppendProofs.get() > proofs0,
         "the append-shaped landing must validate via the metadata proof")
 
@@ -582,9 +588,14 @@ class HttpApiSpec extends SparkSpec {
       Similarity.dropInMemoryIndexes(); Dedup.dropInMemoryNgramTables()
       val kb0 = Similarity.knnAssetBuilds.get()
       val gb0 = Dedup.ngramAssetBuilds.get()
+      val pb0 = Dedup.minhashPairBuilds.get()
+      val tb0 = Similarity.triangleAssetBuilds.get()
       assert(Similarity.corpusKnnEdges(spark, newDir).count() > 0)
       assert(Dedup.corpusGramDf(spark, newDir).count() > 0)
-      assert(Similarity.knnAssetBuilds.get() == kb0 && Dedup.ngramAssetBuilds.get() == gb0,
+      assert(Dedup.corpusMinhashPairs(spark, newDir).count() >= 0)
+      assert(Similarity.corpusTriangleStats(spark, newDir).count() > 0)
+      assert(Similarity.knnAssetBuilds.get() == kb0 && Dedup.ngramAssetBuilds.get() == gb0 &&
+          Dedup.minhashPairBuilds.get() == pb0 && Similarity.triangleAssetBuilds.get() == tb0,
         "post-runbook consumers must LOAD, not rebuild")
     } finally {
       api.close()

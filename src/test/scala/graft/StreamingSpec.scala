@@ -610,6 +610,85 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hourly-profile stream (Complete cells) equals q_hourly_profile on a time-split source") {
+    // the diurnal rollup gets its streaming twin (r18): same hour/cent
+    // expression trees, Complete mode (bounded 24×types state). The
+    // batch query's n_users (exact distinct — a second stateful agg)
+    // and share_bp (a division over the complete table) are documented
+    // out of the streaming surface; the accretive columns pin exactly.
+    val src = Files.createTempDirectory("graft_hprof_src").toString
+    val ckpt = Files.createTempDirectory("graft_hprof_ckpt").toString
+    val ev = Tables.events(spark, sf).select(col("ts"), col("event_type"), col("value")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    ev.filter(col("ts") < lit(c1)).coalesce(1).write.parquet(s"$src/a_part")
+    ev.filter(col("ts") >= lit(c1) && col("ts") < lit(c2)).coalesce(1).write.parquet(s"$src/b_part")
+    ev.filter(col("ts") >= lit(c2)).coalesce(1).write.parquet(s"$src/c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.hourlyProfileStream(stream),
+      "hprof_test", ckpt, OutputMode.Complete)
+    val got = spark.table("hprof_test")
+      .select("hr", "event_type", "n_events", "total_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val want = graft.operators.Relational.qHourlyProfile(spark, sf)
+      .select("hr", "event_type", "n_events", "total_cents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(want.size > 3, "a near-empty cell table is vacuous")
+  }
+
+  test("user-lifespan stream (per-user min/max state) folds to q_user_lifespan on a time-split source") {
+    // per-user custom state (r18): count/min/max are order-free
+    // monoids, so the twin carries no ooo frontier by design; the
+    // doubling-bucket histogram is folded over the LATEST per-user
+    // rows (n is strictly monotone per update — max(n) selects them)
+    // with the batch query's own bucket expression, then compared.
+    val src = Files.createTempDirectory("graft_ulife_src").toString
+    val ckpt = Files.createTempDirectory("graft_ulife_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), expr("CAST(ts_ns AS BIGINT)").as("ts_ns")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    def slice(f: org.apache.spark.sql.DataFrame, p: String) =
+      f.select("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/$p")
+    slice(ev.filter(col("ts") < lit(c1)), "a_part")
+    slice(ev.filter(col("ts") >= lit(c1) && col("ts") < lit(c2)), "b_part")
+    slice(ev.filter(col("ts") >= lit(c2)), "c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.userLifespanStream(stream).toDF(),
+      "ulife_test", ckpt, OutputMode.Update)
+    val latest = spark.table("ulife_test")
+      .groupBy("user_id").agg(max(struct(col("n"), col("span_s"))).as("m"))
+      .select(col("m.n").as("n"), col("m.span_s").as("span_s"))
+    val got = latest
+      .groupBy((length(bin(col("span_s") + 1)) - 1).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"),
+        max(col("span_s")).as("max_span_s"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.Relational.qUserLifespan(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    // non-vacuity: state accreted ACROSS triggers — some user emitted
+    // more than one update, so min/max genuinely folded over batches
+    // (at this SF every span lands in one doubling bucket, so bucket
+    // multiplicity can't be the guard)
+    val updates = spark.table("ulife_test").count()
+    val users = spark.table("ulife_test").select("user_id").distinct().count()
+    assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+  }
+
   test("upsert sink recovers when a crash left only the .old copy") {
     val dest = Files.createTempDirectory("graft_upsert_crash").toString + "/out"
     val stream1 = EventStream.readEvents(spark, sf)
