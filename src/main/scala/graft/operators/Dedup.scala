@@ -2238,6 +2238,31 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** NEAR-DUP SIMILARITY PROFILE (round 18) — the verified pair graph
+    * rolled into Jaccard deciles: pair count, exact integer-quantized
+    * Jaccard mass and the decile's max. This is the threshold-tuning
+    * chart ("how much near-dup mass sits just above my cut?") and the
+    * paraphrase-vs-template discriminator (mass at 0.9+ is templated
+    * boilerplate, mass near the cut is paraphrase) — read before
+    * moving a dedup threshold, because the docs a 0.05 shift removes
+    * live exactly in these buckets.
+    *
+    * Scale shape: the ninth consumer of the materialized pair asset —
+    * a pairs-sized column-pruned scan into a ≤4-key map-side-combined
+    * rollup; no joins, nothing corpus-shaped.
+    */
+  def neardupJaccardHist(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    corpusMinhashPairs(spark, dir, threshold)
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("jq")).as("jaccard_q_sum"),
+        max(col("jq")).as("max_jq"))
+      .orderBy("decile")
+
   /** Ingest-batch CDC accounting — "how much of this delivery is
     * content we already store?", the transfer-suppression question a
     * chunk store answers before accepting a batch (rsync's premise at

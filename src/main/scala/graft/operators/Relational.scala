@@ -1235,6 +1235,29 @@ object Relational {
         max(col("span_s")).as("max_span_s"))
       .orderBy("k")
 
+  /** USER TYPE-DIVERSITY HISTOGRAM (round 18) — users bucketed by how
+    * many DISTINCT event types they emit, with user count and event
+    * mass per bucket: the engagement-breadth chart (single-type users
+    * are drive-by traffic; all-types users are the funnel's healthy
+    * population) and the audience-overlap sanity input — if almost
+    * nobody emits more than one type, per-type audiences can't
+    * overlap and q_audience_overlap's matrix is structurally sparse.
+    *
+    * Scale shape: one user-keyed exact-distinct aggregate (the
+    * (user, type) pre-collapse makes the distinct exact without sets),
+    * folded into a ≤|types|-key rollup — the q_user_lifespan exchange
+    * shape with a distinct instead of a min/max.
+    */
+  def qUserTypeDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n"))
+      .groupBy("n_types")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"))
+      .orderBy("n_types")
+
   /** INTER-EVENT GAP HISTOGRAM (round 17) — consecutive same-user
     * event gaps in doubling whole-second buckets: the distribution the
     * session GAP CONSTANT is calibrated from (the sessionizer's 30 min

@@ -1785,6 +1785,54 @@ object Similarity {
 
   def triangleStatsQuery(spark: SparkSession, dir: String): DataFrame =
     corpusTriangleStats(spark, dir).orderBy("vec_id")
+
+  /** LOCAL-CLUSTERING-COEFFICIENT HISTOGRAM (round 18) — nodes
+    * bucketed by lcc decile (basis points DIV 2000: 0..10, the 10th
+    * bucket is exactly-1.0 cliques), with node count, triangle mass
+    * and the bucket max. The corpus-level redundancy fingerprint: mass
+    * at the top deciles is near-duplicate clique structure
+    * (semantic-dedup headroom), a bottom-heavy profile is genuine
+    * topical diversity. Third consumer of the durable tristats asset —
+    * and the chart that says whether running semdedup is worth it
+    * BEFORE paying for it.
+    *
+    * Scale shape: a corpus-rows scan of the skinny four-long asset
+    * into an 11-key map-side-combined rollup; the wedge join ran at
+    * publish time, never here.
+    */
+  def lccHist(spark: SparkSession, dir: String): DataFrame =
+    corpusTriangleStats(spark, dir)
+      .groupBy(expr("lcc_bp DIV 2000").as("decile"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("n_triangles")).as("total_triangles"),
+        max(col("lcc_bp")).as("max_lcc_bp"))
+      .orderBy("decile")
+
+  /** EDGE-DISTANCE DOUBLING HISTOGRAM (round 18) — the 5-NN edges
+    * bucketed by integer log2 of the exact grid distance (the
+    * embed_norm_hist axis applied to edges): edge count, min/max and
+    * exact distance mass per doubling. This is the radius-calibration
+    * chart for the fixed-radius family — range_search's ceiling and
+    * semantic-dedup's threshold should sit where this histogram's
+    * near-mass ends — and the drift alarm (the profile shifting right
+    * release-over-release means the embedding space is spreading).
+    * Thirteenth consumer of the durable edge asset.
+    *
+    * Scale shape: an edges-sized column-pruned scan of the asset into
+    * a ≤64-key map-side-combined rollup; zero-distance edges (exact
+    * vector copies) are excluded from the log axis on both engines.
+    */
+  def edgeDistHist(spark: SparkSession, dir: String): DataFrame =
+    corpusKnnEdges(spark, dir)
+      .filter(col("dist") >= 1)
+      .groupBy((length(bin(col("dist"))) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"),
+        sum(col("dist")).as("sum_dist"))
+      .orderBy("k")
   def neighborJaccardQuery(spark: SparkSession, dir: String): DataFrame =
     neighborJaccard(spark, dir)
   def degreeHistogramQuery(spark: SparkSession, dir: String): DataFrame =

@@ -1453,6 +1453,30 @@ object TextAnalysis {
       .withColumn("punct_bp", expr("(10000 * punct_n) DIV n_chars"))
       .orderBy("source")
 
+  /** WORD-LENGTH HISTOGRAM (round 18) — whitespace tokens bucketed by
+    * character length, with token count and document reach per bucket:
+    * the tokenizer-sizing chart (mean word length × fertility predicts
+    * tokens-per-byte, the storage/compute planning constant) and a
+    * blunt quality probe — anomalous mass at very long "words" is
+    * unsegmented markup/URLs/DNA-of-the-web that the quality gates
+    * should have caught, surfaced here corpus-wide in one number per
+    * bucket.
+    *
+    * Scale shape: one corpus text pass (the shared trim/split
+    * tokenization every n-gram operator uses), token-exploded into a
+    * ≤max-word-length-keyed map-side-combined rollup; the doc-reach
+    * distinct collapses on (wlen, doc_id) inside the same exchange.
+    */
+  def wordLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(length(col("tok")).cast("long").as("wlen"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("wlen")
+
   /** VOCABULARY DRIFT (round 17) — the [[graft.operators.Similarity]]
     * `embed_drift` report for TEXT: for the corpus's top-`topK` terms,
     * frequency in the first id half vs the second, and the second
