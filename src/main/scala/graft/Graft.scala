@@ -310,10 +310,12 @@ final class Graft(
         "minhash_pairs" -> graft.operators.Dedup.corpusMinhashPairsIncrement(spark, oldDir, dir).count()
       case "tristats" =>
         "tristats" -> graft.operators.Similarity.corpusTriangleStatsIncrement(spark, oldDir, dir).count()
+      case "ngram_index" =>
+        "ngram_index" -> graft.operators.Dedup.corpusNgramIndexIncrement(spark, oldDir, dir).count()
       case other =>
         throw new IllegalArgumentException(
           s"unknown asset family '$other' (expected knn_edges | bands | gram_stats | " +
-            "minhash_sigs | simhash_sigs | cdc_digests | minhash_pairs | tristats)")
+            "minhash_sigs | simhash_sigs | cdc_digests | minhash_pairs | tristats | ngram_index)")
     }.toMap
 
   /** DELETE /tasks/:id — removes the task and its namespaced transforms
@@ -348,7 +350,7 @@ object Graft {
     */
   val DefaultIncrementFamilies: Seq[String] =
     Seq("knn_edges", "gram_stats", "minhash_sigs", "simhash_sigs", "cdc_digests",
-      "minhash_pairs", "tristats")
+      "minhash_pairs", "tristats", "ngram_index")
 
   /** Forget every driver-side handle cache (asset-path maps, PQ model
     * cache, append-proof memo). Called by a real (non-dry-run) asset

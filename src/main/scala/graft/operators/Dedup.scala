@@ -1432,13 +1432,137 @@ object Dedup {
     * prefix lemma needs only a consistent order).
     */
   def corpusNgramIndex(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    val assetId = s"ngramidx_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val assetId = ngramIdxAssetId(spark, dir, k)
     val path = ngramIndexTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           ngramAssetBuilds.incrementAndGet()
           ngramIndex(Tables.documents(spark, dir), k).write.mode("overwrite").parquet(staging)
+        }))
+    spark.read.parquet(path)
+  }
+
+  private def ngramIdxAssetId(spark: SparkSession, dir: String, k: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    s"ngramidx_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  private def ngramOrderAssetId(spark: SparkSession, dir: String, k: Int): String = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+    s"ngramidxord_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  /** THE (df, gram) TOTAL ORDER `dir`'s prefix index is built under —
+    * the consistency contract every cross-index consumer must share
+    * (round 18). The prefix lemma's exactness needs one CONSISTENT
+    * total order across all indexed and probing documents, not fresh
+    * frequencies; an increment-built index therefore pins the order
+    * its FOUNDING full build used and carries it forward verbatim
+    * across appends (the `ngramidxord` asset), while a full-built
+    * index's order is simply the corpus's own df table. Consumers that
+    * index NEW text against the corpus asset (the near-dup ingest
+    * gate, [[ngramIncrementalPairs]] callers) must take their
+    * `dfTable` from HERE — taking the current [[corpusGramDf]] against
+    * an increment-built index would mix two orders and silently lose
+    * candidate pairs.
+    */
+  def corpusNgramOrder(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, dir, k))
+      .map(p => spark.read.parquet(p))
+      .getOrElse(corpusGramDf(spark, dir, k).select(col("g"), col("__df")))
+
+  /** Increment-path publishes / detected fallbacks of the prefix-index
+    * asset — spec seams.
+    */
+  private[graft] val ngramIdxIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val ngramIdxIncrementFallbacks = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Publish `dir`'s PREFIX INDEX asset by INCREMENT from `oldDir`'s
+    * (round 18 — the last second-tier asset without one). Postings are
+    * per-document, so standing part files move by byte copy; the one
+    * corpus-shaped input the derivation has — the global (df, gram)
+    * order the prefixes are ranked under — is PINNED rather than
+    * refreshed: the batch is indexed under the order the standing
+    * index was built with (committed `ngramidxord` asset when the
+    * chain has one, else the standing corpus's own df table, which IS
+    * a full-built index's order), and that order is re-published
+    * verbatim at the new address so any chain of appends stays
+    * mutually consistent. Exactness is unchanged — the prefix lemma
+    * holds under ANY fixed total order (unseen batch grams take the
+    * df=1 "rarest" fallback the index already defines), so candidate
+    * generation stays complete and the exact verify makes every
+    * consumer's ANSWER identical to a from-scratch rebuild's; only
+    * pruning efficiency drifts as true frequencies move, which a
+    * periodic rebuild resets. Same precondition/crossover discipline
+    * as the per-doc family ([[perDocIncrementMinStandingBytes]]).
+    */
+  def corpusNgramIndexIncrement(spark: SparkSession, oldDir: String, dir: String,
+      k: Int = 3): DataFrame = {
+    val assetId = ngramIdxAssetId(spark, dir, k)
+    // already published? serve it with zero builds
+    graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
+      ngramIndexTables.putIfAbsent(assetId, d)
+      return spark.read.parquet(d)
+    }
+    // crossover gate: below the measured threshold the rebuild's corpus
+    // pass beats the increment's fixed costs (shared with the per-doc
+    // family — same cost shape: one text scan vs listing + copies)
+    if (graft.engine.AssetStore.tableBytes(spark, oldDir, "documents.parquet")
+        < perDocIncrementMinStandingBytes) {
+      perDocIncrementRebuildSelections.incrementAndGet()
+      return corpusNgramIndex(spark, dir, k)
+    }
+    val meta = graft.engine.AssetStore.pureAppendByMetadata(
+      spark, oldDir, dir, "documents.parquet", "doc_id")
+    if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {
+      ngramIdxIncrementFallbacks.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngram index increment $oldDir -> $dir is not a pure append; rebuilding")
+      // the rebuild resets the chain: no order asset is published, so
+      // corpusNgramOrder(dir) falls back to dir's own df — exactly the
+      // order the rebuilt index encodes
+      return corpusNgramIndex(spark, dir, k)
+    }
+    // standing assets BEFORE the handle map (recursive-update guard)
+    val oldPath = {
+      corpusNgramIndex(spark, oldDir, k)
+      ngramIndexTables.get(ngramIdxAssetId(spark, oldDir, k))
+    }
+    val oldOrderCommitted =
+      graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, oldDir, k))
+    // re-publish the pinned order at the new address: a byte copy when
+    // the chain already carries one, else one vocabulary-sized write of
+    // the standing corpus's df table (= the full-built index's order)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def copyDataFiles(from: String, to: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(from)
+      val fs = src.getFileSystem(conf)
+      fs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(to, n), false, conf)
+      }
+    }
+    val ordPath = graft.engine.AssetStore.resolve(spark, ngramOrderAssetId(spark, dir, k),
+      staging => oldOrderCommitted match {
+        case Some(src) => copyDataFiles(src, staging)
+        case None => corpusGramDf(spark, oldDir, k).select(col("g"), col("__df"))
+          .write.mode("overwrite").parquet(staging)
+      })
+    val order = spark.read.parquet(ordPath)
+    val path = ngramIndexTables.computeIfAbsent(assetId, _ =>
+      graft.engine.AssetStore.resolve(spark, assetId,
+        staging => {
+          ngramIdxIncrementBuilds.incrementAndGet()
+          copyDataFiles(oldPath, staging)
+          val batch = meta match {
+            case Some(files) if files.nonEmpty => spark.read.parquet(files: _*)
+            case _ => Tables.documents(spark, dir)
+              .join(Tables.documents(spark, oldDir).select("doc_id"),
+                Seq("doc_id"), "left_anti")
+          }
+          ngramIndex(batch, k, Some(order)).write.mode("append").parquet(staging)
         }))
     spark.read.parquet(path)
   }

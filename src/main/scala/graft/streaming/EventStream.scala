@@ -675,6 +675,85 @@ object EventStream {
       }
   }
 
+  /** One user's inter-event-gap frontier: the (time, event_id) of the
+    * LAST event under the batch query's exact ordering, plus the
+    * sticky out-of-order counter — 24 bytes per user.
+    */
+  case class GapState(lastTus: Long, lastEid: Long, ooo: Long = 0L)
+
+  /** One observed consecutive-event gap in whole seconds. `ooo` is
+    * sticky from the first violating micro-batch on (the carried
+    * frontier is suspect from then on — the [[Transition]] contract).
+    */
+  case class GapObs(user_id: Long, gap_s: Long, ooo: Boolean = false)
+
+  /** INTER-EVENT GAP STREAM (round 18) — the per-user stage of
+    * [[graft.operators.Relational.qGapHist]] as
+    * `flatMapGroupsWithState`: each consecutive same-user gap (under
+    * the batch query's (time, event_id) order, whole seconds on the
+    * µs grid) emitted exactly once — the predecessor is either
+    * batch-local or the carried frontier, so the accumulated emissions
+    * ARE the batch query's lag rows. Gaps are ORDER-SENSITIVE (unlike
+    * the lifespan twin's min/max), so the state carries the fold
+    * frontier and flags violations sticky, the funnel/transition
+    * contract: an out-of-order event means the carried predecessor
+    * was not the true one, and every later gap inherits the suspicion.
+    */
+  def gapStream(events: DataFrame): Dataset[GapObs] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapObs](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._2))
+          val s0 = state.getOption
+          val violated = sorted.nonEmpty && s0.exists(s =>
+            sorted.head._3 < s.lastTus ||
+              (sorted.head._3 == s.lastTus && sorted.head._2 < s.lastEid))
+          val oooCount = s0.fold(0L)(_.ooo) + (if (violated) 1L else 0L)
+          var last: Option[(Long, Long)] = s0.map(s => (s.lastTus, s.lastEid))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapObs]
+          sorted.foreach { case (_, eid, t) =>
+            last.foreach { case (lt, _) =>
+              out += GapObs(user, (t - lt) / 1000000L, oooCount > 0L)
+            }
+            last = Some((t, eid))
+          }
+          last.foreach { case (lt, le) =>
+            // frontier = the max under the (time, id) order — an OOO
+            // batch must never rewind it
+            val keep = s0.exists(s =>
+              s.lastTus > lt || (s.lastTus == lt && s.lastEid > le))
+            val (ft, fe) = if (keep) (s0.get.lastTus, s0.get.lastEid) else (lt, le)
+            state.update(GapState(ft, fe, oooCount))
+          }
+          out.iterator
+      }
+  }
+
+  /** The gap-doubling rollup over [[gapStream]]'s emissions — the same
+    * bucket expression tree as the batch query, as a watermark-free
+    * Update-mode aggregate (the session-stats layering: every column
+    * is monotone under accretion, so finals are per-bucket maxima).
+    * Run composed with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * — the flagged late-discard scenario cannot occur in a
+    * watermark-free global aggregate (see [[sessionStatsStream]]).
+    */
+  def gapHistStream(gaps: DataFrame): DataFrame =
+    gaps
+      .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("total_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+
   /** Watermarked per-window bounded top-k: the highest-`value` events of
     * each tumbling hour, ranked by the custom [[graft.functions.TopKOrdTie]]
     * aggregate INSIDE Structured Streaming state. This is the aggregate's

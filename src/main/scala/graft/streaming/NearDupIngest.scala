@@ -113,7 +113,11 @@ object NearDupIngest {
   ): Unit = {
     val spark = docs.sparkSession
     val corpusIdx = Dedup.corpusNgramIndex(spark, corpusDir, k)
-    val corpusDf = Dedup.corpusGramDf(spark, corpusDir, k)
+    // the ORDER the corpus index is pinned under — NOT the current df
+    // table: an increment-built index carries its founding order
+    // forward, and mixing orders across the cross-pair join would
+    // silently lose candidates (r18; [[Dedup.corpusNgramOrder]])
+    val corpusDf = Dedup.corpusNgramOrder(spark, corpusDir, k)
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, destDir, idxDir,

@@ -155,6 +155,13 @@ object AssetBench {
       }, () => Dedup.corpusMinhashPairsIncrement(spark, incOldDir, incNewDir).count()),
       ("tristats_b12", noSetup,
         () => Similarity.corpusTriangleStats(spark, sfDir, bits = 12).count()),
+      ("ngramidx_k3_increment", () => {
+        appendLayout("documents.parquet", "doc_id")
+        // machinery row: the shipped gate routes local sizes to rebuild
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusNgramIndex(spark, incOldDir).count()
+        Dedup.corpusGramDf(spark, incOldDir).count(); ()
+      }, () => Dedup.corpusNgramIndexIncrement(spark, incOldDir, incNewDir).count()),
       ("tristats_b12_increment", () => {
         incSetup(12)()
         // machinery row: ScaleGen fixtures touch more ranges than the

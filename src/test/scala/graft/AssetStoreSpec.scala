@@ -1163,6 +1163,116 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("ngram index increment: postings copy-forward under a pinned order; answers equal the rebuild across an append chain (r18)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { root =>
+      // three generations: gen0 (80% of ids) -> gen1 (90%) -> gen2 (all),
+      // each landed as a real file-level append of the previous
+      val dirs = Seq.fill(3)(Files.createTempDirectory("graft_ngix_gen").toString)
+      val docs = Tables.documents(spark, sf)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cuts = Seq(maxId * 8 / 10, maxId * 9 / 10, maxId + 1)
+      docs.filter(col("doc_id") < cuts(0)).write.parquet(s"${dirs(0)}/documents.parquet")
+      for (g <- 1 to 2) {
+        Files.createDirectories(Paths.get(s"${dirs(g)}/documents.parquet"))
+        Files.list(Paths.get(s"${dirs(g - 1)}/documents.parquet")).forEach(p =>
+          Files.copy(p, Paths.get(s"${dirs(g)}/documents.parquet/${p.getFileName}"),
+            StandardCopyOption.COPY_ATTRIBUTES))
+        val bTmp = Files.createTempDirectory("graft_ngix_batch").toString
+        docs.filter(col("doc_id") >= cuts(g - 1) && col("doc_id") < cuts(g))
+          .write.parquet(s"$bTmp/b.parquet")
+        Files.list(Paths.get(s"$bTmp/b.parquet"))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.move(p,
+            Paths.get(s"${dirs(g)}/documents.parquet/part-batch-g$g-${p.getFileName}")))
+      }
+      Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+      val gate0 = Dedup.perDocIncrementMinStandingBytes
+      def pairs(idx: org.apache.spark.sql.DataFrame) =
+        Dedup.ngramJaccardPairsIndexed(idx, 0.2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+          .sorted.toSeq
+      def docRows(idx: org.apache.spark.sql.DataFrame) =
+        idx.select(col("doc_id"), col("n"), col("hs").cast("string"))
+          .collect().map(_.mkString("|")).sorted.toSeq
+      try {
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusNgramIndex(spark, dirs(0)).count()
+        // the founding corpus's gram asset exists in the runbook flow
+        // (the gram_stats family publishes it every generation) — the
+        // first increment derives its order pin from it with no build
+        Dedup.corpusGramDf(spark, dirs(0)).count()
+        val full0 = Dedup.ngramAssetBuilds.get()
+        val inc0 = Dedup.ngramIdxIncrementBuilds.get()
+        val idx1 = Dedup.corpusNgramIndexIncrement(spark, dirs(0), dirs(1))
+        val idx2 = Dedup.corpusNgramIndexIncrement(spark, dirs(1), dirs(2))
+        assert(Dedup.ngramIdxIncrementBuilds.get() == inc0 + 2,
+          "both appends must publish via the increment path")
+        assert(Dedup.ngramAssetBuilds.get() == full0,
+          "the increment must never re-shingle the standing corpus")
+        // standing posting files byte-copied across BOTH generations
+        def files(dir: String): Set[(String, Long)] =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet
+        val idxAssets = new java.io.File(root).listFiles()
+          .filter(f => f.getName.startsWith("ngramidx_")).map(_.toString)
+          .sortBy(files(_).size)
+        assert(idxAssets.length == 3, s"expected three generations: ${idxAssets.toSeq}")
+        assert(files(idxAssets(0)).subsetOf(files(idxAssets(1))) &&
+            files(idxAssets(1)).subsetOf(files(idxAssets(2))),
+          "standing posting files must be copied verbatim down the chain")
+        // the PINNED ORDER is the founding corpus's df table, carried
+        // byte-identical across generations
+        val ordAssets = new java.io.File(root).listFiles()
+          .filter(f => f.getName.startsWith("ngramidxord_")).map(_.toString)
+        assert(ordAssets.length == 2, s"one order asset per increment: ${ordAssets.toSeq}")
+        val ordCanon = ordAssets.map(p => spark.read.parquet(p)
+          .collect().map(_.mkString("|")).sorted.toSeq)
+        assert(ordCanon(0) == ordCanon(1), "the order pin must not drift across appends")
+        val foundingDf = Dedup.corpusGramDf(spark, dirs(0))
+          .select(col("g"), col("__df")).collect().map(_.mkString("|")).sorted.toSeq
+        assert(ordCanon(0) == foundingDf, "the pin must be the founding corpus's df order")
+        // per-doc n/hs are order-independent and must equal the rebuild
+        // exactly; CONSUMER ANSWERS must equal it too (the prefix lemma
+        // under the pinned order stays complete)
+        val viaInc = pairs(idx2)
+        val incRows = docRows(idx2)
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_ngix_root2").toString)
+        Dedup.dropInMemoryNgramTables()
+        val rebuilt = Dedup.corpusNgramIndex(spark, dirs(2))
+        assert(docRows(rebuilt) == incRows,
+          "per-doc (n, hs) must be identical to the from-scratch rebuild")
+        assert(pairs(rebuilt) == viaInc,
+          "verified pair answers must be identical to the from-scratch rebuild")
+        assert(viaInc.nonEmpty, "a pairless fixture is vacuous")
+        spark.conf.set("spark.graft.index.dir", root)
+        Dedup.dropInMemoryNgramTables()
+        // an edited corpus must fall back to the full rebuild (which
+        // resets the order chain: no order asset is published)
+        val edDir = java.nio.file.Files.createTempDirectory("graft_ngix_ed").toString
+        docs.withColumn("text",
+            when(col("doc_id") === 1L, lit("edited body text")).otherwise(col("text")))
+          .write.parquet(s"$edDir/documents.parquet")
+        val fb0 = Dedup.ngramIdxIncrementFallbacks.get()
+        val viaFb = pairs(Dedup.corpusNgramIndexIncrement(spark, dirs(2), edDir))
+        assert(Dedup.ngramIdxIncrementFallbacks.get() == fb0 + 1)
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_ngix_root3").toString)
+        Dedup.dropInMemoryNgramTables()
+        assert(viaFb == pairs(Dedup.corpusNgramIndex(spark, edDir)),
+          "the fallback must serve the rebuilt index's answers")
+      } finally {
+        Dedup.perDocIncrementMinStandingBytes = gate0
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("tristats increment: only the edge-delta closure is recomputed; equals the full derivation (r18)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._

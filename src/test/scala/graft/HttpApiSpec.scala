@@ -554,6 +554,7 @@ class HttpApiSpec extends SparkSpec {
       Dedup.corpusGramDf(spark, oldDir).count()
       Dedup.corpusMinhashPairs(spark, oldDir).count()
       Similarity.corpusTriangleStats(spark, oldDir).count()
+      Dedup.corpusNgramIndex(spark, oldDir).count()
 
       // STEP 1: the ONE call an append workflow makes — publish the new
       // corpus's assets by increment; the pure-append precondition is
@@ -566,7 +567,8 @@ class HttpApiSpec extends SparkSpec {
       val pub = mapper.readTree(inc.body()).get("published")
       assert(pub.get("knn_edges").asLong() > 0 && pub.get("gram_stats").asLong() > 0, inc.body())
       // r18: the default families now cover the second tier too
-      assert(pub.has("minhash_pairs") && pub.get("tristats").asLong() > 0, inc.body())
+      assert(pub.has("minhash_pairs") && pub.get("tristats").asLong() > 0 &&
+        pub.get("ngram_index").asLong() > 0, inc.body())
       assert(AssetStore.metadataAppendProofs.get() > proofs0,
         "the append-shaped landing must validate via the metadata proof")
 
@@ -594,6 +596,7 @@ class HttpApiSpec extends SparkSpec {
       assert(Dedup.corpusGramDf(spark, newDir).count() > 0)
       assert(Dedup.corpusMinhashPairs(spark, newDir).count() >= 0)
       assert(Similarity.corpusTriangleStats(spark, newDir).count() > 0)
+      assert(Dedup.corpusNgramIndex(spark, newDir).count() > 0)
       assert(Similarity.knnAssetBuilds.get() == kb0 && Dedup.ngramAssetBuilds.get() == gb0 &&
           Dedup.minhashPairBuilds.get() == pb0 && Similarity.triangleAssetBuilds.get() == tb0,
         "post-runbook consumers must LOAD, not rebuild")

@@ -689,6 +689,87 @@ class StreamingSpec extends SparkSpec {
     assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
   }
 
+  test("gap stream (frontier-carrying) folds to q_gap_hist on a time-split source") {
+    // the session-gap calibration chart gets its streaming twin (r18):
+    // per-user gaps from flatMapGroupsWithState (each gap emitted
+    // exactly once — the predecessor is batch-local or the carried
+    // frontier), rolled up by the batch query's own doubling-bucket
+    // expression as a watermark-free Update-mode aggregate. A user
+    // whose consecutive events straddle a file boundary gets that gap
+    // ONLY via the carried frontier — losing the handoff fails the
+    // histogram equality below.
+    val src = Files.createTempDirectory("graft_gaps_src").toString
+    val ckpt = Files.createTempDirectory("graft_gaps_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns").cast("long").as("ts_ns"),
+        col("ts"))
+      .persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    def slice(f: org.apache.spark.sql.DataFrame, p: String) =
+      f.select("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/$p")
+    slice(ev.filter(col("ts") < lit(c1)), "a_part")
+    slice(ev.filter(col("ts") >= lit(c1) && col("ts") < lit(c2)), "b_part")
+    slice(ev.filter(col("ts") >= lit(c2)), "c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      EventStream.runAvailableNow(
+        EventStream.gapHistStream(EventStream.gapStream(stream).toDF()),
+        "gaps_test", ckpt, OutputMode.Update)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+    val got = spark.table("gaps_test").collect()
+      .groupBy(_.getLong(0)).map { case (k, rows) =>
+        (k, rows.map(_.getLong(1)).max, rows.map(_.getLong(2)).max, rows.map(_.getLong(3)).max)
+      }.toSet
+    val want = graft.operators.Relational.qGapHist(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(want.size > 1, "a one-bucket fixture is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("gap stream: a cross-batch out-of-order event flags its rows, sticky (r18)") {
+    // user 9's third event lands in a later batch with a time BETWEEN
+    // the two already-folded ones: the emitted gap is computed against
+    // the wrong predecessor and must carry the ooo flag — and STAY
+    // flagged on later in-order batches (the frontier is corrupted for
+    // good); the frontier itself must never rewind (the negative-gap
+    // emission is flagged, and the NEXT gap measures from the true max)
+    val src = Files.createTempDirectory("graft_gaps_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_gaps_ooo_ckpt").toString
+    Seq((9L, 1L, 1000000000L), (9L, 2L, 3000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((9L, 3L, 2000000000L), (10L, 4L, 4000000000L), (10L, 5L, 5000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    Seq((9L, 6L, 9000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/c_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.gapStream(stream).toDF(), "gaps_ooo_test", ckpt, OutputMode.Append)
+    val rows = spark.table("gaps_ooo_test")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(rows.contains((9L, 2L, false)), s"the in-order first batch stays clean: $rows")
+    assert(rows.contains((9L, -1L, true)),
+      s"the out-of-order gap must be flagged, not silently folded: $rows")
+    // sticky + frontier not rewound: the later in-order event measures
+    // from the TRUE max (3s, not the out-of-order 2s) and stays flagged
+    assert(rows.contains((9L, 6L, true)),
+      s"post-corruption gaps must STAY flagged and measure from the un-rewound frontier: $rows")
+    assert(rows.contains((10L, 1L, false)), s"the concurrent in-order user stays clean: $rows")
+    spark.catalog.clearCache()
+  }
+
   test("upsert sink recovers when a crash left only the .old copy") {
     val dest = Files.createTempDirectory("graft_upsert_crash").toString + "/out"
     val stream1 = EventStream.readEvents(spark, sf)
