@@ -932,6 +932,17 @@ object Dedup {
       minhashPairTables.putIfAbsent(assetId, d)
       return spark.read.parquet(d)
     }
+    // crossover gate (r18, measured at sf1): below the threshold the
+    // rebuild wins — BOTH paths band the full signature table (the
+    // irreducible corpus-sized piece), so at low near-dup mass the
+    // increment only adds fixed costs; past the gate the standing
+    // pair-verify mass the increment skips (and the copy-forward of
+    // the standing pair bytes) dominates
+    if (graft.engine.AssetStore.tableBytes(spark, oldDir, "documents.parquet")
+        < perDocIncrementMinStandingBytes) {
+      perDocIncrementRebuildSelections.incrementAndGet()
+      return corpusMinhashPairs(spark, dir, threshold, shingleK, numHashes, bands)
+    }
     val meta = graft.engine.AssetStore.pureAppendByMetadata(
       spark, oldDir, dir, "documents.parquet", "doc_id")
     if (meta.isEmpty && docsPureAppendViolated(spark, oldDir, dir)) {

@@ -1498,6 +1498,65 @@ object Similarity {
       .limit(topK)
   }
 
+  /** TOP-VARIANCE-SUBSPACE DIMENSION CORRELATION (round 18) — the
+    * production-width remedy [[embedDimCorr]]'s fail-fast names, made
+    * a real path: pick the `subDims` highest-variance dimensions from
+    * the per-dim moment pass (exact integer variance numerator
+    * n·Σx² − (Σx)², ties to the lower dim), then run the exact
+    * pairwise covariance audit INSIDE that subspace only. At d=4096
+    * the full kernel's d(d−1)/2 = ~8.4 M products per row is a
+    * 4000× blowup; this variant is two linear passes plus
+    * subDims(subDims−1)/2 = 28 products per row at the default — the
+    * shape that survives any embedding width. High-variance dims are
+    * where correlated mass lives (a zero-variance dim has zero
+    * covariance with everything), so the subspace is the right place
+    * to look first; the full kernel remains for bounded widths.
+    *
+    * Scale shape: one posexplode moment pass (map-side combined,
+    * d-keyed), a bounded TakeOrdered + driver collect of `subDims`
+    * ints (DriverBudget-audited), one literal-index product pass, a
+    * ≤28-key rollup, broadcast stat joins, TakeOrdered top-K.
+    * Fixed-width corpus contract (the dimstats family's standing
+    * assumption): rows shorter than the deepest selected dim are
+    * dropped from the product pass.
+    */
+  def embedDimCorrTop(spark: SparkSession, dir: String,
+      scale: Int = 1000, subDims: Int = 8, topK: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+      .filter(size(col("embedding")) >= 2)
+    val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
+    val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n"))
+    val sel = graft.engine.DriverBudget.collect(
+        "Similarity.embedDimCorrTop.subspace", subDims.toLong)(
+        dims.withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+          .orderBy(col("var_num").desc, col("i").asc)
+          .select(col("i"))
+          .limit(subDims))
+      .map(_.getInt(0)).sorted
+    val pairCols = for {
+      a <- sel.indices
+      b <- (a + 1) until sel.size
+    } yield struct(
+      lit(sel(a)).as("i"), lit(sel(b)).as("j"),
+      (element_at(col("q"), sel(a) + 1) * element_at(col("q"), sel(b) + 1)).as("xy"))
+    val pairs = q.filter(size(col("q")) > sel.lastOption.getOrElse(0))
+      .select(explode(array(pairCols: _*)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+    pairs
+      .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), col("sxy"), col("cov_num"))
+      .orderBy(abs(col("cov_num")).desc, col("i"), col("j"))
+      .limit(topK)
+  }
+
   /** SHARED-NEAREST-NEIGHBOR similarity — for every adjacent pair of
     * the symmetrized k-NN graph, the Jaccard overlap of the two
     * endpoints' neighbor sets (each excluding the other endpoint): the

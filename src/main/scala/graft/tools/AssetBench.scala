@@ -162,12 +162,19 @@ object AssetBench {
         Dedup.corpusNgramIndex(spark, incOldDir).count()
         Dedup.corpusGramDf(spark, incOldDir).count(); ()
       }, () => Dedup.corpusNgramIndexIncrement(spark, incOldDir, incNewDir).count()),
-      ("tristats_b12_increment", () => {
+      ("tristats_b12_increment_forced", () => {
         incSetup(12)()
-        // machinery row: ScaleGen fixtures touch more ranges than the
-        // deployment-shaped 50% ceiling — open the gate so the row
-        // times the closure recompute, not the gated full derivation
+        // machinery row: ScaleGen's append touches most edge ranges, so
+        // this forces the closure recompute the 50% gate would refuse —
+        // the number that PROVES the gate right at this fixture shape
         Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.corpusTriangleStats(spark, incOldDir, bits = 12).count(); ()
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
+      ("tristats_b12_increment_gated", () => {
+        incSetup(12)()
+        // shipped behavior: the default gate measures the touched
+        // fraction and degrades to the one-pass full derivation
+        Similarity.triangleIncrementMaxTouchedPermille = 500L
         Similarity.corpusTriangleStats(spark, incOldDir, bits = 12).count(); ()
       }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count())
     )

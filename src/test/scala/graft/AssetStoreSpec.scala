@@ -1108,7 +1108,23 @@ class AssetStoreSpec extends SparkSpec {
         new java.io.File(dir).listFiles()
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(f => (f.getName, f.length())).toSet
+      val gate0 = Dedup.perDocIncrementMinStandingBytes
       try {
+        // the r18 crossover gate honestly routes sub-threshold standing
+        // corpora to the rebuild — pin that first against a throwaway
+        // warehouse so the gated rebuild doesn't pre-publish the
+        // increment's address
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_mhp_root0").toString)
+        val sel0 = Dedup.perDocIncrementRebuildSelections.get()
+        val gi0 = Dedup.minhashPairIncrementBuilds.get()
+        Dedup.corpusMinhashPairsIncrement(spark, oldDir, newDir).count()
+        assert(Dedup.perDocIncrementRebuildSelections.get() == sel0 + 1,
+          "a sub-threshold standing corpus must route to the rebuild")
+        assert(Dedup.minhashPairIncrementBuilds.get() == gi0)
+        Dedup.dropInMemoryNgramTables()
+        spark.conf.set("spark.graft.index.dir", root)
+        Dedup.perDocIncrementMinStandingBytes = 0L
         Dedup.corpusMinhashPairs(spark, oldDir).count()
         val full0 = Dedup.minhashPairBuilds.get()
         val inc0 = Dedup.minhashPairIncrementBuilds.get()
@@ -1157,6 +1173,7 @@ class AssetStoreSpec extends SparkSpec {
         assert(viaFb == canon(Dedup.corpusMinhashPairs(spark, edDir)),
           "the fallback must serve the rebuilt pair graph")
       } finally {
+        Dedup.perDocIncrementMinStandingBytes = gate0
         Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
         spark.catalog.clearCache()
       }
