@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivf", "ann_ivfpq_joined", "ann_lsh", "ann_pq_joined",
       "ann_recall", "ann_recall_ivfpq", "ann_refine", "ann_topk",
       "contamination", "dedup_ngram_incremental", "doc_annotate",
-      "embed_cluster_stats", "embed_dim_corr", "embed_medoids",
+      "embed_cluster_stats", "embed_dim_corr",
+      // dim-sum broadcast bounded by the embedding width, the
+      // embed_dim_corr argument (its scaladoc names the cap)
+      "embed_dim_corr_top", "embed_medoids",
       "embed_outliers", "gram_df_hist", "mix_curriculum", "mix_kl",
       "mix_languages", "mix_sources", "mix_temperature",
       "oov_rate_by_source", "pack_efficiency", "pack_sequences",
