@@ -1968,6 +1968,51 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** SEMANTIC CONTAMINATION (round 18) — the embedding-tier complement
+    * of the 8-gram [[graft.operators.TextAnalysis.contamination]]
+    * audit: for every EVAL vector (the id-slice convention the lexical
+    * audit uses), the corpus vectors within the fixed squared-grid
+    * ceiling — match count, the exact minimum distance, and the
+    * nearest corpus id. Decontamination pipelines run exactly this
+    * pair of audits before a training run: the lexical tier catches
+    * verbatim leakage, this tier catches PARAPHRASED eval rows that
+    * share no 8-gram but sit on top of an eval embedding.
+    *
+    * Scale shape: candidates from the materialized band asset with the
+    * eval cut pushed into the scan (an eval-sized fraction of bucket
+    * rows on one side), bounded by LSH bucket occupancy — never
+    * eval × corpus; one exact-distance projection with the ceiling
+    * fused; per-eval rollup with the argmin as a lexicographic
+    * struct-min in the same exchange.
+    */
+  def semanticContamination(spark: SparkSession, dir: String,
+      radius: Long = 1280000L, evalMax: Long = 64L, bits: Int = 4,
+      tables: Int = 8, dim: Int = 64, seedBase: Long = 42L,
+      scale: Int = 1000): DataFrame = {
+    val bands = corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase)
+    val cands = bands.filter(col("vec_id") < evalMax)
+      .select(col("t"), col("b"), col("vec_id").as("eval_id"))
+      .join(bands.filter(col("vec_id") >= evalMax)
+        .select(col("t"), col("b"), col("vec_id").as("corpus_id")), Seq("t", "b"))
+      .select("eval_id", "corpus_id")
+      .dropDuplicates("eval_id", "corpus_id")
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    cands
+      .join(emb.select(col("vec_id").as("eval_id"),
+        quantizedCol(col("embedding"), scale).as("q_a")), Seq("eval_id"))
+      .join(emb.select(col("vec_id").as("corpus_id"),
+        quantizedCol(col("embedding"), scale).as("q_b")), Seq("corpus_id"))
+      .select(col("eval_id"), col("corpus_id"),
+        vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
+      .filter(col("dist") <= radius)
+      .groupBy("eval_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("dist")).as("min_dist"),
+        min(struct(col("dist"), col("corpus_id"))).getField("corpus_id").as("nearest_id"))
+      .orderBy("eval_id")
+  }
+
   /** RANGE-SEARCH RECALL SCORECARD (round 16) — pair-recall of the
     * LSH-banded candidate generation at each hyperplane width, against
     * exact ground truth on a query slice: `n_true` pairs within the
