@@ -1463,6 +1463,18 @@ object Dedup {
     s"ngramidxord_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
   }
 
+  /** Marker file the INCREMENT writes inside the index asset, binding
+    * the order provenance to the index itself: present = the postings
+    * were built under the pinned `ngramidxord` order; absent = a full
+    * build, whose order is the corpus's own df. Spark ignores
+    * underscore files on read. Without the marker, a crash between the
+    * order publish and the index publish followed by a direct FULL
+    * build at the same address would leave a committed order asset
+    * next to a current-order index — and a consumer trusting the order
+    * asset alone would probe with the wrong order.
+    */
+  private val NgramOrderMarker = "_GRAFT_DFORDER"
+
   /** THE (df, gram) TOTAL ORDER `dir`'s prefix index is built under —
     * the consistency contract every cross-index consumer must share
     * (round 18). The prefix lemma's exactness needs one CONSISTENT
@@ -1475,12 +1487,29 @@ object Dedup {
     * gate, [[ngramIncrementalPairs]] callers) must take their
     * `dfTable` from HERE — taking the current [[corpusGramDf]] against
     * an increment-built index would mix two orders and silently lose
-    * candidate pairs.
+    * candidate pairs. The verdict comes from the INDEX's own
+    * provenance marker, so a committed order asset next to a
+    * full-built index (a crashed-increment residue) is correctly
+    * ignored.
     */
   def corpusNgramOrder(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, dir, k))
+    pinnedOrderPath(spark, dir, k)
       .map(p => spark.read.parquet(p))
       .getOrElse(corpusGramDf(spark, dir, k).select(col("g"), col("__df")))
+
+  /** The committed pinned-order path for `dir`'s index, iff the index
+    * itself declares it (provenance marker) — shared by the consumer
+    * lookup and the increment's standing-side resolution.
+    */
+  private def pinnedOrderPath(spark: SparkSession, dir: String, k: Int): Option[String] =
+    for {
+      idx <- graft.engine.AssetStore.resolveIfCommitted(spark, ngramIdxAssetId(spark, dir, k))
+      if {
+        val p = new org.apache.hadoop.fs.Path(idx, NgramOrderMarker)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      ord <- graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, dir, k))
+    } yield ord
 
   /** Increment-path publishes / detected fallbacks of the prefix-index
     * asset — spec seams.
@@ -1539,8 +1568,10 @@ object Dedup {
       corpusNgramIndex(spark, oldDir, k)
       ngramIndexTables.get(ngramIdxAssetId(spark, oldDir, k))
     }
-    val oldOrderCommitted =
-      graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, oldDir, k))
+    // marker-aware: a committed order asset next to a FULL-built
+    // standing index (crashed-increment residue) must be ignored — the
+    // standing postings are ranked under the corpus's own df then
+    val oldOrderCommitted = pinnedOrderPath(spark, oldDir, k)
     // re-publish the pinned order at the new address: a byte copy when
     // the chain already carries one, else one vocabulary-sized write of
     // the standing corpus's df table (= the full-built index's order)
@@ -1574,6 +1605,12 @@ object Dedup {
                 Seq("doc_id"), "left_anti")
           }
           ngramIndex(batch, k, Some(order)).write.mode("append").parquet(staging)
+          // order-provenance marker: this index's postings are ranked
+          // under the pinned order asset, not the corpus's current df
+          val mk = new org.apache.hadoop.fs.Path(staging, NgramOrderMarker)
+          val out = mk.getFileSystem(conf).create(mk, true)
+          try out.write(ngramOrderAssetId(spark, dir, k).getBytes("UTF-8"))
+          finally out.close()
         }))
     spark.read.parquet(path)
   }

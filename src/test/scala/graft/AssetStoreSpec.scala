@@ -1290,6 +1290,39 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("ngram order pin: a crashed-increment order residue next to a full-built index is ignored (r18)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withRoot { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ngord_res").toString
+      Tables.documents(spark, sf).filter(col("doc_id") < 50)
+        .write.parquet(s"$dir/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      try {
+        // a committed order asset at the index's address — the residue a
+        // crash between the increment's two publishes leaves behind —
+        // with content that is NOT the corpus's df
+        val fp = AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
+        AssetStore.resolve(spark, s"ngramidxord_k3_v${AssetStore.FormatVersion}_$fp",
+          staging => Seq(("bogus gram", 7L)).toDF("g", "__df")
+            .write.mode("overwrite").parquet(staging))
+        // the index then gets FULL-built (no provenance marker): its
+        // postings are ranked under the corpus's own df
+        Dedup.corpusNgramIndex(spark, dir).count()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.mkString("|")).sorted.toSeq
+        val got = canon(Dedup.corpusNgramOrder(spark, dir))
+        assert(!got.contains("bogus gram|7"), "the residue order must be ignored")
+        assert(got == canon(Dedup.corpusGramDf(spark, dir).select(col("g"), col("__df"))),
+          "a full-built index's order is the corpus's own df table")
+      } finally {
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("tristats increment: only the edge-delta closure is recomputed; equals the full derivation (r18)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
