@@ -1290,6 +1290,71 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("minhash pair increment chains: two successive appends copy forward and equal the rebuild (r18)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { root =>
+      val dirs = Seq.fill(3)(Files.createTempDirectory("graft_mhpc_gen").toString)
+      val docs = Tables.documents(spark, sf)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cuts = Seq(maxId * 8 / 10, maxId * 9 / 10, maxId + 1)
+      docs.filter(col("doc_id") < cuts(0)).write.parquet(s"${dirs(0)}/documents.parquet")
+      for (g <- 1 to 2) {
+        Files.createDirectories(Paths.get(s"${dirs(g)}/documents.parquet"))
+        Files.list(Paths.get(s"${dirs(g - 1)}/documents.parquet")).forEach(p =>
+          Files.copy(p, Paths.get(s"${dirs(g)}/documents.parquet/${p.getFileName}"),
+            StandardCopyOption.COPY_ATTRIBUTES))
+        val bTmp = Files.createTempDirectory("graft_mhpc_batch").toString
+        docs.filter(col("doc_id") >= cuts(g - 1) && col("doc_id") < cuts(g))
+          .write.parquet(s"$bTmp/b.parquet")
+        Files.list(Paths.get(s"$bTmp/b.parquet"))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.move(p,
+            Paths.get(s"${dirs(g)}/documents.parquet/part-batch-g$g-${p.getFileName}")))
+      }
+      Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+      val gate0 = Dedup.perDocIncrementMinStandingBytes
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .sorted.toSeq
+      try {
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusMinhashPairs(spark, dirs(0)).count()
+        val full0 = Dedup.minhashPairBuilds.get()
+        val inc0 = Dedup.minhashPairIncrementBuilds.get()
+        Dedup.corpusMinhashPairsIncrement(spark, dirs(0), dirs(1)).count()
+        val viaChain = canon(Dedup.corpusMinhashPairsIncrement(spark, dirs(1), dirs(2)))
+        assert(Dedup.minhashPairIncrementBuilds.get() == inc0 + 2,
+          "both appends must publish via the increment path")
+        assert(Dedup.minhashPairBuilds.get() == full0,
+          "no generation may re-band the standing corpus")
+        // gen0's pair files are byte-identical members of gen2's asset
+        def files(dir: String): Set[(String, Long)] =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet
+        val assets = new java.io.File(root).listFiles()
+          .filter(_.getName.startsWith("minhashpairs")).map(_.toString)
+          .sortBy(files(_).size)
+        assert(assets.length == 3, s"expected three generations: ${assets.toSeq}")
+        assert(files(assets(0)).subsetOf(files(assets(1))) &&
+            files(assets(1)).subsetOf(files(assets(2))),
+          "standing pair files must be copied verbatim down the chain")
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_mhpc_root2").toString)
+        Dedup.dropInMemoryNgramTables()
+        assert(viaChain == canon(Dedup.corpusMinhashPairs(spark, dirs(2))),
+          "the chained increments must equal the from-scratch rebuild")
+        assert(viaChain.nonEmpty, "a pairless fixture is vacuous")
+      } finally {
+        Dedup.perDocIncrementMinStandingBytes = gate0
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("ngram order pin: a crashed-increment order residue next to a full-built index is ignored (r18)") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions._
