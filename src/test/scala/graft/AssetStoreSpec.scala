@@ -1465,6 +1465,48 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("tristats increment chains: two successive appends recompute closures only and equal the full derivation (r18)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { _ =>
+      val dirs = Seq.fill(3)(java.nio.file.Files.createTempDirectory("graft_tric_gen").toString)
+      val emb = Tables.embeddings(spark, sf)
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cuts = Seq(maxId * 8 / 10, maxId * 9 / 10, maxId + 1)
+      for (g <- 0 to 2)
+        emb.filter(col("vec_id") < cuts(g)).write.parquet(s"${dirs(g)}/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      val B = 12; val W = 16L
+      val gate0 = Similarity.triangleIncrementMaxTouchedPermille
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      try {
+        Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.corpusTriangleStats(spark, dirs(0), bits = B, partWidth = W).count()
+        val full0 = Similarity.triangleAssetBuilds.get()
+        val inc0 = Similarity.triangleIncrementBuilds.get()
+        Similarity.corpusTriangleStatsIncrement(spark, dirs(0), dirs(1),
+          bits = B, partWidth = W).count()
+        val viaChain = canon(Similarity.corpusTriangleStatsIncrement(spark, dirs(1), dirs(2),
+          bits = B, partWidth = W))
+        assert(Similarity.triangleIncrementBuilds.get() == inc0 + 2,
+          "both appends must publish via the closure increment")
+        assert(Similarity.triangleAssetBuilds.get() == full0,
+          "no generation may re-run the corpus-wide wedge join")
+        val und = Similarity.corpusKnnEdges(spark, dirs(2), bits = B, partWidth = W)
+          .select(least(col("vec_id"), col("nbr_id")).as("a"),
+            greatest(col("vec_id"), col("nbr_id")).as("b"))
+          .dropDuplicates("a", "b")
+        assert(viaChain == canon(Similarity.triangleStatsOn(und)),
+          "the chained increments must equal the full derivation over the merged edges")
+      } finally {
+        Similarity.triangleIncrementMaxTouchedPermille = gate0
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("corpusFingerprint changes with content and is stable under re-listing") {
     withRoot { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
