@@ -1868,6 +1868,33 @@ object Similarity {
         max(col("lcc_bp")).as("max_lcc_bp"))
       .orderBy("decile")
 
+  /** RECIPROCITY BY RANK (round 18) — per k-NN rank, the fraction of
+    * directed edges whose reverse edge also exists (basis points).
+    * Rank-1 edges in a healthy embedding space reciprocate heavily;
+    * reciprocity decaying steeply with rank is hubness (many vectors
+    * rank a hub that ranks none of them back) — the one-table summary
+    * behind [[mutualKnn]]'s pair listing, and the calibration for how
+    * much the mutual-kNN filter will THIN the graph before it runs.
+    * Fourteenth consumer of the durable edge asset.
+    *
+    * Scale shape: one self equi-join of the skinny edge table on the
+    * reversed key (k-bounded per source), rolled into a ≤k-key
+    * map-side-combined rollup; nothing corpus-wide shuffles beyond the
+    * edge-keyed exchange.
+    */
+  def reciprocityByRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusKnnEdges(spark, dir)
+    val rev = e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("vec_id", "nbr_id"), "left")
+      .groupBy("rank")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_reciprocal"))
+      .withColumn("reciprocity_bp", expr("(10000 * n_reciprocal) DIV n_edges"))
+      .orderBy("rank")
+  }
+
   /** EDGE-DISTANCE DOUBLING HISTOGRAM (round 18) — the 5-NN edges
     * bucketed by integer log2 of the exact grid distance (the
     * embed_norm_hist axis applied to edges): edge count, min/max and
