@@ -1355,6 +1355,64 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("ingest-gate order contract: cross pairs off an increment-built index equal the rebuilt path (r18)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { root =>
+      // corpus grown by one append (increment-built index under the
+      // founding order) vs the same corpus rebuilt from scratch
+      // (current-df order): a batch of NEW documents probed against
+      // each must yield the SAME verified cross pairs — the exactness
+      // the corpusNgramOrder contract buys
+      val oldDir = Files.createTempDirectory("graft_gate_old").toString
+      val newDir = Files.createTempDirectory("graft_gate_new").toString
+      val docs = Tables.documents(spark, sf)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      docs.filter(col("doc_id") < cut).write.parquet(s"$oldDir/documents.parquet")
+      Files.createDirectories(Paths.get(s"$newDir/documents.parquet"))
+      Files.list(Paths.get(s"$oldDir/documents.parquet")).forEach(p =>
+        Files.copy(p, Paths.get(s"$newDir/documents.parquet/${p.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES))
+      val bTmp = Files.createTempDirectory("graft_gate_batch").toString
+      docs.filter(col("doc_id") >= cut).write.parquet(s"$bTmp/b.parquet")
+      Files.list(Paths.get(s"$bTmp/b.parquet"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, Paths.get(s"$newDir/documents.parquet/part-batch-${p.getFileName}")))
+      // the probing batch: genuinely new ids whose text duplicates
+      // corpus text, so cross pairs exist at any threshold
+      val probe = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+      val gate0 = Dedup.perDocIncrementMinStandingBytes
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .sorted.toSeq
+      try {
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        Dedup.corpusNgramIndex(spark, oldDir).count()
+        Dedup.corpusGramDf(spark, oldDir).count()
+        Dedup.corpusNgramIndexIncrement(spark, oldDir, newDir).count()
+        val viaInc = canon(Dedup.ngramIncrementalPairs(
+          Dedup.corpusNgramIndex(spark, newDir), probe,
+          Dedup.corpusNgramOrder(spark, newDir), 3, 0.2))
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_gate_root2").toString)
+        Dedup.dropInMemoryNgramTables()
+        val viaRebuild = canon(Dedup.ngramIncrementalPairs(
+          Dedup.corpusNgramIndex(spark, newDir), probe,
+          Dedup.corpusNgramOrder(spark, newDir), 3, 0.2))
+        assert(viaInc == viaRebuild,
+          s"gate answers diverged: ${viaInc.size} vs ${viaRebuild.size} pairs")
+        assert(viaInc.nonEmpty, "a pairless probe is vacuous")
+      } finally {
+        Dedup.perDocIncrementMinStandingBytes = gate0
+        Dedup.dropInMemoryNgramTables(); Dedup.dropInMemoryShardBlooms()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("ngram order pin: a crashed-increment order residue next to a full-built index is ignored (r18)") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions._
