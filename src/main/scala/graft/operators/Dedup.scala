@@ -1500,16 +1500,33 @@ object Dedup {
   /** The committed pinned-order path for `dir`'s index, iff the index
     * itself declares it (provenance marker) — shared by the consumer
     * lookup and the increment's standing-side resolution.
+    *
+    * A marker WITHOUT its order asset is a hard error (round 19): the
+    * index swears its postings were ranked under a pinned order, and
+    * that order is gone (e.g. the warehouse was pruned of the
+    * `ngramidxord` asset but not the index). Degrading to the
+    * current-df order here would be exactly the order mixing the
+    * contract forbids — a consumer would probe an increment-built
+    * index with a DIFFERENT total order and silently lose candidate
+    * pairs. Fail with the remedy instead: rebuild the index (a full
+    * build carries no marker and needs no order asset).
     */
   private def pinnedOrderPath(spark: SparkSession, dir: String, k: Int): Option[String] =
-    for {
-      idx <- graft.engine.AssetStore.resolveIfCommitted(spark, ngramIdxAssetId(spark, dir, k))
-      if {
+    graft.engine.AssetStore.resolveIfCommitted(spark, ngramIdxAssetId(spark, dir, k))
+      .filter { idx =>
         val p = new org.apache.hadoop.fs.Path(idx, NgramOrderMarker)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       }
-      ord <- graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, dir, k))
-    } yield ord
+      .map { idx =>
+        graft.engine.AssetStore.resolveIfCommitted(spark, ngramOrderAssetId(spark, dir, k))
+          .getOrElse(throw new IllegalStateException(
+            s"ngram index at $idx declares a pinned order (marker " +
+              s"$NgramOrderMarker) but the ${ngramOrderAssetId(spark, dir, k)} " +
+              "asset is missing — probing it under the current df order " +
+              "would silently lose candidate pairs. Rebuild the index " +
+              "(corpusNgramIndex after clearing the committed asset) or " +
+              "restore the order asset."))
+      }
 
   /** Increment-path publishes / detected fallbacks of the prefix-index
     * asset — spec seams.

@@ -1516,14 +1516,30 @@ object Similarity {
     * d-keyed), a bounded TakeOrdered + driver collect of `subDims`
     * ints (DriverBudget-audited), one literal-index product pass, a
     * ≤28-key rollup, broadcast stat joins, TakeOrdered top-K.
-    * Fixed-width corpus contract (the dimstats family's standing
-    * assumption): rows shorter than the deepest selected dim are
-    * dropped from the product pass.
+    *
+    * Fixed-width corpus contract, ASSERTED at runtime (round 19): on a
+    * ragged corpus this kernel and its SQL twin diverge silently —
+    * width-1 rows would be excluded from the moment pass while the SQL
+    * keeps them, and rows shorter than the deepest selected dim would
+    * drop their in-range (i, j) products that the SQL keeps. One
+    * skinny min/max-width pass over the size column (cheap next to the
+    * posexplode moment pass) turns that silent divergence into a
+    * fail-fast with the remedy named.
     */
   def embedDimCorrTop(spark: SparkSession, dir: String,
       scale: Int = 1000, subDims: Int = 8, topK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-      .filter(size(col("embedding")) >= 2)
+    val widths = graft.engine.DriverBudget.collect("Similarity.embedDimCorrTop.width", 1L)(
+      emb.agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi")))
+      .head
+    if (!widths.isNullAt(0)) {
+      val (lo, hi) = (widths.getInt(0), widths.getInt(1))
+      require(lo == hi && lo >= 2,
+        s"embedDimCorrTop: ragged embedding widths [$lo, $hi] — the kernel " +
+          "and its oracle diverge on ragged corpora (width-1 rows and " +
+          "short-row products). Normalize the corpus to one width (pad or " +
+          "drop) before auditing dimension correlation.")
+    }
     val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
     val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("i").agg(
@@ -1773,12 +1789,6 @@ object Similarity {
       seedBase, scale, partWidth)
     val newEdgePath = corpusKnnEdgesPath(spark, dir, kTop, bits, tables, dim, seedBase, scale, partWidth)
     val oldEdgePath = corpusKnnEdgesPath(spark, oldDir, kTop, bits, tables, dim, seedBase, scale, partWidth)
-    // standing tristats BEFORE entering the handle map (recursive-update
-    // guard, same as every other increment publisher)
-    val oldTriPath = {
-      corpusTriangleStats(spark, oldDir, kTop, bits, tables, dim, seedBase, scale, partWidth)
-      triangleTables.get(tristatsAssetId(spark, oldDir, kTop, bits, tables, dim, seedBase, scale))
-    }
     // touched ranges from the two listings — driver metadata only
     def ptFiles(path: String): Map[Long, Set[(String, Long)]] = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -1796,12 +1806,24 @@ object Similarity {
     val newPts = ptFiles(newEdgePath)
     val touchedPts = (newPts.keySet ++ oldPts.keySet)
       .filter(pt => oldPts.get(pt) != newPts.get(pt)).toSeq.sorted
+    // gate FIRST (round 19): the degrade path never reads the standing
+    // tristats asset, so resolving/building it (a full wedge join over
+    // oldDir when absent) before knowing which path runs would be
+    // wasted work exactly when the increment is about to recompute
+    // everything anyway
+    val gateDegrades = touchedPts.size * 1000L >
+      newPts.size.max(1) * triangleIncrementMaxTouchedPermille
+    // standing tristats BEFORE entering the handle map (recursive-update
+    // guard, same as every other increment publisher) — closure path only
+    val oldTriPath = if (gateDegrades) null else {
+      corpusTriangleStats(spark, oldDir, kTop, bits, tables, dim, seedBase, scale, partWidth)
+      triangleTables.get(tristatsAssetId(spark, oldDir, kTop, bits, tables, dim, seedBase, scale))
+    }
     val path = triangleTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {
           val und = undirectedKnnAt(spark, dir, kTop, bits, tables, dim, seedBase, scale, partWidth)
-          if (touchedPts.size * 1000L >
-              newPts.size.max(1) * triangleIncrementMaxTouchedPermille) {
+          if (gateDegrades) {
             triangleIncrementFallbacks.incrementAndGet()
             triangleAssetBuilds.incrementAndGet()
             triangleIncrementRecomputed.set(-1L)

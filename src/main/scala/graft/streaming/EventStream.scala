@@ -745,9 +745,19 @@ object EventStream {
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
     * — the flagged late-discard scenario cannot occur in a
     * watermark-free global aggregate (see [[sessionStatsStream]]).
+    *
+    * OOO-flagged gaps are EXCLUDED (round 19): a gap emitted against a
+    * corrupted frontier can be negative, and `bin(gap_s + 1)` on a
+    * negative value lands in bucket 0 (gap_s = −1) or bucket 63
+    * (gap_s < −1) — folding it in would silently pollute exactly the
+    * calibration chart the sticky flag was designed to protect. A
+    * disordered source therefore degrades VISIBLY (its suspect gaps
+    * vanish from the histogram and remain countable on the flagged
+    * [[gapStream]] rows) instead of corrupting the buckets.
     */
   def gapHistStream(gaps: DataFrame): DataFrame =
     gaps
+      .filter(!col("ooo"))
       .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("k"))
       .agg(
         count(lit(1)).as("n_gaps"),

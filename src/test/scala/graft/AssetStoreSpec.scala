@@ -1446,6 +1446,73 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("ngram order pin: a marker without its order asset fails fast, never mixes orders (r19)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    withRoot { root =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ngord_miss").toString
+      Tables.documents(spark, sf).filter(col("doc_id") < 50)
+        .write.parquet(s"$dir/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      try {
+        Dedup.corpusNgramIndex(spark, dir).count()
+        // the warehouse-pruned corner: the index DECLARES a pinned order
+        // (provenance marker) but the ngramidxord asset is gone —
+        // degrading to the current-df order here is exactly the order
+        // mixing that silently loses candidate pairs
+        val idxDir = new java.io.File(root).listFiles()
+          .filter(_.getName.startsWith("ngramidx_")) match {
+            case Array(one) => one
+            case other => fail(s"expected one index asset, got ${other.toSeq}")
+          }
+        java.nio.file.Files.writeString(idxDir.toPath.resolve("_GRAFT_DFORDER"), "")
+        val ex = intercept[IllegalStateException] {
+          Dedup.corpusNgramOrder(spark, dir).count()
+        }
+        assert(ex.getMessage.contains("ngramidxord") &&
+          ex.getMessage.contains("Rebuild the index"), ex.getMessage)
+      } finally {
+        Dedup.dropInMemoryNgramTables()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("tristats increment: the degrade path never builds the standing tristats asset (r19)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    withRoot { root =>
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_trid_old").toString
+      val newDir = java.nio.file.Files.createTempDirectory("graft_trid_new").toString
+      val emb = Tables.embeddings(spark, sf)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      emb.filter(col("vec_id") < cut).write.parquet(s"$oldDir/embeddings.parquet")
+      emb.write.parquet(s"$newDir/embeddings.parquet")
+      Similarity.dropInMemoryIndexes()
+      val gate0 = Similarity.triangleIncrementMaxTouchedPermille
+      try {
+        // force the degrade with NO standing tristats asset anywhere:
+        // the gate must be evaluated BEFORE the standing resolve, so
+        // the full recompute is the only wedge join the publisher runs
+        Similarity.triangleIncrementMaxTouchedPermille = -1L
+        val full0 = Similarity.triangleAssetBuilds.get()
+        Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
+          bits = 12, partWidth = 16L).count()
+        assert(Similarity.triangleAssetBuilds.get() == full0 + 1,
+          "the degrade recompute must be the ONLY wedge join — building " +
+            "oldDir's standing tristats first is wasted work")
+        val triAssets = new java.io.File(root).listFiles()
+          .filter(_.getName.startsWith("tristats_"))
+        assert(triAssets.length == 1,
+          s"only newDir's asset may exist: ${triAssets.map(_.getName).toSeq}")
+      } finally {
+        Similarity.triangleIncrementMaxTouchedPermille = gate0
+        Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("tristats increment: only the edge-delta closure is recomputed; equals the full derivation (r18)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._

@@ -2361,4 +2361,41 @@ class QueriesSpec extends SparkSpec {
     assert(e.getMessage.contains("pairwise cap") &&
       e.getMessage.contains("embedDimStatsQuery"))
   }
+
+  test("embed_dim_corr_top asserts the fixed-width contract: ragged corpora fail fast (r19)") {
+    import graft.operators.Similarity
+    // the subspace kernel and its SQL twin diverge SILENTLY on ragged
+    // widths (width-1 rows out of the moment pass, short rows out of
+    // the product pass) — the runtime assertion turns that into a
+    // fail-fast with the remedy named
+    val rDir = java.nio.file.Files.createTempDirectory("graft_dimtop_ragged").toString
+    Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq(2.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$rDir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedDimCorrTop(spark, rDir).collect()
+    }
+    assert(e.getMessage.contains("ragged embedding widths") &&
+      e.getMessage.contains("[2, 3]"), e.getMessage)
+    // a width-1-only corpus is ragged in the contract's sense too (no
+    // pair exists) — [1, 1] fails the >= 2 leg
+    val oDir = java.nio.file.Files.createTempDirectory("graft_dimtop_one").toString
+    Seq((0L, Seq(9.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$oDir/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      Similarity.embedDimCorrTop(spark, oDir).collect()
+    }
+    // fixed-width corpora (the contract) still pass — null rows are not
+    // width violations, and the sf corpus itself is the green path
+    val fDir = java.nio.file.Files.createTempDirectory("graft_dimtop_fixed").toString
+    Seq(
+      (0L, Some(Seq(1.0f, 2.0f, 3.0f)), 0),
+      (1L, Some(Seq(2.0f, 1.0f, 5.0f)), 0),
+      (2L, None, 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$fDir/embeddings.parquet")
+    assert(Similarity.embedDimCorrTop(spark, fDir, subDims = 3).collect().nonEmpty)
+  }
 }

@@ -770,6 +770,21 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gap hist excludes ooo-flagged gaps from the calibration buckets (r19)") {
+    // a negative gap from a corrupted frontier would land in bucket 0
+    // (gap_s = -1) or bucket 63 (gap_s < -1) via bin(gap_s + 1) — the
+    // rollup must drop flagged rows so disordered input degrades
+    // visibly instead of polluting the chart
+    val gaps = Seq(
+      (9L, -1L, true), (9L, -5L, true),
+      (9L, 2L, false), (10L, 2L, false)
+    ).toDF("user_id", "gap_s", "ooo")
+    val got = EventStream.gapHistStream(gaps)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 4L, 2L)),
+      s"flagged gaps leaked into the histogram: $got")
+  }
+
   test("upsert sink recovers when a crash left only the .old copy") {
     val dest = Files.createTempDirectory("graft_upsert_crash").toString + "/out"
     val stream1 = EventStream.readEvents(spark, sf)
