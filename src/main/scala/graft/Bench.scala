@@ -76,14 +76,24 @@ object Bench {
     * cuts cheap entries first; `elided` counts what the sidecar holds
     * that the line does not. Exposed for the spec that proves the bound
     * at 200+ queries.
+    *
+    * SELF-DESCRIBING DISPERSION (round 19 — the r18 verdict's item 6):
+    * each admitted entry carries `[min, med, max]` (not just the min),
+    * and a run-level `disp` block summarizes the per-query max/min
+    * ratios (p50/p90/worst) across the FULL suite — so a consumer of
+    * the one line can separate host noise (high ratios everywhere)
+    * from a genuine regression (a moved min on a tight-ratio run)
+    * without the sidecar. `value` stays the sum of rounded MINS.
     */
-  private[graft] val LineBudget = 1400 // < the ~2000-char collector tail window
+  private[graft] val LineBudget = 1600 // < the ~2000-char collector tail window
   private[graft] val MaxEntries = 20
   private[graft] def headline(
-      mins: Map[String, Double], sfDir: String, suspect: Boolean): String = {
-    val FixedOverhead = 120 // metric/unit/n_queries/elided/suspect/value + braces
-    val byCost = mins.toSeq.sortBy(-_._2)
-      .map { case (k, v) => (v, "\"" + k + "\":" + r2(v)) }
+      stats: Map[String, QStat], sfDir: String, suspect: Boolean): String = {
+    val FixedOverhead = 190 // metric/unit/n_queries/elided/disp/suspect/value + braces
+    val byCost = stats.toSeq.sortBy(-_._2.min)
+      .map { case (k, s) =>
+        (s.min, "\"" + k + "\":[" + r2(s.min) + "," + r2(s.med) + "," + r2(s.max) + "]")
+      }
     var used = FixedOverhead + sfDir.length
     val admitted = byCost.takeWhile { case (_, e) =>
       val fits = used + e.length + 1 <= LineBudget
@@ -91,13 +101,19 @@ object Bench {
       fits
     }.take(MaxEntries)
     val qs = admitted.sortBy(_._1).map(_._2).mkString("{", ",", "}")
+    val ratios = stats.values.map(s => s.max / math.max(s.min, 0.01)).toIndexedSeq.sorted
+    val disp = if (ratios.isEmpty) "" else {
+      val p50 = ratios(ratios.length / 2)
+      val p90 = ratios(math.min(ratios.length * 9 / 10, ratios.length - 1))
+      s""""disp":{"p50":${r2(p50)},"p90":${r2(p90)},"max":${r2(ratios.last)}},"""
+    }
     // sum the ROUNDED per-query values so value == sum over the sidecar's
     // rounded map holds exactly for a consumer cross-checking the two
-    val total = if (mins.nonEmpty) mins.values.map(v => r2(v).toDouble).sum else 0.0
+    val total = if (stats.nonEmpty) stats.values.map(s => r2(s.min).toDouble).sum else 0.0
     val suspectField = if (suspect) """"suspect":true,""" else ""
-    s"""{"metric":"total","unit":"sec","n_queries":${mins.size},""" +
-      s""""elided":${mins.size - admitted.size},"queries":$qs,""" +
-      s"""$suspectField"sf":"$sfDir","value":${r2(total)}}"""
+    s"""{"metric":"total","unit":"sec","n_queries":${stats.size},""" +
+      s""""elided":${stats.size - admitted.size},"queries":$qs,""" +
+      s"""$disp$suspectField"sf":"$sfDir","value":${r2(total)}}"""
   }
 
   /** One measured pass over a query: fresh isolated session, one untimed
@@ -231,6 +247,6 @@ object Bench {
           s""""suspect_rerun":$suspectJson,"stats":$stats}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
-    println(headline(results.view.mapValues(_.min).toMap, sfDir, suspects.nonEmpty))
+    println(headline(results, sfDir, suspects.nonEmpty))
   }
 }

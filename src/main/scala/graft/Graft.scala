@@ -293,25 +293,30 @@ final class Graft(
     */
   def incrementAssets(oldDir: String, dir: String,
       families: Seq[String] = Graft.DefaultIncrementFamilies): Map[String, Long] =
-    families.map {
+    families.flatMap {
       case "knn_edges" =>
-        "knn_edges" -> graft.operators.Similarity.corpusKnnEdgesIncrement(spark, oldDir, dir).count()
+        Seq("knn_edges" -> graft.operators.Similarity.corpusKnnEdgesIncrement(spark, oldDir, dir).count())
       case "bands" =>
-        "bands" -> graft.operators.Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, dir).count()
+        Seq("bands" -> graft.operators.Similarity.corpusBandedEmbeddingsIncrement(spark, oldDir, dir).count())
       case "gram_stats" =>
-        "gram_stats" -> graft.operators.Dedup.corpusGramDfIncrement(spark, oldDir, dir).count()
+        Seq("gram_stats" -> graft.operators.Dedup.corpusGramDfIncrement(spark, oldDir, dir).count())
       case "minhash_sigs" =>
-        "minhash_sigs" -> graft.operators.Dedup.corpusMinhashSignaturesIncrement(spark, oldDir, dir).count()
+        Seq("minhash_sigs" -> graft.operators.Dedup.corpusMinhashSignaturesIncrement(spark, oldDir, dir).count())
       case "simhash_sigs" =>
-        "simhash_sigs" -> graft.operators.Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, dir).count()
+        Seq("simhash_sigs" -> graft.operators.Dedup.corpusSimhashSignaturesIncrement(spark, oldDir, dir).count())
       case "cdc_digests" =>
-        "cdc_digests" -> graft.operators.Dedup.corpusChunkDigestsIncrement(spark, oldDir, dir).count()
+        Seq("cdc_digests" -> graft.operators.Dedup.corpusChunkDigestsIncrement(spark, oldDir, dir).count())
       case "minhash_pairs" =>
-        "minhash_pairs" -> graft.operators.Dedup.corpusMinhashPairsIncrement(spark, oldDir, dir).count()
+        Seq("minhash_pairs" -> graft.operators.Dedup.corpusMinhashPairsIncrement(spark, oldDir, dir).count())
       case "tristats" =>
-        "tristats" -> graft.operators.Similarity.corpusTriangleStatsIncrement(spark, oldDir, dir).count()
+        Seq("tristats" -> graft.operators.Similarity.corpusTriangleStatsIncrement(spark, oldDir, dir).count())
       case "ngram_index" =>
-        "ngram_index" -> graft.operators.Dedup.corpusNgramIndexIncrement(spark, oldDir, dir).count()
+        // a pinned chain also reports its order-staleness rows (r19):
+        // rare-end overlap = the "rebuild the index now" number (SCALING
+        // runbook: rebuild below ~7000 bp), new-gram share = context
+        val n = graft.operators.Dedup.corpusNgramIndexIncrement(spark, oldDir, dir).count()
+        Seq("ngram_index" -> n) ++
+          graft.operators.Dedup.ngramOrderStaleness(spark, dir).toSeq.flatMap(_.toSeq)
       case other =>
         throw new IllegalArgumentException(
           s"unknown asset family '$other' (expected knn_edges | bands | gram_stats | " +

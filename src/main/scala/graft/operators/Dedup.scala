@@ -1528,6 +1528,63 @@ object Dedup {
               "restore the order asset."))
       }
 
+  /** NGRAM-ORDER STALENESS (round 19 — the r18 verdict's "rebuild the
+    * index now" number). An increment chain keeps answers EXACT under
+    * the pinned founding order, but pruning efficiency drifts as true
+    * frequencies move away from the pin; until now nothing measured
+    * that drift, so an operator on a long append chain had no signal
+    * for WHEN a rebuild pays. This returns, for a pinned index only
+    * (`None` when the index is full-built — its order IS the current
+    * df):
+    *
+    *   - `ngram_order_rare_overlap_bp` — overlap (basis points) between
+    *     the `topK` RAREST grams under the pinned order and under the
+    *     current df order, measured over the SHARED vocabulary. The
+    *     rare end is what the prefix lemma prunes with (each doc is
+    *     indexed under its rarest prefixes), so displacement there is
+    *     exactly the drift that costs candidates-verified; reordering
+    *     among common grams is harmless. 10000 = the pin still ranks
+    *     the rare end correctly.
+    *   - `ngram_order_new_gram_bp` — share of the current vocabulary
+    *     absent from the pin. Context, not drift: unseen grams take
+    *     the documented df=1 rarest-fallback (maximal selectivity), so
+    *     a high new-gram share with high rare overlap is healthy
+    *     vocabulary growth, not staleness.
+    *
+    * Cost: vocabulary-sized — two bounded TakeOrdered heads (never an
+    * unpartitioned window), one semi-join, three counts over the two
+    * committed gram tables. Computed at `assets_increment` time and
+    * returned in the rows map (`Graft.incrementAssets`); runbook
+    * threshold guidance in SCALING.md (rebuild at rare overlap below
+    * ~7000 bp). The head is clamped to HALF the shared vocabulary —
+    * with heads spanning the whole vocabulary the two sets coincide by
+    * construction and the metric reads a vacuous 10000 whatever the
+    * reordering.
+    */
+  def ngramOrderStaleness(spark: SparkSession, dir: String, k: Int = 3,
+      topK: Int = 1024): Option[Map[String, Long]] =
+    pinnedOrderPath(spark, dir, k).map { ordPath =>
+      val pinned = spark.read.parquet(ordPath).select(col("g"), col("__df"))
+      val current = corpusGramDf(spark, dir, k).select(col("g"), col("__df"))
+      val shared = current.join(pinned.select("g"), Seq("g"), "left_semi")
+      val currentVocab = current.count()
+      val sharedVocab = shared.count()
+      val kEff = math.min(topK.toLong, math.max(1L, sharedVocab / 2)).toInt
+      def rareHead(df: DataFrame) =
+        df.orderBy(col("__df").asc, col("g").asc).limit(kEff).select("g")
+      // pinned head restricted to still-shared grams: a gram can leave
+      // the vocabulary only through a rebuild (appends never remove),
+      // so the comparison population is the shared set on both sides
+      val overlap = rareHead(pinned.join(shared.select("g"), Seq("g"), "left_semi"))
+        .join(rareHead(shared), Seq("g"), "left_semi").count()
+      val newGrams = currentVocab - sharedVocab
+      Map(
+        "ngram_order_rare_overlap_bp" ->
+          (if (sharedVocab == 0) 10000L else overlap * 10000L / kEff),
+        "ngram_order_new_gram_bp" ->
+          (if (currentVocab == 0) 0L else newGrams * 10000L / currentVocab))
+    }
+
   /** Increment-path publishes / detected fallbacks of the prefix-index
     * asset — spec seams.
     */

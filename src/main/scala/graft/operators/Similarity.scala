@@ -1746,6 +1746,25 @@ object Similarity {
     */
   private[graft] var triangleIncrementMaxTouchedPermille: Long = 500L
 
+  /** Below this standing-corpus size the one-pass wedge-join recompute
+    * over the (already-incremented) edge asset beats the closure
+    * increment OUTRIGHT — measured r19 on the cross-generation fixture
+    * built to put the closure on its winning side (isolated append,
+    * 22% touched ranges at partWidth 16, sf1 = 20k vectors): recompute
+    * 9.0 s vs closure 40.9 s. The wedge join is k-bounded (Σdeg² ≈
+    * k²·n), so compute stays cheap at any local size; the closure's
+    * win is an I/O argument (read a sliver of a TB-scale fragmented
+    * edge store instead of all of it) that only materializes once
+    * full-table bytes dominate task scheduling — same crossover class
+    * as the per-doc families' 1 GiB gate, inherited here after the
+    * measurement falsified the "touched fraction alone decides"
+    * assumption. `var` is a spec seam.
+    */
+  private[graft] var triangleIncrementMinStandingBytes: Long = 1L << 30
+
+  /** Times the bytes gate chose the recompute — spec seam. */
+  private[graft] val triangleIncrementRebuildSelections = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Publish `dir`'s triangle-stats asset by INCREMENT from `oldDir`'s
     * (round 18 — closing the second-tier gap: before this, the first
     * query after an append re-ran the wedge join over the whole merged
@@ -1778,6 +1797,15 @@ object Similarity {
     graft.engine.AssetStore.resolveIfCommitted(spark, assetId).foreach { d =>
       triangleTables.putIfAbsent(assetId, d)
       return spark.read.parquet(d)
+    }
+    // bytes crossover gate (r19, measured): below the threshold the
+    // one-pass recompute beats the closure outright — the wedge join is
+    // k-bounded compute, the closure's win is full-table-I/O avoidance
+    // that local sizes never reach (see triangleIncrementMinStandingBytes)
+    if (graft.engine.AssetStore.tableBytes(spark, oldDir, "embeddings.parquet")
+        < triangleIncrementMinStandingBytes) {
+      triangleIncrementRebuildSelections.incrementAndGet()
+      return corpusTriangleStats(spark, dir, kTop, bits, tables, dim, seedBase, scale, partWidth)
     }
     // the edge asset first, by increment (no-op when already committed).
     // This is also the APPEND VALIDATION: an edited/removed row makes
@@ -2061,6 +2089,70 @@ object Similarity {
         min(struct(col("dist"), col("corpus_id"))).getField("corpus_id").as("nearest_id"))
       .orderBy("eval_id")
   }
+
+  /** TABLE-VALUED SEMANTIC CONTAMINATION (round 19 — the r18 verdict's
+    * item 3: "a real decontamination run brings an eval TABLE").
+    * [[semanticContamination]] with the eval side as its own input
+    * frame `(eval_id, embedding)` instead of the id-slice convention:
+    * eval vectors are banded AT QUERY TIME under the corpus's exact
+    * LSH parameters (eval sets are audit-sized; banding them is a few
+    * hyperplane dot products per row) and joined against the
+    * MATERIALIZED corpus band asset, so the corpus side still never
+    * re-bands. No corpus id is excluded — an eval row that IS in the
+    * corpus is maximal contamination (dist 0) and must surface, which
+    * the id-slice variant by construction cannot show. Eval ids are
+    * the caller's namespace; they are never compared against corpus
+    * ids.
+    *
+    * Scale shape: identical to [[semanticContamination]] — bucket-join
+    * bounded by occupancy × |eval|, never eval × corpus; the ceiling
+    * and argmin fuse into the per-eval rollup exchange. The id-slice
+    * variant stays as the oracle fixture; this is the production
+    * entrypoint ([[semanticContaminationAgainst]] reads the eval table
+    * from a directory).
+    */
+  def semanticContaminationOn(spark: SparkSession, dir: String, evalVecs: DataFrame,
+      radius: Long = 1280000L, bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame = {
+    val eval = evalVecs.select(col("eval_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    val evalBands = bandsOf(eval.select(col("eval_id").as("vec_id"), col("embedding")),
+        bits, tables, dim, seedBase)
+      .select(col("vec_id").as("eval_id"), col("t"), col("b"))
+    val corpusBands = corpusBandedEmbeddings(spark, dir, bits, tables, dim, seedBase)
+    val cands = evalBands
+      .join(corpusBands.select(col("t"), col("b"), col("vec_id").as("corpus_id")),
+        Seq("t", "b"))
+      .select("eval_id", "corpus_id")
+      .dropDuplicates("eval_id", "corpus_id")
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    cands
+      .join(eval.select(col("eval_id"),
+        quantizedCol(col("embedding"), scale).as("q_a")), Seq("eval_id"))
+      .join(emb.select(col("vec_id").as("corpus_id"),
+        quantizedCol(col("embedding"), scale).as("q_b")), Seq("corpus_id"))
+      .select(col("eval_id"), col("corpus_id"),
+        vec.sqDistLong(col("q_a"), col("q_b")).as("dist"))
+      .filter(col("dist") <= radius)
+      .groupBy("eval_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("dist")).as("min_dist"),
+        min(struct(col("dist"), col("corpus_id"))).getField("corpus_id").as("nearest_id"))
+      .orderBy("eval_id")
+  }
+
+  /** [[semanticContaminationOn]] with the eval set read from its own
+    * directory's `embeddings.parquet` — the deployment shape (the eval
+    * suite lives in its own table, not inside the corpus).
+    */
+  def semanticContaminationAgainst(spark: SparkSession, dir: String, evalDir: String,
+      radius: Long = 1280000L, bits: Int = 4, tables: Int = 8, dim: Int = 64,
+      seedBase: Long = 42L, scale: Int = 1000): DataFrame =
+    semanticContaminationOn(spark, dir,
+      Tables.embeddings(spark, evalDir)
+        .select(col("vec_id").as("eval_id"), col("embedding")),
+      radius, bits, tables, dim, seedBase, scale)
 
   /** RANGE-SEARCH RECALL SCORECARD (round 16) — pair-recall of the
     * LSH-banded candidate generation at each hyperplane width, against

@@ -1198,6 +1198,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[contamination]] with the eval set read from its own directory's
+    * `documents.parquet` (round 19 — the r18 verdict's item 3: a real
+    * decontamination run brings an eval TABLE, not an id-slice of the
+    * corpus). The whole corpus is scanned — no id range is carved out
+    * for the eval side, so a corpus doc that verbatim-contains an eval
+    * doc's text surfaces whatever its id. Eval ids are the caller's
+    * namespace. Same scale shape as [[contamination]]: the (small)
+    * eval side's grams broadcast; the corpus streams.
+    */
+  def contaminationAgainst(spark: SparkSession, dir: String, evalDir: String,
+      gramK: Int = 8): DataFrame =
+    contamination(Tables.documents(spark, dir),
+      Tables.documents(spark, evalDir), gramK).orderBy("doc_id")
+
   /** Within-document repetition scoring (the standard repetition filter):
     * distinct-token and distinct-3-gram fractions plus the most-frequent
     * token's count. Shuffles are keyed by (doc_id[, token]) — partial

@@ -519,6 +519,51 @@ object EventStream {
       }
   }
 
+  /** One user's type-diversity sufficient statistic: the distinct
+    * event-type SET (bounded by the type vocabulary — ≤ |types|
+    * strings, never an event list) plus the event count. Set-union and
+    * count are commutative monoids, so like the lifespan twin this
+    * state carries no `lastT`/`ooo` frontier: an out-of-order batch
+    * folds to the same state.
+    */
+  case class TypeDiversityState(types: Set[String], n: Long)
+  case class TypeDiversityUpdate(user_id: Long, n_types: Long, n: Long)
+
+  /** USER TYPE-DIVERSITY STREAM (round 19 — the r18 verdict's item 5):
+    * the per-user stage of
+    * [[graft.operators.Relational.qUserTypeDiversity]] as custom keyed
+    * state (`mapGroupsWithState`): each trigger emits the user's
+    * updated (distinct-type count, event count). Nulls are excluded
+    * from the set — the batch `countDistinct` skips them — but still
+    * counted in `n` (the batch `count(lit(1))`). The ≤|types|-bucket
+    * rollup is a bounded fold over the LATEST per-user rows (`n` is
+    * strictly monotone per update), left to the consumer for the same
+    * reason as the lifespan twin: a user's bucket MOVES as its type
+    * set grows, so the histogram is not accretive per cell and the
+    * honest streaming surface is the per-user statistic.
+    *
+    * State at scale: O(active users) × |type vocabulary| strings —
+    * the same cardinality the batch (user × type) pre-collapse
+    * exchange pays.
+    */
+  def userTypeDiversityStream(events: DataFrame): Dataset[TypeDiversityUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeDiversityState, TypeDiversityUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[TypeDiversityState]) =>
+          var s = state.getOption.getOrElse(TypeDiversityState(Set.empty, 0L))
+          rows.foreach { case (_, t) =>
+            s = TypeDiversityState(if (t != null) s.types + t else s.types, s.n + 1)
+          }
+          state.update(s)
+          TypeDiversityUpdate(uid, s.types.size.toLong, s.n)
+      }
+  }
+
   /** One user's funnel progress — the BOUNDED sufficient statistic of
     * the strictly-ordered view→click→purchase funnel under in-order
     * arrival: three optional first-transition times, 24 bytes per

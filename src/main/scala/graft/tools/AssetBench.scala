@@ -88,9 +88,9 @@ object AssetBench {
         _.filter(_.getFileName.toString.endsWith(".parquet"))
           .forEach(p => JF.move(p, newTable.resolve(s"part-batch-${p.getFileName}"))))
     }
-    def incSetup(bits: Int): () => Unit = () => {
+    def incSetup(bits: Int, partWidth: Long = 1024L): () => Unit = () => {
       appendLayout("embeddings.parquet", "vec_id")
-      Similarity.corpusKnnEdges(spark, incOldDir, bits = bits).count()
+      Similarity.corpusKnnEdges(spark, incOldDir, bits = bits, partWidth = partWidth).count()
       Similarity.corpusBandedEmbeddings(spark, incOldDir, bits = bits).count()
     }
     def noSetup: () => Unit = () => ()
@@ -168,6 +168,7 @@ object AssetBench {
         // this forces the closure recompute the 50% gate would refuse —
         // the number that PROVES the gate right at this fixture shape
         Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.triangleIncrementMinStandingBytes = 0L
         Similarity.corpusTriangleStats(spark, incOldDir, bits = 12).count(); ()
       }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
       ("tristats_b12_increment_gated", () => {
@@ -176,16 +177,46 @@ object AssetBench {
         // fraction and degrades to the one-pass full derivation
         Similarity.triangleIncrementMaxTouchedPermille = 500L
         Similarity.corpusTriangleStats(spark, incOldDir, bits = 12).count(); ()
-      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count())
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir, bits = 12).count()),
+      // CROSS-GENERATION fixture rows (r19): on a ScaleGen corpus built
+      // with the crossgen mode (plantNearDups + isolateAppendSlice) the
+      // append touches a sliver of edge ranges at partWidth 16, so the
+      // SHIPPED gate takes the closure path. The edge asset is
+      // prebuilt/pre-incremented in SETUP on both sides — in the
+      // runbook flow `assets_increment` publishes knn_edges as its own
+      // family first, so the tristats step pays ONLY the wedge join
+      // (full) vs the closure recompute + copy (increment); the r18
+      // tristats rows above keep the edge work inside the timer for
+      // round-over-round comparability
+      ("tristats_b12_w16", () => {
+        Similarity.corpusKnnEdges(spark, sfDir, bits = 12, partWidth = 16L).count(); ()
+      }, () => Similarity.corpusTriangleStats(spark, sfDir, bits = 12, partWidth = 16L).count()),
+      ("tristats_b12_w16_increment", () => {
+        incSetup(12, partWidth = 16L)()
+        // machinery row: the shipped r19 bytes gate routes local sizes
+        // to the recompute — zero it so the CLOSURE path is what this
+        // row tracks round-over-round
+        Similarity.triangleIncrementMinStandingBytes = 0L
+        Similarity.corpusTriangleStats(spark, incOldDir, bits = 12, partWidth = 16L).count()
+        Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir,
+          bits = 12, partWidth = 16L).count(); ()
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir,
+        bits = 12, partWidth = 16L).count())
     )
+    // SPARK_GRAFT_ASSETBENCH_ONLY=a,b filters rows for local iteration
+    // (same contract as Bench's SPARK_GRAFT_BENCH_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_ASSETBENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(builds)(names => builds.filter(b => names(b._1)))
     // machinery rows mutate process-global gates; each row restores
     // them so later rows (and anything after the bench in-process) run
     // under the shipped defaults — same discipline as the specs
-    val timed = builds.map { case (name, setup, run) =>
+    val timed = selected.map { case (name, setup, run) =>
       freshRoot()
       val gram0 = Dedup.gramIncrementMinStandingBytes
       val perDoc0 = Dedup.perDocIncrementMinStandingBytes
       val tri0 = Similarity.triangleIncrementMaxTouchedPermille
+      val triBytes0 = Similarity.triangleIncrementMinStandingBytes
       try {
         setup()
         val t0 = System.nanoTime()
@@ -196,6 +227,7 @@ object AssetBench {
         Dedup.gramIncrementMinStandingBytes = gram0
         Dedup.perDocIncrementMinStandingBytes = perDoc0
         Similarity.triangleIncrementMaxTouchedPermille = tri0
+        Similarity.triangleIncrementMinStandingBytes = triBytes0
       }
     }
     val json = timed.map { case (n, s) => s""""$n": $s""" }.mkString(", ")

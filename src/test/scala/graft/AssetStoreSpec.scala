@@ -1446,6 +1446,82 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("ngram order staleness: drifted chains read below 10000, benign growth reads clean (r19)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // gen0: two common grams (df 16) and four rare df=1 grams; the
+    // founding order's rare head is deterministic under (df, g)
+    val gen0 = (0L until 16L).map(i => (i, "c1 c2 c3 c4")) ++ Seq(
+      (16L, "r1 r2 r3"), (17L, "s1 s2 s3"), (18L, "t1 t2 t3"), (19L, "u1 u2 u3"))
+    def mkChain(batch: Seq[(Long, String)]): (String, String) = {
+      val oldDir = Files.createTempDirectory("graft_stale_old").toString
+      val newDir = Files.createTempDirectory("graft_stale_new").toString
+      gen0.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$oldDir/documents.parquet")
+      val newTable = Paths.get(s"$newDir/documents.parquet")
+      Files.createDirectories(newTable)
+      val s1 = Files.list(Paths.get(s"$oldDir/documents.parquet"))
+      try s1.forEach(p => Files.copy(p, newTable.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES))
+      finally s1.close()
+      val tmp = Files.createTempDirectory("graft_stale_batch").toString
+      batch.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/b.parquet")
+      val s2 = Files.list(Paths.get(s"$tmp/b.parquet"))
+      try s2.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, newTable.resolve(s"part-batch-${p.getFileName}")))
+      finally s2.close()
+      (oldDir, newDir)
+    }
+    val gate0 = Dedup.perDocIncrementMinStandingBytes
+    try {
+      Dedup.perDocIncrementMinStandingBytes = 0L
+      // ---- drifted chain: the batch pumps gen0's rarest gram from
+      // df=1 to df=11, pushing it OUT of the current rare head
+      withRoot { _ =>
+        val (o1, n1) = mkChain((20L until 30L).map(i => (i, s"r1 r2 r3 x$i")))
+        Dedup.dropInMemoryNgramTables()
+        Dedup.corpusNgramIndex(spark, o1).count()
+        Dedup.corpusGramDf(spark, o1).count()
+        Dedup.corpusNgramIndexIncrement(spark, o1, n1).count()
+        val drifted = Dedup.ngramOrderStaleness(spark, n1)
+          .getOrElse(fail("a pinned chain must report staleness"))
+        // shared vocab 6 -> head 3; pinned head {r,s,t}, current {s,t,u}
+        assert(drifted("ngram_order_rare_overlap_bp") == 6666L,
+          s"drift must displace the rare head: $drifted")
+        // 10 batch-minted grams of 16 current
+        assert(drifted("ngram_order_new_gram_bp") == 6250L, s"$drifted")
+      }
+      // ---- benign chain: all-new vocabulary, shared dfs untouched
+      withRoot { _ =>
+        val (o2, n2) = mkChain((20L until 30L).map(i => (i, s"n${i}a n${i}b n${i}c")))
+        Dedup.dropInMemoryNgramTables()
+        Dedup.corpusNgramIndex(spark, o2).count()
+        Dedup.corpusGramDf(spark, o2).count()
+        Dedup.corpusNgramIndexIncrement(spark, o2, n2).count()
+        val benign = Dedup.ngramOrderStaleness(spark, n2)
+          .getOrElse(fail("a pinned chain must report staleness"))
+        assert(benign("ngram_order_rare_overlap_bp") == 10000L,
+          s"healthy vocabulary growth must read clean: $benign")
+        assert(benign("ngram_order_new_gram_bp") == 6250L, s"$benign")
+        // a FULL-built index carries no pin: staleness is not applicable
+        assert(Dedup.ngramOrderStaleness(spark, o2).isEmpty,
+          "a full-built index's order IS the current df — no staleness row")
+        // and the increment rows map carries the metric (runbook surface)
+        val g = new graft.Graft(spark)
+        val rows = g.incrementAssets(o2, n2, Seq("ngram_index"))
+        assert(rows.get("ngram_order_rare_overlap_bp").contains(10000L) &&
+            rows.get("ngram_order_new_gram_bp").contains(6250L),
+          s"assets_increment must surface the staleness rows: $rows")
+      }
+    } finally {
+      Dedup.perDocIncrementMinStandingBytes = gate0
+      Dedup.dropInMemoryNgramTables()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ngram order pin: a marker without its order asset fails fast, never mixes orders (r19)") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions._
@@ -1478,6 +1554,110 @@ class AssetStoreSpec extends SparkSpec {
     }
   }
 
+  test("cross-generation fixture: planted near-dups cross the cut; both second-tier increments take their winning path (r19)") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.tools.ScaleGen
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    withRoot { _ =>
+      // the r18 verdict's missing fixture: batch docs near-duplicating
+      // STANDING docs (pair increment's winning side) and an append
+      // touching a SLIVER of edge ranges (tristats' winning side)
+      val docs = ScaleGen.plantNearDups(Tables.documents(spark, sf), 300)
+        .persist()
+      val emb = ScaleGen.isolateAppendSlice(Tables.embeddings(spark, sf))
+        .persist()
+      // planting must never mint byte-identical texts (that would trip
+      // the exact-dup-collapse residual and make rebuild-vs-increment
+      // answers legitimately differ)
+      val nTexts = docs.filter(col("text").isNotNull).count()
+      val nDistinct = docs.filter(col("text").isNotNull)
+        .select(countDistinct(col("text"))).head().getLong(0)
+      assert(nTexts == nDistinct, s"planting minted exact dups: $nTexts vs $nDistinct")
+      assert(docs.exceptAll(Tables.documents(spark, sf)).count() > 0,
+        "planting must actually change documents")
+      val oldDir = Files.createTempDirectory("graft_xgen_old").toString
+      val newDir = Files.createTempDirectory("graft_xgen_new").toString
+      // file-level append layout (copy standing parts + move batch parts
+      // in) so the metadata-only pure-append proof applies
+      def appendLayout(df: org.apache.spark.sql.DataFrame, table: String,
+          idCol: String, cut: Long): Unit = {
+        df.filter(col(idCol) < cut).write.parquet(s"$oldDir/$table")
+        val newTable = Paths.get(s"$newDir/$table")
+        Files.createDirectories(newTable)
+        val s1 = Files.list(Paths.get(s"$oldDir/$table"))
+        try s1.forEach(p => Files.copy(p, newTable.resolve(p.getFileName.toString),
+          StandardCopyOption.COPY_ATTRIBUTES))
+        finally s1.close()
+        val tmp = Files.createTempDirectory("graft_xgen_batch").toString
+        df.filter(col(idCol) >= cut).write.parquet(s"$tmp/b.parquet")
+        val s2 = Files.list(Paths.get(s"$tmp/b.parquet"))
+        try s2.filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.move(p, newTable.resolve(s"part-batch-${p.getFileName}")))
+        finally s2.close()
+      }
+      val docCut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+      val vecCut = emb.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      appendLayout(docs, "documents.parquet", "doc_id", docCut)
+      appendLayout(emb, "embeddings.parquet", "vec_id", vecCut)
+      docs.unpersist(); emb.unpersist()
+      Dedup.dropInMemoryNgramTables(); Similarity.dropInMemoryIndexes()
+      val perDoc0 = Dedup.perDocIncrementMinStandingBytes
+      val triBytes0 = Similarity.triangleIncrementMinStandingBytes
+      try {
+        Dedup.perDocIncrementMinStandingBytes = 0L
+        // bytes gates zeroed: the fixture pins the ROUTING of the
+        // touched-range gate and the answer equality; the shipped
+        // bytes gates (measured r19) route local sizes to the rebuild
+        Similarity.triangleIncrementMinStandingBytes = 0L
+        // ---- pair increment: cross-cut pairs exist and equal the rebuild
+        Dedup.corpusMinhashPairs(spark, oldDir).count()
+        val inc0 = Dedup.minhashPairIncrementBuilds.get()
+        val viaInc = Dedup.corpusMinhashPairsIncrement(spark, oldDir, newDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(Dedup.minhashPairIncrementBuilds.get() == inc0 + 1,
+          "the fixture append must publish pairs via the increment")
+        val cross = viaInc.filter { case (a, b) => a < docCut && b >= docCut }
+        assert(cross.nonEmpty,
+          "the fixture must plant batch docs near-duplicating STANDING docs")
+        assert(viaInc.count { case (a, b) => a < docCut && b < docCut } > cross.size,
+          "standing near-dup mass (the increment's winning term) must dominate")
+        spark.conf.set("spark.graft.index.dir",
+          Files.createTempDirectory("graft_xgen_root2").toString)
+        Dedup.dropInMemoryNgramTables()
+        val rebuilt = Dedup.corpusMinhashPairs(spark, newDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(viaInc == rebuilt, "fixture increment diverged from the rebuild")
+        // ---- tristats: the DEFAULT 500-permille gate takes the closure
+        // path on the isolated append (the stock corpus degrades here)
+        Similarity.corpusTriangleStats(spark, oldDir, bits = 12, partWidth = 16L).count()
+        val tri0 = Similarity.triangleIncrementBuilds.get()
+        val fb0 = Similarity.triangleIncrementFallbacks.get()
+        val viaTri = Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
+          bits = 12, partWidth = 16L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+        assert(Similarity.triangleIncrementBuilds.get() == tri0 + 1 &&
+            Similarity.triangleIncrementFallbacks.get() == fb0,
+          "the isolated append must pass the DEFAULT touched-range gate " +
+            "(closure path, no degrade)")
+        val und = Similarity.corpusKnnEdges(spark, newDir, bits = 12, partWidth = 16L)
+          .select(least(col("vec_id"), col("nbr_id")).as("a"),
+            greatest(col("vec_id"), col("nbr_id")).as("b"))
+          .dropDuplicates("a", "b")
+        assert(viaTri == Similarity.triangleStatsOn(und)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .sorted.toSeq,
+          "fixture tristats increment diverged from the full derivation")
+      } finally {
+        Dedup.perDocIncrementMinStandingBytes = perDoc0
+        Similarity.triangleIncrementMinStandingBytes = triBytes0
+        Dedup.dropInMemoryNgramTables(); Similarity.dropInMemoryIndexes()
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("tristats increment: the degrade path never builds the standing tristats asset (r19)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
@@ -1490,10 +1670,13 @@ class AssetStoreSpec extends SparkSpec {
       emb.write.parquet(s"$newDir/embeddings.parquet")
       Similarity.dropInMemoryIndexes()
       val gate0 = Similarity.triangleIncrementMaxTouchedPermille
+      val bgate0 = Similarity.triangleIncrementMinStandingBytes
       try {
         // force the degrade with NO standing tristats asset anywhere:
         // the gate must be evaluated BEFORE the standing resolve, so
         // the full recompute is the only wedge join the publisher runs
+        // (bytes gate zeroed so the permille gate is what routes)
+        Similarity.triangleIncrementMinStandingBytes = 0L
         Similarity.triangleIncrementMaxTouchedPermille = -1L
         val full0 = Similarity.triangleAssetBuilds.get()
         Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
@@ -1505,8 +1688,23 @@ class AssetStoreSpec extends SparkSpec {
           .filter(_.getName.startsWith("tristats_"))
         assert(triAssets.length == 1,
           s"only newDir's asset may exist: ${triAssets.map(_.getName).toSeq}")
+        // the SHIPPED bytes gate (r19, measured): at local sizes the
+        // increment routes to the one-pass recompute before any
+        // listing/permille logic runs — fresh store so the committed
+        // asset doesn't short-circuit
+        spark.conf.set("spark.graft.index.dir",
+          java.nio.file.Files.createTempDirectory("graft_trid_root2").toString)
+        Similarity.dropInMemoryIndexes()
+        Similarity.triangleIncrementMinStandingBytes = bgate0
+        Similarity.triangleIncrementMaxTouchedPermille = gate0
+        val sel0 = Similarity.triangleIncrementRebuildSelections.get()
+        Similarity.corpusTriangleStatsIncrement(spark, oldDir, newDir,
+          bits = 12, partWidth = 16L).count()
+        assert(Similarity.triangleIncrementRebuildSelections.get() == sel0 + 1,
+          "a sub-GiB standing corpus must route to the wedge-join recompute")
       } finally {
         Similarity.triangleIncrementMaxTouchedPermille = gate0
+        Similarity.triangleIncrementMinStandingBytes = bgate0
         Similarity.dropInMemoryIndexes()
         spark.catalog.clearCache()
       }
@@ -1533,12 +1731,14 @@ class AssetStoreSpec extends SparkSpec {
           greatest(col("vec_id"), col("nbr_id")).as("b"))
         .dropDuplicates("a", "b")
       val gateOuter = Similarity.triangleIncrementMaxTouchedPermille
+      val bgateOuter = Similarity.triangleIncrementMinStandingBytes
       try {
         // ScaleGen at W=16 leaves only a handful of ranges, so the
         // append touches more than the deployment-shaped 50% ceiling —
         // open the gate for the increment-path half (the gate itself is
-        // pinned below)
+        // pinned below); bytes gate zeroed for the same machinery reason
         Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.triangleIncrementMinStandingBytes = 0L
         // standing assets: edges + tristats at the spec's parameters
         Similarity.corpusTriangleStats(spark, oldDir, bits = B, partWidth = W).count()
         val full0 = Similarity.triangleAssetBuilds.get()
@@ -1584,6 +1784,7 @@ class AssetStoreSpec extends SparkSpec {
         } finally Similarity.triangleIncrementMaxTouchedPermille = gate0
       } finally {
         Similarity.triangleIncrementMaxTouchedPermille = gateOuter
+        Similarity.triangleIncrementMinStandingBytes = bgateOuter
         Similarity.dropInMemoryIndexes()
         spark.catalog.clearCache()
       }
@@ -1603,10 +1804,12 @@ class AssetStoreSpec extends SparkSpec {
       Similarity.dropInMemoryIndexes()
       val B = 12; val W = 16L
       val gate0 = Similarity.triangleIncrementMaxTouchedPermille
+      val bgate0 = Similarity.triangleIncrementMinStandingBytes
       def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
       try {
         Similarity.triangleIncrementMaxTouchedPermille = 1000L
+        Similarity.triangleIncrementMinStandingBytes = 0L
         Similarity.corpusTriangleStats(spark, dirs(0), bits = B, partWidth = W).count()
         val full0 = Similarity.triangleAssetBuilds.get()
         val inc0 = Similarity.triangleIncrementBuilds.get()
@@ -1626,6 +1829,7 @@ class AssetStoreSpec extends SparkSpec {
           "the chained increments must equal the full derivation over the merged edges")
       } finally {
         Similarity.triangleIncrementMaxTouchedPermille = gate0
+        Similarity.triangleIncrementMinStandingBytes = bgate0
         Similarity.dropInMemoryIndexes()
         spark.catalog.clearCache()
       }

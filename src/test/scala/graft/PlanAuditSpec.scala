@@ -87,7 +87,11 @@ class PlanAuditSpec extends SparkSpec {
     val constantBoundedHints = Set(
       "ann_ivf", "ann_ivfpq_joined", "ann_lsh", "ann_pq_joined",
       "ann_recall", "ann_recall_ivfpq", "ann_refine", "ann_topk",
-      "contamination", "dedup_ngram_incremental", "doc_annotate",
+      "contamination",
+      // contamination_eval inherits contamination's hint: the eval
+      // side's exploded grams are audit-set-sized by contract (the
+      // contamination scaladoc's broadcast argument)
+      "contamination_eval", "dedup_ngram_incremental", "doc_annotate",
       "embed_cluster_stats", "embed_dim_corr",
       // dim-sum broadcast bounded by the embedding width, the
       // embed_dim_corr argument (its scaladoc names the cap)

@@ -689,6 +689,64 @@ class StreamingSpec extends SparkSpec {
     assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
   }
 
+  test("user type-diversity stream (per-user set state) folds to q_user_type_diversity on a time-split source (r19)") {
+    // per-user distinct-type set state: set-union/count are order-free
+    // monoids (no ooo frontier by design, like the lifespan twin); the
+    // ≤|types|-bucket rollup folds over the LATEST per-user rows (n is
+    // strictly monotone per update — max(struct(n, ...)) selects them)
+    val src = Files.createTempDirectory("graft_udiv_src").toString
+    val ckpt = Files.createTempDirectory("graft_udiv_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    // 12 time slices (not 3): with ~5 events/user per trigger the type
+    // sets are still PARTIAL in early triggers, so cross-batch set
+    // growth is observable — the guard below depends on it
+    val nSlices = 12
+    def slice(f: org.apache.spark.sql.DataFrame, p: String) =
+      f.select("user_id", "event_type").coalesce(1).write.parquet(s"$src/$p")
+    for (i <- 0 until nSlices) {
+      val lo = times(times.length * i / nSlices)
+      val filtered = ev.filter(col("ts") >= lit(lo))
+      val part =
+        if (i == nSlices - 1) filtered
+        else filtered.filter(col("ts") < lit(times(times.length * (i + 1) / nSlices)))
+      slice(if (i == 0) part.unionByName(ev.filter(col("ts") < lit(lo))) else part,
+        f"part_$i%02d")
+    }
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.userTypeDiversityStream(stream).toDF(),
+      "udiv_test", ckpt, OutputMode.Update)
+    val latest = spark.table("udiv_test")
+      .groupBy("user_id").agg(max(struct(col("n"), col("n_types"))).as("m"))
+      .select(col("m.n_types").as("n_types"), col("m.n").as("n"))
+    val got = latest
+      .groupBy("n_types")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Relational.qUserTypeDiversity(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(want.nonEmpty)
+    // cross-batch accretion actually exercised: updates outnumber users
+    // AND some user's type SET visibly grew between triggers (at this
+    // SF every user converges to the full type vocabulary — one bucket
+    // — so set growth, not bucket multiplicity, is the honest guard)
+    val updates = spark.table("udiv_test").count()
+    val users = spark.table("udiv_test").select("user_id").distinct().count()
+    assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+    val grew = spark.table("udiv_test").groupBy("user_id")
+      .agg((max(col("n_types")) > min(col("n_types"))).as("g"))
+      .filter(col("g")).count()
+    assert(grew > 0, "no user's distinct-type set grew across batches")
+  }
+
   test("gap stream (frontier-carrying) folds to q_gap_hist on a time-split source") {
     // the session-gap calibration chart gets its streaming twin (r18):
     // per-user gaps from flatMapGroupsWithState (each gap emitted
