@@ -1738,6 +1738,34 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** HEAPS-LAW VOCABULARY GROWTH CURVE (round 19) — distinct grams
+    * bucketed by the id-decile of their FIRST corpus occurrence, read
+    * straight off the durable gram-stats asset (`first_doc` joined the
+    * schema in r15 for the novelty family — this is its corpus-level
+    * rollup). A Heaps-ish curve (front-loaded but never dying) is
+    * healthy lexical growth; a flat-then-spike tail says a late batch
+    * brought a vocabulary regime change (new language, new template,
+    * junk) — the chart tokenizer planning and ingest-novelty
+    * thresholds are calibrated against, and the corpus-level twin of
+    * text_ngram_novelty's per-doc number.
+    *
+    * Scale shape: a vocabulary-sized scan of the skinny asset, one
+    * 1-row max broadcast (scalar bound), a 10-key map-side-combined
+    * rollup. The corpus shingle pass ran at asset-publish time, never
+    * here.
+    */
+  def heapsCurve(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val grams = corpusGramDf(spark, dir, k).select(col("first_doc"))
+    val bound = Tables.documents(spark, dir).agg((max(col("doc_id")) + 1L).as("__n"))
+    grams.crossJoin(broadcast(bound))
+      .groupBy(expr("(first_doc * 10) DIV __n").as("decile"))
+      .agg(
+        count(lit(1)).as("n_new_grams"),
+        min(col("first_doc")).as("first_doc_min"),
+        max(col("first_doc")).as("first_doc_max"))
+      .orderBy("decile")
+  }
+
   /** Gram-stats increments ran this JVM — spec seam. */
   private[graft] val gramDfIncrementBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -2508,6 +2536,36 @@ object Dedup {
         sum(col("jq")).as("jaccard_q_sum"),
         max(col("jq")).as("max_jq"))
       .orderBy("decile")
+
+  /** CROSS-LANGUAGE NEAR-DUP MATRIX (round 19) — verified near-dup
+    * pair mass rolled up by canonicalized language pair, off the
+    * durable pair asset: the language-axis complement of
+    * [[dedup_cross_source]]'s provenance matrix. The diagonal is
+    * within-language templating; OFF-diagonal mass is
+    * translation/transliteration near-duplication — the cross-lingual
+    * contamination heads-up a multilingual mix design reads before
+    * trusting per-language dedup to be independent. Tenth consumer of
+    * the pair asset.
+    *
+    * Scale shape: a pairs-sized column-pruned scan, two doc-keyed
+    * equi-joins against the skinny (doc_id, lang) projection, a
+    * ≤langs²-key map-side-combined rollup. Nothing corpus-shaped
+    * shuffles; the banding/verify ran at publish time.
+    */
+  def neardupLangMatrix(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    corpusMinhashPairs(spark, dir, threshold)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jq"))
+      .join(langs.select(col("doc_id").as("id_a"), col("lang").as("__la")), Seq("id_a"))
+      .join(langs.select(col("doc_id").as("id_b"), col("lang").as("__lb")), Seq("id_b"))
+      .select(least(col("__la"), col("__lb")).as("lang_a"),
+        greatest(col("__la"), col("__lb")).as("lang_b"), col("jq"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jq")).as("jaccard_q_sum"))
+      .orderBy("lang_a", "lang_b")
+  }
 
   /** Ingest-batch CDC accounting — "how much of this delivery is
     * content we already store?", the transfer-suppression question a

@@ -1641,6 +1641,46 @@ object Similarity {
       .orderBy("in_degree")
   }
 
+  /** DEGREE ASSORTATIVITY of the 5-NN graph (round 19) — the exact
+    * integer covariance numerator between the IN-degrees of an edge's
+    * two endpoints over all directed edges: n·Σxy − Σx·Σy plus its two
+    * marginal variance numerators, so the Pearson assortativity
+    * coefficient is one client-side division away with every operand
+    * exact int64. Negative assortativity is the hubness signature (low
+    * in-degree vectors rank hubs that rank other hubs' spokes back) —
+    * the one-row summary behind [[degreeHistogram]]'s shape and the
+    * decision input for the mutual-kNN thinning that
+    * [[reciprocityByRank]] calibrates. Fifteenth consumer of the
+    * durable edge asset.
+    *
+    * Scale shape: one skinny edge scan into a vec-keyed in-degree
+    * rollup, two vec-keyed equi-joins back onto the edges (k-bounded
+    * per source, never corpus × corpus), one single-row map-side
+    * combined rollup. Int64 bounds: deg ≤ corpus, so Σxy ≤ n·deg² —
+    * safe through ~10¹² edges at real k-NN degree profiles.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = corpusKnnEdges(spark, dir).select("vec_id", "nbr_id")
+    val indeg = graft.engine.Caching.handoff(
+      edges.groupBy(col("nbr_id").as("id")).agg(count(lit(1)).as("deg")))
+    edges
+      .join(indeg.select(col("id").as("vec_id"), col("deg").as("x")),
+        Seq("vec_id"), "left")
+      .join(indeg.select(col("id").as("nbr_id"), col("deg").as("y")),
+        Seq("nbr_id"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_edges"), col("sx"), col("sy"), col("sxy"),
+        (col("n_edges") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n_edges") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+        (col("n_edges") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+  }
+
   /** LABEL CONFUSION MATRIX of the embedding space — k-NN edges rolled
     * up by (source label, neighbor label): the diagonal is class
     * cohesion, the off-diagonal is which classes BLUR into each other

@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_decay_score", "q_gapfill", "q_histogram", "q_hourly_profile",
       "q_percentiles", "q_rfm", "q_rollup", "range_recall",
       "text_length_outliers", "text_oov", "text_perplexity",
-      "tfidf_top_terms", "token_budget", "vocab_encode")
+      "tfidf_top_terms", "token_budget", "vocab_encode",
+      // 1-row scalar bound (max doc_id + 1) broadcast into the
+      // vocabulary-sized decile rollup — the q_histogram argument
+      "vocab_heaps_curve")
     val ungated = hinted.toSet -- constantBoundedHints
     assert(ungated.isEmpty,
       s"forced broadcast hints that survive a closed size gate (frames " +
