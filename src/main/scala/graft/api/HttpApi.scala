@@ -34,6 +34,7 @@ import graft.transform.ExprMutators
   *   DELETE /mutators/{ns}/{id}          remove a mutator
   *   POST   /maintenance/assets_gc       sweep the asset warehouse (dry-run default)
   *   POST   /maintenance/assets_increment publish a corpus append's assets by increment
+  *   POST   /maintenance/ngram_staleness  read the pinned ngram order's drift metric
   *   GET    /filters/{ns}                {ids} in a namespace
   *   GET    /filters/{ns}/{id}           read back one stored filter
   *   POST   /filters/{ns}/{id}           store a metadata filter
@@ -151,6 +152,7 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
           g.mutators.remove(ObjectId(ns, id)); json(ex, 204, null)
         case ("POST", List("maintenance", "assets_gc")) => gcAssets(ex)
         case ("POST", List("maintenance", "assets_increment")) => incrementAssets(ex)
+        case ("POST", List("maintenance", "ngram_staleness")) => ngramStaleness(ex)
         case ("GET", List("filters", ns))          => listFilters(ex, ns)
         case ("GET", List("filters", ns, id))      => getFilter(ex, ns, id)
         case ("POST", List("filters", ns, id))     => addFilter(ex, ns, id)
@@ -400,6 +402,26 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     val rows = g.incrementAssets(reqText(body, "oldDir"), reqText(body, "dir"), families)
     json(ex, 200, Map("published" -> rows.map { case (k, v) =>
       k -> java.lang.Long.valueOf(v) }.asJava))
+  }
+
+  /** POST /maintenance/ngram_staleness — the standalone read of the
+    * pinned-order drift metric (round 19; the `assets_increment` rows
+    * map carries the same numbers at publish time — this route lets
+    * ops re-read them between appends without publishing anything).
+    * Body: `{"dir": "..."}`. 200 with the two staleness rows for a
+    * pinned chain; 200 `{"pinned": false}` when the corpus's index is
+    * full-built (its order IS the current df — nothing to drift).
+    */
+  private def ngramStaleness(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    graft.operators.Dedup.ngramOrderStaleness(g.spark, reqText(body, "dir")) match {
+      case Some(rows) =>
+        json(ex, 200, Map("pinned" -> java.lang.Boolean.TRUE,
+          "staleness" -> rows.map { case (k, v) =>
+            k -> java.lang.Long.valueOf(v) }.asJava))
+      case None =>
+        json(ex, 200, Map("pinned" -> java.lang.Boolean.FALSE))
+    }
   }
 
   private def listMutators(ex: HttpExchange, ns: String): Unit =

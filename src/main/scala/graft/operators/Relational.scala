@@ -1258,6 +1258,34 @@ object Relational {
       .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"))
       .orderBy("n_types")
 
+  /** USER BURSTINESS HISTOGRAM (round 19) — per user, the integer
+    * variance-to-mean (Fano) factor of its hourly event counts, users
+    * rolled into doubling buckets with the bucket max. Fano ≈ 0 is
+    * metronomic traffic (bots, schedulers), large Fano is bursty human
+    * sessions — the arrival-process fingerprint that complements
+    * [[qGapHist]]'s inter-event view with a per-user dispersion
+    * number, and the segmentation input for rate-limit / anomaly
+    * baselines. All-integer: var numerator h·Σc² − (Σc)² (≥ 0 by
+    * Cauchy–Schwarz) floor-divided by the mean numerator h·Σc.
+    *
+    * Scale shape: a (user, hour)-keyed count (map-side combined), a
+    * user-keyed three-sum fold, then a ≤64-bucket rollup — the
+    * q_user_lifespan exchange shape with one extra pre-aggregation.
+    */
+  def qUserBurstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .groupBy(col("user_id"), expr("tus DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("h"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(expr("(h * scc - sc * sc) DIV (h * sc)").as("fano_q"))
+      .groupBy((length(bin(col("fano_q") + 1)) - 1).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_users"), max(col("fano_q")).as("max_fano_q"))
+      .orderBy("k")
+
   /** INTER-EVENT GAP HISTOGRAM (round 17) — consecutive same-user
     * event gaps in doubling whole-second buckets: the distribution the
     * session GAP CONSTANT is calibrated from (the sessionizer's 30 min

@@ -3294,6 +3294,31 @@ object Similarity {
           col(s"__er$s").as("err"))): _*)).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.code").as("code"), col("e.err").as("err"))
 
+  /** PQ CODEBOOK USAGE AUDIT (round 19) — per subspace: distinct codes
+    * actually used, vector count, and the hottest code's count/share.
+    * Near-uniform usage is a healthy quantizer; a top-share spike says
+    * that subspace's centroids collapsed onto the data's mass (retrain
+    * the codebook, or re-cut the subspace split along the correlated
+    * dims [[embedDimCorrTop]] surfaces). The quantizer-health chart an
+    * [[ivfCellStats]]-style audit gives the coarse tier, applied to
+    * the PQ tier — read together they say which level of the ivfpq
+    * stack is losing recall.
+    *
+    * Scale shape: one narrow scan of the durable pqidx asset's code
+    * columns (no embedding is re-read), an (s, code)-keyed map-side
+    * combined rollup bounded by m·k keys, then an m-key fold.
+    */
+  def pqCodeUsage(spark: SparkSession, dir: String): DataFrame =
+    pqDecodeRows(spark, pqIndex(spark, dir, m = 16, k = 16))
+      .groupBy("s", "code").agg(count(lit(1)).as("cnt"))
+      .groupBy("s")
+      .agg(
+        count(lit(1)).as("n_codes_used"),
+        sum(col("cnt")).as("n_vectors"),
+        max(col("cnt")).as("max_code_count"))
+      .withColumn("top_share_bp", expr("(10000 * max_code_count) DIV n_vectors"))
+      .orderBy("s")
+
   /** ANN via asymmetric distance computation (ADC) over a flat PQ
     * index: the query stays un-coded; its distance to a corpus vector
     * is the sum over subspaces of a k-entry lookup table

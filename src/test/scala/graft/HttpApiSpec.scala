@@ -473,6 +473,35 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("POST /maintenance/ngram_staleness: unpinned corpus reads pinned=false (r19)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_stale_api").toString
+    spark.conf.set("spark.graft.index.dir", root)
+    val g = new Graft(spark)
+    val api = new HttpApi(g).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stale_api_c").toString
+      Tables.documents(spark, sf).filter(col("doc_id") < 40)
+        .write.parquet(s"$dir/documents.parquet")
+      Dedup.dropInMemoryNgramTables()
+      // a FULL-built index carries no order pin — the route must say so
+      // rather than invent a drift number (the pinned path's numbers are
+      // pinned in AssetStoreSpec's drifted-chain test + the rows map)
+      Dedup.corpusNgramIndex(spark, dir).count()
+      val r = send("POST", s"$base/maintenance/ngram_staleness", s"""{"dir": "$dir"}""")
+      assert(r.statusCode() == 200, r.body())
+      val node = mapper.readTree(r.body())
+      assert(!node.get("pinned").asBoolean() && node.get("staleness") == null, r.body())
+    } finally {
+      api.close()
+      Dedup.dropInMemoryNgramTables()
+      spark.conf.unset("spark.graft.index.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("POST /maintenance/assets_gc: dry-run previews, explicit dryRun=false sweeps, empty corpora is a 400") {
     import graft.engine.AssetStore
     val root = java.nio.file.Files.createTempDirectory("graft_gc_api").toString
