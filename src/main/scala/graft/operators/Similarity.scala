@@ -3319,6 +3319,28 @@ object Similarity {
       .withColumn("top_share_bp", expr("(10000 * max_code_count) DIV n_vectors"))
       .orderBy("s")
 
+  /** PQ QUANTIZATION-ERROR PROFILE (round 19) — per subspace, the
+    * assigned-centroid squared grid error in doubling buckets: vector
+    * count, exact int64 error mass, bucket max. [[pqCodeUsage]] says
+    * whether codes are BALANCED; this says whether they are CLOSE —
+    * a right-shifted subspace is under-fit (raise k or re-cut the
+    * split), and the per-subspace comparison localizes which slice of
+    * the embedding the PQ tier is losing recall in. Drives the same
+    * retrain decision [[annRecall]] measures end-to-end.
+    *
+    * Scale shape: the same narrow scan of the durable pqidx asset's
+    * (code, err) columns, an (s, bucket)-keyed map-side-combined
+    * rollup bounded by m·64 keys.
+    */
+  def pqErrHist(spark: SparkSession, dir: String): DataFrame =
+    pqDecodeRows(spark, pqIndex(spark, dir, m = 16, k = 16))
+      .groupBy(col("s"), (length(bin(col("err") + 1)) - 1).cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("err")).as("total_err"),
+        max(col("err")).as("max_err"))
+      .orderBy("s", "k")
+
   /** ANN via asymmetric distance computation (ADC) over a flat PQ
     * index: the query stays un-coded; its distance to a corpus vector
     * is the sum over subspaces of a k-entry lookup table

@@ -2362,6 +2362,32 @@ class QueriesSpec extends SparkSpec {
       e.getMessage.contains("embedDimStatsQuery"))
   }
 
+  test("contamination evalDir entrypoints equal the table-valued oracle queries (r19)") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    // the deployment shape: the eval suite lives in its OWN directory;
+    // the Against wrappers must produce exactly the rows the
+    // oracle-checked *_eval fixtures produce for the same eval content
+    val evalDir = java.nio.file.Files.createTempDirectory("graft_evaldir").toString
+    Tables.documents(spark, sf).filter(col("doc_id") < 25)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.parquet(s"$evalDir/documents.parquet")
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 64)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      .write.parquet(s"$evalDir/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val lexGot = canon(TextAnalysis.contaminationAgainst(spark, sf, evalDir))
+    val lexWant = canon(SparkEntry.queries("contamination_eval")(spark, sf))
+    assert(lexGot == lexWant && lexGot.nonEmpty,
+      s"lexical evalDir path diverged: ${lexGot.size} vs ${lexWant.size} rows")
+    val semGot = canon(Similarity.semanticContaminationAgainst(spark, sf, evalDir))
+    val semWant = canon(SparkEntry.queries("semantic_contamination_eval")(spark, sf))
+    assert(semGot == semWant && semGot.nonEmpty,
+      s"semantic evalDir path diverged: ${semGot.size} vs ${semWant.size} rows")
+  }
+
   test("embed_dim_corr_top asserts the fixed-width contract: ragged corpora fail fast (r19)") {
     import graft.operators.Similarity
     // the subspace kernel and its SQL twin diverge SILENTLY on ragged
