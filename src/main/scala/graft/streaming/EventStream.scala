@@ -519,6 +519,84 @@ object EventStream {
       }
   }
 
+  /** One user's interval-merge sufficient statistic: the OPEN span's
+    * bounds, the closed spans' rollup (count, covered, longest), the
+    * fold frontier and an ooo counter — 56 bytes per user, never an
+    * interval list. The sweep is ORDER-SENSITIVE (a span closes only
+    * when the next start clears the running end), so like the gap twin
+    * the state carries the last folded start and flags violations
+    * sticky: an out-of-order event may belong to an already-closed
+    * span, and every later total inherits the suspicion.
+    */
+  case class SpanState(ms: Long, me: Long, nClosed: Long, coveredClosed: Long,
+      longestClosed: Long, lastS: Long, seq: Long, ooo: Long)
+
+  /** Per-update emission of [[intervalMergeStream]]: the user's current
+    * merged-span totals WITH the open span folded in (so the latest row
+    * per user IS the batch answer), plus a monotone `seq` for
+    * latest-row selection from an Update-mode sink and the sticky ooo
+    * flag.
+    */
+  case class SpanUpdate(user_id: Long, n_spans: Long, covered_us: Long,
+      longest_us: Long, seq: Long, ooo: Boolean)
+
+  /** INTERVAL-MERGE STREAM (round 19) — the per-user stage of
+    * [[graft.operators.Intervals.coverageQuery]] (uptime accounting /
+    * activity coverage) as custom keyed state: every event opens a
+    * 30-minute activity interval; overlapping/touching intervals
+    * coalesce into maximal spans under the batch query's exact rule
+    * (a new span begins where a start EXCEEDS the running max end —
+    * equality chains). The batch query's window sort becomes a
+    * per-batch sort of each user's micro-batch slice folded onto the
+    * carried open span; nothing re-reads history.
+    *
+    * State at scale: O(active users) × 56 bytes. Out-of-order arrival
+    * cannot be folded exactly (the violating event may bridge spans the
+    * state already closed), so it is DETECTED (frontier + sticky flag),
+    * never silently merged — the funnel/gap twins' contract.
+    */
+  def intervalMergeStream(events: DataFrame,
+      winUs: Long = 30L * 60 * 1000000): Dataset[SpanUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SpanState, SpanUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SpanState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var s = state.getOption.orNull
+          // one violation per batch, counted up front (the gapStream
+          // convention): the batch's earliest event preceding the fold
+          // frontier means some fold below is against the wrong span
+          val ooo = (if (s == null) 0L else s.ooo) +
+            (if (s != null && sorted.nonEmpty && sorted.head < s.lastS) 1L else 0L)
+          sorted.foreach { t =>
+            s =
+              if (s == null)
+                SpanState(t, t + winUs, 0L, 0L, 0L, t, 1L, ooo)
+              else if (t > s.me)
+                // the open span closes; a new one opens at t
+                SpanState(t, t + winUs, s.nClosed + 1,
+                  s.coveredClosed + (s.me - s.ms),
+                  math.max(s.longestClosed, s.me - s.ms),
+                  math.max(s.lastS, t), s.seq + 1, ooo)
+              else
+                // extend (touching chains; an ooo event folds here too,
+                // flagged — it may really belong to a closed span)
+                s.copy(me = math.max(s.me, t + winUs),
+                  lastS = math.max(s.lastS, t), seq = s.seq + 1, ooo = ooo)
+          }
+          state.update(s)
+          SpanUpdate(uid, s.nClosed + 1,
+            s.coveredClosed + (s.me - s.ms),
+            math.max(s.longestClosed, s.me - s.ms),
+            s.seq, s.ooo > 0L)
+      }
+  }
+
   /** One user's type-diversity sufficient statistic: the distinct
     * event-type SET (bounded by the type vocabulary — ≤ |types|
     * strings, never an event list) plus the event count. Set-union and

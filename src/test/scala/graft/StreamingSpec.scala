@@ -747,6 +747,78 @@ class StreamingSpec extends SparkSpec {
     assert(grew > 0, "no user's distinct-type set grew across batches")
   }
 
+  test("interval-merge stream (open-span state) folds to q_interval_merge on a time-split source (r19)") {
+    // per-user open-span + closed-rollup state: each update's totals
+    // already include the open span, so the latest row per user (by the
+    // monotone seq) IS the batch answer
+    val src = Files.createTempDirectory("graft_imrg_src").toString
+    val ckpt = Files.createTempDirectory("graft_imrg_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), expr("CAST(ts_ns AS BIGINT)").as("ts_ns")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    def slice(f: org.apache.spark.sql.DataFrame, p: String) =
+      f.select("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/$p")
+    slice(ev.filter(col("ts") < lit(c1)), "a_part")
+    slice(ev.filter(col("ts") >= lit(c1) && col("ts") < lit(c2)), "b_part")
+    slice(ev.filter(col("ts") >= lit(c2)), "c_part")
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.intervalMergeStream(stream).toDF(),
+      "imrg_test", ckpt, OutputMode.Update)
+    val latest = spark.table("imrg_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("seq"), col("n_spans"), col("covered_us"), col("longest_us"))).as("m"))
+      .select(col("user_id"), col("m.n_spans").as("n_spans"),
+        col("m.covered_us").as("covered_us"), col("m.longest_us").as("longest_us"))
+    val got = latest.as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.Intervals.coverageQuery(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(want.exists(_._2 > 1), "a single-span-per-user fixture is vacuous")
+    // no ooo on a time-split source; spans genuinely accreted
+    assert(spark.table("imrg_test").filter(col("ooo")).count() == 0)
+    val updates = spark.table("imrg_test").count()
+    val users = spark.table("imrg_test").select("user_id").distinct().count()
+    assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+  }
+
+  test("interval-merge stream: a cross-batch out-of-order event flags the user's totals, sticky (r19)") {
+    // user 9's bridge event (t=1800s — it would chain the two standing
+    // spans into ONE in batch semantics) arrives a batch late: the fold
+    // cannot reopen the closed span, so the totals must carry the ooo
+    // flag rather than silently claim exactness; user 10 stays clean
+    val src = Files.createTempDirectory("graft_imrg_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_imrg_ooo_ckpt").toString
+    val G = 1000000000L // 1s in ns
+    Seq((9L, 0L * G), (9L, 3600L * G), (10L, 0L * G))
+      .toDF("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((9L, 1800L * G), (10L, 600L * G))
+      .toDF("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.intervalMergeStream(stream).toDF(),
+      "imrg_ooo_test", ckpt, OutputMode.Update)
+    def toPair(t: (Long, Long, Boolean)) = t._1 -> (t._2, t._3)
+    val byUser = spark.table("imrg_ooo_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("seq"), col("n_spans"), col("ooo"))).as("m"))
+      .select(col("user_id"), col("m.n_spans").as("n_spans"), col("m.ooo").as("ooo"))
+      .as[(Long, Long, Boolean)].collect().map(toPair).toMap
+    assert(byUser(9L) == ((2L, true)),
+      s"the late bridge event must leave the split spans FLAGGED: $byUser")
+    assert(byUser(10L) == ((1L, false)),
+      s"the concurrent in-order user stays clean: $byUser")
+  }
+
   test("gap stream (frontier-carrying) folds to q_gap_hist on a time-split source") {
     // the session-gap calibration chart gets its streaming twin (r18):
     // per-user gaps from flatMapGroupsWithState (each gap emitted
