@@ -519,6 +519,79 @@ object EventStream {
       }
   }
 
+  /** One user's burstiness sufficient statistic: the OPEN hour's
+    * (bucket, count), the closed hours' three-sum rollup (count of
+    * active hours, Σc, Σc²), the fold frontier and an ooo counter —
+    * O(1) per user, never an hour list. Counting WITHIN an hour is
+    * order-free, so a late event landing in the still-open hour folds
+    * EXACTLY; only an event whose hour already closed is flagged (its
+    * count belongs in a Σc²-term the state can no longer reopen).
+    */
+  case class BurstState(openHr: Long, openCnt: Long, hClosed: Long,
+      scClosed: Long, sccClosed: Long, lastTus: Long, ooo: Long)
+
+  /** Per-update emission of [[burstinessStream]]: the user's current
+    * integer Fano factor with the open hour folded in, the monotone
+    * total event count `n` (the latest-row selector), and the sticky
+    * ooo flag.
+    */
+  case class BurstUpdate(user_id: Long, fano_q: Long, n: Long, ooo: Boolean)
+
+  /** USER-BURSTINESS STREAM (round 19) — the per-user stage of
+    * [[graft.operators.Relational.qUserBurstiness]] as custom keyed
+    * state: hourly event counts fold into (h, Σc, Σc²) as hours close
+    * (a user's next active hour opening closes the previous one — no
+    * timer needed; empty hours don't exist in the batch statistic
+    * either), and each trigger emits the exact integer Fano factor
+    * with the open hour included, so the latest row per user IS the
+    * batch query's per-user value. The bucket histogram is the
+    * consumer-side fold, as with the lifespan/diversity twins (a
+    * user's bucket moves as its dispersion accretes).
+    *
+    * Ordering contract, finer than the gap twin's: within-hour late
+    * arrivals fold exactly (counts commute); only an event for an
+    * ALREADY-CLOSED hour sets the sticky flag — its c² term is lost to
+    * the closed rollup and the user's dispersion is suspect from then
+    * on.
+    *
+    * State at scale: O(active users) × 7 longs.
+    */
+  def burstinessStream(events: DataFrame): Dataset[BurstUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[BurstState, BurstUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[BurstState]) =>
+          var s = state.getOption.orNull
+          rows.map(_._2).toArray.sorted.foreach { t =>
+            val hr = t / 3600000000L
+            s =
+              if (s == null) BurstState(hr, 1L, 0L, 0L, 0L, t, 0L)
+              else if (hr == s.openHr)
+                s.copy(openCnt = s.openCnt + 1, lastTus = math.max(s.lastTus, t))
+              else if (hr > s.openHr)
+                BurstState(hr, 1L, s.hClosed + 1,
+                  s.scClosed + s.openCnt,
+                  s.sccClosed + s.openCnt * s.openCnt,
+                  math.max(s.lastTus, t), s.ooo)
+              else
+                // an hour the state already closed: fold into the open
+                // hour's count (n stays right) but flag — the c² split
+                // between the two hours is unrecoverable
+                s.copy(openCnt = s.openCnt + 1, ooo = s.ooo + 1)
+          }
+          state.update(s)
+          val h = s.hClosed + 1
+          val sc = s.scClosed + s.openCnt
+          val scc = s.sccClosed + s.openCnt * s.openCnt
+          BurstUpdate(uid, (h * scc - sc * sc) / (h * sc), sc, s.ooo > 0L)
+      }
+  }
+
   /** One user's interval-merge sufficient statistic: the OPEN span's
     * bounds, the closed spans' rollup (count, covered, longest), the
     * fold frontier and an ooo counter — 56 bytes per user, never an

@@ -747,6 +747,89 @@ class StreamingSpec extends SparkSpec {
     assert(grew > 0, "no user's distinct-type set grew across batches")
   }
 
+  test("burstiness stream (open-hour state) folds to q_user_burstiness on a time-split source (r19)") {
+    // per-user (open hour, closed three-sum) state: each update's Fano
+    // factor includes the open hour, so the latest row per user (by the
+    // monotone n) feeds the batch query's own bucket expression
+    val src = Files.createTempDirectory("graft_burst_src").toString
+    val ckpt = Files.createTempDirectory("graft_burst_ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), expr("CAST(ts_ns AS BIGINT)").as("ts_ns")).persist()
+    val times = ev.select("ts").orderBy("ts").as[java.sql.Timestamp].collect()
+    val nSlices = 12
+    def slice(f: org.apache.spark.sql.DataFrame, p: String) =
+      f.select("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/$p")
+    for (i <- 0 until nSlices) {
+      val lo = times(times.length * i / nSlices)
+      val filtered = ev.filter(col("ts") >= lit(lo))
+      val part =
+        if (i == nSlices - 1) filtered
+        else filtered.filter(col("ts") < lit(times(times.length * (i + 1) / nSlices)))
+      slice(if (i == 0) part.unionByName(ev.filter(col("ts") < lit(lo))) else part,
+        f"part_$i%02d")
+    }
+    ev.unpersist()
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.burstinessStream(stream).toDF(),
+      "burst_test", ckpt, OutputMode.Update)
+    val latest = spark.table("burst_test")
+      .groupBy("user_id").agg(max(struct(col("n"), col("fano_q"))).as("m"))
+      .select(col("m.fano_q").as("fano_q"))
+    val got = latest
+      .groupBy((length(bin(col("fano_q") + 1)) - 1).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_users"), max(col("fano_q")).as("max_fano_q"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Relational.qUserBurstiness(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only: ${got.diff(want).take(3)}; batch-only: ${want.diff(got).take(3)}")
+    assert(spark.table("burst_test").filter(col("ooo")).count() == 0,
+      "a time-split source must not trip the closed-hour flag")
+    // cross-batch accretion exercised (n is strictly monotone per
+    // update, so updates > users means hour state genuinely carried;
+    // at this SF the integer fano itself converges within a trigger,
+    // so value movement can't be the guard)
+    val updates = spark.table("burst_test").count()
+    val users = spark.table("burst_test").select("user_id").distinct().count()
+    assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+  }
+
+  test("burstiness stream: late-within-hour folds exactly, late-across-hour flags sticky (r19)") {
+    val src = Files.createTempDirectory("graft_burst_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_burst_ooo_ckpt").toString
+    val H = 3600L * 1000000000L // 1h in ns
+    // user 9: hours 0 and 2 seen, then a LATE hour-0 event (closed -> flag);
+    // user 10: hour 0, hour 1, then a late event still in hour 1 (open ->
+    // exact, no flag)
+    Seq((9L, 0L), (9L, 2 * H), (10L, 0L), (10L, H))
+      .toDF("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((9L, 1000L), (10L, H + 1000L))
+      .toDF("user_id", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.burstinessStream(stream).toDF(),
+      "burst_ooo_test", ckpt, OutputMode.Update)
+    val byUser = spark.table("burst_ooo_test")
+      .groupBy("user_id").agg(max(struct(col("n"), col("ooo"), col("fano_q"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n"), col("m.ooo").as("ooo"),
+        col("m.fano_q").as("fano_q"))
+      .as[(Long, Long, Boolean, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(byUser(9L)._1 == 3L && byUser(9L)._2,
+      s"a closed-hour late event must flag the user: $byUser")
+    // user 10's late event is within the OPEN hour: exact and unflagged —
+    // counts {1, 2} over 2 hours: fano = (2*5 - 9) DIV (2*3) = 0
+    assert(byUser(10L) == ((3L, false, 0L)),
+      s"late-within-hour must fold exactly without a flag: $byUser")
+  }
+
   test("interval-merge stream (open-span state) folds to q_interval_merge on a time-split source (r19)") {
     // per-user open-span + closed-rollup state: each update's totals
     // already include the open span, so the latest row per user (by the
