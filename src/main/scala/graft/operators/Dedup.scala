@@ -1545,11 +1545,24 @@ object Dedup {
     *     exactly the drift that costs candidates-verified; reordering
     *     among common grams is harmless. 10000 = the pin still ranks
     *     the rare end correctly.
+    *   - `ngram_order_collision_bp` — the metric the r19 CALIBRATION
+    *     (tools/StalenessCalib, SCALING.md) showed actually prices the
+    *     drift: Σ df_current² over the PINNED rare head vs over the
+    *     current rare head, in basis points (10000 = the pin's prefix
+    *     grams are as selective as a rebuild's). Overlap measures
+    *     displacement BREADTH; candidate cost is driven by DEPTH — a
+    *     handful of formerly-rare grams going viral reads ~9950
+    *     overlap ("healthy") while generating 765× the candidate
+    *     volume, and this ratio is what catches it (df² is the
+    *     posting-list collision mass a prefix gram generates).
     *   - `ngram_order_new_gram_bp` — share of the current vocabulary
     *     absent from the pin. Context, not drift: unseen grams take
     *     the documented df=1 rarest-fallback (maximal selectivity), so
     *     a high new-gram share with high rare overlap is healthy
-    *     vocabulary growth, not staleness.
+    *     vocabulary growth — UNLESS the new grams are themselves
+    *     common (batch template boilerplate), which the collision
+    *     ratio does not see (new grams are outside the pin); the
+    *     calibration fixture documents that corner.
     *
     * Cost: vocabulary-sized — two bounded TakeOrdered heads (never an
     * unpartitioned window), one semi-join, three counts over the two
@@ -1575,12 +1588,25 @@ object Dedup {
       // pinned head restricted to still-shared grams: a gram can leave
       // the vocabulary only through a rebuild (appends never remove),
       // so the comparison population is the shared set on both sides
-      val overlap = rareHead(pinned.join(shared.select("g"), Seq("g"), "left_semi"))
+      val pinnedShared = pinned.join(shared.select("g"), Seq("g"), "left_semi")
+      val overlap = rareHead(pinnedShared)
         .join(rareHead(shared), Seq("g"), "left_semi").count()
+      // collision mass of each head at CURRENT frequencies: Σ df² over
+      // the kEff grams each order would put in prefixes
+      def headMass(head: DataFrame): Long =
+        graft.engine.DriverBudget.collect("Dedup.ngramOrderStaleness.mass", 1L)(
+          head.join(current, Seq("g"))
+            .agg(coalesce(sum(col("__df") * col("__df")), lit(0L))))
+          .head.getLong(0)
+      // the pinned head ranked by the PIN's dfs, priced at current dfs
+      val pinnedMass = headMass(rareHead(pinnedShared))
+      val currentMass = headMass(rareHead(shared))
       val newGrams = currentVocab - sharedVocab
       Map(
         "ngram_order_rare_overlap_bp" ->
           (if (sharedVocab == 0) 10000L else overlap * 10000L / kEff),
+        "ngram_order_collision_bp" ->
+          (if (currentMass == 0) 10000L else pinnedMass * 10000L / currentMass),
         "ngram_order_new_gram_bp" ->
           (if (currentVocab == 0) 0L else newGrams * 10000L / currentVocab))
     }

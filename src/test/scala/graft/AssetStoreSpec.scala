@@ -1490,6 +1490,10 @@ class AssetStoreSpec extends SparkSpec {
         // shared vocab 6 -> head 3; pinned head {r,s,t}, current {s,t,u}
         assert(drifted("ngram_order_rare_overlap_bp") == 6666L,
           s"drift must displace the rare head: $drifted")
+        // collision mass at current dfs: pinned head {r:11,s:1,t:1} ->
+        // 121+1+1 = 123 vs current head {s,t,u} -> 3; the depth metric
+        // the r19 calibration showed prices the drift
+        assert(drifted("ngram_order_collision_bp") == 410000L, s"$drifted")
         // 10 batch-minted grams of 16 current
         assert(drifted("ngram_order_new_gram_bp") == 6250L, s"$drifted")
       }
@@ -1504,6 +1508,7 @@ class AssetStoreSpec extends SparkSpec {
           .getOrElse(fail("a pinned chain must report staleness"))
         assert(benign("ngram_order_rare_overlap_bp") == 10000L,
           s"healthy vocabulary growth must read clean: $benign")
+        assert(benign("ngram_order_collision_bp") == 10000L, s"$benign")
         assert(benign("ngram_order_new_gram_bp") == 6250L, s"$benign")
         // a FULL-built index carries no pin: staleness is not applicable
         assert(Dedup.ngramOrderStaleness(spark, o2).isEmpty,
