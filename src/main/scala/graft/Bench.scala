@@ -78,12 +78,14 @@ object Bench {
     * at 200+ queries.
     *
     * SELF-DESCRIBING DISPERSION (round 19 — the r18 verdict's item 6):
-    * each admitted entry carries `[min, med, max]` (not just the min),
-    * and a run-level `disp` block summarizes the per-query max/min
-    * ratios (p50/p90/worst) across the FULL suite — so a consumer of
-    * the one line can separate host noise (high ratios everywhere)
-    * from a genuine regression (a moved min on a tight-ratio run)
-    * without the sidecar. `value` stays the sum of rounded MINS.
+    * a run-level `disp` block summarizes the per-query max/min ratios
+    * (p50/p90/worst) across the FULL suite — so a consumer of the one
+    * line can separate host noise (high ratios everywhere) from a
+    * genuine regression (a moved min on a tight-ratio run) without the
+    * sidecar, where the complete per-query min/med/max always lives.
+    * The `queries` map stays `name: min` — the driver contract's
+    * documented shape — so an exact-shape parser never breaks; `disp`
+    * is additive. `value` stays the sum of rounded MINS.
     */
   private[graft] val LineBudget = 1600 // < the ~2000-char collector tail window
   private[graft] val MaxEntries = 20
@@ -91,9 +93,7 @@ object Bench {
       stats: Map[String, QStat], sfDir: String, suspect: Boolean): String = {
     val FixedOverhead = 190 // metric/unit/n_queries/elided/disp/suspect/value + braces
     val byCost = stats.toSeq.sortBy(-_._2.min)
-      .map { case (k, s) =>
-        (s.min, "\"" + k + "\":[" + r2(s.min) + "," + r2(s.med) + "," + r2(s.max) + "]")
-      }
+      .map { case (k, s) => (s.min, "\"" + k + "\":" + r2(s.min)) }
     var used = FixedOverhead + sfDir.length
     val admitted = byCost.takeWhile { case (_, e) =>
       val fits = used + e.length + 1 <= LineBudget

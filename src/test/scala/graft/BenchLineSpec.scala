@@ -24,9 +24,14 @@ class BenchLineSpec extends AnyFunSuite {
       val stats = fakeSuite(n)
       val line = Bench.headline(stats, "/root/testdata/sf0.1", suspect = n % 2 == 0)
       assert(line.length < 1700, s"n=$n line is ${line.length} chars")
-      // the most expensive query always survives curation, as a triple
+      // the most expensive query always survives curation, as the
+      // contract's scalar min (an exact-shape driver parser must not
+      // break on the r19 dispersion additions)
       val top = stats.maxBy(_._2.min)._1
-      assert(line.contains("\"" + top + "\":["), s"n=$n slowest query missing from line")
+      val topMin = BigDecimal(stats(top).min)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      assert(line.contains("\"" + top + "\":" + topMin),
+        s"n=$n slowest query missing from line")
       // scalar tail fields: value last, sf before it — a tail-window cut
       // takes queries first
       assert(line.matches(""".*"sf":"[^"]*","value":[0-9.]+}$"""), line.takeRight(80))
