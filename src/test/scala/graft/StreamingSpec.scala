@@ -1720,6 +1720,63 @@ class StreamingSpec extends SparkSpec {
     assert(viaOperator == want)
   }
 
+  test("decontamination gate: per-micro-batch verdicts equal the batch contamination audit (r19)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DecontaminationGate
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // frozen eval suite: two 8+-token docs in their own id namespace
+    val evalDocs = Seq(
+      (1000001L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"),
+      (1000002L, "f1 f2 f3 f4 f5 f6 f7 f8")).toDF("doc_id", "text")
+    val rows = Seq(
+      (10L, "e1 e2 e3 e4 e5 e6 e7 e8 x1 x2"), // verbatim 8-gram leak -> rejected
+      (11L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),    // clean -> admitted
+      (12L, "f1 f2 f3 f4 f5 f6 f7 f8"),        // exact eval doc -> rejected
+      (13L, "short doc"),                      // < 8 tokens: no evidence -> admitted
+      (14L, null.asInstanceOf[String]))        // null text -> admitted
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_decon_ckpt").toString
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_eval_docs", "shared_grams", "admitted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    // the gate aggregates per doc, so it runs inside foreachBatch (the
+    // CuratedIngest deployment shape), like the novelty tier
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vs = canon(DecontaminationGate.gate(b.toDF(), evalDocs))
+        buf.synchronized { buf ++= vs }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = buf.sortBy(_._1).toSeq
+    // batch twin: the same gate expression over the whole arrival set
+    val want = canon(DecontaminationGate.gate(rows.toDF("doc_id", "text"), evalDocs))
+    assert(got == want, s"stream $got != batch $want")
+    // and the shared-gram counts equal the batch AUDIT's on the same rows
+    val audit = graft.operators.TextAnalysis.contamination(
+        rows.toDF("doc_id", "text"), evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, _, shared, admitted) =>
+      assert(audit.getOrElse(id, 0L) == shared, s"doc $id: gate $shared != audit")
+      assert(admitted == (shared == 0L))
+    }
+    // non-vacuous: both verdicts occur; the leaky doc shares exactly
+    // its one verbatim 8-gram; short/null docs pass with zero evidence
+    assert(got.map(_._4).toSet == Set(true, false))
+    assert(got.find(_._1 == 10L).exists(t => t._3 == 1L && !t._4))
+    assert(got.find(_._1 == 12L).exists(t => t._3 == 1L && !t._4))
+    assert(got.find(_._1 == 13L).exists(t => t._3 == 0L && t._4))
+    assert(got.find(_._1 == 14L).exists(t => t._3 == 0L && t._4))
+  }
+
   test("streaming novelty gate: per-micro-batch admission equals the batch incremental-novelty operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Dedup, TextAnalysis}
