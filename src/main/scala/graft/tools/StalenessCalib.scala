@@ -45,9 +45,11 @@ object StalenessCalib {
     val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
 
     // founding rare grams, rarest-first under the index's (df, g) order
-    val rareGrams = Dedup.gramDf(docs0, 3)
-      .orderBy(col("__df").asc, col("g").asc)
-      .select("g").limit(512).collect().map(_.getString(0))
+    // (bounded head; audited like every driver-side collect)
+    val rareGrams = graft.engine.DriverBudget.collect("StalenessCalib.rareGrams", 512L)(
+      Dedup.gramDf(docs0, 3)
+        .orderBy(col("__df").asc, col("g").asc)
+        .select("g").limit(512)).map(_.getString(0))
 
     def withStream[A](s: java.util.stream.Stream[A])(f: java.util.stream.Stream[A] => Unit): Unit =
       try f(s) finally s.close()
