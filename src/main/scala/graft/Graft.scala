@@ -314,9 +314,13 @@ final class Graft(
         // a pinned chain also reports its order-staleness rows (r19):
         // rare-end overlap = the "rebuild the index now" number (SCALING
         // runbook: rebuild below ~7000 bp), new-gram share = context
+        // oldDir keeps the probe vocabulary-sized: an uncommitted
+        // gram-stats asset is published by the increment merge here,
+        // never by an implicit full corpus shingle (r20 advice fix)
         val n = graft.operators.Dedup.corpusNgramIndexIncrement(spark, oldDir, dir).count()
         Seq("ngram_index" -> n) ++
-          graft.operators.Dedup.ngramOrderStaleness(spark, dir).toSeq.flatMap(_.toSeq)
+          graft.operators.Dedup.ngramOrderStaleness(spark, dir, oldDir = Some(oldDir))
+            .toSeq.flatMap(_.toSeq)
       case other =>
         throw new IllegalArgumentException(
           s"unknown asset family '$other' (expected knn_edges | bands | gram_stats | " +

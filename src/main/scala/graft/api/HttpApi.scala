@@ -408,13 +408,18 @@ final class HttpApi(g: Graft, port: Int = 0, apiKey: Option[String] = None) {
     * pinned-order drift metric (round 19; the `assets_increment` rows
     * map carries the same numbers at publish time — this route lets
     * ops re-read them between appends without publishing anything).
-    * Body: `{"dir": "..."}`. 200 with the two staleness rows for a
-    * pinned chain; 200 `{"pinned": false}` when the corpus's index is
-    * full-built (its order IS the current df — nothing to drift).
+    * Body: `{"dir": "..."}`, optional `"old_dir"`: with it an
+    * uncommitted gram-stats asset is published by the vocabulary-sized
+    * increment merge instead of a full corpus shingle (r20). 200 with
+    * the staleness rows for a pinned chain; 200 `{"pinned": false}`
+    * when the corpus's index is full-built (its order IS the current
+    * df — nothing to drift).
     */
   private def ngramStaleness(ex: HttpExchange): Unit = {
     val body = mapper.readTree(ex.getRequestBody)
-    graft.operators.Dedup.ngramOrderStaleness(g.spark, reqText(body, "dir")) match {
+    val oldDir = Option(body.get("old_dir")).map(_.asText()).filter(_.nonEmpty)
+    graft.operators.Dedup.ngramOrderStaleness(g.spark, reqText(body, "dir"),
+        oldDir = oldDir) match {
       case Some(rows) =>
         json(ex, 200, Map("pinned" -> java.lang.Boolean.TRUE,
           "staleness" -> rows.map { case (k, v) =>

@@ -1561,24 +1561,60 @@ object Dedup {
     *     a high new-gram share with high rare overlap is healthy
     *     vocabulary growth — UNLESS the new grams are themselves
     *     common (batch template boilerplate), which the collision
-    *     ratio does not see (new grams are outside the pin); the
-    *     calibration fixture documents that corner.
+    *     ratio does not see (new grams are outside the pin); that
+    *     corner is the next metric's job.
+    *   - `ngram_order_new_collision_bp` (round 20 — the r19
+    *     calibration's named blind spot, thresholded): Σ df_current²
+    *     over the `kEff` WORST new grams (absent from the pin, top by
+    *     current df — under the df=1 fallback EVERY new gram outranks
+    *     every pinned gram, so a doc's new grams land in its prefixes
+    *     whatever their true frequency), vs the current rare head's
+    *     mass. Healthy growth (new grams genuinely rare) reads ≈10000;
+    *     template boilerplate arriving common reads orders of
+    *     magnitude above it while `collision_bp` stays at a clean
+    *     10000 (the shared vocabulary never moved) — the
+    *     arrives-common case only this row catches. Calibrated by the
+    *     StalenessCalib template rung (SCALING.md).
     *
-    * Cost: vocabulary-sized — two bounded TakeOrdered heads (never an
-    * unpartitioned window), one semi-join, three counts over the two
-    * committed gram tables. Computed at `assets_increment` time and
-    * returned in the rows map (`Graft.incrementAssets`); runbook
-    * threshold guidance in SCALING.md (rebuild at rare overlap below
-    * ~7000 bp). The head is clamped to HALF the shared vocabulary —
-    * with heads spanning the whole vocabulary the two sets coincide by
+    * Cost: vocabulary-sized — three bounded TakeOrdered heads (never an
+    * unpartitioned window), two semi-joins, three counts over the two
+    * committed gram tables. The current-df side is resolved from the
+    * COMMITTED gram-stats asset (round 20, advice fix): with `oldDir`
+    * given (the `assets_increment` flow) an uncommitted asset is
+    * published by the vocabulary-sized increment merge; standalone
+    * (`POST /maintenance/ngram_staleness` with no `old_dir`) an
+    * uncommitted asset triggers the one corpus-sized shingle build,
+    * WARN-logged with the cost named — never silently. Computed at
+    * `assets_increment` time and returned in the rows map
+    * (`Graft.incrementAssets`); runbook threshold guidance in
+    * SCALING.md (rebuild at collision_bp > ~30000 or
+    * new_collision_bp > ~30000; rare overlap < 7000 secondary). The
+    * head is clamped to HALF the shared vocabulary — with heads
+    * spanning the whole vocabulary the two sets coincide by
     * construction and the metric reads a vacuous 10000 whatever the
-    * reordering.
+    * reordering. Collision masses are summed in decimal and ratioed in
+    * BigInt (round 20, advice fix): the viral-drift case this metric
+    * exists to catch pushes Σ df² × 10⁴ past Long range on large
+    * corpora, and an overflowed bp is exactly the garbage reading the
+    * runbook must never act on.
     */
   def ngramOrderStaleness(spark: SparkSession, dir: String, k: Int = 3,
-      topK: Int = 1024): Option[Map[String, Long]] =
+      topK: Int = 1024, oldDir: Option[String] = None): Option[Map[String, Long]] =
     pinnedOrderPath(spark, dir, k).map { ordPath =>
       val pinned = spark.read.parquet(ordPath).select(col("g"), col("__df"))
-      val current = corpusGramDf(spark, dir, k).select(col("g"), col("__df"))
+      val current = graft.engine.AssetStore
+        .resolveIfCommitted(spark, gramDfAssetId(spark, dir, k))
+        .map(p => spark.read.parquet(p))
+        .orElse(oldDir.map(o => corpusGramDfIncrement(spark, o, dir, k)))
+        .getOrElse {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ngram staleness at $dir: gram-stats asset not committed and no " +
+              "old_dir given — the full corpus shingle pass runs now; publish " +
+              "the gram_stats family by increment to keep this probe " +
+              "vocabulary-sized")
+          corpusGramDf(spark, dir, k)
+        }
+        .select(col("g"), col("__df"))
       val shared = current.join(pinned.select("g"), Seq("g"), "left_semi")
       val currentVocab = current.count()
       val sharedVocab = shared.count()
@@ -1592,21 +1628,38 @@ object Dedup {
       val overlap = rareHead(pinnedShared)
         .join(rareHead(shared), Seq("g"), "left_semi").count()
       // collision mass of each head at CURRENT frequencies: Σ df² over
-      // the kEff grams each order would put in prefixes
-      def headMass(head: DataFrame): Long =
-        graft.engine.DriverBudget.collect("Dedup.ngramOrderStaleness.mass", 1L)(
+      // the kEff grams each order would put in prefixes. Summed in
+      // decimal(38,0): 1024 grams × df² at df ~1e9 overflows int64
+      def headMass(head: DataFrame): BigInt =
+        BigInt(graft.engine.DriverBudget.collect("Dedup.ngramOrderStaleness.mass", 1L)(
           head.join(current, Seq("g"))
-            .agg(coalesce(sum(col("__df") * col("__df")), lit(0L))))
-          .head.getLong(0)
+            .agg(coalesce(
+              sum(col("__df").cast("decimal(38,0)") * col("__df")),
+              lit(0).cast("decimal(38,0)"))))
+          .head.getDecimal(0).toBigInteger)
       // the pinned head ranked by the PIN's dfs, priced at current dfs
       val pinnedMass = headMass(rareHead(pinnedShared))
       val currentMass = headMass(rareHead(shared))
+      // the worst NEW grams: under the fallback every unseen gram is
+      // "rarest", so the ones that arrived COMMON are prefix grams with
+      // collision mass the shared-vocab ratio never sees
+      val newMass = headMass(
+        current.join(pinned.select("g"), Seq("g"), "left_anti")
+          .orderBy(col("__df").desc, col("g").asc).limit(kEff).select("g"))
       val newGrams = currentVocab - sharedVocab
+      // BigInt ratio, clamped: a bp reading is 4-6 significant digits —
+      // precision is free, overflow is the only way to get it wrong
+      def bp(num: BigInt, den: BigInt, whenZero: Long): Long =
+        if (den == 0) whenZero
+        else (num * 10000 / den).min(BigInt(Long.MaxValue)).toLong
       Map(
         "ngram_order_rare_overlap_bp" ->
           (if (sharedVocab == 0) 10000L else overlap * 10000L / kEff),
-        "ngram_order_collision_bp" ->
-          (if (currentMass == 0) 10000L else pinnedMass * 10000L / currentMass),
+        "ngram_order_collision_bp" -> bp(pinnedMass, currentMass, 10000L),
+        // an empty current head with non-zero new mass is the most
+        // drifted reading there is — never a clean 10000
+        "ngram_order_new_collision_bp" ->
+          bp(newMass, currentMass, if (newMass == 0) 10000L else Long.MaxValue),
         "ngram_order_new_gram_bp" ->
           (if (currentVocab == 0) 0L else newGrams * 10000L / currentVocab))
     }
@@ -1749,12 +1802,19 @@ object Dedup {
     * every exact-ngram consumer afterwards (standalone query, curation
     * near-dup stage, any session) reads the materialized copy.
     */
-  def corpusGramDf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Content address of [[corpusGramDf]]'s asset — shared with the
+    * staleness probe's committed-only resolution (round 20).
+    * Family id bumped gramdf -> gramdffd when first_doc joined the
+    * schema (round 15): a same-id schema change would serve the stale
+    * two-column table from any warehouse published by an older build.
+    */
+  private[graft] def gramDfAssetId(spark: SparkSession, dir: String, k: Int): String = {
     val fp = graft.engine.AssetStore.corpusFingerprint(spark, dir, "documents.parquet")
-    // family id bumped gramdf -> gramdffd when first_doc joined the
-    // schema (round 15): a same-id schema change would serve the stale
-    // two-column table from any warehouse published by an older build
-    val assetId = s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    s"gramdffd_k${k}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+  }
+
+  def corpusGramDf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val assetId = gramDfAssetId(spark, dir, k)
     val path = gramDfTables.computeIfAbsent(assetId, _ =>
       graft.engine.AssetStore.resolve(spark, assetId,
         staging => {

@@ -1376,6 +1376,51 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** [[qDecayScore]] on the ABSOLUTE day grid, bucket-then-decay
+    * (round 20) — the STREAMING-EXACT form of the decayed-engagement
+    * score: cents are summed per (user, UTC day bucket) FIRST, then
+    * each bucket sum is right-shifted by its age against the corpus's
+    * max bucket. Two deliberate differences from [[qDecayScore]], both
+    * forced by bounded streaming state and declared here rather than
+    * approximated silently: ages live on the absolute day grid
+    * (`tus DIV day` both sides) instead of the µs-anchored
+    * `(m − tus) DIV day`, and truncation happens once per bucket
+    * instead of once per event. Under those semantics the per-user
+    * sufficient statistic is a ≤63-entry day→cents map — an order-free
+    * monoid, so [[graft.streaming.EventStream.decayScoreStream]]
+    * reproduces this query exactly at ANY arrival order with no ooo
+    * frontier, the lifespan/diversity/burstiness contract; the
+    * µs-anchored original is NOT expressible in bounded state (each
+    * event's truncated term depends on the read-time frontier at µs
+    * precision, so exactness would need the event list back).
+    *
+    * Scale shape: one map-side-combined (user, day) rollup, the
+    * reference day one broadcast scalar, then a user-keyed fold over
+    * ≤63 rows per user. Same sign-safe magnitude-shift as the
+    * original (Spark DIV truncates toward zero, DuckDB // floors —
+    * dividing the magnitude makes both exact for refund buckets).
+    */
+  def qDecayScoreDay(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .withColumn("tus", expr(floorDivUs))
+      .select(col("user_id"), expr("tus DIV 86400000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("cents"))
+    val ref = b.agg(max(col("day")).as("refd"))
+    b.crossJoin(broadcast(ref))
+      .withColumn("age", col("refd") - col("day"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("n")).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        coalesce(sum(when(col("age") <= 62,
+          expr("CASE WHEN cents < 0 THEN -((-cents) DIV shiftleft(1L, CAST(age AS INT))) " +
+            "ELSE cents DIV shiftleft(1L, CAST(age AS INT)) END")).otherwise(lit(0L))), lit(0L))
+          .as("decay_score"))
+      .orderBy("user_id")
+  }
+
   /** CONVERSION FUNNEL — strictly-ordered view → click → purchase
     * steps per user: a user counts at step 2 only with a click AFTER
     * their first view, and at step 3 only with a purchase after that

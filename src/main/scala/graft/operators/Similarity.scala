@@ -1517,42 +1517,50 @@ object Similarity {
     * ints (DriverBudget-audited), one literal-index product pass, a
     * ≤28-key rollup, broadcast stat joins, TakeOrdered top-K.
     *
-    * Fixed-width corpus contract, ASSERTED at runtime (round 19): on a
-    * ragged corpus this kernel and its SQL twin diverge silently —
-    * width-1 rows would be excluded from the moment pass while the SQL
-    * keeps them, and rows shorter than the deepest selected dim would
-    * drop their in-range (i, j) products that the SQL keeps. One
-    * skinny min/max-width pass over the size column (cheap next to the
-    * posexplode moment pass) turns that silent divergence into a
-    * fail-fast with the remedy named.
+    * Fixed-width corpus contract, ASSERTED at runtime (round 19,
+    * zero-extra-scan round 20): on a ragged corpus this kernel and its
+    * SQL twin diverge silently — width-1 rows would be excluded from
+    * the moment pass while the SQL keeps them, and rows shorter than
+    * the deepest selected dim would drop their in-range (i, j)
+    * products that the SQL keeps. The assertion is derived from the
+    * kernel's own `dims` frame: a dimension i is present in exactly
+    * the rows wider than i, so fixed width ⇔ every dim's count equals
+    * dim 0's, and the exact [min, max] widths of a ragged corpus fall
+    * out of the same rows (min = the first dim whose count drops, max
+    * = the deepest dim + 1) — the r19 separate min/max(size) corpus
+    * scan is retired. The width-sized dims collect also serves the
+    * subspace pick, so the guard costs literally nothing extra.
     */
   def embedDimCorrTop(spark: SparkSession, dir: String,
       scale: Int = 1000, subDims: Int = 8, topK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    val widths = graft.engine.DriverBudget.collect("Similarity.embedDimCorrTop.width", 1L)(
-      emb.agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi")))
-      .head
-    if (!widths.isNullAt(0)) {
-      val (lo, hi) = (widths.getInt(0), widths.getInt(1))
-      require(lo == hi && lo >= 2,
-        s"embedDimCorrTop: ragged embedding widths [$lo, $hi] — the kernel " +
-          "and its oracle diverge on ragged corpora (width-1 rows and " +
-          "short-row products). Normalize the corpus to one width (pad or " +
-          "drop) before auditing dimension correlation.")
-    }
     val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
     val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("i").agg(
         sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
         count(lit(1)).as("n"))
-    val sel = graft.engine.DriverBudget.collect(
-        "Similarity.embedDimCorrTop.subspace", subDims.toLong)(
-        dims.withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
-          .orderBy(col("var_num").desc, col("i").asc)
-          .select(col("i"))
-          .limit(subDims))
-      .map(_.getInt(0)).sorted
+    // ONE width-sized driver read serves BOTH the fixed-width guard and
+    // the subspace pick: ≤ width rows of four numbers, budget-audited
+    val dimRows = graft.engine.DriverBudget.collect(
+        "Similarity.embedDimCorrTop.dims", 65536L)(
+        dims.select(col("i"), col("sx"), col("sxx"), col("n")).orderBy(col("i")))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    if (dimRows.nonEmpty) {
+      val total = dimRows.head._4
+      val lo = dimRows.find(_._4 < total).map(_._1).getOrElse(dimRows.length)
+      val hi = dimRows.last._1 + 1
+      require(lo == hi && lo >= 2,
+        s"embedDimCorrTop: ragged embedding widths [${math.min(lo, hi)}, $hi] — " +
+          "the kernel and its oracle diverge on ragged corpora (width-1 rows " +
+          "and short-row products). Normalize the corpus to one width (pad or " +
+          "drop) before auditing dimension correlation.")
+    }
+    val sel = dimRows
+      .map { case (i, sx, sxx, n) => (i, n * sxx - sx * sx) }
+      .sortBy { case (i, varNum) => (-varNum, i) }
+      .take(subDims)
+      .map(_._1).sorted
     val pairCols = for {
       a <- sel.indices
       b <- (a + 1) until sel.size
@@ -1563,9 +1571,17 @@ object Similarity {
       .select(explode(array(pairCols: _*)).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
       .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+    // the per-dim stats are ALREADY on the driver (the guard/subspace
+    // collect) — joining them back as a literal frame keeps the moment
+    // aggregate out of the final plan, so the product pass is the only
+    // corpus work left after the one dims pass (r20)
+    val spark2 = spark
+    import spark2.implicits._
+    val stats = dimRows.map { case (i, sx, _, n) => (i, sx, n) }.toSeq
+      .toDF("i", "sx", "n")
     pairs
-      .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
-      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .join(broadcast(stats.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
+      .join(broadcast(stats.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
       .withColumn("cov_num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"), col("sxy"), col("cov_num"))

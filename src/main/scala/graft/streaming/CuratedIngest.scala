@@ -13,6 +13,15 @@ import org.apache.spark.sql.streaming.Trigger
   *      run FIRST because it is pure row-local projection: every
   *      downstream join, digest write and chunk store shrinks to the
   *      kept slice;
+  *   1a. DECONTAMINATION GATE ([[DecontaminationGate]], optional,
+  *      round 20) — rejects docs sharing more than
+  *      `decontamMaxShared` `decontamGramK`-grams with the frozen
+  *      eval suite at `decontamEvalDir`; runs AFTER the row-local
+  *      quality gate (the gram join sees only quality-kept docs) and
+  *      BEFORE novelty/dedup (leaked eval text must not accrete into
+  *      the novelty grams or reach the digest table). The eval side is
+  *      derived ONCE per suite ([[DecontaminationGate.evalGramsAsset]],
+  *      resolved before the stream starts), not once per micro-batch;
   *   1b. NOVELTY GATE ([[NoveltyGate]], optional, round 15; accreting
   *      round 16) — admits only docs whose shingle novelty against the
   *      standing gram asset clears `minNoveltyBp`; runs AFTER the
@@ -62,24 +71,35 @@ object CuratedIngest {
       divisor: Int = 64,
       noveltyStanding: Option[DataFrame] = None,
       minNoveltyBp: Long = 0L,
-      noveltyGramDir: Option[String] = None
+      noveltyGramDir: Option[String] = None,
+      decontamGrams: Option[DataFrame] = None,
+      decontamMaxShared: Long = 0L,
+      decontamGramK: Int = 8
   ): (Long, Long, Long) = {
     val spark = batch.sparkSession
     val qualityKept = QualityGate.gate(batch, weights, threshold)
       .filter(col("kept"))
       .select(col("doc_id"), col("text"))
+    // decontaminate-at-the-door (r20): the eval-gram frame arrives
+    // pre-derived (the committed asset) — this tier adds one broadcast
+    // gram join per batch, never an eval shingle pass
+    val cleared = decontamGrams.map { eg =>
+      DecontaminationGate.gateWithGrams(qualityKept, eg, decontamGramK, decontamMaxShared)
+        .filter(col("admitted"))
+        .select(col("doc_id"), col("text"))
+    }.getOrElse(qualityKept)
     // with a gram dir the novelty tier ACCRETES (r16): admitted docs
     // raise the standing grams against later batches; without one it
     // screens against the static standing set only (the r15 form)
     val noveltyVerdicts = noveltyStanding.map { sg =>
       noveltyGramDir match {
-        case Some(gd) => NoveltyGate.processBatch(qualityKept, batchId, gd, sg, minNoveltyBp)
-        case None     => NoveltyGate.gate(qualityKept, sg, minNoveltyBp)
+        case Some(gd) => NoveltyGate.processBatch(cleared, batchId, gd, sg, minNoveltyBp)
+        case None     => NoveltyGate.gate(cleared, sg, minNoveltyBp)
       }
     }
     val gated = noveltyVerdicts
       .map(_.filter(col("admitted")).select(col("doc_id"), col("text")))
-      .getOrElse(qualityKept)
+      .getOrElse(cleared)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val gatedIn = gated.count()
@@ -119,13 +139,21 @@ object CuratedIngest {
       divisor: Int = 64,
       noveltyStanding: Option[DataFrame] = None,
       minNoveltyBp: Long = 0L,
-      noveltyGramDir: Option[String] = None
+      noveltyGramDir: Option[String] = None,
+      decontamEvalDir: Option[String] = None,
+      decontamMaxShared: Long = 0L,
+      decontamGramK: Int = 8
   ): Unit = {
+    // the frozen suite is shingled ONCE, before the stream starts: the
+    // committed asset is what every micro-batch joins against (r20)
+    val decontamGrams = decontamEvalDir.map(d =>
+      DecontaminationGate.evalGramsAsset(docs.sparkSession, d, decontamGramK))
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, weights, threshold,
           destDir, digestDir, storeDir, manifestDir, k, divisor,
-          noveltyStanding, minNoveltyBp, noveltyGramDir); ()
+          noveltyStanding, minNoveltyBp, noveltyGramDir,
+          decontamGrams, decontamMaxShared, decontamGramK); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

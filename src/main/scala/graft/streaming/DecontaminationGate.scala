@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** EVAL-DECONTAMINATION GATE (round 19) — the contamination audit
@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   * coincidental (StreamingSpec pins it). Run inside `foreachBatch`
   * like the novelty tier (the per-doc rollup is a batch-side
   * aggregation), composed AFTER the row-local quality gate and BEFORE
-  * dedup: contaminated material never reaches the digest table.
+  * novelty/dedup: contaminated material never reaches the digest
+  * table. [[CuratedIngest]] hosts it as a first-class tier (round 20).
+  *
+  * The eval side is FROZEN by definition, so its one shingling pass is
+  * paid once per suite, not once per micro-batch (round 20):
+  * [[evalGramsAsset]] publishes the `(eval_id, g)` frame as a small
+  * durable asset keyed by the eval dir's content fingerprint, and a
+  * multi-batch run (or a restart, or a second pipeline on the same
+  * suite) reads the committed parquet back instead of re-deriving it.
   *
   * Gate policy for docs with NO shingles (null text / < gramK
   * tokens): ADMITTED — they can share no eval gram, and the
@@ -29,14 +37,56 @@ import org.apache.spark.sql.functions._
   */
 object DecontaminationGate {
 
+  /** Eval-gram asset builds — spec seam proving the once-per-suite
+    * contract (a second batch, run, or restart must not add one).
+    */
+  private[graft] val evalGramBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Resolve (publish if absent) the eval suite's gram frame as a
+    * durable asset: `(eval_id, g)` rows from `evalDir`'s
+    * `documents.parquet`, content-addressed by the eval dir's
+    * fingerprint — a changed suite gets a fresh address, a frozen one
+    * is shingled exactly once across batches, runs and processes.
+    * Eval suites are audit-sized, so the asset is a few small files; a
+    * per-batch read of it is metadata-cheap while the shingle pass it
+    * replaces re-scans every eval text.
+    */
+  def evalGramsAsset(spark: SparkSession, evalDir: String, gramK: Int = 8): DataFrame = {
+    val fp = graft.engine.AssetStore.corpusFingerprint(spark, evalDir, "documents.parquet")
+    val assetId = s"decongrams_k${gramK}_v${graft.engine.AssetStore.FormatVersion}_$fp"
+    val path = graft.engine.AssetStore.resolve(spark, assetId,
+      staging => {
+        evalGramBuilds.incrementAndGet()
+        graft.operators.TextAnalysis.contaminationEvalGrams(
+            graft.Tables.documents(spark, evalDir).select(col("doc_id"), col("text")), gramK)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+      })
+    spark.read.parquet(path)
+  }
+
   /** Verdict frame: the batch's columns plus `n_eval_docs`,
     * `shared_grams` (0 for clean or shingle-less docs) and `admitted`.
-    * `evalDocs` needs columns `doc_id` (its own namespace) and `text`.
+    * `evalDocs` needs columns `doc_id` (its own namespace) and `text`;
+    * the eval side is shingled here — callers screening many batches
+    * against one frozen suite should derive the grams once via
+    * [[evalGramsAsset]] and call [[gateWithGrams]].
     */
   def gate(batch: DataFrame, evalDocs: DataFrame, gramK: Int = 8,
+      maxSharedGrams: Long = 0L): DataFrame =
+    gateWithGrams(batch,
+      graft.operators.TextAnalysis.contaminationEvalGrams(evalDocs, gramK),
+      gramK, maxSharedGrams)
+
+  /** [[gate]] against a pre-derived `(eval_id, g)` frame — the form the
+    * curated pipeline runs per micro-batch (round 20): the eval side is
+    * a committed-asset read, the batch side the same expression tree as
+    * the audit.
+    */
+  def gateWithGrams(batch: DataFrame, evalGrams: DataFrame, gramK: Int = 8,
       maxSharedGrams: Long = 0L): DataFrame = {
-    val hits = graft.operators.TextAnalysis.contamination(
-        batch.select(col("doc_id"), col("text")), evalDocs, gramK)
+    val hits = graft.operators.TextAnalysis.contaminationGrams(
+        batch.select(col("doc_id"), col("text")), evalGrams, gramK)
       .select(col("doc_id"), col("n_eval_docs"), col("shared_grams"))
     batch.join(hits, Seq("doc_id"), "left")
       .withColumn("n_eval_docs", coalesce(col("n_eval_docs"), lit(0L)))

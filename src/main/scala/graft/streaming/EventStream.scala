@@ -715,6 +715,102 @@ object EventStream {
       }
   }
 
+  /** One user's day-grid decay sufficient statistic: cent sums per
+    * absolute UTC day bucket plus the event count. Bucket-wise sums
+    * and the count are commutative monoids, and buckets more than 62
+    * days behind the user's own frontier are PRUNED — they can never
+    * contribute again (the read-time reference is ≥ every user's
+    * frontier and only grows, and the batch query zeroes ages > 62) —
+    * so the state is ≤63 (day, cents) pairs + a long per user, never
+    * an event list.
+    */
+  case class DecayState(buckets: Map[Long, Long], n: Long)
+
+  /** Per-update emission of [[decayScoreStream]]: the user's current
+    * bucket map, raw — NORMALIZATION IS READ-TIME ([[decayScoreDayFinalize]]):
+    * the score divides each bucket by 2^(ref − day) where ref is the
+    * GLOBAL max day, which a per-user group cannot know while the
+    * stream runs. `n_events` is strictly monotone per update, so a
+    * consumer picks each user's latest row from an Update-mode sink.
+    */
+  case class DecayUpdate(user_id: Long, n_events: Long, max_day: Long,
+      buckets: Map[Long, Long])
+
+  /** DECAY-SCORE STREAM (round 20 — the r19 verdict's item 5): the
+    * per-user stage of
+    * [[graft.operators.Relational.qDecayScoreDay]] as custom keyed
+    * state. Like the lifespan/diversity/burstiness twins the state is
+    * an order-free monoid — per-day cent sums commute, the frontier is
+    * a max — so the twin needs NO ooo frontier by design: any arrival
+    * order folds to the same state, and the parity spec pins both a
+    * time-split and an arbitrarily-split source to the batch answer.
+    * The µs-anchored [[graft.operators.Relational.qDecayScore]] is
+    * deliberately NOT twinned (its per-event truncation against the
+    * read-time frontier needs the event list back); the day-grid
+    * variant exists to make the decayed-engagement score
+    * streaming-exact, with the grid difference declared in its
+    * scaladoc instead of approximated silently.
+    */
+  def decayScoreStream(events: DataFrame): Dataset[DecayUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("((CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000) " +
+          "DIV 86400000000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayState, DecayUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[DecayState]) =>
+          var buckets = state.getOption.map(_.buckets).getOrElse(Map.empty[Long, Long])
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { case (_, day, vc) =>
+            buckets = buckets.updated(day, buckets.getOrElse(day, 0L) + vc)
+            n += 1
+          }
+          val frontier = buckets.keys.max
+          // prune: a bucket already >62 days behind this user's OWN
+          // frontier is >62 behind the global read-time reference too
+          val live = buckets.filter { case (d, _) => frontier - d <= 62 }
+          state.update(DecayState(live, n))
+          DecayUpdate(uid, n, frontier, live)
+      }
+  }
+
+  /** Read-time normalization of [[decayScoreStream]]'s emissions — the
+    * batch query's bucket→score fold over each user's LATEST row: the
+    * global reference day is the max frontier across users (= the batch
+    * query's max(day) — every day bucket survives in its owner's
+    * state), ages and sign-safe shifts identical to
+    * [[graft.operators.Relational.qDecayScoreDay]]. The window is
+    * user-partitioned (latest-row pick), never global; the explode is
+    * ≤63 rows per user.
+    */
+  def decayScoreDayFinalize(updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = updates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n_events").desc, col("max_day").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val ref = latest.agg(max(col("max_day")).as("refd"))
+    latest
+      .select(col("user_id"), col("n_events"),
+        explode(col("buckets")).as(Seq("day", "cents")))
+      .crossJoin(broadcast(ref))
+      .withColumn("age", col("refd") - col("day"))
+      .groupBy("user_id")
+      .agg(
+        first(col("n_events")).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        coalesce(sum(when(col("age") <= 62,
+          expr("CASE WHEN cents < 0 THEN -((-cents) DIV shiftleft(1L, CAST(age AS INT))) " +
+            "ELSE cents DIV shiftleft(1L, CAST(age AS INT)) END")).otherwise(lit(0L))), lit(0L))
+          .as("decay_score"))
+      .orderBy("user_id")
+  }
+
   /** One user's funnel progress — the BOUNDED sufficient statistic of
     * the strictly-ordered view→click→purchase funnel under in-order
     * arrival: three optional first-transition times, 24 bytes per
@@ -880,8 +976,19 @@ object EventStream {
   /** One observed consecutive-event gap in whole seconds. `ooo` is
     * sticky from the first violating micro-batch on (the carried
     * frontier is suspect from then on — the [[Transition]] contract).
+    * `corrupt` (round 20, advice fix) is PER-GAP, not sticky: true only
+    * for a gap actually computed against a frontier the violating
+    * batch proves wrong (the frontier-predecessor gap of a violating
+    * batch, and any negative gap) — the one kind of emission whose
+    * VALUE is wrong, as opposed to merely living in a timeline whose
+    * completeness is suspect. Batch-local gaps, and later gaps
+    * measured from the never-rewound frontier, are exact whatever came
+    * before, and keeping them flagged-but-usable is what stops one
+    * early hiccup from silently starving a long-lived user out of the
+    * calibration histogram.
     */
-  case class GapObs(user_id: Long, gap_s: Long, ooo: Boolean = false)
+  case class GapObs(user_id: Long, gap_s: Long, ooo: Boolean = false,
+      corrupt: Boolean = false)
 
   /** INTER-EVENT GAP STREAM (round 18) — the per-user stage of
     * [[graft.operators.Relational.qGapHist]] as
@@ -914,11 +1021,19 @@ object EventStream {
               (sorted.head._3 == s.lastTus && sorted.head._2 < s.lastEid))
           val oooCount = s0.fold(0L)(_.ooo) + (if (violated) 1L else 0L)
           var last: Option[(Long, Long)] = s0.map(s => (s.lastTus, s.lastEid))
+          // only the gap whose predecessor is the carried frontier of a
+          // VIOLATING batch has a wrong value (r20): batch-local gaps
+          // are exact between their own endpoints, and later frontier
+          // gaps measure from the true (never-rewound) max
+          var predFromState = s0.nonEmpty
           val out = scala.collection.mutable.ArrayBuffer.empty[GapObs]
           sorted.foreach { case (_, eid, t) =>
             last.foreach { case (lt, _) =>
-              out += GapObs(user, (t - lt) / 1000000L, oooCount > 0L)
+              val gap = (t - lt) / 1000000L
+              out += GapObs(user, gap, oooCount > 0L,
+                (violated && predFromState) || gap < 0L)
             }
+            predFromState = false
             last = Some((t, eid))
           }
           last.foreach { case (lt, le) =>
@@ -942,18 +1057,22 @@ object EventStream {
     * — the flagged late-discard scenario cannot occur in a
     * watermark-free global aggregate (see [[sessionStatsStream]]).
     *
-    * OOO-flagged gaps are EXCLUDED (round 19): a gap emitted against a
-    * corrupted frontier can be negative, and `bin(gap_s + 1)` on a
-    * negative value lands in bucket 0 (gap_s = −1) or bucket 63
-    * (gap_s < −1) — folding it in would silently pollute exactly the
-    * calibration chart the sticky flag was designed to protect. A
-    * disordered source therefore degrades VISIBLY (its suspect gaps
-    * vanish from the histogram and remain countable on the flagged
-    * [[gapStream]] rows) instead of corrupting the buckets.
+    * CORRUPT gaps are EXCLUDED (round 19, narrowed round 20): a gap
+    * emitted against a wrong frontier can be negative, and
+    * `bin(gap_s + 1)` on a negative value lands in bucket 0
+    * (gap_s = −1) or bucket 63 (gap_s < −1) — folding it in would
+    * silently pollute exactly the calibration chart the flag was
+    * designed to protect. The r19 form dropped every gap of an
+    * ooo-STICKY user, so one disordered micro-batch permanently
+    * removed all of that user's later (exact) gaps and a long-lived
+    * stream with an early hiccup drifted from the truth one user at a
+    * time; the per-gap `corrupt` flag keeps those exact emissions in
+    * the buckets while the wrong-valued ones still vanish (and remain
+    * countable on the flagged [[gapStream]] rows).
     */
   def gapHistStream(gaps: DataFrame): DataFrame =
     gaps
-      .filter(!col("ooo"))
+      .filter(!col("corrupt"))
       .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("k"))
       .agg(
         count(lit(1)).as("n_gaps"),

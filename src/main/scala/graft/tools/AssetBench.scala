@@ -93,6 +93,37 @@ object AssetBench {
       Similarity.corpusKnnEdges(spark, incOldDir, bits = bits, partWidth = partWidth).count()
       Similarity.corpusBandedEmbeddings(spark, incOldDir, bits = bits).count()
     }
+    // Re-lay a committed pt-partitioned asset into ~`pieces` small part
+    // files per pt range, in place (r20): one Spark job scatters rows
+    // across `pieces` tasks (each task holding rows of most pt values
+    // writes one small file per value), then the fresh files replace
+    // the originals per range. Listing-level structure (pt dirs, commit
+    // marker) is untouched, so copy-forward increments and touched-range
+    // detection behave exactly as on a naturally fragmented store.
+    def fragmentPtRanges(assetPath: String, pieces: Int): Unit = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      import java.nio.file.{Files => JF, Paths}
+      val tmp = JF.createTempDirectory("graft_frag").toString + "/e"
+      spark.read.parquet(assetPath)
+        .repartition(pieces, pmod(xxhash64(col("vec_id"), col("nbr_id")), lit(pieces.toLong)))
+        .write.partitionBy("pt").parquet(tmp)
+      def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        withStream(JF.list(p))(_.forEach(b += _))
+        b.result()
+      }
+      ls(Paths.get(tmp))
+        .filter(p => JF.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
+        .foreach { ptDir =>
+          val dest = Paths.get(assetPath, ptDir.getFileName.toString)
+          ls(dest).filter { f =>
+            val n = f.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".")
+          }.foreach(JF.delete(_))
+          ls(ptDir).filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => JF.move(f, dest.resolve(s"part-frag-${f.getFileName}")))
+        }
+    }
     def noSetup: () => Unit = () => ()
     val builds = Seq[(String, () => Unit, () => Long)](
       ("ngramidx_k3", noSetup, () => Dedup.corpusNgramIndex(spark, sfDir).count()),
@@ -196,6 +227,38 @@ object AssetBench {
         // machinery row: the shipped r19 bytes gate routes local sizes
         // to the recompute — zero it so the CLOSURE path is what this
         // row tracks round-over-round
+        Similarity.triangleIncrementMinStandingBytes = 0L
+        Similarity.corpusTriangleStats(spark, incOldDir, bits = 12, partWidth = 16L).count()
+        Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir,
+          bits = 12, partWidth = 16L).count(); ()
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir,
+        bits = 12, partWidth = 16L).count()),
+      // FRAGMENTED STANDING STORE (r20 — the r19 verdict's item 4): the
+      // closure's surviving production claim is an I/O argument ("read
+      // a sliver of a TB-scale FRAGMENTED edge store instead of all of
+      // it"), which the contiguous local fixtures never price. These
+      // two rows re-lay the standing edge asset into ~32 small files
+      // per pt range BEFORE the append (listing + per-file open cost
+      // becomes real), publish the new edge asset outside the timer
+      // (fragments copy forward by name), and time the same tristats
+      // publish both ways on the same fragmented store: the shipped
+      // recompute (bytes gate at default) vs the forced closure. The
+      // verdict this pair renders is written up in SCALING.md.
+      ("tristats_b12_w16frag_recompute", () => {
+        incSetup(12, partWidth = 16L)()
+        fragmentPtRanges(Similarity.corpusKnnEdgesPath(spark, incOldDir,
+          bits = 12, partWidth = 16L), 32)
+        Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir,
+          bits = 12, partWidth = 16L).count(); ()
+      }, () => Similarity.corpusTriangleStatsIncrement(spark, incOldDir, incNewDir,
+        bits = 12, partWidth = 16L).count()),
+      ("tristats_b12_w16frag_closure", () => {
+        incSetup(12, partWidth = 16L)()
+        fragmentPtRanges(Similarity.corpusKnnEdgesPath(spark, incOldDir,
+          bits = 12, partWidth = 16L), 32)
+        // machinery row: zero the bytes gate so the closure runs; the
+        // standing tristats asset is prebuilt (untimed) as in the
+        // production append flow
         Similarity.triangleIncrementMinStandingBytes = 0L
         Similarity.corpusTriangleStats(spark, incOldDir, bits = 12, partWidth = 16L).count()
         Similarity.corpusKnnEdgesIncrement(spark, incOldDir, incNewDir,

@@ -109,7 +109,9 @@ object ScaleGen {
     * up locally. `permille`/1000 of ALL docs (hash-selected, so they
     * land on both sides of the cut) have their text replaced by a
     * DONOR doc's tokens minus one interior token — donors drawn
-    * uniformly from the STANDING id range (below 90% of max), so
+    * uniformly from the UNMARKED part of the STANDING id range (below
+    * 90% of max; marked docs leave the pool — their own text is
+    * replaced in the same pass, r20 advice fix), so
     * planted standing docs create standing×standing near-dup pairs
     * (the mass the increment skips re-verifying) and planted BATCH
     * docs create genuine cross-generation pairs (batch text
@@ -129,6 +131,12 @@ object ScaleGen {
     def toks(c: Column) = filter(split(trim(c), "\\s+"), t => length(t) > 0)
     val donors = docs
       .filter(col("doc_id") <= standingMax)
+      // r20 advice fix: a donor that is ITSELF marked has its text
+      // replaced in the same pass, so its planted copier would pair
+      // with nothing — excluding marked docs from the pool (the same
+      // selection hash) keeps every planted doc paired with a
+      // surviving, unmodified donor text
+      .filter(pmod(xxhash64(col("doc_id"), lit("nd")), lit(1000L)) >= lit(permille.toLong))
       .select(col("doc_id").as("__donor"), toks(col("text")).as("__dt"))
       .filter(size(col("__dt")) >= 20)
     val marked = docs.withColumn("__donor",

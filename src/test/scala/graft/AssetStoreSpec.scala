@@ -1496,6 +1496,10 @@ class AssetStoreSpec extends SparkSpec {
         assert(drifted("ngram_order_collision_bp") == 410000L, s"$drifted")
         // 10 batch-minted grams of 16 current
         assert(drifted("ngram_order_new_gram_bp") == 6250L, s"$drifted")
+        // the batch's new grams are genuinely rare (df=1): the
+        // fallback-collision row reads clean — rank drift is priced by
+        // collision_bp, not double-charged here
+        assert(drifted("ngram_order_new_collision_bp") == 10000L, s"$drifted")
       }
       // ---- benign chain: all-new vocabulary, shared dfs untouched
       withRoot { _ =>
@@ -1510,6 +1514,7 @@ class AssetStoreSpec extends SparkSpec {
           s"healthy vocabulary growth must read clean: $benign")
         assert(benign("ngram_order_collision_bp") == 10000L, s"$benign")
         assert(benign("ngram_order_new_gram_bp") == 6250L, s"$benign")
+        assert(benign("ngram_order_new_collision_bp") == 10000L, s"$benign")
         // a FULL-built index carries no pin: staleness is not applicable
         assert(Dedup.ngramOrderStaleness(spark, o2).isEmpty,
           "a full-built index's order IS the current df — no staleness row")
@@ -1519,6 +1524,38 @@ class AssetStoreSpec extends SparkSpec {
         assert(rows.get("ngram_order_rare_overlap_bp").contains(10000L) &&
             rows.get("ngram_order_new_gram_bp").contains(6250L),
           s"assets_increment must surface the staleness rows: $rows")
+        assert(rows.contains("ngram_order_new_collision_bp"),
+          s"the r20 fallback-collision row must ride the same map: $rows")
+      }
+      // ---- template-boilerplate chain (r20 — the calibration's named
+      // blind spot): every batch doc shares a NEW common gram. The
+      // shared vocabulary never moves, so overlap and collision_bp read
+      // a clean 10000 — but under the df=1 fallback the template gram
+      // is a prefix gram with df=10 collision mass, and only the new
+      // fallback-collision row prices it
+      withRoot { _ =>
+        val (o3, n3) = mkChain((20L until 30L).map(i => (i, s"tpl1 tpl2 tpl3 z$i")))
+        Dedup.dropInMemoryNgramTables()
+        Dedup.corpusNgramIndex(spark, o3).count()
+        Dedup.corpusGramDf(spark, o3).count()
+        Dedup.corpusNgramIndexIncrement(spark, o3, n3).count()
+        // the probe rides the COMMITTED gram-stats asset (advice fix):
+        // once it is published, no corpus shingle build runs
+        Dedup.corpusGramDf(spark, n3).count()
+        val builds0 = Dedup.ngramAssetBuilds.get()
+        val tpl = Dedup.ngramOrderStaleness(spark, n3)
+          .getOrElse(fail("a pinned chain must report staleness"))
+        assert(Dedup.ngramAssetBuilds.get() == builds0,
+          "staleness with a committed gram-stats asset must not rebuild it")
+        // shared vocab 6 -> head 3; dfs of shared grams untouched
+        assert(tpl("ngram_order_rare_overlap_bp") == 10000L, s"$tpl")
+        assert(tpl("ngram_order_collision_bp") == 10000L,
+          s"the shared-vocab ratio is blind to arrives-common grams: $tpl")
+        // new grams: (tpl1,tpl2,tpl3) df=10 + 10 z-grams df=1 of 17
+        // current -> head {100, 1, 1} = 102 vs current head mass 3
+        assert(tpl("ngram_order_new_collision_bp") == 340000L,
+          s"the fallback-collision row must catch the template: $tpl")
+        assert(tpl("ngram_order_new_gram_bp") == 11L * 10000L / 17L, s"$tpl")
       }
     } finally {
       Dedup.perDocIncrementMinStandingBytes = gate0

@@ -689,6 +689,82 @@ class StreamingSpec extends SparkSpec {
     assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
   }
 
+  test("decay-score stream (per-user day-bucket state) folds to q_decay_score_day at any split (r20)") {
+    // per-user day->cents map state: bucket sums and the frontier are
+    // order-free monoids, so the twin carries no ooo frontier by
+    // design — BOTH a time-split and an arbitrary id-split source must
+    // reach the batch answer. Normalization (the global reference day)
+    // is read-time: decayScoreDayFinalize folds the LATEST per-user
+    // rows (n_events strictly monotone) against the max frontier.
+    def runAndFinalize(splitCol: org.apache.spark.sql.Column, tag: String): Set[(Long, Long, Long, Long)] = {
+      val src = Files.createTempDirectory(s"graft_dcy_${tag}_src").toString
+      val ckpt = Files.createTempDirectory(s"graft_dcy_${tag}_ckpt").toString
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), expr("CAST(ts_ns AS BIGINT)").as("ts_ns"),
+          col("value"), splitCol.as("__s")).persist()
+      (0 until 3).foreach(i =>
+        ev.filter(col("__s") === i).select("user_id", "ts_ns", "value")
+          .coalesce(1).write.parquet(s"$src/p$i"))
+      ev.unpersist()
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_ns LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+      EventStream.runAvailableNow(
+        EventStream.decayScoreStream(stream).toDF(),
+        s"dcy_${tag}_test", ckpt, OutputMode.Update)
+      EventStream.decayScoreDayFinalize(spark.table(s"dcy_${tag}_test"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val want = graft.operators.Relational.qDecayScoreDay(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // time-split (the deployment shape)
+    val ev0 = Tables.events(spark, sf).select(col("ts")).orderBy("ts")
+      .as[java.sql.Timestamp].collect()
+    val (c1, c2) = (ev0(ev0.length / 3), ev0(2 * ev0.length / 3))
+    val byTime = runAndFinalize(
+      when(col("ts") < lit(c1), 0).when(col("ts") < lit(c2), 1).otherwise(2), "t")
+    assert(byTime == want,
+      s"stream-only: ${byTime.diff(want).take(3)}; batch-only: ${want.diff(byTime).take(3)}")
+    // arbitrary id-split: users' events interleave out of time order
+    // across micro-batches — the monoid must not care
+    val byId = runAndFinalize(pmod(col("event_id"), lit(3)).cast("int"), "i")
+    assert(byId == want, s"order-dependence leaked into the decay state: " +
+      s"stream-only ${byId.diff(want).take(3)}")
+    assert(want.size > 3, "a near-empty user table is vacuous")
+    // bounded-state pruning is EXACT, not approximate: a user whose old
+    // bucket fell >62 days behind their own frontier scores identically
+    // to the batch query (the old bucket contributes zero either way),
+    // and n_events still counts the pruned bucket's events
+    val src2 = Files.createTempDirectory("graft_dcy_prune_src").toString
+    val ckpt2 = Files.createTempDirectory("graft_dcy_prune_ckpt").toString
+    val day = 86400000000000L // ns
+    Seq((7L, 0L * day, 8.0)).toDF("user_id", "ts_ns", "value")
+      .coalesce(1).write.parquet(s"$src2/a_part")
+    Seq((7L, 100L * day, 4.0), (8L, 100L * day + 1L, 2.0))
+      .toDF("user_id", "ts_ns", "value")
+      .coalesce(1).write.parquet(s"$src2/b_part")
+    val stream2 = spark.readStream
+      .schema("user_id LONG, ts_ns LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src2 + "/*")
+    EventStream.runAvailableNow(
+      EventStream.decayScoreStream(stream2).toDF(),
+      "dcy_prune_test", ckpt2, OutputMode.Update)
+    val pruned = EventStream.decayScoreDayFinalize(spark.table("dcy_prune_test"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // user 7: day-0 bucket pruned (100 > 62 behind its own frontier),
+    // n_events 2, last age 0, score = 400 cents >> 0; user 8: 200 >> 0
+    assert(pruned == Set((7L, 2L, 0L, 400L), (8L, 1L, 0L, 200L)), s"$pruned")
+    // and the state really is bounded: the latest emission for user 7
+    // carries one live bucket, not two
+    val lastBuckets = spark.table("dcy_prune_test")
+      .filter(col("user_id") === 7L).orderBy(col("n_events").desc)
+      .select(size(col("buckets"))).as[Int].head()
+    assert(lastBuckets == 1, s"pruning must drop the dead bucket: $lastBuckets live")
+    spark.catalog.clearCache()
+  }
+
   test("user type-diversity stream (per-user set state) folds to q_user_type_diversity on a time-split source (r19)") {
     // per-user distinct-type set state: set-union/count are order-free
     // monoids (no ooo frontier by design, like the lifespan twin); the
@@ -971,31 +1047,39 @@ class StreamingSpec extends SparkSpec {
     EventStream.runAvailableNow(
       EventStream.gapStream(stream).toDF(), "gaps_ooo_test", ckpt, OutputMode.Append)
     val rows = spark.table("gaps_ooo_test")
-      .as[(Long, Long, Boolean)].collect().toSet
-    assert(rows.contains((9L, 2L, false)), s"the in-order first batch stays clean: $rows")
-    assert(rows.contains((9L, -1L, true)),
-      s"the out-of-order gap must be flagged, not silently folded: $rows")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(rows.contains((9L, 2L, false, false)),
+      s"the in-order first batch stays clean: $rows")
+    assert(rows.contains((9L, -1L, true, true)),
+      s"the out-of-order gap must be flagged AND corrupt, not silently folded: $rows")
     // sticky + frontier not rewound: the later in-order event measures
-    // from the TRUE max (3s, not the out-of-order 2s) and stays flagged
-    assert(rows.contains((9L, 6L, true)),
-      s"post-corruption gaps must STAY flagged and measure from the un-rewound frontier: $rows")
-    assert(rows.contains((10L, 1L, false)), s"the concurrent in-order user stays clean: $rows")
+    // from the TRUE max (3s, not the out-of-order 2s) and stays
+    // ooo-flagged — but its VALUE is exact (3s -> 9s really are
+    // consecutive), so it is NOT corrupt (r20): the histogram keeps it
+    assert(rows.contains((9L, 6L, true, false)),
+      s"post-corruption gaps stay ooo-flagged but exact values are not corrupt: $rows")
+    assert(rows.contains((10L, 1L, false, false)),
+      s"the concurrent in-order user stays clean: $rows")
     spark.catalog.clearCache()
   }
 
-  test("gap hist excludes ooo-flagged gaps from the calibration buckets (r19)") {
+  test("gap hist excludes corrupt gaps but keeps a sticky-ooo user's exact ones (r19, narrowed r20)") {
     // a negative gap from a corrupted frontier would land in bucket 0
     // (gap_s = -1) or bucket 63 (gap_s < -1) via bin(gap_s + 1) — the
-    // rollup must drop flagged rows so disordered input degrades
-    // visibly instead of polluting the chart
+    // rollup must drop corrupt rows so disordered input degrades
+    // visibly instead of polluting the chart. But a sticky-ooo user's
+    // LATER gaps have exact values (measured from the never-rewound
+    // frontier): dropping those too (the r19 form) permanently starved
+    // a long-lived user out of the calibration after one early hiccup
     val gaps = Seq(
-      (9L, -1L, true), (9L, -5L, true),
-      (9L, 2L, false), (10L, 2L, false)
-    ).toDF("user_id", "gap_s", "ooo")
+      (9L, -1L, true, true), (9L, -5L, true, true),
+      (9L, 2L, true, false),
+      (10L, 2L, false, false)
+    ).toDF("user_id", "gap_s", "ooo", "corrupt")
     val got = EventStream.gapHistStream(gaps)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 4L, 2L)),
-      s"flagged gaps leaked into the histogram: $got")
+      s"corrupt gaps leaked, or an ooo user's exact gap was dropped: $got")
   }
 
   test("upsert sink recovers when a crash left only the .old copy") {
@@ -1945,6 +2029,93 @@ class StreamingSpec extends SparkSpec {
     // the novelty tier did real work: the redundant doc is absent, the
     // novel doc landed exactly once
     assert(!landed.contains(10L) && landed.contains(11L) && !landed.contains(12L))
+  }
+
+  test("curated ingest decontamination tier: landed set equals batch quality→decontaminate→novelty→dedup; eval grams derived once (r20)") {
+    import graft.streaming.{CuratedIngest, DecontaminationGate}
+    import graft.operators.{Dedup, TextAnalysis}
+    val weights = TextAnalysis.classifierWeights()
+    val src = Files.createTempDirectory("graft_cde_src").toString
+    val evalDir = Files.createTempDirectory("graft_cde_eval").toString
+    val ckpt = Files.createTempDirectory("graft_cde_ck").toString
+    def outDirs() = (
+      Files.createTempDirectory("graft_cde_dest").toString + "/docs",
+      Files.createTempDirectory("graft_cde_dig").toString + "/digests",
+      Files.createTempDirectory("graft_cde_store").toString + "/store",
+      Files.createTempDirectory("graft_cde_man").toString + "/manifest")
+    // frozen eval suite in its own directory: one 8-token doc -> one
+    // 8-gram (words from the probed classifier-positive pool, so a doc
+    // leaking it still passes quality and the verdict is THIS tier's)
+    Seq((900L, "voyage valley heron cloud crimson zeta falcon copper"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$evalDir/documents.parquet")
+    val evalDocs = spark.read.parquet(s"$evalDir/documents.parquet")
+    val standingDocs = Seq(
+      (1L, "trout stone golden alpha theta cedar")).toDF("doc_id", "text")
+    val standingGrams = Dedup.gramDf(standingDocs, 3)
+    val texts = Map(
+      10L -> "voyage valley heron cloud crimson zeta falcon copper salmon", // leaks the eval 8-gram
+      11L -> "forest lambda autumn willow thunder sigma",                   // clean, novel
+      12L -> "forest lambda autumn willow thunder sigma",                   // exact dup of 11
+      13L -> "zzzz qqqq zzzz qqqq zzzz qqqq xxqz",                          // quality reject
+      14L -> "trout stone golden alpha theta cedar")                        // clean, redundant vs standing
+    Seq(10L, 11L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f1")
+    Seq(12L, 13L, 14L).map(i => (i, texts(i))).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src + "/f2")
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    val builds0 = DecontaminationGate.evalGramBuilds.get()
+    val (dest, digest, store, manifest) = outDirs()
+    CuratedIngest.runCuratedIngest(stream(), weights, dest, digest, store, manifest,
+      ckpt, divisor = 16, noveltyStanding = Some(standingGrams), minNoveltyBp = 5000L,
+      decontamEvalDir = Some(evalDir))
+    // the frozen suite was shingled exactly once across the two
+    // micro-batches (the committed-asset contract, r20)
+    assert(DecontaminationGate.evalGramBuilds.get() == builds0 + 1,
+      "eval grams must be derived once per suite, not once per batch")
+    val all = texts.toSeq.toDF("doc_id", "text")
+    def firstSeen(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qualityKept = QualityGate.gate(all, weights).filter(col("kept"))
+      .select("doc_id", "text")
+    // batch twin of the full composition, each stage the batch operator
+    val batchKept = firstSeen(NoveltyGate.gate(
+        DecontaminationGate.gate(qualityKept, evalDocs)
+          .filter(col("admitted")).select("doc_id", "text"),
+        standingGrams, 5000L)
+      .filter(col("admitted")).select("doc_id", "text"))
+    val landed = spark.read.parquet(dest).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed == batchKept,
+      s"stream composition must equal batch quality→decontaminate→novelty→dedup: $landed vs $batchKept")
+    // the pin is sharp: WITHOUT the decontamination tier the leaked doc
+    // would have landed (it passes quality and is novel vs standing) —
+    // only the new tier rejects it
+    val withoutDecon = firstSeen(NoveltyGate.gate(qualityKept, standingGrams, 5000L)
+      .filter(col("admitted")).select("doc_id", "text"))
+    assert(withoutDecon.contains(10L) && !landed.contains(10L),
+      s"the decontamination tier must be what rejected doc 10: $withoutDecon vs $landed")
+    assert(landed.contains(11L) && !landed.contains(12L) &&
+      !landed.contains(13L) && !landed.contains(14L), s"$landed")
+    // replay convergence: a fresh checkpoint over the same source lands
+    // the same set into fresh stores, and the committed eval-gram asset
+    // is REUSED (no second shingle pass)
+    val (dest2, digest2, store2, manifest2) = outDirs()
+    CuratedIngest.runCuratedIngest(stream(), weights, dest2, digest2, store2, manifest2,
+      Files.createTempDirectory("graft_cde_ck2").toString,
+      divisor = 16, noveltyStanding = Some(standingGrams), minNoveltyBp = 5000L,
+      decontamEvalDir = Some(evalDir))
+    assert(DecontaminationGate.evalGramBuilds.get() == builds0 + 1,
+      "a second run on the same frozen suite must reuse the committed asset")
+    val landed2 = spark.read.parquet(dest2).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed2 == landed, s"replay diverged: $landed2 vs $landed")
+    spark.catalog.clearCache()
   }
 
   test("streaming profile gate: standing-corpus median/MAD screen equals the batch operator; cold sources pass") {
