@@ -1231,6 +1231,39 @@ object TextAnalysis {
     contamination(Tables.documents(spark, dir),
       Tables.documents(spark, evalDir), gramK).orderBy("doc_id")
 
+  /** CONTAMINATION BY SOURCE (round 20) — the attribution chart an
+    * operator reads after the audit fires: per ingest source, docs
+    * scanned, docs sharing ≥1 eval `gramK`-gram, total shared-gram
+    * mass, and the contaminated share in basis points. The per-doc
+    * audit says THAT the eval set leaked; this says WHICH pipeline
+    * source is leaking it — the number that decides whether to
+    * quarantine a feed or just drop the flagged docs. Same fixture
+    * convention as `contamination` (eval = doc_id < 25, corpus the
+    * rest); production use composes [[contaminationAgainst]]'s evalDir
+    * form the same way.
+    *
+    * Scale shape: the audit join itself (eval grams broadcast, corpus
+    * one narrow stage), a doc-keyed left join back to the corpus's
+    * (doc_id, source) projection, then a sources-sized rollup —
+    * nothing beyond the audit's own exchange plus one map-side-combined
+    * aggregation.
+    */
+  def contaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val hits = contamination(corpus, docs.filter(col("doc_id") < 25))
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits.select(col("doc_id"), col("shared_grams")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shared_grams").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_contaminated"),
+        coalesce(sum(col("shared_grams")), lit(0L)).as("shared_grams"))
+      .withColumn("contaminated_bp", expr("(10000 * n_contaminated) DIV n_docs"))
+      .orderBy("source")
+  }
+
   /** Within-document repetition scoring (the standard repetition filter):
     * distinct-token and distinct-3-gram fractions plus the most-frequent
     * token's count. Shuffles are keyed by (doc_id[, token]) — partial
