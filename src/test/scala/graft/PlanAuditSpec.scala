@@ -91,8 +91,14 @@ class PlanAuditSpec extends SparkSpec {
       // contamination_eval inherits contamination's hint: the eval
       // side's exploded grams are audit-set-sized by contract (the
       // contamination scaladoc's broadcast argument)
-      "contamination_eval", "dedup_ngram_incremental", "doc_annotate",
+      "contamination_eval",
+      // the audit join inherited at the by-source grain, same
+      // audit-set-sized eval-gram bound (r20)
+      "contamination_by_source", "dedup_ngram_incremental", "doc_annotate",
       "embed_cluster_stats", "embed_dim_corr",
+      // 1-row append-cut scalar + a label-vocabulary-sized count table
+      // (the embedDriftByLabel scaladoc's bounds, r20)
+      "embed_drift_by_label",
       // dim-sum broadcast bounded by the embedding width, the
       // embed_dim_corr argument (its scaladoc names the cap)
       "embed_dim_corr_top", "embed_medoids",
@@ -101,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
       "oov_rate_by_source", "pack_efficiency", "pack_sequences",
       "perplexity_ref", "pipeline_mix", "pipeline_pretokenize",
       "q3_join", "q_anomaly", "q_audience_overlap", "q_changepoint",
-      "q_decay_score", "q_gapfill", "q_histogram", "q_hourly_profile",
+      "q_decay_score",
+      // same 1-row reference-instant scalar as q_decay_score (r20)
+      "q_decay_score_day", "q_gapfill", "q_histogram", "q_hourly_profile",
       "q_percentiles", "q_rfm", "q_rollup", "range_recall",
       "text_length_outliers", "text_oov", "text_perplexity",
       "tfidf_top_terms", "token_budget", "vocab_encode",
