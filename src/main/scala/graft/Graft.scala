@@ -311,9 +311,10 @@ final class Graft(
       case "tristats" =>
         Seq("tristats" -> graft.operators.Similarity.corpusTriangleStatsIncrement(spark, oldDir, dir).count())
       case "ngram_index" =>
-        // a pinned chain also reports its order-staleness rows (r19):
-        // rare-end overlap = the "rebuild the index now" number (SCALING
-        // runbook: rebuild below ~7000 bp), new-gram share = context
+        // a pinned chain also reports its order-staleness rows (r19,
+        // 4 rows as of r20) — runbook triggers: collision_bp or
+        // new_collision_bp > ~30000 (both calibrated), overlap < ~7000
+        // secondary, new-gram share = context
         // oldDir keeps the probe vocabulary-sized: an uncommitted
         // gram-stats asset is published by the increment merge here,
         // never by an implicit full corpus shingle (r20 advice fix)
