@@ -1166,10 +1166,20 @@ object Relational {
       .withColumn("tus", expr(floorDivUs))
       .select(col("user_id"), col("tus"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
-    val u = ev.groupBy("user_id").agg(
+    rfmSegments(ev.groupBy("user_id").agg(
       max(col("tus")).as("recency_us"),
       count(lit(1)).as("frequency"),
-      coalesce(sum(col("vc")), lit(0L)).as("monetary_c"))
+      coalesce(sum(col("vc")), lit(0L)).as("monetary_c")))
+  }
+
+  /** The quartile-cut + segment-code stage of [[qRfm]], factored out
+    * (round 20) so the streaming twin's read-time finalizer
+    * ([[graft.streaming.EventStream.rfmFinalize]]) runs the SAME code
+    * path over its latest per-user state rows — parity with the batch
+    * query is structural, not re-implemented. Input: one row per user
+    * with `user_id, recency_us, frequency, monetary_c`.
+    */
+  def rfmSegments(u: DataFrame): DataFrame = {
     def quartile(df: DataFrame, key: Column, out: String): DataFrame = {
       val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
         df, Seq(key.desc, col("user_id").asc), "__r")

@@ -811,6 +811,70 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** One user's RFM sufficient statistic: latest event time (max),
+    * event count, cent-quantized value sum — three longs, all
+    * commutative monoids, so the twin carries no ooo frontier (the
+    * lifespan/diversity/decay contract: any arrival order folds to the
+    * same state).
+    */
+  case class RfmState(recency_us: Long, frequency: Long, monetary_c: Long)
+
+  /** Per-update emission of [[rfmStream]]: the user's current raw RFM
+    * triple. The quartile CUTS are read-time by construction — each
+    * user's quartile depends on every other user's rank, which no
+    * per-user group can know while the stream runs — so the twin's
+    * output is the sufficient statistic and [[rfmFinalize]] owns the
+    * segmentation. `frequency` is strictly monotone per update (the
+    * latest-row selector for an Update-mode sink).
+    */
+  case class RfmUpdate(user_id: Long, recency_us: Long, frequency: Long,
+      monetary_c: Long)
+
+  /** RFM STREAM (round 20) — the per-user stage of
+    * [[graft.operators.Relational.qRfm]] as custom keyed state: the
+    * maintained customer-state table every segmentation dashboard
+    * reads, kept exact under streaming ingest at 24 bytes per user.
+    * Order-free by design (max/count/sum), like the
+    * lifespan/diversity/decay twins; the parity spec pins BOTH a
+    * time-split and an arbitrary id-split source to the batch answer.
+    */
+  def rfmStream(events: DataFrame): Dataset[RfmUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000").as("tus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RfmState, RfmUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[RfmState]) =>
+          var s = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          rows.foreach { case (_, tus, vc) =>
+            s = RfmState(math.max(s.recency_us, tus), s.frequency + 1, s.monetary_c + vc)
+          }
+          state.update(s)
+          RfmUpdate(uid, s.recency_us, s.frequency, s.monetary_c)
+      }
+  }
+
+  /** Read-time segmentation of [[rfmStream]]'s emissions: pick each
+    * user's LATEST row (frequency is strictly monotone; the window is
+    * user-partitioned, never global) and run the BATCH query's own
+    * quartile-cut stage ([[graft.operators.Relational.rfmSegments]] —
+    * the same GlobalRank ranged ntile cuts, so parity is structural).
+    */
+  def rfmFinalize(updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = updates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("frequency").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    graft.operators.Relational.rfmSegments(
+      latest.select(col("user_id"), col("recency_us"), col("frequency"), col("monetary_c")))
+  }
+
   /** One user's funnel progress — the BOUNDED sufficient statistic of
     * the strictly-ordered view→click→purchase funnel under in-order
     * arrival: three optional first-transition times, 24 bytes per

@@ -765,6 +765,52 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rfm stream (per-user three-long state) segments to q_rfm at any split (r20)") {
+    // per-user (max, count, sum) — order-free monoids, no ooo frontier
+    // by design; the quartile cuts are READ-TIME (a user's quartile
+    // depends on every other user's rank), run by the finalizer through
+    // the batch query's own rfmSegments stage — parity is structural
+    def runAndFinalize(splitCol: org.apache.spark.sql.Column, tag: String): Set[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val src = Files.createTempDirectory(s"graft_rfm_${tag}_src").toString
+      val ckpt = Files.createTempDirectory(s"graft_rfm_${tag}_ckpt").toString
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), expr("CAST(ts_ns AS BIGINT)").as("ts_ns"),
+          col("value"), splitCol.as("__s")).persist()
+      (0 until 3).foreach(i =>
+        ev.filter(col("__s") === i).select("user_id", "ts_ns", "value")
+          .coalesce(1).write.parquet(s"$src/p$i"))
+      ev.unpersist()
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_ns LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+      EventStream.runAvailableNow(
+        EventStream.rfmStream(stream).toDF(),
+        s"rfm_${tag}_test", ckpt, OutputMode.Update)
+      EventStream.rfmFinalize(spark.table(s"rfm_${tag}_test"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    }
+    val want = graft.operators.Relational.qRfm(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val ev0 = Tables.events(spark, sf).select(col("ts")).orderBy("ts")
+      .as[java.sql.Timestamp].collect()
+    val (c1, c2) = (ev0(ev0.length / 3), ev0(2 * ev0.length / 3))
+    val byTime = runAndFinalize(
+      when(col("ts") < lit(c1), 0).when(col("ts") < lit(c2), 1).otherwise(2), "t")
+    assert(byTime == want,
+      s"stream-only: ${byTime.diff(want).take(3)}; batch-only: ${want.diff(byTime).take(3)}")
+    val byId = runAndFinalize(pmod(col("event_id"), lit(3)).cast("int"), "i")
+    assert(byId == want, s"order-dependence leaked into the rfm state: " +
+      s"stream-only ${byId.diff(want).take(3)}")
+    // every quartile code occurs and users genuinely accreted across
+    // triggers (some user emitted more than one update)
+    assert(want.map(_._8).size > 3, "a near-constant segment table is vacuous")
+    val updates = spark.table("rfm_t_test").count()
+    val users = spark.table("rfm_t_test").select("user_id").distinct().count()
+    assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+    spark.catalog.clearCache()
+  }
+
   test("user type-diversity stream (per-user set state) folds to q_user_type_diversity on a time-split source (r19)") {
     // per-user distinct-type set state: set-union/count are order-free
     // monoids (no ooo frontier by design, like the lifespan twin); the
