@@ -1413,7 +1413,13 @@ object Relational {
   def qDecayScoreDay(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.events(spark, dir)
       .withColumn("tus", expr(floorDivUs))
-      .select(col("user_id"), expr("tus DIV 86400000000").as("day"),
+      // FLOOR-divide the day bucket (r21, ADVICE): Spark DIV truncates
+      // toward zero while the oracle's `//` floors, so a pre-epoch
+      // (negative-µs) timestamp would land one bucket high and days in
+      // (-1, 0] would collapse into day 0. Identical for tus >= 0 (the
+      // whole test corpus), exact for any corpus.
+      .select(col("user_id"),
+        expr("(tus - pmod(tus, 86400000000)) DIV 86400000000").as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("n"), sum(col("vc")).as("cents"))

@@ -1535,21 +1535,31 @@ object Similarity {
       scale: Int = 1000, subDims: Int = 8, topK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
     val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
-    val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+    // posexplode_OUTER (r21, ADVICE): a zero-width (empty-array) row
+    // emits one (null, null) row instead of vanishing, so width-0 rows
+    // surface as a null-dim group in the SAME single pass — the r20
+    // inner-explode guard could not see them and silently passed a
+    // corpus mixing empty and fixed-width rows. Still zero extra scans.
+    val dims = q.select(posexplode_outer(col("q")).as(Seq("i", "x")))
       .groupBy("i").agg(
         sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
         count(lit(1)).as("n"))
     // ONE width-sized driver read serves BOTH the fixed-width guard and
     // the subspace pick: ≤ width rows of four numbers, budget-audited
-    val dimRows = graft.engine.DriverBudget.collect(
+    val allRows = graft.engine.DriverBudget.collect(
         "Similarity.embedDimCorrTop.dims", 65536L)(
-        dims.select(col("i"), col("sx"), col("sxx"), col("n")).orderBy(col("i")))
+        dims.select(col("i"), col("sx"), col("sxx"), col("n"))
+          .orderBy(col("i").asc_nulls_first))
+    val zeroWidthRows = allRows.filter(_.isNullAt(0)).map(_.getLong(3)).sum
+    val dimRows = allRows.filterNot(_.isNullAt(0))
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    if (dimRows.nonEmpty) {
-      val total = dimRows.head._4
-      val lo = dimRows.find(_._4 < total).map(_._1).getOrElse(dimRows.length)
-      val hi = dimRows.last._1 + 1
+    if (dimRows.nonEmpty || zeroWidthRows > 0) {
+      val total = dimRows.headOption.map(_._4).getOrElse(0L)
+      val lo =
+        if (zeroWidthRows > 0) 0
+        else dimRows.find(_._4 < total).map(_._1).getOrElse(dimRows.length)
+      val hi = dimRows.lastOption.map(_._1 + 1).getOrElse(0)
       require(lo == hi && lo >= 2,
         s"embedDimCorrTop: ragged embedding widths [${math.min(lo, hi)}, $hi] — " +
           "the kernel and its oracle diverge on ragged corpora (width-1 rows " +

@@ -756,8 +756,13 @@ object EventStream {
     import spark.implicits._
     events
       .select(col("user_id"),
-        expr("((CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 1000)) DIV 1000) " +
-          "DIV 86400000000").as("day"),
+        // day bucket FLOOR-divides like the batch query (r21, ADVICE):
+        // truncating DIV would shift pre-epoch events one bucket high
+        // and break the twin's exact-parity claim on such a corpus.
+        // floor(floor(ns/1000)/86400e6) == floor(ns/86400e9), so one
+        // pmod-floored division over nanos replaces the nested pair.
+        expr("(CAST(ts_ns AS BIGINT) - pmod(CAST(ts_ns AS BIGINT), 86400000000000)) " +
+          "DIV 86400000000000").as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -1040,15 +1045,16 @@ object EventStream {
   /** One observed consecutive-event gap in whole seconds. `ooo` is
     * sticky from the first violating micro-batch on (the carried
     * frontier is suspect from then on — the [[Transition]] contract).
-    * `corrupt` (round 20, advice fix) is PER-GAP, not sticky: true only
-    * for a gap actually computed against a frontier the violating
-    * batch proves wrong (the frontier-predecessor gap of a violating
-    * batch, and any negative gap) — the one kind of emission whose
-    * VALUE is wrong, as opposed to merely living in a timeline whose
-    * completeness is suspect. Batch-local gaps, and later gaps
-    * measured from the never-rewound frontier, are exact whatever came
-    * before, and keeping them flagged-but-usable is what stops one
-    * early hiccup from silently starving a long-lived user out of the
+    * `corrupt` (round 20, tightened round 21) is PER-GAP, not sticky:
+    * true for any gap a processed event could lie strictly inside —
+    * in a violating batch, every gap whose predecessor is not strictly
+    * ahead of the carried frontier (the frontier-anchored first gap
+    * AND batch-local gaps between two late events that straddle
+    * processed ones), plus any negative gap. A gap whose predecessor
+    * is strictly past the frontier is provably exact (every processed
+    * event is <= the frontier), as is every gap of a non-violating
+    * batch — keeping those flagged-but-usable is what stops one early
+    * hiccup from silently starving a long-lived user out of the
     * calibration histogram.
     */
   case class GapObs(user_id: Long, gap_s: Long, ooo: Boolean = false,
@@ -1085,19 +1091,22 @@ object EventStream {
               (sorted.head._3 == s.lastTus && sorted.head._2 < s.lastEid))
           val oooCount = s0.fold(0L)(_.ooo) + (if (violated) 1L else 0L)
           var last: Option[(Long, Long)] = s0.map(s => (s.lastTus, s.lastEid))
-          // only the gap whose predecessor is the carried frontier of a
-          // VIOLATING batch has a wrong value (r20): batch-local gaps
-          // are exact between their own endpoints, and later frontier
-          // gaps measure from the true (never-rewound) max
-          var predFromState = s0.nonEmpty
+          // a gap's VALUE is wrong iff an already-processed event can
+          // lie strictly inside it. Every processed event is <= the
+          // carried frontier, so in a VIOLATING batch any gap whose
+          // predecessor is not strictly ahead of the frontier is
+          // suspect — including batch-local gaps between two late
+          // events that straddle processed ones (r21, ADVICE: the r20
+          // first-gap-only rule under-marked exactly those). A
+          // predecessor strictly past the frontier is provably clean.
+          val frontier0 = s0.fold(Long.MinValue)(_.lastTus)
           val out = scala.collection.mutable.ArrayBuffer.empty[GapObs]
           sorted.foreach { case (_, eid, t) =>
             last.foreach { case (lt, _) =>
               val gap = (t - lt) / 1000000L
               out += GapObs(user, gap, oooCount > 0L,
-                (violated && predFromState) || gap < 0L)
+                (violated && lt <= frontier0) || gap < 0L)
             }
-            predFromState = false
             last = Some((t, eid))
           }
           last.foreach { case (lt, le) =>

@@ -2405,6 +2405,22 @@ class QueriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ragged embedding widths") &&
       e.getMessage.contains("[2, 3]"), e.getMessage)
+    // zero-width (empty-array) rows are width violations too (r21,
+    // ADVICE): posexplode emits nothing for them, so the r20 guard was
+    // blind to a corpus mixing empty and fixed-width rows — the outer
+    // explode surfaces them as the null-dim group and the range
+    // reports 0
+    val zDir = java.nio.file.Files.createTempDirectory("graft_dimtop_zero").toString
+    Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (1L, Seq.empty[Float], 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$zDir/embeddings.parquet")
+    val ez = intercept[IllegalArgumentException] {
+      Similarity.embedDimCorrTop(spark, zDir).collect()
+    }
+    assert(ez.getMessage.contains("ragged embedding widths") &&
+      ez.getMessage.contains("[0, 3]"), ez.getMessage)
     // a width-1-only corpus is ragged in the contract's sense too (no
     // pair exists) — [1, 1] fails the >= 2 leg
     val oDir = java.nio.file.Files.createTempDirectory("graft_dimtop_one").toString

@@ -1109,6 +1109,38 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gap stream: batch-local late gaps straddling processed events are corrupt (r21)") {
+    // ADVICE r20: events 0s,5s,10s processed, then late 2s and 7s arrive
+    // together — the emitted batch-local gap 2s->7s (= 5) straddles the
+    // processed 5s event, so its VALUE is wrong (true gaps are 3 and 2)
+    // and it must be marked corrupt, not just the frontier-anchored gap.
+    // An in-order follow-up (12s) measures from the never-rewound
+    // frontier and stays exact (ooo-flagged, NOT corrupt).
+    val src = Files.createTempDirectory("graft_gaps_straddle_src").toString
+    val ckpt = Files.createTempDirectory("graft_gaps_straddle_ckpt").toString
+    Seq((9L, 1L, 0L), (9L, 2L, 5000000000L), (9L, 3L, 10000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/a_part")
+    Seq((9L, 4L, 2000000000L), (9L, 5L, 7000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/b_part")
+    Seq((9L, 6L, 12000000000L))
+      .toDF("user_id", "event_id", "ts_ns").coalesce(1).write.parquet(s"$src/c_part")
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ns LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src + "/*")
+    EventStream.runAvailableNow(
+      EventStream.gapStream(stream).toDF(), "gaps_straddle_test", ckpt, OutputMode.Append)
+    val rows = spark.table("gaps_straddle_test")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(rows.contains((9L, -8L, true, true)),
+      s"the frontier-anchored negative gap stays corrupt: $rows")
+    assert(rows.contains((9L, 5L, true, true)),
+      s"the batch-local late gap straddles a processed event — corrupt: $rows")
+    assert(rows.contains((9L, 2L, true, false)),
+      s"the post-violation frontier gap is exact: ooo-flagged, NOT corrupt: $rows")
+    spark.catalog.clearCache()
+  }
+
   test("gap hist excludes corrupt gaps but keeps a sticky-ooo user's exact ones (r19, narrowed r20)") {
     // a negative gap from a corrupted frontier would land in bucket 0
     // (gap_s = -1) or bucket 63 (gap_s < -1) via bin(gap_s + 1) — the
