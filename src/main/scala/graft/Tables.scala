@@ -51,6 +51,7 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
 }
 
 /** Session factory with the engine's scale-oriented defaults: AQE on

@@ -281,6 +281,29 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Max multiplicity of any element in a token array — the PER-ROW
+  * replacement (round 21) for the explode -> groupBy(doc_id, token) ->
+  * groupBy(doc_id) chain that shuffled the whole corpus token stream
+  * twice to answer a question each row can answer alone. One linear
+  * pass with an open hash map; codegen via INVOKESTATIC like every
+  * kernel here.
+  */
+case class TokenMaxFreq(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.tokenMaxFreq(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.tokenMaxFreq($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `|a ∩ b|` of two SORTED distinct string arrays by linear merge —
   * the verify-join replacement for `size(array_intersect(a, b))` +
   * `size(array_union(a, b))`, each of which builds a per-row hash set.
@@ -484,6 +507,8 @@ object sketch {
     GraftExpressionBridge.column(TokenShingleSet(GraftExpressionBridge.expression(text), k))
   def tokenCount(text: Column): Column =
     GraftExpressionBridge.column(TokenCountExpr(GraftExpressionBridge.expression(text)))
+  def tokenMaxFreq(tokens: Column): Column =
+    GraftExpressionBridge.column(TokenMaxFreq(GraftExpressionBridge.expression(tokens)))
   def bowScore(text: Column, weights: IndexedSeq[Long]): Column =
     GraftExpressionBridge.column(HashedBowScore(GraftExpressionBridge.expression(text), weights))
   def cdcChunks(text: Column, k: Int = 8, divisor: Int = 64): Column =

@@ -11,6 +11,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchKernels {
 
+  /** See [[TokenMaxFreq]]: max multiplicity of any element of a token
+    * array, per row. Null elements are skipped (tokenizers here never
+    * emit them; skipping matches what an explode+count chain would see
+    * after its group key dropped nulls).
+    */
+  def tokenMaxFreq(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var best = 0
+    val m = new java.util.HashMap[UTF8String, Array[Int]](math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        var c = m.get(tok)
+        if (c == null) { c = new Array[Int](1); m.put(tok, c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+      }
+      i += 1
+    }
+    best.toLong
+  }
+
   /** See [[MinHashSignature]]. */
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)

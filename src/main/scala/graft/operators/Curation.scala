@@ -428,21 +428,36 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val hh = docs.select(col("doc_id"), col("text"), col("n_chars"),
       md5(coalesce(col("text"), lit(""))).as("h"))
-    val k1 = hh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    // ONE digest aggregation serves the tier-1 survivor pick AND both
+    // entry counts (r21, guide §2.4): n0 = Σ group sizes (= every doc,
+    // nulls included via the coalesce), n1 = group count (= the semi-
+    // join's survivor count by construction). The r20 shape paid a
+    // standalone docs.count() corpus scan plus an s1.count() pass over
+    // the persisted full-width survivors for numbers this digest-keyed
+    // frame already knows.
+    val k1 = hh.groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = k1.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n0"), count(lit(1)).as("n1")).head()
+    val n0 = tot.getLong(0); val n1 = tot.getLong(1)
     val s1 = hh.join(k1.select("doc_id"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rm2 = Dedup.prefixDup(s1).filter(!col("keep")).select("doc_id")
-    val s2 = s1.join(rm2, Seq("doc_id"), "left_anti")
+    // tier 3 touches ids only — persist the NARROW id set, not the
+    // full-width survivor rows the r20 s2 cached (text never feeds the
+    // pair semi-joins; the asset carries the pairs)
+    val s2ids = s1.select("doc_id").join(rm2, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s2ids = s2.select("doc_id")
+    val n2 = s2ids.count()
     val pairs = Dedup.corpusMinhashPairs(spark, dir, threshold = 0.7)
       .join(s2ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(s2ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       .select("id_a", "id_b")
     val labels = Clustering.connectedComponents(pairs)
     val rm3 = labels.filter(col("doc_id") =!= col("cluster_id")).count()
-    val n0 = docs.count(); val n1 = s1.count(); val n2 = s2.count()
-    s1.unpersist(blocking = false); s2.unpersist(blocking = false)
+    k1.unpersist(blocking = false)
+    s1.unpersist(blocking = false); s2ids.unpersist(blocking = false)
     Seq(
       (1L, "exact", n0, n0 - n1, n1),
       (2L, "prefix", n1, n1 - n2, n2),

@@ -899,26 +899,23 @@ object Relational {
     */
   def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // two separate aggregations joined on the tiny grouped result:
-    // mixing distinct and non-distinct aggs in one groupBy forces the
-    // EXPAND strategy (input replicated per agg group — measured 2x
-    // slower than the split at sf0.1)
+    // TWO aggregations joined on the tiny grouped result (r21, guide
+    // §2.4 — was three): the only split that buys anything is keeping
+    // countDistinct out (a DISTINCT agg mixed with non-distinct ones
+    // forces the EXPAND strategy — input replicated per agg group,
+    // measured 2x slower at sf0.1). The sketches and the EXACT
+    // percentile are all ordinary (non-distinct) aggregates and share
+    // one ObjectHashAggregate pass fine — the r20 three-way split paid
+    // a whole extra corpus scan + exchange + join for nothing.
     val sketches = li.groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_median")
     )
-    // the exact side splits too: a distinct agg (two-phase, partial on
-    // l_partkey) and a full-buffer percentile have incompatible partial
-    // shapes, and running them in one groupBy serializes both over the
-    // widest row — split + join on the 6-row grouped result measured
-    // ~30% faster with byte-identical output
     val exactD = li.groupBy("l_returnflag").agg(
       countDistinct(col("l_partkey")).as("exact_parts")
     )
-    val exactP = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.5)").as("exact_median")
-    )
-    sketches.join(exactD, Seq("l_returnflag")).join(exactP, Seq("l_returnflag"))
+    sketches.join(exactD, Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
         col("exact_parts"),

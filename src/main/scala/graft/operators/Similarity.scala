@@ -1482,15 +1482,53 @@ object Similarity {
     val q = emb.select(quantizedCol(col("embedding"), scale).as("q"))
     val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("i").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-    val pairs = q.select(explode(expr(
-        "flatten(transform(sequence(0, size(q) - 2), i -> " +
-          "transform(sequence(i + 1, size(q) - 1), j -> " +
-          "named_struct('i', i, 'j', j, 'xy', q[i] * q[j]))))")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
-    pairs
-      .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
-      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+    // the per-dim stats are bounded by the MaxDimCorrDims guard above
+    // (<= 256 rows) — collect them once (budget-audited); they serve the
+    // fixed-width assertion, the flat-index -> (i, j) mapping, AND the
+    // stat join (as a literal broadcast frame), retiring the r17 plan's
+    // two in-plan broadcast joins of the dims aggregate
+    val dimRows = graft.engine.DriverBudget.collect(
+        "Similarity.dimCorr.dims", MaxDimCorrDims.toLong + 1)(
+        dims.orderBy(col("i")))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // FIXED-WIDTH assertion (r21, mirrors embedDimCorrTop's r19
+    // contract): the flat product index below is only (i, j)-decodable
+    // when every (>= 2-dim) row shares one width. A dimension i is
+    // present in exactly the rows wider than i, so fixed width <=> every
+    // dim's count equals dim 0's. Ragged corpora fail fast with the
+    // remedy named instead of silently mis-mapping.
+    val widths = dimRows.map(_._3).distinct
+    require(widths.size <= 1,
+      s"embedDimCorr: ragged embedding widths (per-dim populations " +
+        s"${widths.mkString(", ")} differ) — normalize the corpus to one " +
+        "width (pad or drop) before auditing dimension correlation.")
+    val d = dimRows.length
+    // PRODUCT PASS (r21, guide §2.3/§4): one flat array<long> of
+    // d(d-1)/2 products per row, elementwise-summed by the VecSumLong
+    // imperative aggregate — ONE d(d-1)/2-long buffer per partition.
+    // The r17 shape exploded a named_struct per product (16 M struct
+    // rows at sf0.1) through a 2016-key hash aggregate; the values are
+    // identical (same q[i] * q[j] expression, same long arithmetic),
+    // only the aggregation carrier changed.
+    val sxyRow = q.select(graft.functions.vecagg.vecSumLong(expr(
+      "flatten(transform(sequence(0, size(q) - 2), i -> " +
+        "transform(sequence(i + 1, size(q) - 1), j -> q[i] * q[j])))")).as("v"))
+    // driver-built flat-index mapping: idx -> (i, j, n, sx_i, sx_j) —
+    // lexicographic (i, j) order, exactly the flatten order above
+    val spark2 = spark
+    import spark2.implicits._
+    val mapping = (for {
+      a <- 0 until d
+      b <- (a + 1) until d
+    } yield {
+      val (i, sxi, n) = dimRows(a)
+      val (j, sxj, _) = dimRows(b)
+      (((a * (2 * d - a - 1)) / 2 + (b - a - 1)).toLong, i, j, n, sxi, sxj)
+    }).toDF("idx", "i", "j", "n", "sx_i", "sx_j")
+    sxyRow
+      .select(posexplode(col("v")).as(Seq("__p", "sxy")))
+      .select(col("__p").cast("long").as("idx"), col("sxy"))
+      .join(broadcast(mapping), Seq("idx"))
       .withColumn("cov_num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"), col("sxy"), col("cov_num"))

@@ -1269,22 +1269,24 @@ object TextAnalysis {
     * token's count. Shuffles are keyed by (doc_id[, token]) — partial
     * aggregation makes them cheap, and nothing is corpus-global.
     */
-  def repetition(docs: DataFrame): DataFrame = {
-    val toks = docs
+  def repetition(docs: DataFrame): DataFrame =
+    // max_tok_freq is a PER-ROW quantity: the r20 shape answered it by
+    // exploding the corpus token stream through a (doc_id, token)
+    // exchange, a second (doc_id) exchange and a join — at 100 TB that
+    // first shuffle IS the corpus. The TokenMaxFreq kernel (one linear
+    // hash-count pass per row, codegen'd) folds the whole operator into
+    // the single narrow scan the other signals already share: ZERO
+    // shuffles, identical values (r21, guide §2.4 / §2.3).
+    docs
       .select(col("doc_id"), text.tokens(col("text")).as("t"))
       .filter(size(col("t")) > 0)
-    val maxFreq = toks
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("max_tok_freq"))
-    toks
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        sketch.tokenMaxFreq(col("t")).as("max_tok_freq"),
         size(sketch.shingleSet(col("t"), 3)).cast("long").as("n_distinct_3g")
       )
-      .join(maxFreq, Seq("doc_id"))
       .withColumn(
         "rep3_ratio",
         when(col("n_tokens") > lit(2),
@@ -1292,7 +1294,6 @@ object TextAnalysis {
           .otherwise(lit(0.0))
       )
       .select("doc_id", "n_tokens", "n_distinct", "max_tok_freq", "rep3_ratio")
-  }
 
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
     repetition(Tables.documents(spark, dir)).orderBy("doc_id")
