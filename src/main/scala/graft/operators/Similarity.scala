@@ -274,6 +274,12 @@ object Similarity {
     val banded = corpus
       .select(col("vec_id"), explode(buckets(col("embedding"))).as("bk"))
       .select(col("vec_id"), col("bk.t"), col("bk.b"))
+    // NOTE (r21): grouped emission (the dedup_ngram posting-list fold)
+    // was tried here and MEASURED 1.33x SLOWER on interleaved A/B runs:
+    // sign-projection buckets are large (n / 2^bits ids, ~125 at sf0.1)
+    // where rarest-first prefix postings are short, and orderedPairs'
+    // slice-per-element combination explode loses to the codegen'd hash
+    // join at that occupancy. The self-join stays deliberately.
     val candidates = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
@@ -569,6 +575,8 @@ object Similarity {
   ): DataFrame = {
     val emb = corpus.filter(col("embedding").isNotNull)
     val banded = bandsOf(emb, bits, tables, dim, seedBase)
+    // the (t, b) self-join is deliberate — see cosineNearDupMulti's r21
+    // note (grouped emission measured slower at LSH bucket occupancy)
     val candidates = banded.select(col("t"), col("b"), col("vec_id").as("id_a"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("id_b")), Seq("t", "b"))
       .filter(col("id_a") =!= col("id_b"))
