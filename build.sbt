@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output passes through RAW (no sbt `[info] `
+// prefix): the bench/verify mains print machine-parsed JSON lines on
+// stdout, and a log-prefixed line is not valid JSON to a consumer that
+// does `json.loads(line)` / `line.startswith("{")`.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

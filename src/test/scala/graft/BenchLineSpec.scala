@@ -32,15 +32,19 @@ class BenchLineSpec extends AnyFunSuite {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       assert(line.contains("\"" + top + "\":" + topMin),
         s"n=$n slowest query missing from line")
-      // scalar tail fields: value last, sf before it — a tail-window cut
-      // takes queries first
-      assert(line.matches(""".*"sf":"[^"]*","value":[0-9.]+}$"""), line.takeRight(80))
+      // r22 contract order: the documented fields lead, in the
+      // documented order — metric, value, unit, queries, sf — and
+      // every diagnostic extra comes strictly after sf
+      assert(line.matches(
+        """^\{"metric":"total","value":[0-9.]+,"unit":"sec","queries":\{.*\},"sf":"[^"]*","n_queries":\d+,"elided":\d+.*\}$"""),
+        line.take(120) + " ... " + line.takeRight(120))
       assert(line.contains(s""""n_queries":$n,"""))
       // dispersion block present with the synthetic 1.3 ratio everywhere
-      assert(line.contains(""""disp":{"p50":1.30,"p90":1.30,"max":1.30},"""), line)
-      if (n > Bench.MaxEntries)
-        assert(line.contains(s""""elided":${n - Bench.MaxEntries},"""),
-          s"n=$n elided count must be explicit")
+      assert(line.contains(""""disp":{"p50":1.30,"p90":1.30,"max":1.30}"""), line)
+      // elided + admitted == full suite (curation is explicit)
+      val elided = """"elided":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+      val admitted = """"q_some_operator""".r.findAllIn(line).length
+      assert(elided + admitted == n, s"n=$n elided=$elided admitted=$admitted")
     }
   }
 
@@ -51,13 +55,13 @@ class BenchLineSpec extends AnyFunSuite {
     // (outer + queries map + disp block), suspect flag present, total
     // equals the rounded sum of the MINS
     assert(line.count(_ == '{') == 3 && line.count(_ == '}') == 3)
-    assert(line.contains(""""suspect":true,"""))
+    assert(line.contains(""","suspect":true}"""))
     val expected = stats.values
       .map(s => BigDecimal(s.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
-    val got = """"value":([0-9.]+)}""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val got = """"value":([0-9.]+),"unit"""".r.findFirstMatchIn(line).get.group(1).toDouble
     assert(math.abs(got - expected) < 0.011, s"$got vs $expected")
     // empty suite never divides by zero or emits a malformed map
     val empty = Bench.headline(Map.empty, "/x", suspect = false)
-    assert(empty.contains(""""queries":{},""") && empty.endsWith(""""value":0.00}"""))
+    assert(empty.contains(""""queries":{},""") && empty.startsWith("""{"metric":"total","value":0.00,"""))
   }
 }
