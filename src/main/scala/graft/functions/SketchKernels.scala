@@ -12,9 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object SketchKernels {
 
   /** See [[TokenMaxFreq]]: max multiplicity of any element of a token
-    * array, per row. Null elements are skipped (tokenizers here never
-    * emit them; skipping matches what an explode+count chain would see
-    * after its group key dropped nulls).
+    * array, per row. Null elements are skipped — semantics agree with
+    * the old explode+groupBy chain because this engine's tokenizers
+    * never emit null elements, NOT because groupBy drops null keys
+    * (SQL groupBy keeps a null group; a null-element array through the
+    * raw SQL surface would count nulls there but not here).
     */
   def tokenMaxFreq(arr: ArrayData): Long = {
     val n = arr.numElements()

@@ -343,24 +343,31 @@ object Curation {
     * tagger/attribute split) keeps signals as per-doc attribute tables
     * so thresholds can be re-tuned without re-running the taggers.
     *
-    * Dataflow: one narrow base projection (Gopher rules + langid + TTR,
-    * fused into a single scan via gopherQuality's keep seam), then two
-    * attribute tables joined on `doc_id` — repetition (per-doc
-    * aggregate) and bigram-LM perplexity (the one corpus-model join).
-    * Every joined side is
+    * Dataflow: one narrow base projection (Gopher rules + langid + TTR
+    * + the per-row repetition signals, fused into a single scan via
+    * gopherQuality's keep seam), then ONE attribute table joined on
+    * `doc_id` — bigram-LM perplexity (the one corpus-model join; it is
+    * genuinely aggregate, so it cannot fuse). The joined side is
     * SKINNY (doc_id + a few numeric columns; text never leaves the
-    * taggers), so the id-keyed joins shuffle attribute rows, not the
+    * taggers), so the id-keyed join shuffles attribute rows, not the
     * corpus — and in a 100 TB deployment the attribute tables land
-    * bucketed by doc_id, making every join here a zero-shuffle
+    * bucketed by doc_id, making the join here a zero-shuffle
     * sort-merge over co-located buckets. Perplexity joins LEFT:
     * a doc with no bigrams gets a null score, and the verdict treats
     * an unscorable doc as not-keepable rather than silently passing it.
     */
   def docAnnotate(docs: DataFrame, cfg: AnnotateConfig = AnnotateConfig()): DataFrame = {
-    // every per-row tagger (Gopher rules, langid, TTR) fuses into ONE
-    // base projection via gopherQuality's keep seam — one corpus scan,
-    // not one per tagger; only the genuinely aggregate taggers
-    // (repetition, perplexity) produce separate attribute tables
+    // every per-row tagger (Gopher rules, langid, TTR — and, since the
+    // r21 TokenMaxFreq kernel made repetition per-row, the repetition
+    // signals too) fuses into ONE base projection via gopherQuality's
+    // keep seam — one corpus scan, not one per tagger, and no doc_id
+    // join for columns each row can answer alone (r22, guide §2.4: the
+    // old left join shuffled the corpus twice to re-attach per-row
+    // values). The when(size > 0, ...) guards reproduce the join's
+    // null-for-tokenless-docs semantics exactly: repetition() kept only
+    // docs with ≥ 1 token, so the left join yielded nulls for the rest.
+    // Only the genuinely aggregate tagger (perplexity — a corpus model)
+    // remains a separate attribute table.
     val toks = text.tokens(col("text"))
     // NOTHING filters here: empty/null-text docs still get a row (zero
     // tokens, null ratio signals, keep = false) — an attribute table
@@ -368,17 +375,23 @@ object Curation {
     val base = TextAnalysis.gopherQuality(docs, cfg.gopherMinStopHits, keep = Seq(
         "pred_lang" -> text.langId(col("text")),
         "ttr" -> when(size(toks) > 0,
-          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))))
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double")),
+        // same expressions as TextAnalysis.repetition (same casts, same
+        // IEEE division) — values identical by construction
+        "max_tok_freq" -> when(size(toks) > 0,
+          graft.functions.sketch.tokenMaxFreq(toks)),
+        "rep3_ratio" -> when(size(toks) > 0,
+          when(size(toks).cast("long") > lit(2L),
+            lit(1.0) - size(graft.functions.sketch.shingleSet(toks, 3)).cast("long")
+              .cast("double") / (size(toks).cast("long") - 2))
+            .otherwise(lit(0.0)))))
       .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("ttr"),
-        col("passes").as("gopher_pass"))
-    val rep = TextAnalysis.repetition(docs)
-      .select("doc_id", "max_tok_freq", "rep3_ratio")
+        col("max_tok_freq"), col("rep3_ratio"), col("passes").as("gopher_pass"))
     // the perplexity tree is fully lazy (no persisted stage, no
     // handoff), so the whole composition is ONE action with nothing to
     // release at the boundary
     val ppl = TextAnalysis.perplexity(docs).select("doc_id", "mean_nll_q")
     val out = base
-      .join(rep, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .withColumn("keep",
         // Kleene AND: gopher_pass is always false for zero-token docs,
@@ -434,7 +447,10 @@ object Curation {
     // join's survivor count by construction). The r20 shape paid a
     // standalone docs.count() corpus scan plus an s1.count() pass over
     // the persisted full-width survivors for numbers this digest-keyed
-    // frame already knows.
+    // frame already knows. n1 == |s1| assumes doc_id is UNIQUE in
+    // documents (ADVICE r21) — the same assumption the min(doc_id)
+    // survivor pick already makes: a duplicated doc_id would make the
+    // semi-join keep more rows than digest groups.
     val k1 = hh.groupBy("h")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

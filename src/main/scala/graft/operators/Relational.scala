@@ -1177,21 +1177,52 @@ object Relational {
     * with `user_id, recency_us, frequency, monetary_c`.
     */
   def rfmSegments(u: DataFrame): DataFrame = {
-    def quartile(df: DataFrame, key: Column, out: String): DataFrame = {
-      val (ranked, total) = graft.engine.GlobalRank.withRowNumber(
-        df, Seq(key.desc, col("user_id").asc), "__r")
-      ranked
-        .withColumn(out, graft.engine.GlobalRank.ntileFromRank(col("__r"), 4, total))
-        .drop("__r")
+    // QUARTILES BY BOUNDARY COMPARISON (r22, guide §2.4): ntile(4)
+    // needs each row's BUCKET, not its full rank — and the bucket
+    // boundaries are 3 exact order statistics per key. The pre-r22
+    // shape ran a full GlobalRank rank pipeline per key: three SERIAL
+    // ranged exchanges of the accumulating full-width user frame,
+    // three complete per-partition window sorts, three offset
+    // broadcast joins. Now each key runs [[GlobalRank.rowsAtRanks]]
+    // over a NARROW (key, user_id) projection — the ranged exchange
+    // carries 16 bytes/row, only the ≤3 partitions holding a boundary
+    // sort — and the collected boundary tuples come back as literal
+    // comparisons in ONE final zero-shuffle projection over the
+    // persisted user table. Tiebreak semantics are exact: a row's
+    // bucket is 1 + (boundaries strictly before it) under the same
+    // (key DESC, user_id ASC) total order the ranks used, so the
+    // result equals ntileFromRank(rank) row for row.
+    val uc = u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quartileExpr(keyName: String): Column = {
+      val (rows, _) = graft.engine.GlobalRank.rowsAtRanks(
+        uc.select(col(keyName), col("user_id")),
+        Seq(col(keyName).desc, col("user_id").asc),
+        // bucket-end ranks for buckets 1..3 (the last bucket needs no
+        // boundary; empty buckets when total < 4 have end < start)
+        total => graft.engine.GlobalRank.ntileCuts(total, 4)
+          .filter { case (_, s, e) => e >= s && e < total }.map(_._3))
+      val bounds = graft.engine.DriverBudget.collect("Relational.rfmQuartile", 3L)(
+          rows.select(col(keyName), col("user_id"), col("__grank")))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3)
+      bounds.foldLeft(lit(1L)) { case (acc, (k, uid, _)) =>
+        // boundary tuple strictly BEFORE the row under (key DESC,
+        // user_id ASC): larger key, or same key and smaller user_id
+        acc + when(lit(k) > col(keyName) ||
+          (lit(k) === col(keyName) && lit(uid) < col("user_id")), 1L).otherwise(0L)
+      }
     }
-    val cut = quartile(quartile(quartile(u,
-      col("recency_us"), "r_q"), col("frequency"), "f_q"), col("monetary_c"), "m_q")
-    // the three ranged stages stay persisted through the caller's one
-    // action and are released by the harness's between-query
-    // clearCache (the GlobalRank contract — see its scaladoc)
-    cut.select(col("user_id"), col("recency_us"), col("frequency"),
-        col("monetary_c"), col("r_q"), col("f_q"), col("m_q"),
-        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+    // the persisted stages (user table + the three narrow ranged
+    // projections inside rowsAtRanks) stay persisted through the
+    // caller's one action and are released by the harness's
+    // between-query clearCache (the GlobalRank contract — see its
+    // scaladoc)
+    uc.select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary_c"),
+        quartileExpr("recency_us").as("r_q"),
+        quartileExpr("frequency").as("f_q"),
+        quartileExpr("monetary_c").as("m_q"))
+      .withColumn("segment", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy("user_id")
   }
 

@@ -1606,6 +1606,12 @@ object Similarity {
         if (zeroWidthRows > 0) 0
         else dimRows.find(_._4 < total).map(_._1).getOrElse(dimRows.length)
       val hi = dimRows.lastOption.map(_._1 + 1).getOrElse(0)
+      // uniform zero-width corpus (ADVICE r21): "[0, 0]" reads as a
+      // ragged range when the corpus has exactly one (zero) width —
+      // name the real problem instead
+      require(!(zeroWidthRows > 0 && dimRows.isEmpty),
+        s"embedDimCorrTop: every embedding is empty ($zeroWidthRows " +
+          "zero-width rows) — no dimension pairs exist to audit.")
       require(lo == hi && lo >= 2,
         s"embedDimCorrTop: ragged embedding widths [${math.min(lo, hi)}, $hi] — " +
           "the kernel and its oracle diverge on ragged corpora (width-1 rows " +
@@ -1617,27 +1623,45 @@ object Similarity {
       .sortBy { case (i, varNum) => (-varNum, i) }
       .take(subDims)
       .map(_._1).sorted
-    val pairCols = for {
-      a <- sel.indices
-      b <- (a + 1) until sel.size
-    } yield struct(
-      lit(sel(a)).as("i"), lit(sel(b)).as("j"),
-      (element_at(col("q"), sel(a) + 1) * element_at(col("q"), sel(b) + 1)).as("xy"))
-    val pairs = q.filter(size(col("q")) > sel.lastOption.getOrElse(0))
-      .select(explode(array(pairCols: _*)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
-    // the per-dim stats are ALREADY on the driver (the guard/subspace
-    // collect) — joining them back as a literal frame keeps the moment
-    // aggregate out of the final plan, so the product pass is the only
-    // corpus work left after the one dims pass (r20)
     val spark2 = spark
     import spark2.implicits._
-    val stats = dimRows.map { case (i, sx, _, n) => (i, sx, n) }.toSeq
-      .toDF("i", "sx", "n")
-    pairs
-      .join(broadcast(stats.select(col("i"), col("sx").as("sx_i"), col("n"))), Seq("i"))
-      .join(broadcast(stats.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+    // an empty corpus (no dims at all) has no pairs: empty result with
+    // the exact output schema — the pre-r22 struct-explode shape reached
+    // the same rows through a degenerate empty-array explode
+    if (sel.size < 2)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("i", "j", "n", "sxy", "cov_num")
+    // PRODUCT PASS (r22, mirrors embedDimCorr's r21 rewrite, guide
+    // §2.3/§4): one flat array<long> of subDims(subDims−1)/2 products
+    // per row in lexicographic (a, b) order — the SAME element_at
+    // products, same long arithmetic — elementwise-summed by the
+    // VecSumLong imperative aggregate (one ≤28-long buffer per
+    // partition) instead of exploding a struct per product through a
+    // (i, j) hash aggregate. The per-dim stats are ALREADY on the
+    // driver (the guard/subspace collect), so the flat index joins a
+    // driver-built literal mapping and the product pass is the only
+    // corpus work left after the one dims pass.
+    val prodCols = for {
+      a <- sel.indices
+      b <- (a + 1) until sel.size
+    } yield element_at(col("q"), sel(a) + 1) * element_at(col("q"), sel(b) + 1)
+    val sxyRow = q.filter(size(col("q")) > sel.lastOption.getOrElse(0))
+      .select(graft.functions.vecagg.vecSumLong(array(prodCols: _*)).as("v"))
+    val byDim = dimRows.map { case (i, sx, _, n) => i -> (sx, n) }.toMap
+    val mapping = (for {
+      a <- sel.indices
+      b <- (a + 1) until sel.size
+    } yield {
+      val (sxi, n) = byDim(sel(a))
+      val (sxj, _) = byDim(sel(b))
+      (sel(a), sel(b), n, sxi, sxj)
+    }).zipWithIndex
+      .map { case ((i, j, n, sxi, sxj), k) => (k.toLong, i, j, n, sxi, sxj) }
+      .toDF("idx", "i", "j", "n", "sx_i", "sx_j")
+    sxyRow
+      .select(posexplode(col("v")).as(Seq("__p", "sxy")))
+      .select(col("__p").cast("long").as("idx"), col("sxy"))
+      .join(broadcast(mapping), Seq("idx"))
       .withColumn("cov_num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"), col("sxy"), col("cov_num"))

@@ -869,15 +869,31 @@ object EventStream {
     * quartile-cut stage ([[graft.operators.Relational.rfmSegments]] —
     * the same GlobalRank ranged ntile cuts, so parity is structural).
     */
-  def rfmFinalize(updates: DataFrame): DataFrame = {
+  def rfmFinalize(updates: DataFrame): DataFrame =
+    graft.operators.Relational.rfmSegments(
+      compactUpdates(updates, "user_id", "frequency")
+        .select(col("user_id"), col("recency_us"), col("frequency"), col("monetary_c")))
+
+  /** MAINTENANCE COMPACTION for the maintained-table twins' Update-mode
+    * sinks (r22, carried from the r20 verdict): keep each key's LATEST
+    * row by a strictly-monotone per-key sequence column — every twin
+    * emits one (`frequency` for rfm, `n_events` for decay, `n` for
+    * lifespan/burstiness/type-diversity, `seq` for path prefixes) — so
+    * a periodically-compacted sink bounds every finalizer's read path
+    * at O(keys) instead of O(keys × batches) of raw update history.
+    * Idempotent (compacting a compacted table is a no-op), and
+    * finalizer-transparent by construction: each finalizer's own
+    * latest-row pick selects the same rows over the compacted table
+    * (pinned in StreamingSpec). The window is keyed per user — parallel
+    * per-partition work, never a global sort.
+    */
+  def compactUpdates(updates: DataFrame, keyCol: String, seqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val latest = updates
+    updates
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("user_id").orderBy(col("frequency").desc)))
+        Window.partitionBy(keyCol).orderBy(col(seqCol).desc)))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    graft.operators.Relational.rfmSegments(
-      latest.select(col("user_id"), col("recency_us"), col("frequency"), col("monetary_c")))
   }
 
   /** One user's funnel progress — the BOUNDED sufficient statistic of

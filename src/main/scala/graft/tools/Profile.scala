@@ -49,26 +49,37 @@ object Profile {
           var bestPlan = Double.MaxValue
           var bestExec = Double.MaxValue
           var lastStages = 0; var lastTasks = 0; var lastShuffle = 0L; var lastTaskTime = 0L
+          // timed iterations tolerate failures like the warmup does
+          // (ADVICE r21): one failing query must not abort the whole
+          // run, and a query with ZERO successful iterations prints an
+          // explicit FAILED line instead of Double.MaxValue totals
           (1 to iters).foreach { _ =>
             spark.catalog.clearCache()
             stages.set(0); tasks.set(0); shuffleWrite.set(0L); taskTimeMs.set(0L)
-            val t0 = System.nanoTime()
-            val df = fn(spark, sfDir)
-            df.queryExecution.executedPlan // force analysis+optimization+planning
-            val t1 = System.nanoTime()
-            df.write.format("noop").mode("overwrite").save()
-            val t2 = System.nanoTime()
-            Thread.sleep(200) // drain listener bus
-            val plan = (t1 - t0) / 1e9
-            val exec = (t2 - t1) / 1e9
-            if (plan + exec < bestPlan + bestExec) {
-              bestPlan = plan; bestExec = exec
-              lastStages = stages.get(); lastTasks = tasks.get()
-              lastShuffle = shuffleWrite.get(); lastTaskTime = taskTimeMs.get()
+            try {
+              val t0 = System.nanoTime()
+              val df = fn(spark, sfDir)
+              df.queryExecution.executedPlan // force analysis+optimization+planning
+              val t1 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              val t2 = System.nanoTime()
+              Thread.sleep(200) // drain listener bus
+              val plan = (t1 - t0) / 1e9
+              val exec = (t2 - t1) / 1e9
+              if (plan + exec < bestPlan + bestExec) {
+                bestPlan = plan; bestExec = exec
+                lastStages = stages.get(); lastTasks = tasks.get()
+                lastShuffle = shuffleWrite.get(); lastTaskTime = taskTimeMs.get()
+              }
+            } catch {
+              case e: Throwable => System.err.println(s"$name iteration failed: $e")
             }
           }
-          println(f"PROFILE $name%-28s total=${bestPlan + bestExec}%6.3f plan=$bestPlan%6.3f exec=$bestExec%6.3f " +
-            f"stages=$lastStages%3d tasks=$lastTasks%4d shufMB=${lastShuffle / 1e6}%8.2f taskSumS=${lastTaskTime / 1e3}%7.2f")
+          if (bestPlan == Double.MaxValue)
+            println(f"PROFILE $name%-28s FAILED (no iteration succeeded)")
+          else
+            println(f"PROFILE $name%-28s total=${bestPlan + bestExec}%6.3f plan=$bestPlan%6.3f exec=$bestExec%6.3f " +
+              f"stages=$lastStages%3d tasks=$lastTasks%4d shufMB=${lastShuffle / 1e6}%8.2f taskSumS=${lastTaskTime / 1e3}%7.2f")
       }
     }
     spark.stop()

@@ -808,6 +808,19 @@ class StreamingSpec extends SparkSpec {
     val updates = spark.table("rfm_t_test").count()
     val users = spark.table("rfm_t_test").select("user_id").distinct().count()
     assert(updates > users, s"no cross-batch state was exercised: $updates updates / $users users")
+    // r22 (carried from the r20 verdict): a maintenance-compacted sink
+    // — latest row per user by the strictly-monotone frequency — must
+    // finalize to the SAME segments as the raw O(users × batches)
+    // update history, so a deployment can bound the twins' read path
+    // by compacting periodically
+    val compacted = EventStream.compactUpdates(
+      spark.table("rfm_t_test"), "user_id", "frequency")
+    assert(compacted.count() == users,
+      "compaction must keep exactly one row per user")
+    val overCompacted = EventStream.rfmFinalize(compacted)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(overCompacted == want,
+      "finalize-over-compacted must equal finalize-over-raw")
     spark.catalog.clearCache()
   }
 
